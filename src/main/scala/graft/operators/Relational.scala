@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage the reference lacks (SURVEY.md §2 category
+  * checklist: no joins, no sorts/limits, no set ops, no window functions).
+  * Each builder is a declarative DataFrame plan so Catalyst applies
+  * pushdown/pruning/join-selection; small dimension sides are explicitly
+  * `broadcast()` so the 100 TB plan has no shuffle on the big fact side
+  * where one isn't needed.
+  *
+  * Money sums are emitted as exact integer cents (`sum(round(x*100))` cast
+  * to long): per-row rounding happens before the sum, so the aggregate is
+  * order-independent and bit-identical to the DuckDB oracle regardless of
+  * partitioning.
+  */
+object Relational {
+
+  private def cents(c: org.apache.spark.sql.Column) = round(c * 100)
+
+  /** TPC-H Q1-style pricing summary: scan-heavy group-by over lineitem.
+    * Filter reaches the parquet scan; aggregate is two-phase hash. */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).cast("long").as("sum_base_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).cast("long").as("sum_disc_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).cast("long").as("sum_charge_cents"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-style: 3-way join (customer ⋈ orders ⋈ lineitem), revenue
+    * per order, top 10. customer is the small side → broadcast; orders ⋈
+    * lineitem shuffles on orderkey (the natural key at scale). */
+  def topOrders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                segment: String = "BUILDING"): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.filter(col("c_mktsegment") === segment)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).cast("long").as("revenue_cents"))
+      .select(col("l_orderkey"), unix_timestamp(col("o_orderdate")).as("o_orderdate_sec"), col("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+      .limit(10)
+
+  /** TPC-H Q5-style: revenue per nation where customer and supplier share
+    * the nation. region/nation/supplier are tiny → broadcast the whole dim
+    * chain; only orders ⋈ lineitem shuffles. */
+  def nationRevenue(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                    orders: DataFrame, lineitem: DataFrame, supplier: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).cast("long").as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("n_name"))
+
+  /** Global top-k with a total (tie-free) order: TakeOrderedAndProject —
+    * no full sort at scale, each partition keeps k rows then the driver
+    * merges. */
+  def topItems(lineitem: DataFrame, k: Int = 100): DataFrame =
+    lineitem
+      .select(col("l_orderkey"), col("l_linenumber"),
+        cents(col("l_extendedprice")).cast("long").as("price_cents"))
+      .orderBy(col("price_cents").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(k)
+
+  /** SQL window function (rank per group) — absent from the reference's
+    * category list. Top-3 customers by balance per market segment. */
+  def topCustomersPerSegment(customer: DataFrame, n: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("acctbal_cents").desc, col("c_custkey"))
+    customer
+      .select(col("c_mktsegment"), col("c_custkey"),
+        cents(col("c_acctbal")).cast("long").as("acctbal_cents"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= n)
+      .orderBy(col("c_mktsegment"), col("rk"))
+  }
+
+  /** Left-semi join: customers that have at least one order (EXISTS). */
+  def customersWithOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  /** Left-anti join: customers with no orders (NOT EXISTS). */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  /** Set ops: high-balance customer keys ∩ high-value order customer keys,
+    * and the same with EXCEPT — both plan as hash aggregates/joins. */
+  def keyIntersect(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.filter(col("c_acctbal") > 0).select(col("c_custkey").as("k"))
+      .intersect(orders.filter(col("o_totalprice") > 1000).select(col("o_custkey").as("k")))
+      .orderBy("k")
+
+  def keyExcept(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.filter(col("c_acctbal") > 0).select(col("c_custkey").as("k"))
+      .except(orders.filter(col("o_totalprice") > 1000).select(col("o_custkey").as("k")))
+      .orderBy("k")
+
+  /** ROLLUP grouping sets over (returnflag, linestatus). */
+  def salesRollup(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** Broadcast-hash-join enrichment: every order with its customer's
+    * segment — the canonical fact ⋈ small-dim pattern. At 100 TB this is
+    * the join that must NOT shuffle the fact table. */
+  def ordersEnriched(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        col("c_mktsegment"),
+        cents(col("o_totalprice")).cast("long").as("totalprice_cents"))
+      .orderBy("o_orderkey")
+}

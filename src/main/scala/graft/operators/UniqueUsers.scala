@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference engine's entire query surface, Spark-first.
+  *
+  * Reference: `/root/reference/src/main/java/com/isidora/kafka/UniqueUsersCounter.java:63-93`
+  * — read JSON events, 1-minute tumbling windows, COUNT(DISTINCT uid) per
+  * window. Re-expressed as declarative windowed aggregations so Catalyst
+  * plans the two-phase (partial + final) distinct aggregate and Tungsten
+  * executes it vectorized — versus the reference's row-at-a-time
+  * HashSet-per-window (UniqueUsersCounter.java:80-84), whose serialized
+  * state hits Kafka's 1 MiB record cap (reference README.md:27-31). The
+  * HLL variant (`perMinuteApprox`) is the fix for that scale wall:
+  * constant-size state per (window) at any cardinality.
+  *
+  * Window keys are emitted as unix epoch seconds — the output format the
+  * reference's README.md:43 says it *should* have used (it emitted
+  * ISO-8601 `Instant.toString()`, a documented defect).
+  */
+object UniqueUsers {
+
+  /** Flagship: exact distinct users per 1-minute tumbling window.
+    * Scale path: countDistinct plans as Expand + two-phase HashAggregate —
+    * partial dedup happens map-side before the shuffle on (window). */
+  def perMinute(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(countDistinct(col("user_id")).as("unique_users"))
+      .select(
+        unix_timestamp(col("window.start")).as("minute"),
+        col("unique_users"))
+      .orderBy("minute")
+
+  /** The reference README's own sketched fix (README.md:60-62): floor ts to
+    * the minute, dedup (minute, uid) pairs, then count — two explicit
+    * phases. Same result as perMinute; state per phase is smaller (the
+    * dedup shuffle carries (minute, uid) keys only). */
+  def perMinuteTwoPhase(events: DataFrame): DataFrame =
+    events
+      .select(date_trunc("minute", col("ts")).as("minute_ts"), col("user_id"))
+      .dropDuplicates("minute_ts", "user_id")
+      .groupBy(col("minute_ts"))
+      .agg(count(lit(1)).as("unique_users"))
+      .select(unix_timestamp(col("minute_ts")).as("minute"), col("unique_users"))
+      .orderBy("minute")
+
+  /** Exact-parity variant of the reference's HashSet state
+    * (UniqueUsersCounter.java:80-88): materialize the distinct set, then
+    * take its size. Unbounded state like the reference — kept for parity,
+    * not the scale path. */
+  def perMinuteCollectSet(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(size(collect_set(col("user_id"))).as("unique_users"))
+      .select(
+        unix_timestamp(col("window.start")).as("minute"),
+        col("unique_users").cast("long").as("unique_users"))
+      .orderBy("minute")
+
+  /** HLL sketch variant — the 100 TB answer to the reference's
+    * RecordTooLargeException scale wall (README.md:27-31): O(kB) state per
+    * window regardless of distinct-user cardinality, mergeable map-side. */
+  def perMinuteApprox(events: DataFrame, rsd: Double = 0.01): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("unique_users"))
+      .select(
+        unix_timestamp(col("window.start")).as("minute"),
+        col("unique_users"))
+      .orderBy("minute")
+
+  /** Hopping/sliding generalization of the reference's
+    * `TimeWindows.of(1m).advanceBy(60s)` (UniqueUsersCounter.java:77) with
+    * hop < size: 5-minute windows sliding every minute. */
+  def slidingDistinct(events: DataFrame, win: String = "5 minutes", slide: String = "1 minute"): DataFrame =
+    events
+      .groupBy(window(col("ts"), win, slide))
+      .agg(countDistinct(col("user_id")).as("unique_users"))
+      .select(
+        unix_timestamp(col("window.start")).as("window_start"),
+        col("unique_users"))
+      .orderBy("window_start")
+
+  /** Filter + projection — the operator category the reference lacks
+    * entirely (SURVEY.md §2 checklist: "no filter anywhere"). Predicate and
+    * projection both reach the parquet scan (PushedFilters / ReadSchema). */
+  def filterProject(events: DataFrame, eventType: String = "purchase"): DataFrame =
+    events
+      .filter(col("event_type") === eventType)
+      .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("ts_sec"))
+      .orderBy("event_id")
+
+  /** Schema-on-read JSON extraction (reference S2/O1:
+    * JsonSerde + `value.get("uid")`, UniqueUsersCounter.java:20-24,68) —
+    * here as `get_json_object` over the `props` JSON column, aggregated per
+    * event_type. */
+  def jsonExtractStats(events: DataFrame): DataFrame =
+    events
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  /** Per-type counts + exact cents sum (doubles made order-independent by
+    * rounding each value to cents before the integer-exact sum). */
+  def eventTypeStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("users"),
+        sum(round(col("value") * 100)).cast("long").as("value_cents"))
+      .orderBy("event_type")
+}
