@@ -52,7 +52,135 @@ object SparkEntry {
       Relational.keyExcept(Tables.customer(s, d), Tables.orders(s, d))),
     "sales_rollup" -> ((s, d) => Relational.salesRollup(Tables.lineitem(s, d))),
     "orders_enriched" -> ((s, d) => Relational.ordersEnriched(Tables.orders(s, d), Tables.customer(s, d))),
+    // ---- deduplication (training-data pipeline) ----
+    "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+    "dedup_exact_norm" -> ((s, d) => Dedup.exactNormalized(Tables.documents(s, d))),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
+    "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
+    "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
+    // ---- similarity search ----
+    "ann_bruteforce_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
+    "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
+    "ann_bucket_stats" -> ((s, d) => Similarity.bucketStats(Tables.embeddings(s, d))),
+    // ---- text analysis ----
+    "text_stats" -> ((s, d) => TextAnalysis.stats(Tables.documents(s, d))),
+    "text_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
+    "text_langid" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    "text_quality" -> ((s, d) => TextAnalysis.quality(Tables.documents(s, d))),
+    "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
+    "corpus_summary" -> ((s, d) => TextAnalysis.corpusSummary(Tables.documents(s, d))),
+    // ---- multimodal plumbing ----
+    "media_bytes_stats" -> ((s, d) => Multimodal.bytesStats(Tables.documents(s, d))),
+    "media_frame_sample" -> ((s, d) => Multimodal.frameSample(Tables.documents(s, d))),
+    "image_meta_stub" -> ((s, d) => Multimodal.imageMeta(s, Tables.documents(s, d))),
   )
+
+  // ---- generated oracle-SQL fragments (kept in Scala so the SQL mirrors
+  // the Spark column expressions term for term) ----
+
+  /** Normalized text + distinct whitespace tokens, as DuckDB CTEs. */
+  private val NormToksCte =
+    """norm AS (SELECT doc_id, source, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t FROM documents),
+      |toks AS (SELECT doc_id, unnest(list_distinct(string_split(t, ' '))) AS tok FROM norm)""".stripMargin
+
+  private def minhashOracle: String = {
+    val sigCols = (0 until Dedup.MinhashSeeds)
+      .map(i => s"min(md5('$i:' || tok)) AS h$i").mkString(", ")
+    val bandKeys = (0 until Dedup.MinhashBands)
+      .map(b => s"md5(h${2 * b} || h${2 * b + 1})").mkString("[", ", ", "]")
+    val bandIdxs = (0 until Dedup.MinhashBands).mkString("[", ", ", "]")
+    s"""WITH $NormToksCte,
+       |sig AS (SELECT doc_id, $sigCols FROM toks GROUP BY doc_id),
+       |bands AS (SELECT doc_id, unnest($bandKeys) AS band_key, unnest($bandIdxs) AS band_idx FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a
+       |  JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+       |shr AS (SELECT doc_a, doc_b, count(*) AS shared FROM cand
+       |  JOIN toks ta ON doc_a = ta.doc_id JOIN toks tb ON doc_b = tb.doc_id AND ta.tok = tb.tok
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b FROM shr
+       |JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE shared * 3 >= sa.n_tok + sb.n_tok ORDER BY 1, 2""".stripMargin
+  }
+
+  private def simhashOracle: String = {
+    val votes = (0 until 32).map { j =>
+      s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(m, ${j + 1}, 1)) - 1) & 1) = 1 THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(", ")
+    val sig = (0 until 32)
+      .map(j => s"(CASE WHEN s$j >= 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)")
+      .mkString(" + ")
+    val bandKeys = (0 until 4).map(b => s"(simhash >> ${8 * b}) & 255").mkString("[", ", ", "]")
+    s"""WITH $NormToksCte,
+       |tm AS (SELECT doc_id, md5(tok) AS m FROM toks),
+       |votes AS (SELECT doc_id, $votes FROM tm GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sig AS simhash FROM votes),
+       |bands AS (SELECT doc_id, simhash, unnest($bandKeys) AS band_key, unnest([0, 1, 2, 3]) AS band_idx FROM sig),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY 1, 2""".stripMargin
+  }
+
+  private def ngramJaccardOracle: String =
+    s"""WITH norm AS (SELECT doc_id, source, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t FROM documents),
+       |tk AS (SELECT doc_id, source, string_split(t, ' ') AS toks FROM norm),
+       |sh AS (SELECT doc_id, source, unnest(list_distinct(
+       |    CASE WHEN len(toks) >= 3
+       |      THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+       |      ELSE []::VARCHAR[] END)) AS g FROM tk),
+       |sizes AS (SELECT doc_id, count(*) AS n_g FROM sh GROUP BY 1),
+       |shr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared FROM sh a
+       |  JOIN sh b ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, (shared * 100) // (sa.n_g + sb.n_g - shared) AS jaccard_pct
+       |FROM shr JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE shared * 2 >= sa.n_g + sb.n_g - shared ORDER BY 1, 2""".stripMargin
+
+  /** dot/norm fragments over 64-dim float lists, double-accumulated
+    * left-to-right (matches VectorFunctions' fold order). */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(64), i -> $a.embedding[i+1]::DOUBLE * $b.embedding[i+1]::DOUBLE))"
+
+  private def embeddingNearDupOracle: String =
+    s"""WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    ${dotSql("a", "b")} AS dp, ${dotSql("a", "a")} AS na, ${dotSql("b", "b")} AS nb
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, round(dp / sqrt(na * nb), 4) AS cos_sim
+       |FROM p WHERE dp / sqrt(na * nb) >= 0.5 ORDER BY 1, 2""".stripMargin
+
+  private def annBruteForceOracle: String =
+    s"""WITH s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    ${dotSql("a", "b")} AS dp, ${dotSql("a", "a")} AS nq, ${dotSql("b", "b")} AS nn
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND a.vec_id != b.vec_id),
+       |r AS (SELECT query_id, neighbor_id, dp / sqrt(nq * nn) AS cs,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY dp / sqrt(nq * nn) DESC, neighbor_id) AS rank
+       |  FROM s)
+       |SELECT query_id, neighbor_id, rank, round(cs, 4) AS cos_sim
+       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  private val BucketSql: String = (0 until 8)
+    .map(j => s"(CASE WHEN embedding[${j + 1}] >= 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)")
+    .mkString(" + ")
+
+  private def annLshOracle: String =
+    s"""WITH bkt AS (SELECT vec_id, embedding, $BucketSql AS bucket FROM embeddings),
+       |s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    ${dotSql("a", "b")} AS dp, ${dotSql("a", "a")} AS nq, ${dotSql("b", "b")} AS nn
+       |  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < 5 AND a.vec_id != b.vec_id),
+       |r AS (SELECT query_id, neighbor_id, dp / sqrt(nq * nn) AS cs,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY dp / sqrt(nq * nn) DESC, neighbor_id) AS rank
+       |  FROM s)
+       |SELECT query_id, neighbor_id, rank, round(cs, 4) AS cos_sim
+       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  private def imageMetaOracle: String = {
+    def nib(i: Int) = s"(strpos('0123456789abcdef', substr(md5(text), $i, 1)) - 1)"
+    s"""SELECT doc_id, CAST(32 * (1 + ${nib(1)}) AS BIGINT) AS width,
+       |  CAST(32 * (1 + ${nib(2)}) AS BIGINT) AS height,
+       |  (['jpeg', 'png', 'webp'])[(${nib(3)} % 3) + 1] AS media_format
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -148,5 +276,70 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, c_mktsegment,
         |       CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey""".stripMargin,
+    // ---- deduplication ----
+    "dedup_exact" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY text ORDER BY 1""",
+    "dedup_exact_norm" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count
+        |FROM documents GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        |ORDER BY 1""".stripMargin,
+    "dedup_minhash_lsh" -> minhashOracle,
+    "dedup_simhash" -> simhashOracle,
+    "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    "dedup_embedding_cosine" -> embeddingNearDupOracle,
+    // ---- similarity search ----
+    "ann_bruteforce_topk" -> annBruteForceOracle,
+    "ann_lsh_topk" -> annLshOracle,
+    "ann_bucket_stats" ->
+      s"""SELECT bucket, CAST(count(*) AS BIGINT) AS n
+         |FROM (SELECT $BucketSql AS bucket FROM embeddings) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // ---- text analysis ----
+    "text_stats" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS content_chars,
+        |  round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |        / greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0), 4) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_token_counts" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """SELECT doc_id, lang AS label_lang,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it)\b')) AS BIGINT) AS en_stopwords,
+        |  CASE WHEN len(regexp_extract_all(text, '\S+')) = 0 THEN 'unk'
+        |       WHEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it)\b')) AS DOUBLE)
+        |            / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) >= 0.05 THEN 'en'
+        |       ELSE 'unk' END AS predicted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        |  round(least(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 20.0, 1.0)
+        |        * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+        |                       / greatest(CAST(length(text) AS DOUBLE), 1.0) * 4.0, 1.0)), 6) AS quality_score,
+        |  round(least(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 20.0, 1.0)
+        |        * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+        |                       / greatest(CAST(length(text) AS DOUBLE), 1.0) * 4.0, 1.0)), 6) >= 0.5 AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |  substr(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), 1, 8) AS fp_prefix
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "corpus_summary" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // ---- multimodal plumbing ----
+    "media_bytes_stats" ->
+      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS header_byte
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "media_frame_sample" ->
+      """SELECT doc_id,
+        |  array_to_string(list_transform(range(1, length(text) + 1, 16), i -> substr(text, i, 1)), '') AS frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "image_meta_stub" -> imageMetaOracle,
   )
 }

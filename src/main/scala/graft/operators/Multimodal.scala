@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: treat image/audio/video payloads as opaque
+  * `binary` columns with typed metadata. The decode step is STUBBED with a
+  * deterministic fake (this container ships no image/audio codecs — see
+  * the builder brief); everything around it — schema, binary casting,
+  * partition-parallel batch iteration via mapPartitions, typed Encoders —
+  * is the real Spark plumbing a production decode would use, and is
+  * oracle-tested.
+  */
+object Multimodal {
+
+  /** Byte-level stats over the payload read as binary — the "is this blob
+    * sane" pre-decode filter. */
+  def bytesStats(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      length(col("text").cast("binary")).cast("long").as("n_bytes"),
+      ascii(substring(col("text"), 1, 1)).cast("long").as("header_byte"))
+      .orderBy("doc_id")
+
+  /** Frame sampling: every 16th byte of the fake "video" payload,
+    * reassembled as a preview string — the shape of a frame-subsample
+    * pass (stride read, no shuffle). */
+  def frameSample(documents: DataFrame, stride: Int = 16): DataFrame =
+    documents.select(
+      col("doc_id"),
+      expr(s"array_join(transform(sequence(1, length(text), $stride), i -> substring(text, i, 1)), '')")
+        .as("frames"))
+      .orderBy("doc_id")
+
+  /** Typed output of the stubbed decoder. */
+  final case class MediaMeta(doc_id: Long, width: Long, height: Long, media_format: String)
+
+  private val Formats = Array("jpeg", "png", "webp")
+
+  /** Deterministic fake decode: md5 the payload, derive dimensions/format
+    * from the first nibbles. A real decoder would parse the binary header
+    * here; the signature (partition iterator in, typed rows out, no
+    * driver-side collection) is exactly what it would look like. */
+  def fakeDecode(docId: Long, payload: Array[Byte]): MediaMeta = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(payload).map("%02x".format(_)).mkString
+    def nib(i: Int): Int = Integer.parseInt(hex.substring(i, i + 1), 16)
+    MediaMeta(docId, 32L * (1 + nib(0)), 32L * (1 + nib(1)), Formats(nib(2) % 3))
+  }
+
+  /** Decode metadata for every document via mapPartitions — one decoder
+    * instance per partition (the expensive-init pattern for real codecs),
+    * rows streamed, nothing collected to the driver. */
+  def imageMeta(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val binary: Dataset[(Long, Array[Byte])] = documents
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    binary
+      .mapPartitions { it =>
+        // per-partition init point for a real codec; md5 digest is cheap
+        it.map { case (id, payload) => fakeDecode(id, payload) }
+      }(Encoders.product[MediaMeta])
+      .toDF()
+      .orderBy("doc_id")
+  }
+}
