@@ -1,0 +1,51 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Runnable end-to-end streaming demo: stages the sf0.001 events fixture
+  * as JSON files, streams them through the reference topology
+  * (parse → watermark → windowed distinct → JSON sink records), and prints
+  * the finalized windows. Usage: `runMain graft.streaming.StreamingDemo
+  * [sfDir]`. */
+object StreamingDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-streaming-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // stage the fixture as the reference's wire format: JSON {"uid","ts"}
+    val stage = Files.createTempDirectory("graft-stream-in").toString
+    Tables.events(spark, sfDir)
+      .select(to_json(struct(
+        col("user_id").cast("string").as("uid"),
+        unix_timestamp(col("ts")).as("ts"))).as("value"))
+      .write.mode("overwrite").text(stage)
+
+    val raw = spark.readStream
+      .schema("value STRING")
+      .option("maxFilesPerTrigger", "1")
+      .text(stage)
+
+    val counts = StreamingUniqueUsers.uniqueUsersPerWindow(
+      StreamingUniqueUsers.parseEvents(raw))
+    val q = StreamingUniqueUsers.startMemorySink(
+      StreamingUniqueUsers.toSinkRecords(counts), "demo_out")
+    q.awaitTermination()
+
+    val out = spark.table("demo_out").orderBy("key")
+    println(s"[demo] finalized windows: ${out.count()}")
+    out.show(5, false)
+    spark.stop()
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Dedup-family behavior on planted duplicates (self-contained fixtures —
+  * the sf tables' planted near-dups are covered by the DuckDB oracle). */
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // d0/d1: identical after normalization; d2/d3: near-dup (1 word of 30
+  // differs); d4: unrelated.
+  private val base = (1 to 30).map(i => s"w$i").mkString(" ")
+  private val fixture = Seq(
+    (0L, base, "s0"),
+    (1L, "  " + base.toUpperCase + "  ", "s0"),
+    (2L, base + " extraA", "s0"),
+    (3L, base + " extraB", "s0"),
+    (4L, (100 to 140).map(i => s"x$i").mkString(" "), "s0")
+  ).toDF("doc_id", "text", "source")
+
+  test("exactNormalized folds case/whitespace variants") {
+    val got = Dedup.exactNormalized(fixture).collect()
+      .map { case Row(id: Long, n: Long) => id -> n }.toMap
+    assert(got(0L) === 2L) // d0+d1 folded
+    assert(got.keySet === Set(0L, 2L, 3L, 4L))
+  }
+
+  test("minhashLsh finds the near-dup pair and nothing unrelated") {
+    val pairs = Dedup.minhashLsh(fixture).collect()
+      .map { case Row(a: Long, b: Long) => (a, b) }.toSet
+    assert(pairs.contains((0L, 1L))) // identical post-norm
+    assert(pairs.contains((2L, 3L))) // 30/32 shared tokens, J≈0.94
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash: identical texts distance 0; near-dups within band reach") {
+    val sigs = Dedup.simhashSignatures(fixture).collect()
+      .map { case Row(id: Long, s: Long) => id -> s }.toMap
+    assert(sigs(0L) === sigs(1L))
+    val pairs = Dedup.simhashPairs(fixture).collect()
+      .map { case Row(a: Long, b: Long, h: Long) => ((a, b), h) }.toMap
+    assert(pairs((0L, 1L)) === 0L)
+  }
+
+  test("ngramJaccard scores the near-dup pair high and respects blocking") {
+    val scored = Dedup.ngramJaccard(fixture).collect()
+      .map { case Row(a: Long, b: Long, j: Long) => ((a, b), j) }.toMap
+    assert(scored((0L, 1L)) === 100L)
+    assert(scored.contains((2L, 3L)))
+    assert(scored((2L, 3L)) >= 85L)
+    // different source blocks the comparison entirely
+    val otherSource = fixture.withColumn("source",
+      when(col("doc_id") === 1L, lit("s9")).otherwise(col("source")))
+    val blocked = Dedup.ngramJaccard(otherSource).collect()
+      .map { case Row(a: Long, b: Long, _) => (a, b) }.toSet
+    assert(!blocked.contains((0L, 1L)))
+  }
+
+  test("embeddingNearDup flags parallel vectors, not orthogonal ones") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.99f, 0.14f, 0f, 0f)), // cos ≈ 0.99
+      (2L, Array(0f, 1f, 0f, 0f))        // orthogonal to 0
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDup(vecs, 0.9).collect()
+      .map { case Row(a: Long, b: Long, _) => (a, b) }.toSet
+    assert(got === Set((0L, 1L)))
+  }
+}

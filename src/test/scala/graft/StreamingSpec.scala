@@ -1,0 +1,107 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingUniqueUsers
+
+/** Streaming semantics: the reference's documented defects, fixed and
+  * regression-tested (reference README.md:42-52).
+  *   - append mode emits exactly ONE row per finalized window;
+  *   - late data within the 5 s watermark is counted;
+  *   - data later than the watermark is dropped;
+  *   - output records are proper JSON with unix-seconds keys.
+  */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def jsonEvent(uid: String, sec: Long): String =
+    s"""{"uid": "$uid", "ts": $sec}"""
+
+  private val w0 = 1700000040L // some whole minute (17:34:00)
+
+  test("append mode: one final row per window, late-within-watermark counted, too-late dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val counts = StreamingUniqueUsers.uniqueUsersPerWindow(
+      StreamingUniqueUsers.parseEvents(in.toDF(), "value"))
+    val q = counts.writeStream.format("memory").queryName("uu_append")
+      .outputMode("append").start()
+    try {
+      // batch 1: two users in window w0, one in w0+60
+      in.addData(jsonEvent("a", w0 + 1), jsonEvent("b", w0 + 2), jsonEvent("a", w0 + 61))
+      q.processAllAvailable()
+      // batch 2: late-but-within-watermark event for w0 (4s behind max ts)
+      in.addData(jsonEvent("c", w0 + 58), jsonEvent("d", w0 + 62))
+      q.processAllAvailable()
+      // nothing final yet — watermark (max_ts - 5s) hasn't passed w0+60
+      assert(spark.table("uu_append").isEmpty)
+      // batch 3: advance event time far past w0's end + watermark → w0 finalizes
+      in.addData(jsonEvent("z", w0 + 200))
+      q.processAllAvailable()
+      // batch 4: an event for w0 arriving after the watermark passed → dropped
+      in.addData(jsonEvent("ghost", w0 + 3))
+      q.processAllAvailable()
+      in.addData(jsonEvent("z2", w0 + 400)) // finalize w0+60 too
+      q.processAllAvailable()
+      val rows = spark.table("uu_append").collect()
+        .map { case Row(ws: Long, n: Long) => ws -> n }.toMap
+      assert(rows(w0) === 3L)        // a, b, c — ghost dropped, c counted
+      assert(rows(w0 + 60) === 2L)   // a, d
+      // exactly one emission per window
+      val all = spark.table("uu_append").collect().map(_.getLong(0))
+      assert(all.length === all.distinct.length)
+    } finally q.stop()
+  }
+
+  test("update mode (reference-faithful): windows re-emit as counts grow") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val counts = StreamingUniqueUsers.uniqueUsersPerWindowApprox(
+      StreamingUniqueUsers.parseEvents(in.toDF(), "value"))
+    val q = counts.writeStream.format("memory").queryName("uu_update")
+      .outputMode("update").start()
+    try {
+      in.addData(jsonEvent("a", w0 + 1))
+      q.processAllAvailable()
+      in.addData(jsonEvent("b", w0 + 2))
+      q.processAllAvailable()
+      val emissions = spark.table("uu_update").collect()
+        .map { case Row(ws: Long, n: Long) => ws -> n }
+      // same window emitted twice with growing counts — the reference's
+      // KTable.toStream behavior (its README.md:45-52 "defect")
+      assert(emissions.count(_._1 == w0) === 2)
+      assert(emissions.filter(_._1 == w0).map(_._2).sorted.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("sink records are proper JSON with unix-second keys") {
+    val counts = Seq((w0, 7L)).toDF("window_start", "unique_users")
+    val rec = StreamingUniqueUsers.toSinkRecords(counts).collect().head
+    assert(rec.getString(0) === w0.toString)
+    assert(rec.getString(1) === s"""{"window_start":$w0,"unique_users":7}""")
+  }
+
+  test("malformed and schema-violating events are filtered, not NPE (reference defect)") {
+    val raw = Seq("not json at all", """{"uid": "u1"}""", """{"ts": 5}""",
+      jsonEvent("ok", w0)).toDF("value")
+    val parsed = StreamingUniqueUsers.parseEvents(raw)
+    assert(parsed.collect().map(_.getString(0)).toSeq === Seq("ok"))
+  }
+
+  test("batch and streaming agree on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.events(spark, Sf0001)
+      .select(col("user_id").cast("string").as("uid"), col("ts"))
+    // batch side of the unified API
+    val batch = StreamingUniqueUsers.uniqueUsersPerWindow(events)
+      .collect().map { case Row(w: Long, n: Long) => w -> n }.toMap
+    val expected = graft.operators.UniqueUsers.perMinute(Tables.events(spark, Sf0001))
+      .collect().map { case Row(w: Long, n: Long) => w -> n }.toMap
+    assert(batch === expected)
+  }
+}
