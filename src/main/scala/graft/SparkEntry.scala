@@ -79,29 +79,32 @@ object SparkEntry {
   // ---- generated oracle-SQL fragments (kept in Scala so the SQL mirrors
   // the Spark column expressions term for term) ----
 
-  /** Normalized text + distinct whitespace tokens, as DuckDB CTEs. */
-  private val NormToksCte =
+  /** Normalized text → distinct word-3-gram shingles with per-doc counts,
+    * as DuckDB CTEs (mirrors Dedup.shingles). */
+  private val ShingleCte =
     """norm AS (SELECT doc_id, source, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t FROM documents),
-      |toks AS (SELECT doc_id, unnest(list_distinct(string_split(t, ' '))) AS tok FROM norm)""".stripMargin
+      |tk AS (SELECT doc_id, source, string_split(t, ' ') AS toks FROM norm),
+      |shl AS (SELECT doc_id, source, CASE WHEN len(toks) >= 3
+      |    THEN list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
+      |    ELSE []::VARCHAR[] END AS gs FROM tk),
+      |ex AS (SELECT doc_id, source, len(gs) AS n_g, unnest(gs) AS g FROM shl)""".stripMargin
 
   private def minhashOracle: String = {
     val sigCols = (0 until Dedup.MinhashSeeds)
-      .map(i => s"min(md5('$i:' || tok)) AS h$i").mkString(", ")
+      .map(i => s"min(md5('$i:' || g)) AS h$i").mkString(", ")
     val bandKeys = (0 until Dedup.MinhashBands)
       .map(b => s"md5(h${2 * b} || h${2 * b + 1})").mkString("[", ", ", "]")
     val bandIdxs = (0 until Dedup.MinhashBands).mkString("[", ", ", "]")
-    s"""WITH $NormToksCte,
-       |sig AS (SELECT doc_id, $sigCols FROM toks GROUP BY doc_id),
+    s"""WITH $ShingleCte,
+       |sig AS (SELECT doc_id, $sigCols FROM ex GROUP BY doc_id),
        |bands AS (SELECT doc_id, unnest($bandKeys) AS band_key, unnest($bandIdxs) AS band_idx FROM sig),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a
        |  JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-       |sizes AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
-       |shr AS (SELECT doc_a, doc_b, count(*) AS shared FROM cand
-       |  JOIN toks ta ON doc_a = ta.doc_id JOIN toks tb ON doc_b = tb.doc_id AND ta.tok = tb.tok
-       |  GROUP BY 1, 2)
+       |shr AS (SELECT doc_a, doc_b, ta.n_g AS na, tb.n_g AS nb, count(*) AS shared FROM cand
+       |  JOIN ex ta ON doc_a = ta.doc_id JOIN ex tb ON doc_b = tb.doc_id AND ta.g = tb.g
+       |  GROUP BY 1, 2, 3, 4)
        |SELECT doc_a, doc_b FROM shr
-       |JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
-       |WHERE shared * 3 >= sa.n_tok + sb.n_tok ORDER BY 1, 2""".stripMargin
+       |WHERE shared * 3 >= na + nb ORDER BY 1, 2""".stripMargin
   }
 
   private def simhashOracle: String = {
@@ -112,8 +115,8 @@ object SparkEntry {
       .map(j => s"(CASE WHEN s$j >= 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)")
       .mkString(" + ")
     val bandKeys = (0 until 4).map(b => s"(simhash >> ${8 * b}) & 255").mkString("[", ", ", "]")
-    s"""WITH $NormToksCte,
-       |tm AS (SELECT doc_id, md5(tok) AS m FROM toks),
+    s"""WITH $ShingleCte,
+       |tm AS (SELECT doc_id, md5(g) AS m FROM ex),
        |votes AS (SELECT doc_id, $votes FROM tm GROUP BY doc_id),
        |sig AS (SELECT doc_id, $sig AS simhash FROM votes),
        |bands AS (SELECT doc_id, simhash, unnest($bandKeys) AS band_key, unnest([0, 1, 2, 3]) AS band_idx FROM sig),
@@ -124,18 +127,12 @@ object SparkEntry {
   }
 
   private def ngramJaccardOracle: String =
-    s"""WITH norm AS (SELECT doc_id, source, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t FROM documents),
-       |tk AS (SELECT doc_id, source, string_split(t, ' ') AS toks FROM norm),
-       |sh AS (SELECT doc_id, source, unnest(list_distinct(
-       |    CASE WHEN len(toks) >= 3
-       |      THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
-       |      ELSE []::VARCHAR[] END)) AS g FROM tk),
-       |sizes AS (SELECT doc_id, count(*) AS n_g FROM sh GROUP BY 1),
-       |shr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared FROM sh a
-       |  JOIN sh b ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
-       |SELECT doc_a, doc_b, (shared * 100) // (sa.n_g + sb.n_g - shared) AS jaccard_pct
-       |FROM shr JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
-       |WHERE shared * 2 >= sa.n_g + sb.n_g - shared ORDER BY 1, 2""".stripMargin
+    s"""WITH $ShingleCte,
+       |shr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_g AS na, b.n_g AS nb, count(*) AS shared
+       |  FROM ex a JOIN ex b ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT doc_a, doc_b, (shared * 100) // (na + nb - shared) AS jaccard_pct
+       |FROM shr WHERE shared * 2 >= na + nb - shared ORDER BY 1, 2""".stripMargin
 
   /** dot/norm fragments over 64-dim float lists, double-accumulated
     * left-to-right (matches VectorFunctions' fold order). */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions
+import graft.plans.CosineSimilarity
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -29,7 +29,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim_raw").desc, col("neighbor_id"))
     corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim_raw", VectorFunctions.cosine(col("qe"), col("ne")))
+      .withColumn("cos_sim_raw", CosineSimilarity.cosineFast(col("qe"), col("ne")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
@@ -55,7 +55,7 @@ object Similarity {
       .orderBy(col("cos_sim_raw").desc, col("vec_id"))
     bucketed.join(broadcast(queries), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos_sim_raw", VectorFunctions.cosine(col("qe"), col("embedding")))
+      .withColumn("cos_sim_raw", CosineSimilarity.cosineFast(col("qe"), col("embedding")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
