@@ -52,6 +52,12 @@ object SparkEntry {
       Relational.keyExcept(Tables.customer(s, d), Tables.orders(s, d))),
     "sales_rollup" -> ((s, d) => Relational.salesRollup(Tables.lineitem(s, d))),
     "orders_enriched" -> ((s, d) => Relational.ordersEnriched(Tables.orders(s, d), Tables.customer(s, d))),
+    "sales_cube" -> ((s, d) => Relational.salesCube(Tables.lineitem(s, d))),
+    "latest_order_per_customer" -> ((s, d) => Relational.latestOrderPerCustomer(Tables.orders(s, d))),
+    "order_value_histogram" -> ((s, d) => Relational.orderValueHistogram(Tables.orders(s, d))),
+    "events_pivot" -> ((s, d) => Relational.eventsPivot(Tables.events(s, d))),
+    "user_sessions" -> ((s, d) => Sessionize.userSessions(Tables.events(s, d))),
+    "asof_join_orders" -> ((s, d) => Sessionize.asofJoinOrders(Tables.events(s, d), Tables.orders(s, d))),
     // ---- deduplication (training-data pipeline) ----
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_exact_norm" -> ((s, d) => Dedup.exactNormalized(Tables.documents(s, d))),
@@ -273,6 +279,51 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, c_mktsegment,
         |       CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey""".stripMargin,
+    "sales_cube" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "latest_order_per_customer" ->
+      """SELECT o_custkey, o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate_sec,
+        |       CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_cents
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rk
+        |      FROM orders)
+        |WHERE rk = 1 ORDER BY o_custkey""".stripMargin,
+    "order_value_histogram" ->
+      """SELECT CAST(round(o_totalprice*100) AS BIGINT) // 50000 AS bucket, CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_pivot" ->
+      """SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day,
+        |  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+        |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "user_sessions" ->
+      """WITH o AS (SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events),
+        |f AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN prev IS NULL OR ts >= prev + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM o),
+        |s AS (SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f)
+        |SELECT user_id,
+        |  CAST(epoch(date_trunc('second', min(ts))) AS BIGINT) AS session_start_sec,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(epoch(date_trunc('second', max(ts))) - epoch(date_trunc('second', min(ts))) AS BIGINT) AS duration_sec
+        |FROM s GROUP BY user_id, sid ORDER BY 1, 2""".stripMargin,
+    "asof_join_orders" ->
+      """WITH ord AS (SELECT o_custkey AS k, CAST(epoch(o_orderdate) AS BIGINT) AS t, 0 AS tag,
+        |    o_orderkey AS orderkey, NULL::BIGINT AS event_id FROM orders),
+        |ev AS (SELECT user_id AS k, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t, 1 AS tag,
+        |    NULL::BIGINT AS orderkey, event_id FROM events),
+        |u AS (SELECT * FROM ord UNION ALL SELECT * FROM ev),
+        |w AS (SELECT k, tag, event_id,
+        |    last_value(orderkey IGNORE NULLS) OVER (PARTITION BY k ORDER BY t, tag, orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_orderkey FROM u)
+        |SELECT event_id, k AS user_id, asof_orderkey FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin,
     // ---- deduplication ----
     "dedup_exact" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY text ORDER BY 1""",

@@ -123,6 +123,53 @@ object Relational {
         sum(col("l_quantity")).cast("long").as("sum_qty"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
+  /** CUBE grouping sets over (returnflag, linestatus) — all 4 grouping
+    * combinations in one pass (Expand + single shuffle). */
+  def salesCube(lineitem: DataFrame): DataFrame =
+    lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** Latest order per customer (deduplicate-to-latest): the canonical
+    * changelog-compaction pattern, as a rank-1 window. */
+  def latestOrderPerCustomer(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    orders
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("o_orderdate_sec"),
+        cents(col("o_totalprice")).cast("long").as("totalprice_cents"))
+      .orderBy("o_custkey")
+  }
+
+  /** Fixed-width histogram of order values. Buckets are computed on exact
+    * integer cents (cents div 50000 = $500 buckets) so bucket edges are
+    * engine-independent — no float boundary ambiguity. */
+  def orderValueHistogram(orders: DataFrame): DataFrame =
+    orders
+      .select(expr("CAST(round(o_totalprice * 100) AS LONG) div 50000").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  /** Pivot: daily event counts, one column per event type. */
+  val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+  def eventsPivot(events: DataFrame): DataFrame =
+    events
+      .select(unix_timestamp(date_trunc("day", col("ts"))).as("day"), col("event_type"))
+      .groupBy(col("day"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+      .orderBy("day")
+
   /** Broadcast-hash-join enrichment: every order with its customer's
     * segment — the canonical fact ⋈ small-dim pattern. At 100 TB this is
     * the join that must NOT shuffle the fact table. */
