@@ -29,6 +29,7 @@ object SparkEntry {
     "uu_per_minute_twophase" -> ((s, d) => UniqueUsers.perMinuteTwoPhase(Tables.events(s, d))),
     "uu_per_minute_collect_set" -> ((s, d) => UniqueUsers.perMinuteCollectSet(Tables.events(s, d))),
     "uu_per_minute_approx" -> ((s, d) => UniqueUsers.perMinuteApprox(Tables.events(s, d))),
+    "uu_per_minute_udaf" -> ((s, d) => UniqueUsers.perMinuteUdaf(Tables.events(s, d))),
     "uu_sliding_5m_1m" -> ((s, d) => UniqueUsers.slidingDistinct(Tables.events(s, d))),
     "events_filter_project" -> ((s, d) => UniqueUsers.filterProject(Tables.events(s, d))),
     "events_json_extract" -> ((s, d) => UniqueUsers.jsonExtractStats(Tables.events(s, d))),
@@ -201,6 +202,10 @@ object SparkEntry {
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // uu_per_minute_approx: HLL sketch — intentionally no SQL oracle (rows-only check).
+    "uu_per_minute_udaf" ->
+      """SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "uu_sliding_5m_1m" ->
       """SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) - 60*k AS window_start,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users

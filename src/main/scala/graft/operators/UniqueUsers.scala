@@ -71,6 +71,19 @@ object UniqueUsers {
         col("unique_users"))
       .orderBy("minute")
 
+  /** Reference-mechanism parity: the windowed distinct via a typed
+    * Aggregator (set-union state, the reference's own algorithm — see
+    * [[graft.functions.DistinctSetAggregator]]). Same result as perMinute. */
+  def perMinuteUdaf(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(graft.functions.DistinctSetAggregator
+        .distinctCount(col("user_id").cast("string")).as("unique_users"))
+      .select(
+        unix_timestamp(col("window.start")).as("minute"),
+        col("unique_users"))
+      .orderBy("minute")
+
   /** Hopping/sliding generalization of the reference's
     * `TimeWindows.of(1m).advanceBy(60s)` (UniqueUsersCounter.java:77) with
     * hop < size: 5-minute windows sliding every minute. */

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.{Relational, Sessionize, Similarity}
+import graft.plans.CosineSimilarity
+
+/** Relational / session / vector operator behavior on hand-built fixtures. */
+class OperatorSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("codegen cosine is bit-identical to the higher-order-function fold") {
+    val vecs = Tables.embeddings(spark, Sf0001).limit(50)
+    val pairs = vecs.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      .crossJoin(vecs.select(col("vec_id").as("b"), col("embedding").as("eb")))
+    val diffs = pairs.select(
+      CosineSimilarity.cosineFast(col("ea"), col("eb")).as("fast"),
+      VectorFunctions.cosine(col("ea"), col("eb")).as("hof"))
+      .filter(col("fast") =!= col("hof")) // exact double equality
+      .count()
+    assert(diffs === 0L)
+  }
+
+  test("sessionization merges within gap, splits beyond it") {
+    val ev = Seq(
+      (1L, 10L, "2024-01-01 00:00:00"),
+      (2L, 10L, "2024-01-01 00:10:00"), // same session (10 min gap)
+      (3L, 10L, "2024-01-01 01:00:00"), // 50 min after -> new session
+      (4L, 20L, "2024-01-01 00:05:00")  // other user
+    ).toDF("event_id", "user_id", "s")
+      .selectExpr("event_id", "user_id", "CAST(s AS TIMESTAMP) AS ts")
+    val got = Sessionize.userSessions(ev).collect()
+      .map { case Row(u: Long, st: Long, n: Long, d: Long) => (u, st, n, d) }
+    assert(got.toSeq === Seq(
+      (10L, 1704067200L, 2L, 600L),
+      (10L, 1704070800L, 1L, 0L),
+      (20L, 1704067500L, 1L, 0L)))
+  }
+
+  test("as-of join picks latest at-or-before, ties to highest orderkey") {
+    val orders = Seq(
+      (100L, 1L, "2024-01-01 00:00:00", 10.0),
+      (101L, 1L, "2024-01-02 00:00:00", 10.0), // tie on date with 102
+      (102L, 1L, "2024-01-02 00:00:00", 10.0),
+      (103L, 2L, "2024-06-01 00:00:00", 10.0)  // after user 2's event
+    ).toDF("o_orderkey", "o_custkey", "s", "o_totalprice")
+      .selectExpr("o_orderkey", "o_custkey", "CAST(s AS TIMESTAMP) AS o_orderdate", "o_totalprice")
+    val events = Seq(
+      (1000L, 1L, "2024-01-03 12:00:00"),
+      (1001L, 1L, "2024-01-01 12:00:00"),
+      (1002L, 2L, "2024-01-05 00:00:00"),
+      (1003L, 3L, "2024-01-05 00:00:00") // no orders at all
+    ).toDF("event_id", "user_id", "s")
+      .selectExpr("event_id", "user_id", "CAST(s AS TIMESTAMP) AS ts")
+    val got = Sessionize.asofJoinOrders(events, orders).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(got === Map(1000L -> 102L, 1001L -> 100L, 1002L -> -1L, 1003L -> -1L))
+  }
+
+  test("latest-per-key keeps exactly one row per customer") {
+    val orders = Tables.orders(spark, Sf0001)
+    val got = Relational.latestOrderPerCustomer(orders)
+    assert(got.count() === orders.select("o_custkey").distinct().count())
+  }
+
+  test("pivot row sums equal plain counts per day") {
+    val ev = Tables.events(spark, Sf0001)
+    val pivoted = Relational.eventsPivot(ev)
+    val rowSums = pivoted.select(
+      col("day"),
+      Relational.EventTypes.map(col).reduce(_ + _).as("total"))
+      .collect().map { case Row(d: Long, t: Long) => d -> t }.toMap
+    val plain = ev.groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("day"))
+      .count().collect().map { case Row(d: Long, n: Long) => d -> n }.toMap
+    assert(rowSums === plain)
+  }
+
+  test("cube contains rollup plus the linestatus-only slices") {
+    val li = Tables.lineitem(spark, Sf0001)
+    val cube = Relational.salesCube(li).count()
+    val rollup = Relational.salesRollup(li).count()
+    val statuses = li.select("l_linestatus").distinct().count()
+    assert(cube === rollup + statuses)
+  }
+
+  test("lsh bucket search returns a subset of brute-force candidates' scores") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val brute = Similarity.bruteForceTopK(emb, nQueries = 3, k = 200).collect()
+      .map { case Row(q: Long, n: Long, _, c: Double) => (q, n) -> c }.toMap
+    val lsh = Similarity.lshTopK(emb, nQueries = 3, k = 3).collect()
+    lsh.foreach { case Row(q: Long, n: Long, _, c: Double) =>
+      assert(brute.get((q, n)).forall(_ === c), s"pair ($q,$n)")
+    }
+  }
+}
