@@ -59,6 +59,11 @@ object SparkEntry {
     "events_pivot" -> ((s, d) => Relational.eventsPivot(Tables.events(s, d))),
     "user_sessions" -> ((s, d) => Sessionize.userSessions(Tables.events(s, d))),
     "asof_join_orders" -> ((s, d) => Sessionize.asofJoinOrders(Tables.events(s, d), Tables.orders(s, d))),
+    "salted_event_segment_stats" -> ((s, d) =>
+      Skew.saltedEventSegmentStats(Tables.events(s, d), Tables.customer(s, d))),
+    "median_order_by_segment" -> ((s, d) =>
+      Relational.medianOrderValueBySegment(Tables.orders(s, d), Tables.customer(s, d))),
+    "text_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(Tables.documents(s, d))),
     // ---- deduplication (training-data pipeline) ----
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_exact_norm" -> ((s, d) => Dedup.exactNormalized(Tables.documents(s, d))),
@@ -329,6 +334,30 @@ object SparkEntry {
         |    last_value(orderkey IGNORE NULLS) OVER (PARTITION BY k ORDER BY t, tag, orderkey
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_orderkey FROM u)
         |SELECT event_id, k AS user_id, asof_orderkey FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin,
+    "salted_event_segment_stats" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(round(value*100)) AS BIGINT) AS value_cents
+        |FROM events JOIN customer ON user_id = c_custkey GROUP BY 1 ORDER BY 1""".stripMargin,
+    "median_order_by_segment" ->
+      """WITH j AS (SELECT c_mktsegment, o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |r AS (SELECT c_mktsegment, v,
+        |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY v, o_orderkey) AS rk,
+        |    count(*) OVER (PARTITION BY c_mktsegment) AS cnt FROM j),
+        |m AS (SELECT c_mktsegment, cnt, v,
+        |    (CASE WHEN rk = (cnt+1)//2 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN rk = (cnt+2)//2 THEN 1 ELSE 0 END) AS matched FROM r)
+        |SELECT c_mktsegment, CAST(min(cnt) AS BIGINT) AS n_orders,
+        |       CAST(sum(v * matched) AS BIGINT) AS median_x2_cents
+        |FROM m WHERE matched > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_top_bigrams" ->
+      """WITH norm AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t FROM documents),
+        |tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm),
+        |bg AS (SELECT unnest(CASE WHEN len(toks) >= 2
+        |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |    ELSE []::VARCHAR[] END) AS bigram FROM tk)
+        |SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bg
+        |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
     // ---- deduplication ----
     "dedup_exact" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY text ORDER BY 1""",

@@ -170,6 +170,31 @@ object Relational {
       .na.fill(0L, EventTypes)
       .orderBy("day")
 
+  /** Exact median order value per market segment, in integers: emits
+    * lo+hi middle elements' sum (median×2) so odd/even group sizes and
+    * engine rounding can't diverge. Rank-based — one shuffle on the
+    * segment, no full collect. */
+  def medianOrderValueBySegment(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("v"), col("o_orderkey"))
+    val all = Window.partitionBy(col("c_mktsegment"))
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"),
+        cents(col("o_totalprice")).cast("long").as("v"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(all))
+      .withColumn("matched",
+        (col("rk") === expr("(cnt + 1) div 2")).cast("long") +
+          (col("rk") === expr("(cnt + 2) div 2")).cast("long"))
+      .filter(col("matched") > 0)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        first(col("cnt")).as("n_orders"),
+        sum(col("v") * col("matched")).as("median_x2_cents"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Broadcast-hash-join enrichment: every order with its customer's
     * segment — the canonical fact ⋈ small-dim pattern. At 100 TB this is
     * the join that must NOT shuffle the fact table. */
