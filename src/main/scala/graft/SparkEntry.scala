@@ -74,6 +74,7 @@ object SparkEntry {
     // ---- similarity search ----
     "ann_bruteforce_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
+    "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     "ann_bucket_stats" -> ((s, d) => Similarity.bucketStats(Tables.embeddings(s, d))),
     // ---- text analysis ----
     "text_stats" -> ((s, d) => TextAnalysis.stats(Tables.documents(s, d))),

@@ -63,6 +63,56 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
+    * corpus into cells; each query probes only its `nProbe` nearest cells,
+    * then scores candidates exactly. THE standard billion-vector layout:
+    * at 100 TB the corpus is partitioned (and can be stored bucketed) by
+    * cell, so a query touches nProbe/nCells of the data. Centroids are a
+    * model artifact (tiny, broadcast); training is one MLlib pass.
+    * Not oracle-checkable (k-means float sums are parallelism-dependent) —
+    * covered by rows-only check + the subset test in OperatorSpec. */
+  def ivfTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 3,
+              nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val vecs = embeddings
+      .withColumn("fv", array_to_vector(col("embedding")))
+    val model = new KMeans()
+      .setK(nCells).setSeed(42L).setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(vecs)
+    val assigned = model.transform(vecs)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+
+    // nProbe nearest cells per query, by cosine to the centroids
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }.toSeq
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centDf = centroids.toDF("cell", "centroid")
+    val queries = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").desc, col("cell"))
+    val probed = queries.crossJoin(broadcast(centDf))
+      .withColumn("cdist", CosineSimilarity.cosineFast(col("qe"), col("centroid")))
+      .withColumn("crk", row_number().over(wCell))
+      .filter(col("crk") <= nProbe)
+      .select(col("query_id"), col("qe"), col("cell"))
+
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim_raw").desc, col("vec_id"))
+    assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim_raw", CosineSimilarity.cosineFast(col("qe"), col("embedding")))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("cos_sim_raw"), 4).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Per-bucket occupancy — the sanity/skew view a pipeline operator
     * watches before trusting an LSH layout. */
   def bucketStats(embeddings: DataFrame): DataFrame =

@@ -86,6 +86,17 @@ class OperatorSpec extends SparkSpec {
     assert(cube === rollup + statuses)
   }
 
+  test("ivf probe search agrees with brute-force scores on returned pairs") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val brute = Similarity.bruteForceTopK(emb, nQueries = 3, k = 499).collect()
+      .map { case Row(q: Long, n: Long, _, c: Double) => (q, n) -> c }.toMap
+    val ivf = Similarity.ivfTopK(emb, nQueries = 3, k = 3).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { case Row(q: Long, n: Long, _, c: Double) =>
+      assert(brute((q, n)) === c, s"pair ($q,$n)")
+    }
+  }
+
   test("lsh bucket search returns a subset of brute-force candidates' scores") {
     val emb = Tables.embeddings(spark, Sf0001)
     val brute = Similarity.bruteForceTopK(emb, nQueries = 3, k = 200).collect()
