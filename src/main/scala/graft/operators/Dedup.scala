@@ -39,16 +39,14 @@ object Dedup {
       col("doc_id"),
       explode(array_distinct(split(normText(col("text")), " "))).as("tok"))
 
-  /** Per-doc distinct word-3-gram shingle array + its size, computed once. */
-  def shingleArrays(documents: DataFrame): DataFrame = {
-    val toks = split(normText(col("text")), " ")
-    val gs = when(size(toks) >= 3,
-      array_distinct(transform(sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ", slice(toks, i, lit(3))))))
-      .otherwise(array().cast("array<string>"))
-    documents.select(col("doc_id"), col("source"), gs.as("gs"))
+  /** Per-doc distinct word-3-gram shingle array + its size, computed once
+    * (native WordShingles expression — see graft.plans.WordShingles for
+    * why not the higher-order-function chain). */
+  def shingleArrays(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), col("source"),
+        graft.plans.WordShingles.shingles(normText(col("text"))).as("gs"))
       .select(col("doc_id"), col("source"), size(col("gs")).as("n_g"), col("gs"))
-  }
 
   /** Exploded shingle rows: (doc_id, source, n_g, g). */
   def shingles(documents: DataFrame): DataFrame =

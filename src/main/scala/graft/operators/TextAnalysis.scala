@@ -62,19 +62,14 @@ object TextAnalysis {
     * the n-gram frequency table of a training-data pipeline. Explode →
     * two-phase hash count → TakeOrdered(k); the shuffle carries (bigram,
     * partial_count), never raw text. */
-  def topBigrams(documents: DataFrame, k: Int = 50): DataFrame = {
-    val toks = split(normText(col("text")), " ")
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", slice(toks, i, lit(2)))))
-      .otherwise(array().cast("array<string>"))
+  def topBigrams(documents: DataFrame, k: Int = 50): DataFrame =
     documents
-      .select(explode(bigrams).as("bigram"))
+      .select(explode(graft.plans.WordShingles
+        .shingles(normText(col("text")), n = 2, distinct = false)).as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(k)
-  }
 
   /** Corpus roll-up per (lang, source): doc counts and size totals —
     * the partition-level bookkeeping view of a training-data pipeline. */
