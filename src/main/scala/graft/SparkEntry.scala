@@ -30,6 +30,7 @@ object SparkEntry {
     "uu_per_minute_collect_set" -> ((s, d) => UniqueUsers.perMinuteCollectSet(Tables.events(s, d))),
     "uu_per_minute_approx" -> ((s, d) => UniqueUsers.perMinuteApprox(Tables.events(s, d))),
     "uu_per_minute_udaf" -> ((s, d) => UniqueUsers.perMinuteUdaf(Tables.events(s, d))),
+    "uu_per_minute_sql" -> ((s, d) => GraftSql.uuPerMinuteSql(s, d)),
     "uu_sliding_5m_1m" -> ((s, d) => UniqueUsers.slidingDistinct(Tables.events(s, d))),
     "events_filter_project" -> ((s, d) => UniqueUsers.filterProject(Tables.events(s, d))),
     "events_json_extract" -> ((s, d) => UniqueUsers.jsonExtractStats(Tables.events(s, d))),
@@ -209,6 +210,10 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // uu_per_minute_approx: HLL sketch — intentionally no SQL oracle (rows-only check).
     "uu_per_minute_udaf" ->
+      """SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "uu_per_minute_sql" ->
       """SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

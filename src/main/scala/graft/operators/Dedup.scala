@@ -178,10 +178,14 @@ object Dedup {
     * accumulation). Local form is all-pairs; the bucketed scale path is
     * Similarity.lshTopK — this operator is the verify kernel. */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val a = embeddings.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val b = embeddings.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    import graft.plans.DotProduct.dot
+    // norms hoisted out of the O(n²) join: one array pass per pair, not 3
+    val a = embeddings.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      dot(col("embedding"), col("embedding")).as("na"))
+    val b = embeddings.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      dot(col("embedding"), col("embedding")).as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos_sim", CosineSimilarity.cosineFast(col("ea"), col("eb")))
+      .withColumn("cos_sim", dot(col("ea"), col("eb")) / sqrt(col("na") * col("nb")))
       .filter(col("cos_sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos_sim"), 4).as("cos_sim"))
       .orderBy("vec_a", "vec_b")

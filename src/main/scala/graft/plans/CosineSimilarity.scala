@@ -72,6 +72,56 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Plain dot product — same accumulation contract as CosineSimilarity.
+  * Lets pairwise plans hoist the per-row norms out of the pair join:
+  * cos = dot(a,b)/sqrt(na*nb) with na, nb computed once per row, which is
+  * 3× fewer array passes inside the O(n²) stage and numerically identical
+  * (same per-term IEEE sequence). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dp = 0.0
+    var i = 0
+    while (i < n) { dp += x.getDouble(i) * y.getDouble(i); i += 1 }
+    dp
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dp = ctx.freshName("dp")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dp = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dp += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $dp;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  def dot(a: Column, b: Column): Column = {
+    def d(c: Column) = transform(c, x => x.cast("double"))
+    ColumnBridge.column(
+      DotProduct(ColumnBridge.expression(d(a)), ColumnBridge.expression(d(b))))
+  }
+}
+
 object CosineSimilarity {
   /** Column API: accepts float or double arrays (floats are cast up —
     * matching the oracle SQL's `embedding[i]::DOUBLE` promotion). */

@@ -103,6 +103,31 @@ object StreamingUniqueUsers {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
 
+  /** Stream–static join: enrich the event stream with a static dimension.
+    * The static side is broadcast per micro-batch — no stream state, no
+    * shuffle of the stream; at scale the dimension is re-read each batch
+    * (picking up dim updates) while the stream only maps. */
+  def enrichWithSegments(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(
+      broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+      col("uid").cast("long") === col("c_custkey"), "left")
+      .select(col("uid"), col("ts"), col("c_mktsegment").as("segment"))
+
+  /** Exactly-once-to-files pattern the reference could not provide
+    * (its EXACTLY_ONCE was broker-transactional only): foreachBatch with
+    * a batchId-keyed overwrite — a replayed batch overwrites its own
+    * directory, making the sink idempotent under retries. */
+  def startIdempotentParquetSink(counts: DataFrame, outDir: String,
+                                 checkpoint: String): StreamingQuery =
+    counts.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** End-to-end topology, file/memory-testable: parse → window-distinct →
     * sink records. `outputMode` "append" (fixed semantics: one row per
     * finalized window) or "update" (reference-faithful re-emission). */

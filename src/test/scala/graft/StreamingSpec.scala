@@ -93,6 +93,39 @@ class StreamingSpec extends SparkSpec {
     assert(parsed.collect().map(_.getString(0)).toSeq === Seq("ok"))
   }
 
+  test("stream-static join enriches with a broadcast dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val enriched = StreamingUniqueUsers.enrichWithSegments(
+      StreamingUniqueUsers.parseEvents(in.toDF()),
+      Tables.customer(spark, Sf0001))
+    val q = enriched.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      in.addData(jsonEvent("1", w0), jsonEvent("999999", w0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+      assert(rows.length === 2)
+      val byUid = rows.map(r => r.getString(0) -> Option(r.getString(2))).toMap
+      assert(byUid("1").isDefined)    // dim hit
+      assert(byUid("999999").isEmpty) // left join preserves unmatched stream rows
+    } finally q.stop()
+  }
+
+  test("idempotent foreachBatch sink writes batch-keyed parquet") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft-cp").toString
+    val counts = StreamingUniqueUsers.uniqueUsersPerWindowApprox(
+      StreamingUniqueUsers.parseEvents(in.toDF()))
+    in.addData(jsonEvent("a", w0), jsonEvent("b", w0 + 2))
+    val q = StreamingUniqueUsers.startIdempotentParquetSink(counts, dir, cp)
+    q.awaitTermination()
+    val out = spark.read.parquet(dir)
+    assert(out.filter(col("window_start") === w0).head().getLong(1) === 2L)
+  }
+
   test("batch and streaming agree on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val events = Tables.events(spark, Sf0001)
