@@ -64,6 +64,7 @@ object SparkEntry {
       Skew.saltedEventSegmentStats(Tables.events(s, d), Tables.customer(s, d))),
     "median_order_by_segment" -> ((s, d) =>
       Relational.medianOrderValueBySegment(Tables.orders(s, d), Tables.customer(s, d))),
+    "parts_above_brand_avg" -> ((s, d) => Relational.partsAboveBrandAverage(Tables.part(s, d))),
     "text_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(Tables.documents(s, d))),
     // ---- deduplication (training-data pipeline) ----
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
@@ -356,6 +357,13 @@ object SparkEntry {
         |SELECT c_mktsegment, CAST(min(cnt) AS BIGINT) AS n_orders,
         |       CAST(sum(v * matched) AS BIGINT) AS median_x2_cents
         |FROM m WHERE matched > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "parts_above_brand_avg" ->
+      """WITH b AS (SELECT p_brand AS bb, CAST(sum(round(p_retailprice*100)) AS BIGINT) AS sum_cents,
+        |    CAST(count(*) AS BIGINT) AS n FROM part GROUP BY 1)
+        |SELECT p_partkey, p_brand, CAST(round(p_retailprice*100) AS BIGINT) AS price_cents
+        |FROM part JOIN b ON p_brand = bb
+        |WHERE CAST(round(p_retailprice*100) AS BIGINT) * n > sum_cents * 2
+        |ORDER BY p_partkey""".stripMargin,
     "text_top_bigrams" ->
       """WITH norm AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t FROM documents),
         |tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm),

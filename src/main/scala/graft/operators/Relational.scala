@@ -170,6 +170,23 @@ object Relational {
       .na.fill(0L, EventTypes)
       .orderBy("day")
 
+  /** Correlated-aggregate pattern (TPC-H Q17-style): parts priced above
+    * 2× their brand's average. The comparison is integer cross-multiplied
+    * (price_cents * n_brand > 2 * sum_cents_brand) so no division — exact
+    * in any engine. Plans as agg + broadcast join back to the fact. */
+  def partsAboveBrandAverage(part: DataFrame): DataFrame = {
+    val brandAgg = part.groupBy(col("p_brand").as("b"))
+      .agg(
+        sum(cents(col("p_retailprice"))).cast("long").as("sum_cents"),
+        count(lit(1)).as("n"))
+    part
+      .join(broadcast(brandAgg), col("p_brand") === col("b"))
+      .filter(cents(col("p_retailprice")).cast("long") * col("n") > col("sum_cents") * 2)
+      .select(col("p_partkey"), col("p_brand"),
+        cents(col("p_retailprice")).cast("long").as("price_cents"))
+      .orderBy("p_partkey")
+  }
+
   /** Exact median order value per market segment, in integers: emits
     * lo+hi middle elements' sum (median×2) so odd/even group sizes and
     * engine rounding can't diverge. Rank-based — one shuffle on the

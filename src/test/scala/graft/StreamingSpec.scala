@@ -126,6 +126,31 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter(col("window_start") === w0).head().getLong(1) === 2L)
   }
 
+  test("streaming session_window closes sessions past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val sessions = StreamingUniqueUsers.parseEvents(in.toDF())
+      .withWatermark("ts", "5 seconds")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("uid"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("session_window.start")).as("start_sec"),
+        col("uid"), col("n_events"))
+    val q = sessions.writeStream.format("memory").queryName("sw")
+      .outputMode("append").start()
+    try {
+      in.addData(jsonEvent("a", w0), jsonEvent("a", w0 + 600))
+      q.processAllAvailable()
+      assert(spark.table("sw").isEmpty) // session still open
+      in.addData(jsonEvent("z", w0 + 7200)) // watermark sails past a's gap
+      q.processAllAvailable()
+      in.addData(jsonEvent("z", w0 + 14400))
+      q.processAllAvailable()
+      val rows = spark.table("sw").collect()
+        .map { case Row(st: Long, uid: String, n: Long) => (uid, st, n) }
+      assert(rows.contains(("a", w0, 2L))) // one merged 2-event session
+    } finally q.stop()
+  }
+
   test("batch and streaming agree on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val events = Tables.events(spark, Sf0001)
