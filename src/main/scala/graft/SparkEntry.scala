@@ -65,6 +65,8 @@ object SparkEntry {
     "median_order_by_segment" -> ((s, d) =>
       Relational.medianOrderValueBySegment(Tables.orders(s, d), Tables.customer(s, d))),
     "parts_above_brand_avg" -> ((s, d) => Relational.partsAboveBrandAverage(Tables.part(s, d))),
+    "daily_revenue_running" -> ((s, d) => Relational.dailyRevenueRunning(Tables.orders(s, d))),
+    "events_by_weekday" -> ((s, d) => Relational.eventsByWeekday(Tables.events(s, d))),
     "text_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(Tables.documents(s, d))),
     // ---- deduplication (training-data pipeline) ----
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
@@ -364,6 +366,18 @@ object SparkEntry {
         |FROM part JOIN b ON p_brand = bb
         |WHERE CAST(round(p_retailprice*100) AS BIGINT) * n > sum_cents * 2
         |ORDER BY p_partkey""".stripMargin,
+    "daily_revenue_running" ->
+      """WITH d AS (SELECT CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) AS day,
+        |    CAST(sum(round(o_totalprice*100)) AS BIGINT) AS revenue_cents FROM orders GROUP BY 1)
+        |SELECT day, revenue_cents,
+        |  CAST(sum(revenue_cents) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents,
+        |  CAST(sum(revenue_cents) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing7_cents,
+        |  revenue_cents - coalesce(lag(revenue_cents, 1) OVER (ORDER BY day), 0) AS delta_cents
+        |FROM d ORDER BY day""".stripMargin,
+    "events_by_weekday" ->
+      """SELECT (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 + 4) % 7 AS weekday,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_top_bigrams" ->
       """WITH norm AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t FROM documents),
         |tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm),

@@ -170,6 +170,34 @@ object Relational {
       .na.fill(0L, EventTypes)
       .orderBy("day")
 
+  /** Analytic window frames over the daily revenue series: cumulative
+    * revenue, trailing-7-row moving sum, and day-over-day delta (lag).
+    * All integer cents — frame math is engine-exact. */
+  def dailyRevenueRunning(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(unix_timestamp(date_trunc("day", col("o_orderdate"))).as("day"))
+      .agg(sum(cents(col("o_totalprice"))).cast("long").as("revenue_cents"))
+    val byDay = Window.orderBy(col("day"))
+    daily
+      .withColumn("cum_cents",
+        sum(col("revenue_cents")).over(byDay.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("trailing7_cents",
+        sum(col("revenue_cents")).over(byDay.rowsBetween(-6, 0)))
+      .withColumn("delta_cents",
+        col("revenue_cents") - coalesce(lag(col("revenue_cents"), 1).over(byDay), lit(0L)))
+      .orderBy("day")
+  }
+
+  /** Date arithmetic with engine-independent integer math: weekday from
+    * the epoch-day (1970-01-01 was a Thursday → (days+4) % 7, 0=Sunday) —
+    * no reliance on per-engine DOW numbering conventions. */
+  def eventsByWeekday(events: DataFrame): DataFrame =
+    events
+      .select(expr("(unix_timestamp(ts) div 86400 + 4) % 7").as("weekday"))
+      .groupBy(col("weekday"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("weekday")
+
   /** Correlated-aggregate pattern (TPC-H Q17-style): parts priced above
     * 2× their brand's average. The comparison is integer cross-multiplied
     * (price_cents * n_brand > 2 * sum_cents_brand) so no division — exact
