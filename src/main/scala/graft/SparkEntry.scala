@@ -273,21 +273,21 @@ object SparkEntry {
         |WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin,
     "semi_join_customers" ->
       """SELECT c_custkey, c_mktsegment FROM customer
-        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000)
         |ORDER BY c_custkey""".stripMargin,
     "anti_join_customers" ->
       """SELECT c_custkey, c_mktsegment FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000)
         |ORDER BY c_custkey""".stripMargin,
     "custkeys_intersect" ->
       """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0
         |INTERSECT
-        |SELECT o_custkey AS k FROM orders WHERE o_totalprice > 1000
+        |SELECT o_custkey AS k FROM orders WHERE o_totalprice > 450000
         |ORDER BY k""".stripMargin,
     "custkeys_except" ->
       """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0
         |EXCEPT
-        |SELECT o_custkey AS k FROM orders WHERE o_totalprice > 1000
+        |SELECT o_custkey AS k FROM orders WHERE o_totalprice > 450000
         |ORDER BY k""".stripMargin,
     "sales_rollup" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
@@ -364,7 +364,7 @@ object SparkEntry {
         |    CAST(count(*) AS BIGINT) AS n FROM part GROUP BY 1)
         |SELECT p_partkey, p_brand, CAST(round(p_retailprice*100) AS BIGINT) AS price_cents
         |FROM part JOIN b ON p_brand = bb
-        |WHERE CAST(round(p_retailprice*100) AS BIGINT) * n > sum_cents * 2
+        |WHERE CAST(round(p_retailprice*100) AS BIGINT) * n * 20 > sum_cents * 21
         |ORDER BY p_partkey""".stripMargin,
     "daily_revenue_running" ->
       """WITH d AS (SELECT CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) AS day,

@@ -88,30 +88,36 @@ object Relational {
       .orderBy(col("c_mktsegment"), col("rk"))
   }
 
-  /** Left-semi join: customers that have at least one order (EXISTS). */
+  /** High-value order threshold: ~p90 of o_totalprice, so the semi/anti
+    * pair splits the customer base non-trivially at every scale factor. */
+  val HighValueOrder = 450000.0
+
+  /** Left-semi join: customers with at least one high-value order (EXISTS). */
   def customersWithOrders(customer: DataFrame, orders: DataFrame): DataFrame =
     customer
-      .join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(orders.filter(col("o_totalprice") > HighValueOrder),
+        col("c_custkey") === col("o_custkey"), "left_semi")
       .select(col("c_custkey"), col("c_mktsegment"))
       .orderBy("c_custkey")
 
-  /** Left-anti join: customers with no orders (NOT EXISTS). */
+  /** Left-anti join: customers with no high-value order (NOT EXISTS). */
   def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
     customer
-      .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(orders.filter(col("o_totalprice") > HighValueOrder),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_mktsegment"))
       .orderBy("c_custkey")
 
-  /** Set ops: high-balance customer keys ∩ high-value order customer keys,
-    * and the same with EXCEPT — both plan as hash aggregates/joins. */
+  /** Set ops: positive-balance customer keys ∩ / − high-value-order
+    * customer keys — both plan as hash aggregates/joins. */
   def keyIntersect(customer: DataFrame, orders: DataFrame): DataFrame =
     customer.filter(col("c_acctbal") > 0).select(col("c_custkey").as("k"))
-      .intersect(orders.filter(col("o_totalprice") > 1000).select(col("o_custkey").as("k")))
+      .intersect(orders.filter(col("o_totalprice") > HighValueOrder).select(col("o_custkey").as("k")))
       .orderBy("k")
 
   def keyExcept(customer: DataFrame, orders: DataFrame): DataFrame =
     customer.filter(col("c_acctbal") > 0).select(col("c_custkey").as("k"))
-      .except(orders.filter(col("o_totalprice") > 1000).select(col("o_custkey").as("k")))
+      .except(orders.filter(col("o_totalprice") > HighValueOrder).select(col("o_custkey").as("k")))
       .orderBy("k")
 
   /** ROLLUP grouping sets over (returnflag, linestatus). */
@@ -199,9 +205,10 @@ object Relational {
       .orderBy("weekday")
 
   /** Correlated-aggregate pattern (TPC-H Q17-style): parts priced above
-    * 2× their brand's average. The comparison is integer cross-multiplied
-    * (price_cents * n_brand > 2 * sum_cents_brand) so no division — exact
-    * in any engine. Plans as agg + broadcast join back to the fact. */
+    * 1.05× their brand's average (retail prices are uniform 900-1000, so
+    * the classic 2× would select nothing). The comparison is integer
+    * cross-multiplied (price_cents * n * 20 > sum_cents * 21) so no
+    * division — exact in any engine. Plans as agg + broadcast join back. */
   def partsAboveBrandAverage(part: DataFrame): DataFrame = {
     val brandAgg = part.groupBy(col("p_brand").as("b"))
       .agg(
@@ -209,7 +216,7 @@ object Relational {
         count(lit(1)).as("n"))
     part
       .join(broadcast(brandAgg), col("p_brand") === col("b"))
-      .filter(cents(col("p_retailprice")).cast("long") * col("n") > col("sum_cents") * 2)
+      .filter(cents(col("p_retailprice")).cast("long") * col("n") * 20 > col("sum_cents") * 21)
       .select(col("p_partkey"), col("p_brand"),
         cents(col("p_retailprice")).cast("long").as("price_cents"))
       .orderBy("p_partkey")

@@ -151,6 +151,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs purchases with recent clicks only") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamJoins
+    val clicks = MemoryStream[(String, Long)]
+    val purchases = MemoryStream[(String, Long)]
+    def ts(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.select(col("_1").as("uid"), timestamp_seconds(col("_2")).as(c))
+    val joined = StreamJoins.purchasesWithRecentClicks(
+      ts(clicks.toDF(), "click_ts"), ts(purchases.toDF(), "purchase_ts"))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      clicks.addData(("u1", w0), ("u2", w0))
+      purchases.addData(("u1", w0 + 300), ("u2", w0 + 1200)) // 5 min / 20 min later
+      q.processAllAvailable()
+      val rows = spark.table("ssj").collect().map(_.getString(0))
+      assert(rows.toSeq === Seq("u1")) // u2's click is outside the 10-min bound
+    } finally q.stop()
+  }
+
   test("batch and streaming agree on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val events = Tables.events(spark, Sf0001)
