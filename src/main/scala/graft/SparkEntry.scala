@@ -74,6 +74,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
+    "dedup_levenshtein" -> ((s, d) => Dedup.levenshteinPrefix(Tables.documents(s, d))),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
     // ---- similarity search ----
     "ann_bruteforce_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
@@ -393,6 +394,13 @@ object SparkEntry {
       """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count
         |FROM documents GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
         |ORDER BY 1""".stripMargin,
+    "dedup_levenshtein" ->
+      """WITH n AS (SELECT doc_id, source,
+        |    substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 40) AS p FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(levenshtein(a.p, b.p) AS BIGINT) AS lev_dist
+        |FROM n a JOIN n b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.p, b.p) <= 5 ORDER BY 1, 2""".stripMargin,
     "dedup_minhash_lsh" -> minhashOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,

@@ -174,6 +174,23 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Edit-distance near-dup: Levenshtein over normalized 40-char prefixes,
+    * blocked by `source`. The prefix bound caps per-pair cost at 40×40
+    * cells (full-document edit distance is quadratic in length — never do
+    * that corpus-wide); the blocking key caps the pair count. Distance is
+    * an exact integer, so engine-portable. */
+  def levenshteinPrefix(documents: DataFrame, prefixLen: Int = 40, maxDist: Int = 5): DataFrame = {
+    val n = documents.select(col("doc_id"), col("source"),
+      substring(normText(col("text")), 1, prefixLen).as("p"))
+    n.as("a")
+      .join(n.as("b"),
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("lev_dist", levenshtein(col("a.p"), col("b.p")).cast("long"))
+      .filter(col("lev_dist") <= maxDist)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("lev_dist"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Embedding-cosine near-dup pairs (codegen'd fused cosine, double
     * accumulation). Local form is all-pairs; the bucketed scale path is
     * Similarity.lshTopK — this operator is the verify kernel. */
