@@ -197,8 +197,12 @@ object Dedup {
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.5): DataFrame = {
     import graft.plans.DotProduct.dot
     // norms hoisted out of the O(n²) join: one array pass per pair, not 3
-    val a = embeddings.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-      dot(col("embedding"), col("embedding")).as("na"))
+    // the pair loop's parallelism = left-side partition count; a small
+    // corpus arrives as one split, so spread it (harmless at scale — AQE
+    // coalesces, and a 100 TB scan already has thousands of splits)
+    val a = embeddings.repartition(32)
+      .select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        dot(col("embedding"), col("embedding")).as("na"))
     val b = embeddings.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
       dot(col("embedding"), col("embedding")).as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))

@@ -24,7 +24,7 @@ object Similarity {
   def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
     val queries = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val corpus = embeddings
+    val corpus = embeddings.repartition(32) // single-split local file → spread the scan side
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim_raw").desc, col("neighbor_id"))
