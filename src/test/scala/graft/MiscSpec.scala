@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.Multimodal
+
+/** Multimodal plumbing and text-function edge cases. */
+class MiscSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("imageMeta mapPartitions output equals the driver-side fake decode") {
+    val docs = Tables.documents(spark, Sf0001).limit(20)
+    val viaSpark = Multimodal.imageMeta(spark, docs).collect()
+      .map { case Row(id: Long, w: Long, h: Long, f: String) => id -> ((w, h, f)) }.toMap
+    val direct = docs.select("doc_id", "text").collect().map { r =>
+      val m = Multimodal.fakeDecode(r.getLong(0), r.getString(1).getBytes("UTF-8"))
+      m.doc_id -> ((m.width, m.height, m.media_format))
+    }.toMap
+    assert(viaSpark === direct)
+    viaSpark.values.foreach { case (w, h, f) =>
+      assert(w >= 32 && w <= 512 && h >= 32 && h <= 512)
+      assert(Set("jpeg", "png", "webp").contains(f))
+    }
+  }
+
+  test("text functions handle empty / whitespace / punctuation-only input") {
+    val df = Seq("", "   ", "!!!", "one", "a  b\tc\nd").toDF("text")
+    val got = df.select(
+      TextFunctions.tokenCount(col("text")).as("toks"),
+      TextFunctions.punctChars(col("text")).as("punct"),
+      TextFunctions.langIdEn(col("text")).as("lang"),
+      TextFunctions.qualityScore(col("text")).as("q")).collect()
+    val toks = got.map(_.getInt(0)).toSeq
+    assert(toks === Seq(0, 0, 1, 1, 4))
+    assert(got.map(_.getInt(1)).toSeq === Seq(0, 0, 3, 0, 0))
+    assert(got.map(_.getString(2)).forall(l => l == "unk" || l == "en"))
+    got.map(_.getDouble(3)).foreach(q => assert(q >= 0.0 && q <= 1.0))
+  }
+
+  test("frame sample is the expected stride substring") {
+    val df = Seq((1L, "abcdefghijklmnopqrstuvwxyz0123456789")).toDF("doc_id", "text")
+    val got = Multimodal.frameSample(df).head().getString(1)
+    assert(got === "aq6") // chars at 1, 17, 33 (1-based, stride 16)
+  }
+}
