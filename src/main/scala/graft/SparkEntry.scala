@@ -66,6 +66,7 @@ object SparkEntry {
       Relational.medianOrderValueBySegment(Tables.orders(s, d), Tables.customer(s, d))),
     "parts_above_brand_avg" -> ((s, d) => Relational.partsAboveBrandAverage(Tables.part(s, d))),
     "daily_revenue_running" -> ((s, d) => Relational.dailyRevenueRunning(Tables.orders(s, d))),
+    "customer_name_parse" -> ((s, d) => Relational.customerNameParse(Tables.customer(s, d))),
     "events_by_weekday" -> ((s, d) => Relational.eventsByWeekday(Tables.events(s, d))),
     "text_top_bigrams" -> ((s, d) => TextAnalysis.topBigrams(Tables.documents(s, d))),
     // ---- deduplication (training-data pipeline) ----
@@ -375,6 +376,14 @@ object SparkEntry {
         |  CAST(sum(revenue_cents) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing7_cents,
         |  revenue_cents - coalesce(lag(revenue_cents, 1) OVER (ORDER BY day), 0) AS delta_cents
         |FROM d ORDER BY day""".stripMargin,
+    "customer_name_parse" ->
+      """SELECT c_custkey, CAST(regexp_extract(c_name, '#(\d+)$', 1) AS BIGINT) AS name_id,
+        |  upper(substr(lower(c_mktsegment), 1, 1)) || substr(lower(c_mktsegment), 2)
+        |    || ': ' || ltrim(regexp_extract(c_name, '#(\d+)$', 1), '0') AS label,
+        |  CAST(length(c_name) AS BIGINT) AS name_len
+        |FROM customer
+        |WHERE CAST(regexp_extract(c_name, '#(\d+)$', 1) AS BIGINT) = c_custkey
+        |ORDER BY c_custkey""".stripMargin,
     "events_by_weekday" ->
       """SELECT (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 + 4) % 7 AS weekday,
         |       CAST(count(*) AS BIGINT) AS n

@@ -176,6 +176,24 @@ object Relational {
       .na.fill(0L, EventTypes)
       .orderBy("day")
 
+  /** Scalar string-function surface: parse the numeric id out of
+    * `Customer#000000042`, normalize case, build a display label — all
+    * codegen'd column expressions, verified against the same functions in
+    * the oracle dialect. */
+  def customerNameParse(customer: DataFrame): DataFrame =
+    customer
+      .select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "#(\\d+)$", 1).cast("long").as("name_id"),
+        concat(
+          upper(substring(lower(col("c_mktsegment")), 1, 1)),
+          expr("substring(lower(c_mktsegment), 2)"),
+          lit(": "),
+          ltrim(regexp_extract(col("c_name"), "#(\\d+)$", 1), "0")).as("label"),
+        length(col("c_name")).cast("long").as("name_len"))
+      .filter(col("name_id") === col("c_custkey")) // parse must round-trip
+      .orderBy("c_custkey")
+
   /** Analytic window frames over the daily revenue series: cumulative
     * revenue, trailing-7-row moving sum, and day-over-day delta (lag).
     * All integer cents — frame math is engine-exact. */
