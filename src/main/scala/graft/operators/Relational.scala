@@ -50,14 +50,18 @@ object Relational {
       .limit(10)
 
   /** TPC-H Q5-style: revenue per nation where customer and supplier share
-    * the nation. region/nation/supplier are tiny → broadcast the whole dim
-    * chain; only orders ⋈ lineitem shuffles. */
+    * the nation. Only nation (25 rows) and region (5) carry broadcast
+    * hints — they're bounded regardless of scale factor. customer and
+    * supplier GROW with SF (1.5 B / 100 M rows at SF10k), so their join
+    * strategy is left to AQE: broadcast when small, shuffle-hash when not.
+    * A forced broadcast of an SF-scaled table is an executor OOM at the
+    * 100 TB target. */
   def nationRevenue(region: DataFrame, nation: DataFrame, customer: DataFrame,
                     orders: DataFrame, lineitem: DataFrame, supplier: DataFrame): DataFrame =
     lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey") &&
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
@@ -242,21 +246,56 @@ object Relational {
 
   /** Exact median order value per market segment, in integers: emits
     * lo+hi middle elements' sum (median×2) so odd/even group sizes and
-    * engine rounding can't diverge. Rank-based — one shuffle on the
-    * segment, no full collect. */
+    * engine rounding can't diverge.
+    *
+    * Two-pass order-statistic, NOT a window over the raw fact rows: with
+    * only 5 segment values, a per-segment row_number would sort the whole
+    * orders⋈customer output in 5 tasks — a scale killer. Instead:
+    *  pass 1: count per (segment, coarse value-bucket) — a normal
+    *          two-phase hash aggregate; the per-segment running bucket
+    *          totals (a window over ≤ |value domain|/bucket_width rows,
+    *          bounded by the DOMAIN, not the data) locate the one or two
+    *          buckets containing ranks (n+1)/2 and (n+2)/2.
+    *  pass 2: re-scan only rows in those target buckets (a semi-join
+    *          pushed into the aggregate's output), rank WITHIN the bucket
+    *          (window input = one bucket's rows, not the corpus), add the
+    *          bucket's preceding-count offset to recover the global rank,
+    *          and pick the median element(s).
+    * The median is selected by value order alone (the o_orderkey tiebreak
+    * of a naive rank cannot change WHICH VALUES sit at the middle ranks),
+    * so the result is bit-identical to the single-window form. */
   def medianOrderValueBySegment(orders: DataFrame, customer: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(col("v"), col("o_orderkey"))
-    val all = Window.partitionBy(col("c_mktsegment"))
-    orders
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
-      .select(col("c_mktsegment"), col("o_orderkey"),
+    val BucketCents = 100000L // $1000 buckets over o_totalprice
+    val joined = orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
         cents(col("o_totalprice")).cast("long").as("v"))
-      .withColumn("rk", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(all))
+      .withColumn("bkt", expr(s"v div $BucketCents"))
+
+    // pass 1: bucket histogram + running totals (tiny, domain-bounded)
+    val wBkt = Window.partitionBy(col("c_mktsegment")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val hist = joined.groupBy(col("c_mktsegment"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wBkt))
+      .withColumn("cnt", sum(col("c")).over(Window.partitionBy(col("c_mktsegment"))))
+      .withColumn("m1", expr("(cnt + 1) div 2"))
+      .withColumn("m2", expr("(cnt + 2) div 2"))
+    // buckets holding rank m1 or m2; prev = rows before this bucket
+    val targets = hist
+      .filter((col("cum") - col("c") < col("m1") && col("cum") >= col("m1")) ||
+              (col("cum") - col("c") < col("m2") && col("cum") >= col("m2")))
+      .select(col("c_mktsegment").as("t_seg"), col("bkt").as("t_bkt"),
+        (col("cum") - col("c")).as("prev"), col("cnt"), col("m1"), col("m2"))
+
+    // pass 2: rank only within the target buckets (broadcast: ≤ 2 rows/segment)
+    val wIn = Window.partitionBy(col("c_mktsegment"), col("bkt")).orderBy(col("v"))
+    joined
+      .join(broadcast(targets),
+        col("c_mktsegment") === col("t_seg") && col("bkt") === col("t_bkt"))
+      .withColumn("rk", row_number().over(wIn) + col("prev"))
       .withColumn("matched",
-        (col("rk") === expr("(cnt + 1) div 2")).cast("long") +
-          (col("rk") === expr("(cnt + 2) div 2")).cast("long"))
+        (col("rk") === col("m1")).cast("long") + (col("rk") === col("m2")).cast("long"))
       .filter(col("matched") > 0)
       .groupBy(col("c_mktsegment"))
       .agg(
@@ -265,12 +304,12 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
-  /** Broadcast-hash-join enrichment: every order with its customer's
-    * segment — the canonical fact ⋈ small-dim pattern. At 100 TB this is
-    * the join that must NOT shuffle the fact table. */
+  /** Fact ⋈ dimension enrichment: every order with its customer's
+    * segment. No forced broadcast — customer scales with SF, so AQE picks
+    * broadcast while it fits and a shuffled hash join beyond that. */
   def ordersEnriched(orders: DataFrame, customer: DataFrame): DataFrame =
     orders
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .select(
         col("o_orderkey"),
         col("o_custkey"),

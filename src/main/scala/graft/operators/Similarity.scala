@@ -1,6 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.ml.clustering.KMeansModel
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -8,16 +11,50 @@ import graft.plans.CosineSimilarity
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
-  * Two paths:
+  * Three paths:
   *  - brute-force top-k: exact baseline. The query set is broadcast, so the
   *    corpus is scanned once with no shuffle of the embedding column — at
-  *    100 TB this is one map stage + a per-query top-k (TakeOrdered-style).
+  *    100 TB this is one map stage + a per-query top-k.
   *  - LSH-bucketed: sign-bucket on the first 8 dimensions (axis-aligned
   *    hyperplanes — deterministic, engine-portable), then search only the
   *    query's bucket. The bucket key is 1 byte: the join shuffles only
   *    (bucket, id), never pairs the full corpus.
+  *  - IVF: k-means coarse quantizer (trained once on a bounded sample,
+  *    memoized as a model artifact), probe nProbe nearest cells.
+  *
+  * All three end in a per-query top-k. That top-k is NEVER a single window
+  * over the raw scored rows partitioned by query_id — with a handful of
+  * queries the whole scored corpus would sort in a handful of tasks.
+  * Instead [[topKPerQuery]] pre-reduces to a local top-k inside
+  * deterministic hash-salt buckets, then runs the global window over the
+  * ≤ salts×k survivors per query.
   */
 object Similarity {
+
+  /** Exact per-query top-k of `scored` (query_id, neighbor_id,
+    * cos_sim_raw): stage 1 keeps the top k within each of `salts`
+    * deterministic hash buckets of neighbor_id (the global top-k is a
+    * subset of the union of bucket top-ks — each global winner ranks ≤ k
+    * in its own bucket); stage 2 ranks the ≤ salts×k survivors per query.
+    * Stage 1's window has queries×salts partitions and bounded output, so
+    * no task ever sorts a corpus-sized partition; the salt is
+    * crc32(neighbor_id), not spark_partition_id, so results are
+    * partitioning-independent and oracle-checkable. */
+  private def topKPerQuery(scored: DataFrame, k: Int, salts: Int = 64): DataFrame = {
+    val wLocal = Window
+      .partitionBy(col("query_id"), pmod(crc32(col("neighbor_id").cast("string")), lit(salts)))
+      .orderBy(col("cos_sim_raw").desc, col("neighbor_id"))
+    val wGlobal = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim_raw").desc, col("neighbor_id"))
+    scored
+      .withColumn("lrk", row_number().over(wLocal))
+      .filter(col("lrk") <= k)
+      .withColumn("rank", row_number().over(wGlobal).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos_sim_raw"), 4).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
 
   /** Exact brute-force cosine top-k for a small query set
     * (vec_id < nQueries), excluding self. */
@@ -26,19 +63,13 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val corpus = embeddings.repartition(32) // single-split local file → spread the scan side
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim_raw").desc, col("neighbor_id"))
-    corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+    val scored = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim_raw", CosineSimilarity.cosineFast(col("qe"), col("ne")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cos_sim_raw"), 4).as("cos_sim"))
-      .orderBy("query_id", "rank")
+    topKPerQuery(scored, k)
   }
 
   /** Sign-LSH bucket key: bit j set iff embedding[j] >= 0, j < 8. */
-  private def bucketKey(emb: org.apache.spark.sql.Column) =
+  private def bucketKey(emb: Column) =
     (0 until 8)
       .map(j => when(element_at(emb, j + 1) >= 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
@@ -51,24 +82,32 @@ object Similarity {
       col("vec_id"), col("embedding"), bucketKey(col("embedding")).as("bucket"))
     val queries = bucketed.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim_raw").desc, col("vec_id"))
-    bucketed.join(broadcast(queries), Seq("bucket"))
+    val scored = bucketed.join(broadcast(queries), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos_sim_raw", CosineSimilarity.cosineFast(col("qe"), col("embedding")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
-        round(col("cos_sim_raw"), 4).as("cos_sim"))
-      .orderBy("query_id", "rank")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim_raw"))
+    topKPerQuery(scored, k)
   }
+
+  /** Cap on the number of vectors the IVF quantizer trains on. An IVF
+    * coarse quantizer needs a representative sample, not the corpus: at
+    * 100 TB a full-corpus multi-pass k-means inside every query would
+    * dominate the runtime (and did, in round 1's bench). */
+  val IvfTrainSample = 10000
+
+  /** Trained quantizers keyed by (corpus plan, k): the model is a tiny
+    * artifact (nCells × 64 floats) reused across query invocations in the
+    * same session — the batch analogue of persisting the quantizer
+    * alongside the index. */
+  private val ivfModelCache = TrieMap[(Int, Int), KMeansModel]()
 
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
     * corpus into cells; each query probes only its `nProbe` nearest cells,
     * then scores candidates exactly. THE standard billion-vector layout:
     * at 100 TB the corpus is partitioned (and can be stored bucketed) by
-    * cell, so a query touches nProbe/nCells of the data. Centroids are a
-    * model artifact (tiny, broadcast); training is one MLlib pass.
+    * cell, so a query touches nProbe/nCells of the data. Training runs on
+    * a ≤ [[IvfTrainSample]] sample and the model is memoized; assignment
+    * is a single broadcast-centroid map pass.
     * Not oracle-checkable (k-means float sums are parallelism-dependent) —
     * covered by rows-only check + the subset test in OperatorSpec. */
   def ivfTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 3,
@@ -78,9 +117,12 @@ object Similarity {
 
     val vecs = embeddings
       .withColumn("fv", array_to_vector(col("embedding")))
-    val model = new KMeans()
-      .setK(nCells).setSeed(42L).setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(vecs)
+    val model = ivfModelCache.getOrElseUpdate((embeddings.semanticHash(), nCells), {
+      new KMeans()
+        .setK(nCells).setSeed(42L).setMaxIter(10)
+        .setFeaturesCol("fv").setPredictionCol("cell")
+        .fit(vecs.limit(IvfTrainSample))
+    })
     val assigned = model.transform(vecs)
       .select(col("vec_id"), col("embedding"), col("cell"))
 
@@ -91,7 +133,7 @@ object Similarity {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val centDf = centroids.toDF("cell", "centroid")
-    val queries = assigned.filter(col("vec_id") < nQueries)
+    val queries = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val wCell = Window.partitionBy(col("query_id"))
       .orderBy(col("cdist").desc, col("cell"))
@@ -101,16 +143,11 @@ object Similarity {
       .filter(col("crk") <= nProbe)
       .select(col("query_id"), col("qe"), col("cell"))
 
-    val wTop = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim_raw").desc, col("vec_id"))
-    assigned.join(broadcast(probed), Seq("cell"))
+    val scored = assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos_sim_raw", CosineSimilarity.cosineFast(col("qe"), col("embedding")))
-      .withColumn("rank", row_number().over(wTop).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
-        round(col("cos_sim_raw"), 4).as("cos_sim"))
-      .orderBy("query_id", "rank")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim_raw"))
+    topKPerQuery(scored, k)
   }
 
   /** Per-bucket occupancy — the sanity/skew view a pipeline operator
