@@ -5,6 +5,12 @@ name := "kafkastreamprocessingspark"
 unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything
 // else is intentionally not resolvable (COURSIER_MODE=offline).
+// Kafka-connector attempt (2026-08-12): adding
+//   "org.apache.spark" %% "spark-sql-kafka-0-10" % "4.1.2"
+// fails with coursier "Not found" — the offline cache carries no Kafka
+// artifacts and /opt/spark/jars ships none, so the graft.streaming Kafka
+// source/sink builders stay compile-checked only; the file/memory-source
+// topology (StreamingDemo, StreamingSpec) is the runnable stand-in.
 libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,

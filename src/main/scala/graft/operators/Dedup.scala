@@ -50,25 +50,28 @@ object Dedup {
         graft.plans.WordShingles.shingles(normText(col("text"))).as("gs"))
       .select(col("doc_id"), col("source"), size(col("gs")).as("n_g"), col("gs"))
 
-  /** Exploded shingle rows: (doc_id, source, n_g, g). */
-  def shingles(documents: DataFrame): DataFrame =
-    shingleArrays(documents)
-      .select(col("doc_id"), col("source"), col("n_g"), explode(col("gs")).as("g"))
-
-  /** [[shingles]], persisted MEMORY_AND_DISK. The shingle relation is the
-    * shared input of the MinHash signature build, both sides of its
-    * verify join, SimHash, and n-gram Jaccard — without persistence each
-    * consumer re-scans and re-shingles the corpus. Spark's CacheManager
-    * keys cache entries by canonicalized logical plan, so every call for
-    * the same `documents` plan (across queries in one session) resolves to
-    * the SAME cache entry: one shingle pass per corpus, not one per use.
-    * MEMORY_AND_DISK spills instead of evicting under pressure; the
-    * exploded relation is ~linear in corpus token count. */
-  def shinglesCached(documents: DataFrame): DataFrame = {
-    val df = shingles(documents)
+  /** [[shingleArrays]], persisted MEMORY_AND_DISK. The per-doc shingle
+    * relation is the shared input of the MinHash signature build, the
+    * SimHash votes, the n-gram inverted index, and every verify join —
+    * without persistence each consumer re-scans and re-shingles the
+    * corpus (round 1 paid that three times per MinHash run). Spark's
+    * CacheManager keys cache entries by canonicalized logical plan, so
+    * every call for the same `documents` plan (across queries in one
+    * session) resolves to the SAME cache entry: one shingle pass per
+    * corpus, not one per use. The compact array form is cached (one row
+    * per doc); consumers that need exploded rows explode FROM the cache.
+    * MEMORY_AND_DISK spills instead of evicting under pressure. */
+  def shingleArraysCached(documents: DataFrame): DataFrame = {
+    val df = shingleArrays(documents)
     df.persist(StorageLevel.MEMORY_AND_DISK)
     df
   }
+
+  /** Exploded shingle rows (doc_id, source, n_g, g), derived from the
+    * cached array relation. */
+  def shingles(documents: DataFrame): DataFrame =
+    shingleArraysCached(documents)
+      .select(col("doc_id"), col("source"), col("n_g"), explode(col("gs")).as("g"))
 
   /** Exact dedup: keep the smallest doc_id per identical text. */
   def exact(documents: DataFrame): DataFrame =
@@ -98,7 +101,24 @@ object Dedup {
     val aggs = (0 until MinhashSeeds).map { i =>
       min(md5(concat_ws(":", lit(i.toString), col("g")))).as(s"h$i")
     }
-    shinglesCached(documents).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    shingles(documents).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Exact-overlap verify: attach both docs' cached shingle arrays to each
+    * candidate pair and count the intersection in-place
+    * (`array_intersect`, codegen'd, arrays already distinct) — one row per
+    * candidate, instead of re-exploding both shingle sets into a
+    * pair × shingle join (round 1's verify was the most expensive part of
+    * both sketch paths). Emits (doc_a, doc_b, na, nb, shared). */
+  private def verifyOverlap(candidates: DataFrame, documents: DataFrame): DataFrame = {
+    val arr = shingleArraysCached(documents)
+    candidates
+      .join(arr.select(col("doc_id"), col("n_g").as("na"), col("gs").as("ga")),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(arr.select(col("doc_id"), col("n_g").as("nb"), col("gs").as("gb")),
+        col("doc_b") === col("doc_id")).drop("doc_id")
+      .withColumn("shared", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"), col("shared"))
   }
 
   /** MinHash + LSH near-dup pairs, with an exact-Jaccard verify step.
@@ -119,13 +139,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-
-    val ex = shinglesCached(documents)
-    candidates
-      .join(ex.as("ta"), col("doc_a") === col("ta.doc_id"))
-      .join(ex.as("tb"), col("doc_b") === col("tb.doc_id") && col("ta.g") === col("tb.g"))
-      .groupBy(col("doc_a"), col("doc_b"), col("ta.n_g").as("na"), col("tb.n_g").as("nb"))
-      .agg(count(lit(1)).as("shared"))
+    verifyOverlap(candidates, documents)
       .filter(col("shared") * 3 >= col("na") + col("nb"))
       .select(col("doc_a"), col("doc_b"))
       .orderBy("doc_a", "doc_b")
@@ -135,7 +149,7 @@ object Dedup {
     * shingle: bit j is the sign of the sum of (+1/-1) votes from nibble
     * j's low bit. */
   def simhashSignatures(documents: DataFrame): DataFrame = {
-    val sh = shinglesCached(documents).withColumn("m", md5(col("g")))
+    val sh = shingles(documents).withColumn("m", md5(col("g")))
     def nibble(j: Int): Column =
       conv(substring(col("m"), j + 1, 1), 16, 10).cast("int")
     val votes = (0 until 32).map { j =>
@@ -187,7 +201,7 @@ object Dedup {
     * result is identical to the exact all-pairs oracle (and checked
     * against it). */
   def ngramJaccard(documents: DataFrame, maxDf: Int = 1000): DataFrame = {
-    val sh = shinglesCached(documents)
+    val sh = shingles(documents)
     val rare = sh.groupBy(col("source"), col("g"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
@@ -202,11 +216,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    candidates
-      .join(sh.as("ta"), col("doc_a") === col("ta.doc_id"))
-      .join(sh.as("tb"), col("doc_b") === col("tb.doc_id") && col("ta.g") === col("tb.g"))
-      .groupBy(col("doc_a"), col("doc_b"), col("ta.n_g").as("na"), col("tb.n_g").as("nb"))
-      .agg(count(lit(1)).as("shared"))
+    verifyOverlap(candidates, documents)
       .withColumn("union_n", col("na") + col("nb") - col("shared"))
       .filter(col("shared") * 2 >= col("union_n"))
       .select(col("doc_a"), col("doc_b"),

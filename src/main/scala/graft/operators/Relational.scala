@@ -7,9 +7,12 @@ import org.apache.spark.sql.functions._
 /** Relational operator coverage the reference lacks (SURVEY.md §2 category
   * checklist: no joins, no sorts/limits, no set ops, no window functions).
   * Each builder is a declarative DataFrame plan so Catalyst applies
-  * pushdown/pruning/join-selection; small dimension sides are explicitly
-  * `broadcast()` so the 100 TB plan has no shuffle on the big fact side
-  * where one isn't needed.
+  * pushdown/pruning/join-selection. Broadcast hints are reserved for
+  * sides that are BOUNDED regardless of scale factor (nation=25 rows,
+  * region=5, per-brand aggregates); any table that grows with SF
+  * (customer, supplier) is left to AQE, which broadcasts it while it
+  * fits and falls back to a shuffled join when it doesn't — a forced
+  * broadcast of an SF-scaled table is an executor OOM at 100 TB.
   *
   * Money sums are emitted as exact integer cents (`sum(round(x*100))` cast
   * to long): per-row rounding happens before the sum, so the aggregate is
@@ -35,13 +38,15 @@ object Relational {
       .orderBy("l_returnflag", "l_linestatus")
 
   /** TPC-H Q3-style: 3-way join (customer ⋈ orders ⋈ lineitem), revenue
-    * per order, top 10. customer is the small side → broadcast; orders ⋈
-    * lineitem shuffles on orderkey (the natural key at scale). */
+    * per order, top 10. orders ⋈ lineitem shuffles on orderkey (the
+    * natural key at scale); the filtered customer side is left to AQE —
+    * it broadcasts while small but is still 1/5 of an SF-scaled table,
+    * so no forced hint. */
   def topOrders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
                 segment: String = "BUILDING"): DataFrame =
     lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer.filter(col("c_mktsegment") === segment)),
+      .join(customer.filter(col("c_mktsegment") === segment),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).cast("long").as("revenue_cents"))

@@ -119,7 +119,9 @@ object Similarity {
       .withColumn("fv", array_to_vector(col("embedding")))
     val model = ivfModelCache.getOrElseUpdate((embeddings.semanticHash(), nCells), {
       new KMeans()
-        .setK(nCells).setSeed(42L).setMaxIter(10)
+        // random init: k-means|| costs ~5 extra full passes for seeding
+        // quality an ANN coarse quantizer doesn't need
+        .setK(nCells).setSeed(42L).setMaxIter(10).setInitMode("random")
         .setFeaturesCol("fv").setPredictionCol("cell")
         .fit(vecs.limit(IvfTrainSample))
     })

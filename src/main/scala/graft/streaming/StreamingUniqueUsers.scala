@@ -72,6 +72,42 @@ object StreamingUniqueUsers {
         unix_timestamp(col("window.start")).as("window_start"),
         col("unique_users"))
 
+  /** Ingestion-time stamp — the reference's ACTUAL time domain: it
+    * deliberately windows on broker ingestion time, not the payload `ts`
+    * (reference README.md:54-58, justified by its ≤5 s arrival bound).
+    * From a Kafka source the stamp is the broker-populated `timestamp`
+    * metadata column (log-append time); from any other source it is the
+    * processing time at ingest (`current_timestamp()` = micro-batch
+    * timestamp, constant within a batch). */
+  def stampIngest(raw: DataFrame): DataFrame =
+    if (raw.columns.contains("timestamp"))
+      raw.withColumn("ingest_ts", col("timestamp"))
+    else raw.withColumn("ingest_ts", current_timestamp())
+
+  /** Windowed distinct users in the INGESTION-time domain (the reference's
+    * semantics, vs [[uniqueUsersPerWindow]]'s event-time fix): an event
+    * carrying an ancient payload `ts` still counts in the window it
+    * ARRIVES in, and nothing is ever "too late" — the watermark over
+    * ingest time only bounds state, it cannot drop data that has already
+    * been stamped at or ahead of it. */
+  def uniqueUsersPerWindowIngest(raw: DataFrame,
+                                 windowLen: String = "1 minute",
+                                 watermark: String = "5 seconds",
+                                 valueCol: String = "value"): DataFrame =
+    stampIngest(raw)
+      .select(from_json(col(valueCol).cast("string"), EventSchema).as("e"),
+        col("ingest_ts"))
+      .select(col("e.uid").as("uid"), col("ingest_ts"))
+      .filter(col("uid").isNotNull)
+      .withWatermark("ingest_ts", watermark)
+      .groupBy(window(col("ingest_ts"), windowLen), col("uid"))
+      .agg(count(lit(1)).as("hits"))
+      .groupBy(col("window"))
+      .agg(count(lit(1)).as("unique_users"))
+      .select(
+        unix_timestamp(col("window.start")).as("window_start"),
+        col("unique_users"))
+
   /** Output records shaped as the reference's sink expects — but with the
     * documented fixes: proper JSON value, unix-seconds key. */
   def toSinkRecords(counts: DataFrame): DataFrame =

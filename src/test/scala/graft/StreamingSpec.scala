@@ -171,6 +171,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestion-time windows count by arrival, ignoring payload ts (reference time domain)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    // 1-second windows + zero watermark so the test only has to let the
+    // wall clock (the ingest-time domain) tick past one window
+    val counts = StreamingUniqueUsers.uniqueUsersPerWindowIngest(
+      in.toDF(), windowLen = "1 second", watermark = "0 seconds")
+    val q = counts.writeStream.format("memory").queryName("uu_ingest")
+      .outputMode("append").start()
+    try {
+      val t0 = System.currentTimeMillis() / 1000
+      // ancient payload timestamps: event time would window these in 1970
+      in.addData(jsonEvent("a", 5), jsonEvent("a", 6), jsonEvent("b", 7))
+      q.processAllAvailable()
+      Thread.sleep(1600) // let ingest time pass the 1 s window end
+      in.addData(jsonEvent("z", 8)) // advances the ingest watermark
+      q.processAllAvailable()
+      val rows = spark.table("uu_ingest").collect()
+        .map { case Row(ws: Long, n: Long) => ws -> n }
+      // the batch-1 window finalized: both distinct users landed in an
+      // ARRIVAL-time window (now-ish), not in payload-ts 1970 windows
+      assert(rows.nonEmpty)
+      assert(rows.exists(_._2 === 2L))
+      assert(rows.forall(_._1 >= t0 - 5))
+    } finally q.stop()
+  }
+
   test("batch and streaming agree on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val events = Tables.events(spark, Sf0001)
