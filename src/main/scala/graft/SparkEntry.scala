@@ -77,6 +77,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "dedup_levenshtein" -> ((s, d) => Dedup.levenshteinPrefix(Tables.documents(s, d))),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
+    "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables.documents(s, d))),
     // ---- similarity search ----
     "ann_bruteforce_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
@@ -144,6 +145,21 @@ object SparkEntry {
        |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY 1, 2""".stripMargin
   }
+
+  /** Connected components over the MinHash pair graph via a recursive
+    * CTE: every node starts as its own label, labels flood along edges,
+    * min per node = smallest doc_id in the component (the cluster rep).
+    * Mirrors Dedup.dedupClusters' min-label-propagation fixpoint. */
+  private def dedupClustersOracle: String =
+    s"""WITH RECURSIVE pairs AS ($minhashOracle),
+       |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(doc_id, lbl) AS (
+       |  SELECT DISTINCT s, s FROM edges
+       |  UNION
+       |  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.doc_id)
+       |SELECT doc_id, CAST(min(lbl) AS BIGINT) AS cluster_rep
+       |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   private def ngramJaccardOracle: String =
     s"""WITH $ShingleCte,
@@ -411,6 +427,7 @@ object SparkEntry {
         |FROM n a JOIN n b ON a.source = b.source AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.p, b.p) <= 5 ORDER BY 1, 2""".stripMargin,
     "dedup_minhash_lsh" -> minhashOracle,
+    "dedup_clusters" -> dedupClustersOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_embedding_cosine" -> embeddingNearDupOracle,

@@ -311,6 +311,52 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Near-dup CLUSTERS from the MinHash pair graph: connected components
+    * by iterative min-label propagation, emitting (doc_id, cluster_rep)
+    * for every doc in at least one verified near-dup pair. The
+    * representative is the component's smallest doc_id — the doc a dedup
+    * pass KEEPS. Pairs alone don't dedup a corpus: {A,B} and {B,C} must
+    * collapse to one keeper, which is exactly a connected-components pass.
+    *
+    * Each round is one distributed join + min-aggregate (label travels one
+    * hop), so the loop runs O(component diameter) rounds — near-dup
+    * components are clique-like (every member band-collides with most
+    * others), so this converges in a couple of rounds; the web-scale
+    * refinement (large-star/small-star contraction) has the same
+    * per-round plan shape. Rounds localCheckpoint to cut lineage growth.
+    * Deterministic — checked against a DuckDB recursive-CTE oracle. */
+  def dedupClusters(documents: DataFrame, maxRounds: Int = 50): DataFrame = {
+    // materialize the pair graph ONCE — edges reads it twice (both
+    // directions) and every round joins it; without this the whole
+    // MinHash pipeline would re-execute per use
+    val pairs = minhashLsh(documents).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id"))
+      .localCheckpoint()
+    // convergence via the label sum: min-label propagation only ever
+    // DECREASES labels over a fixed node set, so the sum is strictly
+    // monotone until the fixpoint — an O(1)-row aggregate per round
+    // instead of a change-detection join
+    var prevSum = labels.agg(sum(col("lbl"))).head.getLong(0)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val prop = edges.join(labels, col("src") === col("doc_id"))
+        .select(col("dst").as("doc_id"), col("lbl"))
+      val next = labels.union(prop).groupBy("doc_id")
+        .agg(min("lbl").as("lbl")).localCheckpoint()
+      val s = next.agg(sum(col("lbl"))).head.getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+      round += 1
+    }
+    labels.select(col("doc_id"), col("lbl").as("cluster_rep")).orderBy("doc_id")
+  }
+
   /** Sign-LSH banding for the embedding near-dup: `EmbBands` bands of
     * `EmbBandBits` axis-aligned sign bits each (band b reads dims
     * [b*bits, (b+1)*bits)). Deterministic and engine-portable — the same

@@ -2,7 +2,6 @@ package graft.operators
 
 import scala.collection.concurrent.TrieMap
 
-import org.apache.spark.ml.clustering.KMeansModel
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -96,42 +95,84 @@ object Similarity {
   val IvfTrainSample = 10000
 
   /** Trained quantizers keyed by (corpus plan, k): the model is a tiny
-    * artifact (nCells × 64 floats) reused across query invocations in the
-    * same session — the batch analogue of persisting the quantizer
+    * artifact (nCells × dim floats) reused across query invocations in
+    * the same session — the batch analogue of persisting the quantizer
     * alongside the index. */
-  private val ivfModelCache = TrieMap[(Int, Int), KMeansModel]()
+  private val ivfModelCache = TrieMap[(Int, Int), Array[Array[Float]]]()
 
-  /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
-    * corpus into cells; each query probes only its `nProbe` nearest cells,
-    * then scores candidates exactly. THE standard billion-vector layout:
-    * at 100 TB the corpus is partitioned (and can be stored bucketed) by
-    * cell, so a query touches nProbe/nCells of the data. Training runs on
-    * a ≤ [[IvfTrainSample]] sample and the model is memoized; assignment
-    * is a single broadcast-centroid map pass.
-    * Not oracle-checkable (k-means float sums are parallelism-dependent) —
-    * covered by rows-only check + the subset test in OperatorSpec. */
+  /** Spherical k-means, trained where a tiny model belongs: on the
+    * driver, over a BOUNDED collected sample (≤ [[IvfTrainSample]] rows,
+    * a few MB — this is a sample-sized model fit, not a driver-side loop
+    * over the corpus). Round 1 ran distributed k-means over the full
+    * corpus inside every query call: a dozen multi-pass cluster jobs for
+    * arithmetic a single core finishes in milliseconds. Deterministic:
+    * strided-sample init, fixed iteration count, sequential accumulation.
+    * Cells are assigned by max cosine (spherical variant — the right
+    * metric when the search scores by cosine); empty cells keep their
+    * previous centroid. */
+  private def trainQuantizer(embeddings: DataFrame, nCells: Int, iters: Int = 10): Array[Array[Float]] = {
+    val sample: Array[Array[Double]] = embeddings
+      .select(col("embedding")).limit(IvfTrainSample)
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = sample.length
+    val dim = sample.head.length
+    val k = math.min(nCells, n)
+    def cosArg(v: Array[Double], cents: Array[Array[Double]]): Int = {
+      var best = 0; var bestScore = Double.MinValue
+      var c = 0
+      while (c < cents.length) {
+        var dot = 0.0; var nc = 0.0; var nv = 0.0; var j = 0
+        while (j < dim) { dot += v(j) * cents(c)(j); nc += cents(c)(j) * cents(c)(j); nv += v(j) * v(j); j += 1 }
+        val s = if (nc == 0 || nv == 0) -2.0 else dot / math.sqrt(nc * nv)
+        if (s > bestScore) { bestScore = s; best = c }
+        c += 1
+      }
+      best
+    }
+    var cents = Array.tabulate(k)(i => sample(((i.toLong * n) / k).toInt).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k, dim)(0.0)
+      val counts = Array.fill(k)(0L)
+      sample.foreach { v =>
+        val c = cosArg(v, cents)
+        var j = 0; while (j < dim) { sums(c)(j) += v(j); j += 1 }
+        counts(c) += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c)
+        else Array.tabulate(dim)(j => sums(c)(j) / counts(c))
+      }
+    }
+    cents.map(_.map(_.toFloat))
+  }
+
+  /** IVF (inverted-file) ANN: a coarse quantizer partitions the corpus
+    * into cells; each query probes only its `nProbe` nearest cells, then
+    * scores candidates exactly. THE standard billion-vector layout: at
+    * 100 TB the corpus is partitioned (and can be stored bucketed) by
+    * cell, so a query touches nProbe/nCells of the data. The quantizer is
+    * sample-trained and memoized ([[trainQuantizer]]); cell assignment is
+    * one broadcast-centroid codegen map pass over the corpus — no
+    * training jobs, no shuffle.
+    * Not oracle-checked (quantizer internals aren't SQL) — covered by
+    * rows-only check + the brute-force score-agreement test in
+    * OperatorSpec. */
   def ivfTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 3,
               nCells: Int = 16, nProbe: Int = 2): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+    val model = ivfModelCache.getOrElseUpdate((embeddings.semanticHash(), nCells),
+      trainQuantizer(embeddings, nCells))
 
-    val vecs = embeddings
-      .withColumn("fv", array_to_vector(col("embedding")))
-    val model = ivfModelCache.getOrElseUpdate((embeddings.semanticHash(), nCells), {
-      new KMeans()
-        // random init: k-means|| costs ~5 extra full passes for seeding
-        // quality an ANN coarse quantizer doesn't need
-        .setK(nCells).setSeed(42L).setMaxIter(10).setInitMode("random")
-        .setFeaturesCol("fv").setPredictionCol("cell")
-        .fit(vecs.limit(IvfTrainSample))
-    })
-    val assigned = model.transform(vecs)
+    // assignment: argmax cosine over the broadcast centroids, fully inside
+    // whole-stage codegen (array of fused-cosine expressions + array_max)
+    val cosArr = array(model.map(c =>
+      CosineSimilarity.cosineFast(col("embedding"), typedLit(c.toSeq))): _*)
+    val assigned = embeddings
+      .withColumn("cs", cosArr)
+      .withColumn("cell", (array_position(col("cs"), array_max(col("cs"))) - 1).cast("int"))
       .select(col("vec_id"), col("embedding"), col("cell"))
 
     // nProbe nearest cells per query, by cosine to the centroids
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.map(_.toFloat))
-    }.toSeq
+    val centroids = model.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
     val spark = embeddings.sparkSession
     import spark.implicits._
     val centDf = centroids.toDF("cell", "centroid")

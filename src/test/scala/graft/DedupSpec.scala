@@ -60,6 +60,25 @@ class DedupSpec extends SparkSpec {
     assert(!blocked.contains((0L, 1L)))
   }
 
+  test("dedupClusters collapses transitive pairs to one representative") {
+    // chain: d10~d11 and d11~d12 are near-dups, d10~d12 may or may not pair
+    // directly — the cluster must still merge all three under rep 10
+    val long = (1 to 30).map(i => s"c$i").mkString(" ")
+    val chain = Seq(
+      (10L, long + " tailA", "s0"),
+      (11L, long + " tailB", "s0"),
+      (12L, long + " tailC", "s0"),
+      (20L, base, "s0"),
+      (21L, base.toUpperCase, "s0"),
+      (30L, (200 to 240).map(i => s"z$i").mkString(" "), "s0")
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.dedupClusters(chain).collect()
+      .map { case Row(id: Long, rep: Long) => id -> rep }.toMap
+    assert(got(10L) === 10L && got(11L) === 10L && got(12L) === 10L)
+    assert(got(20L) === 20L && got(21L) === 20L)
+    assert(!got.contains(30L)) // unpaired docs aren't in any cluster
+  }
+
   test("embeddingNearDup flags parallel vectors, not orthogonal ones") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),
