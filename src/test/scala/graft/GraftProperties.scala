@@ -56,6 +56,51 @@ object GraftProperties extends Properties("graft") {
     got.sum == texts.size.toLong && got.forall(_ >= 1)
   }
 
+  /** Reference Levenshtein (full DP) for the blocking-exactness oracle. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j => if (i == 0) j else if (j == 0) i else 0))
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  private val editedPairGen: Gen[(String, String)] = for {
+    base <- Gen.listOfN(44, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    nEdits <- Gen.choose(0, 7) // straddles the maxDist=5 boundary
+    edits <- Gen.listOfN(nEdits, Gen.zip(Gen.choose(0, 39), Gen.choose(0, 2), Gen.oneOf('a', 'b', 'c', 'd')))
+  } yield {
+    val other = edits.foldLeft(base) { case (s, (pos, kind, ch)) =>
+      val p = math.min(pos, math.max(s.length - 1, 0))
+      kind match {
+        case 0 => s.updated(p, ch)                       // substitute
+        case 1 => s.substring(0, p) + ch + s.substring(p) // insert
+        case _ if s.length > 1 => s.substring(0, p) + s.substring(p + 1) // delete
+        case _ => s
+      }
+    }
+    (base, other)
+  }
+
+  /** The PassJoin-style pigeonhole blocking in Dedup.levenshteinPrefix is
+    * EXACT: for any pair, the blocked+verified result contains the pair
+    * iff the 40-char-prefix distance is <= 5, with the exact distance —
+    * never a missed candidate. Also throws in far pairs (independent
+    * strings) so both sides of the threshold are exercised. */
+  property("levenshtein segment blocking is exact") = forAll(editedPairGen, editedPairGen) {
+    case ((a1, a2), (b1, _)) =>
+      val df = Seq((0L, a1, "s0"), (1L, a2, "s0"), (2L, b1.reverse, "s0"))
+        .toDF("doc_id", "text", "source")
+      val got = Dedup.levenshteinPrefix(df).collect()
+        .map { case Row(x: Long, y: Long, d: Long) => (x, y) -> d }.toMap
+      val docs = Map(0L -> a1.take(40), 1L -> a2.take(40), 2L -> b1.reverse.take(40))
+      val expected = (for {
+        x <- docs.keys; y <- docs.keys if x < y
+        d = lev(docs(x), docs(y)) if d <= 5
+      } yield (x, y) -> d.toLong).toMap
+      got == expected
+  }
+
   private val vecGen: Gen[List[Float]] =
     Gen.listOfN(8, Gen.choose(-5f, 5f)).suchThat(v => v.exists(math.abs(_) > 0.01f))
 
