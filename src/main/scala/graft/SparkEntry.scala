@@ -81,6 +81,7 @@ object SparkEntry {
     // ---- similarity search ----
     "ann_bruteforce_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
+    "ann_lsh_multiprobe_topk" -> ((s, d) => Similarity.lshMultiProbeTopK(Tables.embeddings(s, d))),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     "ann_bucket_stats" -> ((s, d) => Similarity.bucketStats(Tables.embeddings(s, d))),
     // ---- text analysis ----
@@ -205,6 +206,24 @@ object SparkEntry {
        |  FROM s)
        |SELECT query_id, neighbor_id, rank, round(cs, 4) AS cos_sim
        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  private def annLshMultiProbeOracle: String = {
+    val probes = (Seq(0) ++ (0 until 8).map(1 << _))
+      .map(m => s"xor(bucket, $m)").mkString("[", ", ", "]")
+    s"""WITH bkt AS (SELECT vec_id, embedding, $BucketSql AS bucket FROM embeddings),
+       |probes AS (SELECT vec_id AS query_id, embedding AS qe, unnest($probes) AS pb
+       |  FROM bkt WHERE vec_id < 5),
+       |s AS (SELECT p.query_id, b.vec_id AS neighbor_id,
+       |    list_sum(list_transform(range(64), i -> p.qe[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE)) AS dp,
+       |    list_sum(list_transform(range(64), i -> p.qe[i+1]::DOUBLE * p.qe[i+1]::DOUBLE)) AS nq,
+       |    list_sum(list_transform(range(64), i -> b.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE)) AS nn
+       |  FROM probes p JOIN bkt b ON b.bucket = p.pb AND b.vec_id != p.query_id),
+       |r AS (SELECT query_id, neighbor_id, dp / sqrt(nq * nn) AS cs,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY dp / sqrt(nq * nn) DESC, neighbor_id) AS rank
+       |  FROM s)
+       |SELECT query_id, neighbor_id, rank, round(cs, 4) AS cos_sim
+       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
 
   private def imageMetaOracle: String = {
     def nib(i: Int) = s"(strpos('0123456789abcdef', substr(md5(text), $i, 1)) - 1)"
@@ -434,6 +453,7 @@ object SparkEntry {
     // ---- similarity search ----
     "ann_bruteforce_topk" -> annBruteForceOracle,
     "ann_lsh_topk" -> annLshOracle,
+    "ann_lsh_multiprobe_topk" -> annLshMultiProbeOracle,
     "ann_bucket_stats" ->
       s"""SELECT bucket, CAST(count(*) AS BIGINT) AS n
          |FROM (SELECT $BucketSql AS bucket FROM embeddings) GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -88,6 +88,28 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Multi-probe LSH ANN: beyond the query's own sign-bucket, probe every
+    * bucket at Hamming distance 1 (each of the 8 sign bits flipped). The
+    * standard recall lever for bucketed LSH: a true neighbor that fell
+    * just across ONE hyperplane is retrieved from the adjacent bucket, at
+    * 9× bucket-scan cost instead of maintaining more hash tables.
+    * Deterministic (bucket XOR 2^j), so fully oracle-checkable; candidate
+    * volume stays ~9/256 of the corpus per query. */
+  def lshMultiProbeTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 3): DataFrame = {
+    val bucketed = embeddings.select(
+      col("vec_id"), col("embedding"), bucketKey(col("embedding")).as("bucket"))
+    val probeCols = array((lit(0L) +: (0 until 8).map(j => lit(1L << j))).map(m =>
+      col("bucket").bitwiseXOR(m)): _*)
+    val queries = bucketed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(probeCols).as("pb"))
+    val scored = bucketed.join(broadcast(queries), col("bucket") === col("pb"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim_raw", CosineSimilarity.cosineFast(col("qe"), col("embedding")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim_raw"))
+    topKPerQuery(scored, k)
+  }
+
   /** Cap on the number of vectors the IVF quantizer trains on. An IVF
     * coarse quantizer needs a representative sample, not the corpus: at
     * 100 TB a full-corpus multi-pass k-means inside every query would

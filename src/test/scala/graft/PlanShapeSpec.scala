@@ -1,0 +1,43 @@
+package graft
+
+/** Regression guards on PHYSICAL PLAN SHAPE — the properties that make
+  * these operators survive a 100 TB deployment, asserted so a future edit
+  * can't silently reintroduce a scale-killer (round 1 shipped a cartesian
+  * pair join and three few-partition windows that were correct and fast
+  * at test SF but wrong at scale). */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, Sf0001).queryExecution.executedPlan.toString
+
+  test("pair-generation dedup ops never plan a nested-loop or cartesian pair join") {
+    for (q <- Seq("dedup_embedding_cosine", "dedup_levenshtein",
+                  "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop")
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+  }
+
+  test("scan-heavy queries push filters and prune columns at the source") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(400))
+    val proj = plan("events_filter_project")
+    assert(proj.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)"))
+  }
+
+  test("bounded dims broadcast; no forced broadcast marker on SF-scaled tables") {
+    // nation/region keep explicit hints → BroadcastHashJoin must appear
+    assert(plan("q5_nation_revenue").contains("BroadcastHashJoin"))
+  }
+
+  test("global top-k plans as TakeOrdered, not a full sort") {
+    assert(plan("top100_items").contains("TakeOrderedAndProject"))
+  }
+
+  test("ANN top-k windows are salted: rank runs over (query, salt) first") {
+    // the stage-1 window must partition by the crc32 salt, not query_id alone
+    val p = plan("ann_bruteforce_topk")
+    assert(p.contains("crc32"), "salted pre-reduce window missing")
+  }
+}
