@@ -91,6 +91,8 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextAnalysis.quality(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
     "corpus_summary" -> ((s, d) => TextAnalysis.corpusSummary(Tables.documents(s, d))),
+    "corpus_sample_stratified" -> ((s, d) => TextAnalysis.stratifiedSample(Tables.documents(s, d))),
+    "corpus_curated" -> ((s, d) => TextAnalysis.curatedCorpus(Tables.documents(s, d))),
     // ---- multimodal plumbing ----
     "media_bytes_stats" -> ((s, d) => Multimodal.bytesStats(Tables.documents(s, d))),
     "media_frame_sample" -> ((s, d) => Multimodal.frameSample(Tables.documents(s, d))),
@@ -224,6 +226,50 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, rank, round(cs, 4) AS cos_sim
        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
+
+  /** md5-bucket stratified sample: 4 leading hex nibbles → value mod 100
+    * (mirrors conv(substr(md5,1,4),16,10) % 100). */
+  private def stratifiedSampleOracle: String = {
+    def nib(i: Int) = s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)"
+    val rates = TextAnalysis.SampleRates
+      .map { case (s, p) => s"WHEN '$s' THEN $p" }.mkString(" ")
+    s"""WITH h AS (SELECT doc_id, source,
+       |    md5(source || ':' || CAST(doc_id AS VARCHAR)) AS m FROM documents),
+       |b AS (SELECT doc_id, source,
+       |    (${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)}) % 100 AS hb FROM h)
+       |SELECT doc_id, source, CAST(hb AS BIGINT) AS hash_bucket FROM b
+       |WHERE hb < CASE source $rates ELSE ${TextAnalysis.SampleDefaultPct} END
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  private val QualityScoreSql =
+    """round(least(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 20.0, 1.0)
+      |        * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+      |                       / greatest(CAST(length(text) AS DOUBLE), 1.0) * 4.0, 1.0)), 6)""".stripMargin
+
+  private val LangIdEnSql =
+    """CASE WHEN len(regexp_extract_all(text, '\S+')) = 0 THEN 'unk'
+      |     WHEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it)\b')) AS DOUBLE)
+      |          / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) >= 0.05 THEN 'en'
+      |     ELSE 'unk' END""".stripMargin
+
+  /** Curation composite: quality + language filters, anti-joined against
+    * near-dup cluster non-representatives (from the recursive-CTE
+    * connected components). */
+  private def curatedCorpusOracle: String =
+    s"""WITH RECURSIVE pairs AS ($minhashOracle),
+       |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(rdoc, lbl) AS (
+       |  SELECT DISTINCT s, s FROM edges
+       |  UNION
+       |  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.rdoc),
+       |drops AS (SELECT rdoc FROM reach GROUP BY rdoc HAVING rdoc != min(lbl))
+       |SELECT doc_id, source, $QualityScoreSql AS quality_score
+       |FROM documents
+       |WHERE $QualityScoreSql >= 0.5 AND ($LangIdEnSql) = 'en'
+       |  AND doc_id NOT IN (SELECT rdoc FROM drops)
+       |ORDER BY doc_id""".stripMargin
 
   private def imageMetaOracle: String = {
     def nib(i: Int) = s"(strpos('0123456789abcdef', substr(md5(text), $i, 1)) - 1)"
@@ -490,6 +536,8 @@ object SparkEntry {
       """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
         |  substr(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), 1, 8) AS fp_prefix
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "corpus_sample_stratified" -> stratifiedSampleOracle,
+    "corpus_curated" -> curatedCorpusOracle,
     "corpus_summary" ->
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(length(text)) AS BIGINT) AS total_chars,

@@ -71,6 +71,48 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("bigram"))
       .limit(k)
 
+  /** Deterministic stratified sampling — the training-data MIXING
+    * operator: keep `pct(source)`% of each source's docs, selected by an
+    * md5 hash bucket of (source, doc_id). Hash-based (not rand()) so the
+    * sample is reproducible across runs, engines (md5 is bit-identical in
+    * the DuckDB oracle) and partitionings, and it composes: re-running on
+    * a grown corpus keeps the same docs it kept before. Pure map + filter:
+    * pushes to the scan, no shuffle, any scale. */
+  val SampleRates: Map[String, Int] = Map("src0" -> 50, "src1" -> 10)
+  val SampleDefaultPct = 25
+
+  def stratifiedSample(documents: DataFrame): DataFrame = {
+    val pct = SampleRates.foldLeft(lit(SampleDefaultPct)) { case (acc, (s, p)) =>
+      when(col("source") === s, lit(p)).otherwise(acc)
+    }
+    documents
+      .withColumn("hb",
+        conv(substring(md5(concat_ws(":", col("source"), col("doc_id"))), 1, 4), 16, 10)
+          .cast("long") % 100)
+      .filter(col("hb") < pct)
+      .select(col("doc_id"), col("source"), col("hb").as("hash_bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** End-to-end curation pass — the composite query a training-data
+    * pipeline actually ships: keep documents that (a) clear the quality
+    * threshold, (b) are identified as English, and (c) are their near-dup
+    * cluster's representative (or in no cluster at all) — i.e. quality
+    * filter + language filter + dedup in one declarative plan. The dedup
+    * membership arrives as one broadcast-size anti-join input (cluster
+    * non-representatives), so the corpus-side work stays scan-shaped. */
+  def curatedCorpus(documents: DataFrame, keepAt: Double = 0.5): DataFrame = {
+    val nonReps = Dedup.dedupClusters(documents)
+      .filter(col("doc_id") =!= col("cluster_rep"))
+      .select(col("doc_id").as("drop_id"))
+    documents
+      .filter(qualityScore(col("text")) >= keepAt && langIdEn(col("text")) === "en")
+      .join(nonReps, col("doc_id") === col("drop_id"), "left_anti")
+      .select(col("doc_id"), col("source"),
+        qualityScore(col("text")).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus roll-up per (lang, source): doc counts and size totals —
     * the partition-level bookkeeping view of a training-data pipeline. */
   def corpusSummary(documents: DataFrame): DataFrame =
