@@ -11,6 +11,26 @@ object Bench {
     try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** Wall time for `threads` concurrent fixed-size busy loops. On an idle
+    * host this ≈ the single-thread time; under external core contention
+    * (which container loadavg does NOT show — observed 0.5 s queries
+    * measuring 30 s at loadavg 1) it scales with the oversubscription
+    * factor. Run at start+end so a contaminated bench is self-evident. */
+  private def cpuProbe(threads: Int): Double = {
+    @volatile var sink = 0L
+    val work = 50000000L
+    val t0 = System.nanoTime()
+    val ts = (1 to threads).map { _ =>
+      new Thread(() => {
+        var x = 0L; var i = 0L
+        while (i < work) { x ^= i * 2654435761L; i += 1 }
+        sink ^= x
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   private def jsonEscape(s: String): String = s.flatMap {
     case '"'  => "\\\""
     case '\\' => "\\\\"
@@ -31,6 +51,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val loadStart = loadavg()
+    val probeStart = cpuProbe(cpus.toInt)
     // untimed warmup: session-infra first-touch costs (parquet footers,
     // codegen/JIT compilation, broadcast thread pools) land here instead
     // of inflating whichever query happens to run first; reported as
@@ -56,7 +77,8 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.values.map(_._1).sum
     val loadEnd = loadavg()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"warmup_sec":$warmupSec,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}""")
+    val probeEnd = cpuProbe(cpus.toInt)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"warmup_sec":$warmupSec,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"cpu_probe_start_sec":$probeStart,"cpu_probe_end_sec":$probeEnd,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

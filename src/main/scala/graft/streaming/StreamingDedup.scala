@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.{fingerprint, normText}
+
+/** Streaming deduplication — the online half of the training-data dedup
+  * story: documents arrive as a stream and only the FIRST occurrence of
+  * each (normalized-content) fingerprint within the watermark horizon is
+  * emitted downstream.
+  *
+  * State is the fingerprint set, keyed by the 32-hex md5 — 16 bytes of
+  * state per distinct doc seen, NOT the document text, and the event-time
+  * watermark bounds it: `dropDuplicates` over a watermarked column evicts
+  * fingerprints once the watermark passes them, so state is
+  * O(distinct docs per horizon), not O(stream lifetime). An unbounded
+  * exact streaming dedup is impossible in finite memory — the horizon is
+  * the contract (a real pipeline backs it with the batch exact/sketch
+  * passes in [[graft.operators.Dedup]] for cross-horizon dups).
+  */
+object StreamingDedup {
+
+  /** First-occurrence filter: one output row per distinct normalized
+    * fingerprint inside the watermark horizon. Input needs (doc_id, text,
+    * ts). */
+  def firstOccurrences(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fp", fingerprint(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+      .select(col("doc_id"), col("fp"), col("ts"))
+
+  /** Per-batch dedup stats (update mode): how many raw vs distinct docs
+    * per minute — the monitoring view of the online dedup. */
+  def dedupRates(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fp", fingerprint(col("text")))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        approx_count_distinct(col("fp")).as("approx_distinct"))
+      .select(
+        unix_timestamp(col("window.start")).as("minute"),
+        col("n_docs"), col("approx_distinct"))
+}

@@ -198,6 +198,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup emits one row per fingerprint within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingDedup
+    val in = MemoryStream[(Long, String, Long)]
+    val docs = in.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"),
+        timestamp_seconds(col("_3")).as("ts"))
+    val q = StreamingDedup.firstOccurrences(docs).writeStream
+      .format("memory").queryName("sdedup").outputMode("append").start()
+    try {
+      // 1 and 2 normalize to the same fingerprint; 10 is distinct
+      in.addData((1L, "hello world", w0), (2L, "  Hello   WORLD ", w0 + 1), (10L, "other doc", w0 + 2))
+      q.processAllAvailable()
+      // 3 repeats the fingerprint within the watermark → dropped
+      in.addData((3L, "hello world", w0 + 30))
+      q.processAllAvailable()
+      val rows = spark.table("sdedup").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.map(_._2).distinct.length === rows.length) // one row per fp
+      assert(rows.map(_._2).distinct.length === 2)           // hello-world + other
+      assert(!rows.map(_._1).contains(3L))                   // repeat dropped
+    } finally q.stop()
+  }
+
   test("batch and streaming agree on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val events = Tables.events(spark, Sf0001)
