@@ -325,7 +325,19 @@ object Dedup {
     * refinement (large-star/small-star contraction) has the same
     * per-round plan shape. Rounds localCheckpoint to cut lineage growth.
     * Deterministic — checked against a DuckDB recursive-CTE oracle. */
-  def dedupClusters(documents: DataFrame, maxRounds: Int = 50): DataFrame = {
+  /** Converged cluster maps keyed by (corpus plan, maxRounds): the
+    * result is a materialized artifact (localCheckpointed at every
+    * round), so re-deriving it for each consumer — the clusters query AND
+    * the curation pass — would re-run the whole MinHash + propagation
+    * pipeline. Session-scoped, like the IVF quantizer cache. */
+  private val clusterCache =
+    scala.collection.concurrent.TrieMap[(Int, Int), DataFrame]()
+
+  def dedupClusters(documents: DataFrame, maxRounds: Int = 50): DataFrame =
+    clusterCache.getOrElseUpdate((documents.semanticHash(), maxRounds),
+      computeClusters(documents, maxRounds))
+
+  private def computeClusters(documents: DataFrame, maxRounds: Int): DataFrame = {
     // materialize the pair graph ONCE — edges reads it twice (both
     // directions) and every round joins it; without this the whole
     // MinHash pipeline would re-execute per use
