@@ -29,4 +29,19 @@ object GraftSql {
         |  FROM events GROUP BY window(ts, '1 minute'))
         |ORDER BY minute""".stripMargin)
   }
+
+  /** Explicit GROUPING SETS (the general form rollup/cube specialize) with
+    * grouping_id() disambiguating aggregation level from data NULLs —
+    * plans as one Expand + a single shuffle, like rollup/cube. */
+  def salesGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(count(*) AS LONG) AS n,
+        |       CAST(sum(l_quantity) AS LONG) AS sum_qty,
+        |       CAST(grouping_id() AS LONG) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+  }
 }

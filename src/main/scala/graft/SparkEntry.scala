@@ -31,6 +31,10 @@ object SparkEntry {
     "uu_per_minute_approx" -> ((s, d) => UniqueUsers.perMinuteApprox(Tables.events(s, d))),
     "uu_per_minute_udaf" -> ((s, d) => UniqueUsers.perMinuteUdaf(Tables.events(s, d))),
     "uu_per_minute_sql" -> ((s, d) => GraftSql.uuPerMinuteSql(s, d)),
+    "sales_grouping_sets" -> ((s, d) => GraftSql.salesGroupingSets(s, d)),
+    "order_value_percentiles" -> ((s, d) =>
+      Relational.percentilesBySegment(Tables.orders(s, d), Tables.customer(s, d))),
+    "top_tokens_per_source" -> ((s, d) => TextAnalysis.topTokensPerSource(Tables.documents(s, d))),
     "uu_sliding_5m_1m" -> ((s, d) => UniqueUsers.slidingDistinct(Tables.events(s, d))),
     "events_filter_project" -> ((s, d) => UniqueUsers.filterProject(Tables.events(s, d))),
     "events_json_extract" -> ((s, d) => UniqueUsers.jsonExtractStats(Tables.events(s, d))),
@@ -430,6 +434,30 @@ object SparkEntry {
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(round(value*100)) AS BIGINT) AS value_cents
         |FROM events JOIN customer ON user_id = c_custkey GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sales_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |       CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "order_value_percentiles" ->
+      """WITH j AS (SELECT c_mktsegment, CAST(round(o_totalprice*100) AS BIGINT) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |r AS (SELECT c_mktsegment, v,
+        |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY v) AS rk,
+        |    count(*) OVER (PARTITION BY c_mktsegment) AS cnt FROM j),
+        |pct(p) AS (VALUES (25), (50), (75), (90))
+        |SELECT c_mktsegment, CAST(p AS BIGINT) AS p, v AS value
+        |FROM r, pct WHERE rk = greatest(1, (cnt * p + 99) // 100)
+        |ORDER BY 1, 2""".stripMargin,
+    "top_tokens_per_source" ->
+      """WITH norm AS (SELECT source, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t FROM documents),
+        |tok AS (SELECT source, unnest(string_split(t, ' ')) AS tok FROM norm),
+        |cnt AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS n FROM tok WHERE tok != '' GROUP BY 1, 2),
+        |rnk AS (SELECT source, tok, n,
+        |    row_number() OVER (PARTITION BY source ORDER BY n DESC, tok) AS rk FROM cnt)
+        |SELECT source, tok, n, rk FROM rnk WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
     "median_order_by_segment" ->
       """WITH j AS (SELECT c_mktsegment, o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS v
         |  FROM orders JOIN customer ON o_custkey = c_custkey),

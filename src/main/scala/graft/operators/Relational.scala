@@ -309,6 +309,45 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** Exact percentiles per segment (nearest-rank: value at rank
+    * ceil(p·n/100)), by the same two-pass bucket-histogram order
+    * statistic as [[medianOrderValueBySegment]] — pass 1 locates each
+    * percentile's bucket in a domain-bounded histogram, pass 2 ranks only
+    * inside the target buckets. The window never sees raw fact rows. */
+  def percentilesBySegment(orders: DataFrame, customer: DataFrame,
+                           ps: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame = {
+    val BucketCents = 100000L
+    val joined = orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        cents(col("o_totalprice")).cast("long").as("v"))
+      .withColumn("bkt", expr(s"v div $BucketCents"))
+
+    val wBkt = Window.partitionBy(col("c_mktsegment")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val hist = joined.groupBy(col("c_mktsegment"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wBkt))
+      .withColumn("cnt", sum(col("c")).over(Window.partitionBy(col("c_mktsegment"))))
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val psDf = ps.toDF("p")
+    val targets = hist.crossJoin(broadcast(psDf))
+      .withColumn("rk", greatest(lit(1L), expr("(cnt * p + 99) div 100")))
+      .filter(col("cum") - col("c") < col("rk") && col("cum") >= col("rk"))
+      .select(col("c_mktsegment").as("t_seg"), col("bkt").as("t_bkt"),
+        col("p"), col("rk"), (col("cum") - col("c")).as("prev"))
+
+    val wIn = Window.partitionBy(col("c_mktsegment"), col("bkt"), col("p")).orderBy(col("v"))
+    joined
+      .join(broadcast(targets),
+        col("c_mktsegment") === col("t_seg") && col("bkt") === col("t_bkt"))
+      .withColumn("irk", row_number().over(wIn) + col("prev"))
+      .filter(col("irk") === col("rk"))
+      .select(col("c_mktsegment"), col("p").cast("long").as("p"), col("v").as("value"))
+      .orderBy("c_mktsegment", "p")
+  }
+
   /** Fact ⋈ dimension enrichment: every order with its customer's
     * segment. No forced broadcast — customer scales with SF, so AQE picks
     * broadcast while it fits and a shuffled hash join beyond that. */

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -111,6 +112,23 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"),
         qualityScore(col("text")).as("quality_score"))
       .orderBy("doc_id")
+  }
+
+  /** Generator (lateral-view) surface + grouped top-k: explode every
+    * token, count per (source, token), rank-window to the top `k` per
+    * source. The window input is the aggregated count table — bounded by
+    * sources × vocabulary, not corpus size — never raw token rows. */
+  def topTokensPerSource(documents: DataFrame, k: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n").desc, col("tok"))
+    documents
+      .select(col("source"), explode(split(normText(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy("source", "rk")
   }
 
   /** Corpus roll-up per (lang, source): doc counts and size totals —
