@@ -34,6 +34,9 @@ object SparkEntry {
     "sales_grouping_sets" -> ((s, d) => GraftSql.salesGroupingSets(s, d)),
     "order_value_percentiles" -> ((s, d) =>
       Relational.percentilesBySegment(Tables.orders(s, d), Tables.customer(s, d))),
+    "customer_order_counts" -> ((s, d) =>
+      Relational.customerOrderCounts(Tables.customer(s, d), Tables.orders(s, d))),
+    "daily_revenue_range7d" -> ((s, d) => Relational.dailyRevenueRange7d(Tables.orders(s, d))),
     "top_tokens_per_source" -> ((s, d) => TextAnalysis.topTokensPerSource(Tables.documents(s, d))),
     "uu_sliding_5m_1m" -> ((s, d) => UniqueUsers.slidingDistinct(Tables.events(s, d))),
     "events_filter_project" -> ((s, d) => UniqueUsers.filterProject(Tables.events(s, d))),
@@ -434,6 +437,20 @@ object SparkEntry {
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(round(value*100)) AS BIGINT) AS value_cents
         |FROM events JOIN customer ON user_id = c_custkey GROUP BY 1 ORDER BY 1""".stripMargin,
+    "customer_order_counts" ->
+      """SELECT c_custkey,
+        |       CAST(coalesce(cnt, 0) AS BIGINT) AS n_orders,
+        |       CAST(coalesce(tot, 0) AS BIGINT) AS total_cents
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, count(*) AS cnt, CAST(sum(round(o_totalprice*100)) AS BIGINT) AS tot
+        |  FROM orders GROUP BY 1) ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "daily_revenue_range7d" ->
+      """WITH d AS (SELECT CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) AS day,
+        |    CAST(sum(round(o_totalprice*100)) AS BIGINT) AS revenue_cents FROM orders GROUP BY 1)
+        |SELECT day, revenue_cents,
+        |  CAST(sum(revenue_cents) OVER (ORDER BY day RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing7d_cents
+        |FROM d ORDER BY day""".stripMargin,
     "sales_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

@@ -309,6 +309,37 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** Left-outer join + aggregate: every customer with their order count
+    * and total, zero-filled for customers who never ordered — the outer
+    * side of the join surface (inner/semi/anti are covered elsewhere).
+    * Aggregate-then-join: orders collapses to one row per custkey BEFORE
+    * the join, so the outer join matches at most one row per customer —
+    * no fact-side row explosion at any scale. */
+  def customerOrderCounts(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val agg = orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(cents(col("o_totalprice"))).cast("long").as("tot"))
+    customer
+      .join(agg, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(col("c_custkey"),
+        coalesce(col("cnt"), lit(0L)).as("n_orders"),
+        coalesce(col("tot"), lit(0L)).as("total_cents"))
+      .orderBy("c_custkey")
+  }
+
+  /** RANGE-frame analytic: trailing-7-DAY revenue sum over the daily
+    * series — a VALUE-range frame (correct across gaps in the day
+    * sequence), vs [[dailyRevenueRunning]]'s ROWS frame (positional). */
+  def dailyRevenueRange7d(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(unix_timestamp(date_trunc("day", col("o_orderdate"))).as("day"))
+      .agg(sum(cents(col("o_totalprice"))).cast("long").as("revenue_cents"))
+    val w = Window.orderBy(col("day")).rangeBetween(-6L * 86400L, 0L)
+    daily
+      .withColumn("trailing7d_cents", sum(col("revenue_cents")).over(w))
+      .orderBy("day")
+  }
+
   /** Exact percentiles per segment (nearest-rank: value at rank
     * ceil(p·n/100)), by the same two-pass bucket-histogram order
     * statistic as [[medianOrderValueBySegment]] — pass 1 locates each
