@@ -222,6 +222,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup-rate monitor reports raw vs distinct per window") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingDedup
+    val in = MemoryStream[(Long, String, Long)]
+    val docs = in.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"),
+        timestamp_seconds(col("_3")).as("ts"))
+    val q = StreamingDedup.dedupRates(docs).writeStream
+      .format("memory").queryName("sdrates").outputMode("update").start()
+    try {
+      in.addData((1L, "aa", w0), (2L, "aa", w0 + 1), (3L, "bb", w0 + 2))
+      q.processAllAvailable()
+      val Row(m: Long, n: Long, d: Long) = spark.table("sdrates").collect().last
+      assert(m === w0 - w0 % 60)
+      assert(n === 3L)
+      assert(d === 2L) // two distinct fingerprints (HLL exact at this size)
+    } finally q.stop()
+  }
+
   test("batch and streaming agree on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val events = Tables.events(spark, Sf0001)
