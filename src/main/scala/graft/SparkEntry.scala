@@ -41,6 +41,7 @@ object SparkEntry {
     "uu_sliding_5m_1m" -> ((s, d) => UniqueUsers.slidingDistinct(Tables.events(s, d))),
     "events_filter_project" -> ((s, d) => UniqueUsers.filterProject(Tables.events(s, d))),
     "events_json_extract" -> ((s, d) => UniqueUsers.jsonExtractStats(Tables.events(s, d))),
+    "events_props_map_stats" -> ((s, d) => UniqueUsers.propsMapStats(Tables.events(s, d))),
     "event_type_stats" -> ((s, d) => UniqueUsers.eventTypeStats(Tables.events(s, d))),
     // ---- relational coverage (SURVEY.md §2 category checklist) ----
     "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(Tables.lineitem(s, d))),
@@ -322,6 +323,12 @@ object SparkEntry {
         |       CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k
         |FROM (SELECT event_type, TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_props_map_stats" ->
+      """WITH kv AS (SELECT props, unnest(json_keys(props)) AS key FROM events),
+        |v AS (SELECT key, CAST(json_extract(props, '$.' || key) AS BIGINT) AS val FROM kv)
+        |SELECT key, CAST(count(*) AS BIGINT) AS n, CAST(sum(val) AS BIGINT) AS sum_val,
+        |       CAST(min(val) AS BIGINT) AS min_val, CAST(max(val) AS BIGINT) AS max_val
+        |FROM v WHERE val IS NOT NULL GROUP BY key ORDER BY key""".stripMargin,
     "event_type_stats" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS users,

@@ -122,6 +122,25 @@ object UniqueUsers {
         max(col("k")).as("max_k"))
       .orderBy("event_type")
 
+  /** MAP-typed JSON surface: `props` parsed as `map<string,long>` (vs
+    * [[jsonExtractStats]]' path extraction), exploded into (key, value)
+    * entry rows, aggregated per key. Exercises MapType columns and the
+    * map generator — schema-on-read for payloads whose keys are NOT known
+    * ahead of time, the shape a pipeline meets in practice. */
+  def propsMapStats(events: DataFrame): DataFrame =
+    events
+      .select(explode(from_json(col("props"), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType)))
+        .as(Seq("key", "val")))
+      .filter(col("val").isNotNull)
+      .groupBy(col("key"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("val")).as("sum_val"),
+        min(col("val")).as("min_val"),
+        max(col("val")).as("max_val"))
+      .orderBy("key")
+
   /** Per-type counts + exact cents sum (doubles made order-independent by
     * rounding each value to cents before the integer-exact sum). */
   def eventTypeStats(events: DataFrame): DataFrame =
