@@ -185,12 +185,31 @@ object SparkEntry {
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(64), i -> $a.embedding[i+1]::DOUBLE * $b.embedding[i+1]::DOUBLE))"
 
-  private def embeddingNearDupOracle: String =
-    s"""WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  /** Mirrors Dedup.embeddingNearDup EXACTLY, banding included — the same
+    * contract style as the minhash/simhash oracles (their bands CTEs
+    * replicate the Spark banding too). Gating the banded operator against
+    * an exact all-pairs oracle made the gate hinge on LSH recall — it
+    * passed only because this corpus's boundary pairs happened to
+    * band-collide; regenerated data could flap it. Band keys are pure
+    * float sign arithmetic, bit-identical in both engines, so candidates
+    * (and therefore results) now match deterministically on ANY corpus.
+    * The recall claim is enforced separately by a measured property test
+    * (DedupSpec "sign-LSH banding recall"). */
+  private def embeddingNearDupOracle: String = {
+    def bandKey(b: Int) = (0 until Dedup.EmbBandBits)
+      .map(j => s"(CASE WHEN embedding[${b * Dedup.EmbBandBits + j + 1}] >= 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)")
+      .mkString(" + ")
+    val bandKeys = (0 until Dedup.EmbBands).map(bandKey).mkString("[", ", ", "]")
+    val bandIdxs = (0 until Dedup.EmbBands).mkString("[", ", ", "]")
+    s"""WITH bands AS (SELECT vec_id, unnest($bandKeys) AS band_key, unnest($bandIdxs) AS band_idx FROM embeddings),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b FROM bands a
+       |  JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id),
+       |p AS (SELECT vec_a, vec_b,
        |    ${dotSql("a", "b")} AS dp, ${dotSql("a", "a")} AS na, ${dotSql("b", "b")} AS nb
-       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+       |  FROM cand JOIN embeddings a ON vec_a = a.vec_id JOIN embeddings b ON vec_b = b.vec_id)
        |SELECT vec_a, vec_b, round(dp / sqrt(na * nb), 4) AS cos_sim
        |FROM p WHERE dp / sqrt(na * nb) >= 0.5 ORDER BY 1, 2""".stripMargin
+  }
 
   private def annBruteForceOracle: String =
     s"""WITH s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -325,7 +344,7 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_props_map_stats" ->
       """WITH kv AS (SELECT props, unnest(json_keys(props)) AS key FROM events),
-        |v AS (SELECT key, CAST(json_extract(props, '$.' || key) AS BIGINT) AS val FROM kv)
+        |v AS (SELECT key, TRY_CAST(json_extract_string(props, '$.' || key) AS BIGINT) AS val FROM kv)
         |SELECT key, CAST(count(*) AS BIGINT) AS n, CAST(sum(val) AS BIGINT) AS sum_val,
         |       CAST(min(val) AS BIGINT) AS min_val, CAST(max(val) AS BIGINT) AS max_val
         |FROM v WHERE val IS NOT NULL GROUP BY key ORDER BY key""".stripMargin,

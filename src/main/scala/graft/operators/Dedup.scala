@@ -325,17 +325,26 @@ object Dedup {
     * refinement (large-star/small-star contraction) has the same
     * per-round plan shape. Rounds localCheckpoint to cut lineage growth.
     * Deterministic — checked against a DuckDB recursive-CTE oracle. */
-  /** Converged cluster maps keyed by (corpus plan, maxRounds): the
-    * result is a materialized artifact (localCheckpointed at every
-    * round), so re-deriving it for each consumer — the clusters query AND
-    * the curation pass — would re-run the whole MinHash + propagation
-    * pipeline. Session-scoped, like the IVF quantizer cache. */
-  private val clusterCache =
-    scala.collection.concurrent.TrieMap[(Int, Int), DataFrame]()
+  /** Converged cluster maps keyed by (session, canonicalized corpus
+    * plan, maxRounds): the result is a materialized artifact
+    * (localCheckpointed at every round), so re-deriving it for each
+    * consumer — the clusters query AND the curation pass — would re-run
+    * the whole MinHash + propagation pipeline. The key carries the FULL
+    * canonicalized PLAN OBJECT — structural case-class equality over the
+    * whole tree, data included, so a hit proves plan equality (a 32-bit
+    * plan hash could collide and silently hand back another corpus's
+    * cluster map; a plan STRING is just as wrong the other way, e.g.
+    * LocalRelation.toString prints only the schema) — and the owning
+    * SparkSession (localCheckpoint RDDs die with their session — a cache
+    * hit across a session restart would return unusable frames). */
+  private val clusterCache = scala.collection.concurrent.TrieMap[
+    (org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), DataFrame]()
 
-  def dedupClusters(documents: DataFrame, maxRounds: Int = 50): DataFrame =
-    clusterCache.getOrElseUpdate((documents.semanticHash(), maxRounds),
+  def dedupClusters(documents: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val planKey = documents.queryExecution.analyzed.canonicalized
+    clusterCache.getOrElseUpdate((documents.sparkSession, planKey, maxRounds),
       computeClusters(documents, maxRounds))
+  }
 
   private def computeClusters(documents: DataFrame, maxRounds: Int): DataFrame = {
     // materialize the pair graph ONCE — edges reads it twice (both
@@ -351,8 +360,12 @@ object Dedup {
     // convergence via the label sum: min-label propagation only ever
     // DECREASES labels over a fixed node set, so the sum is strictly
     // monotone until the fixpoint — an O(1)-row aggregate per round
-    // instead of a change-detection join
-    var prevSum = labels.agg(sum(col("lbl"))).head.getLong(0)
+    // instead of a change-detection join. sum() over ZERO rows is null
+    // (a dup-free corpus has an empty pair graph), so coalesce to 0 —
+    // the empty fixpoint then converges on the first round.
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -360,7 +373,7 @@ object Dedup {
         .select(col("dst").as("doc_id"), col("lbl"))
       val next = labels.union(prop).groupBy("doc_id")
         .agg(min("lbl").as("lbl")).localCheckpoint()
-      val s = next.agg(sum(col("lbl"))).head.getLong(0)
+      val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
       labels = next
@@ -376,16 +389,20 @@ object Dedup {
     *
     * Band sizing is a recall/selectivity dial: P[sign bits agree] for a
     * pair at angle θ is (1-θ/π) per bit, so at cos 0.5 (θ=60°) a 5-bit
-    * band collides with p≈0.13 and 12 bands catch ≈81% of such pairs in
-    * expectation — measured on this corpus they catch 15/15 qualifying
-    * pairs across sf0.01/sf0.1 while admitting ~32% of pairs as
-    * candidates, so the operator still matches the EXACT all-pairs oracle
-    * (the correctness gate doubles as a recall check). A production
-    * near-dup pass at cos ≥ 0.9 (θ=26°: per-bit p≈0.86) would widen to
-    * 8×8-bit bands for ~3% candidate volume at ≥93% recall — same plan,
-    * different constants. Threshold 0.5 on isotropic vectors is the
-    * worst case for any LSH family; the point is the plan SHAPE: sketch →
-    * band equi-join → verify, no nested-loop pair join anywhere. */
+    * band collides with p≈0.13 and 12 bands catch ≈81% of such
+    * boundary pairs in expectation (higher-cos pairs approach 1 fast:
+    * ≈99.94% at cos 0.9), while admitting ~32% of pairs as candidates.
+    * The DuckDB oracle REPLICATES the banding (like the minhash/simhash
+    * oracles), so the correctness gate checks the banded-LSH semantics
+    * deterministically on any corpus; the ≈81% boundary-recall claim is
+    * enforced by a measured property test over synthetic pairs planted
+    * just above the threshold (DedupSpec), not by corpus luck. A
+    * production near-dup pass at cos ≥ 0.9 (θ=26°: per-bit p≈0.86)
+    * would widen to 8×8-bit bands for ~3% candidate volume at ≥93%
+    * recall — same plan, different constants. Threshold 0.5 on isotropic
+    * vectors is the worst case for any LSH family; the point is the plan
+    * SHAPE: sketch → band equi-join → verify, no nested-loop pair join
+    * anywhere. */
   val EmbBandBits = 5
   val EmbBands = 12
 

@@ -116,11 +116,17 @@ object Similarity {
     * dominate the runtime (and did, in round 1's bench). */
   val IvfTrainSample = 10000
 
-  /** Trained quantizers keyed by (corpus plan, k): the model is a tiny
-    * artifact (nCells × dim floats) reused across query invocations in
-    * the same session — the batch analogue of persisting the quantizer
-    * alongside the index. */
-  private val ivfModelCache = TrieMap[(Int, Int), Array[Array[Float]]]()
+  /** Trained quantizers keyed by (canonicalized corpus plan, k): the
+    * model is a tiny artifact (nCells × dim floats) reused across query
+    * invocations in the same session — the batch analogue of persisting
+    * the quantizer alongside the index. Keyed by the canonicalized plan
+    * OBJECT (structural equality, data included) — a 32-bit plan hash
+    * could collide and silently search with another corpus's centroids,
+    * and a plan string under-distinguishes (LocalRelation.toString prints
+    * only the schema). (Plain float arrays carry no session state, so
+    * unlike the cluster cache no session scoping is needed.) */
+  private val ivfModelCache =
+    TrieMap[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), Array[Array[Float]]]()
 
   /** Spherical k-means, trained where a tiny model belongs: on the
     * driver, over a BOUNDED collected sample (≤ [[IvfTrainSample]] rows,
@@ -133,9 +139,15 @@ object Similarity {
     * metric when the search scores by cosine); empty cells keep their
     * previous centroid. */
   private def trainQuantizer(embeddings: DataFrame, nCells: Int, iters: Int = 10): Array[Array[Float]] = {
+    // deterministic sample: the smallest IvfTrainSample vec_ids (a
+    // TakeOrderedAndProject — top-n, never a full sort). A bare
+    // limit().collect() depends on partitioning/split order, making the
+    // centroids (and every ivf_topk answer) run-to-run unstable.
     val sample: Array[Array[Double]] = embeddings
-      .select(col("embedding")).limit(IvfTrainSample)
-      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(IvfTrainSample)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    if (sample.isEmpty) return Array.empty
     val n = sample.length
     val dim = sample.head.length
     val k = math.min(nCells, n)
@@ -181,8 +193,19 @@ object Similarity {
     * OperatorSpec. */
   def ivfTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 3,
               nCells: Int = 16, nProbe: Int = 2): DataFrame = {
-    val model = ivfModelCache.getOrElseUpdate((embeddings.semanticHash(), nCells),
+    val planKey = embeddings.queryExecution.analyzed.canonicalized
+    val model = ivfModelCache.getOrElseUpdate((planKey, nCells),
       trainQuantizer(embeddings, nCells))
+    if (model.isEmpty) {
+      // empty corpus: nothing to index — emit the empty result with the
+      // output schema instead of failing centroid construction
+      import org.apache.spark.sql.types._
+      return embeddings.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(
+          StructField("query_id", LongType), StructField("neighbor_id", LongType),
+          StructField("rank", LongType), StructField("cos_sim", DoubleType))))
+    }
 
     // assignment: argmax cosine over the broadcast centroids, fully inside
     // whole-stage codegen (array of fused-cosine expressions + array_max)

@@ -129,9 +129,15 @@ object UniqueUsers {
     * ahead of time, the shape a pipeline meets in practice. */
   def propsMapStats(events: DataFrame): DataFrame =
     events
+      // parse as map<string,string> and cast per-ENTRY after the explode:
+      // parsing straight to map<string,long> nulls out the WHOLE map when
+      // any one value is non-integer, silently dropping the row's other
+      // keys — per-key try_cast drops only the offending entry, matching
+      // the oracle's json_extract_string + TRY_CAST semantics
       .select(explode(from_json(col("props"), org.apache.spark.sql.types.MapType(
-        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType)))
-        .as(Seq("key", "val")))
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)))
+        .as(Seq("key", "sval")))
+      .withColumn("val", expr("try_cast(sval AS long)"))
       .filter(col("val").isNotNull)
       .groupBy(col("key"))
       .agg(

@@ -89,4 +89,60 @@ class DedupSpec extends SparkSpec {
       .map { case Row(a: Long, b: Long, _) => (a, b) }.toSet
     assert(got === Set((0L, 1L)))
   }
+
+  test("dedupClusters on a dup-free corpus is empty (no NPE on empty pair graph)") {
+    val distinctDocs = Seq(
+      (0L, (1 to 40).map(i => s"aa$i").mkString(" "), "s0"),
+      (1L, (1 to 40).map(i => s"bb$i").mkString(" "), "s0"),
+      (2L, (1 to 40).map(i => s"cc$i").mkString(" "), "s0")
+    ).toDF("doc_id", "text", "source")
+    assert(Dedup.minhashLsh(distinctDocs).count() === 0L)
+    assert(Dedup.dedupClusters(distinctDocs).count() === 0L)
+  }
+
+  /** JVM-side replica of [[Dedup.embBandKey]] — same constants, same
+    * missing-element semantics (index past the vector contributes no bit). */
+  private def bandKeys(v: Array[Double]): Seq[Long] =
+    (0 until Dedup.EmbBands).map { b =>
+      (0 until Dedup.EmbBandBits).map { j =>
+        val idx = b * Dedup.EmbBandBits + j
+        if (idx < v.length && v(idx) >= 0) 1L << j else 0L
+      }.sum
+    }
+  private def bandCollide(a: Array[Double], b: Array[Double]): Boolean =
+    bandKeys(a).zip(bandKeys(b)).exists { case (x, y) => x == y }
+
+  test("sign-LSH banding recall: measured ≈81% on pairs planted just above cos 0.5") {
+    // The operator's recall claim, enforced instead of corpus-luck: pairs
+    // at the worst spot of the contract (cos barely over the threshold)
+    // must band-collide at the rate the 12×5-bit math predicts
+    // (per-bit 1-θ/π ≈ 2/3, per-band (2/3)^5 ≈ 0.13, 1-(1-0.13)^12 ≈ 0.81),
+    // and unrelated pairs must NOT degenerate into near-all-pairs
+    // candidates (expected 1-(31/32)^12 ≈ 0.32).
+    val rnd = new scala.util.Random(12345)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    def pairAtCos(c: Double): (Array[Double], Array[Double]) = {
+      val u = unit()
+      val r = unit()
+      val d = u.zip(r).map { case (x, y) => x * y }.sum
+      val perp = r.zip(u).map { case (y, x) => y - d * x }
+      val pn = math.sqrt(perp.map(x => x * x).sum)
+      val p = perp.map(_ / pn)
+      (u, u.zip(p).map { case (x, y) => c * x + math.sqrt(1 - c * c) * y })
+    }
+    val n = 500
+    val boundary = (1 to n).count { _ =>
+      val (a, b) = pairAtCos(0.5 + 0.05 * rnd.nextDouble())
+      bandCollide(a, b)
+    }.toDouble / n
+    assert(boundary >= 0.70 && boundary <= 0.93,
+      s"boundary-pair band recall $boundary outside the documented ≈0.81 range")
+    val unrelated = (1 to n).count(_ => bandCollide(unit(), unit())).toDouble / n
+    assert(unrelated <= 0.45,
+      s"unrelated-pair candidate rate $unrelated — banding has degenerated toward all-pairs")
+  }
 }

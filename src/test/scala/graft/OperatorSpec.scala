@@ -97,6 +97,13 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("ivf on an empty corpus returns the empty result, not a training crash") {
+    val emb = Tables.embeddings(spark, Sf0001).filter(col("vec_id") < 0)
+    val got = Similarity.ivfTopK(emb)
+    assert(got.columns.toSeq === Seq("query_id", "neighbor_id", "rank", "cos_sim"))
+    assert(got.count() === 0L)
+  }
+
   test("lsh bucket search returns a subset of brute-force candidates' scores") {
     val emb = Tables.embeddings(spark, Sf0001)
     val brute = Similarity.bruteForceTopK(emb, nQueries = 3, k = 200).collect()
