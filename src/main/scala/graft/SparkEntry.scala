@@ -86,12 +86,14 @@ object SparkEntry {
     "dedup_levenshtein" -> ((s, d) => Dedup.levenshteinPrefix(Tables.documents(s, d))),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables.documents(s, d))),
+    "cross_source_dup_matrix" -> ((s, d) => Dedup.crossSourceDupMatrix(Tables.documents(s, d))),
     // ---- similarity search ----
     "ann_bruteforce_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
     "ann_lsh_multiprobe_topk" -> ((s, d) => Similarity.lshMultiProbeTopK(Tables.embeddings(s, d))),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     "ann_bucket_stats" -> ((s, d) => Similarity.bucketStats(Tables.embeddings(s, d))),
+    "embedding_norm_stats" -> ((s, d) => Similarity.normStats(Tables.embeddings(s, d))),
     // ---- text analysis ----
     "text_stats" -> ((s, d) => TextAnalysis.stats(Tables.documents(s, d))),
     "text_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
@@ -101,6 +103,11 @@ object SparkEntry {
     "corpus_summary" -> ((s, d) => TextAnalysis.corpusSummary(Tables.documents(s, d))),
     "corpus_sample_stratified" -> ((s, d) => TextAnalysis.stratifiedSample(Tables.documents(s, d))),
     "corpus_curated" -> ((s, d) => TextAnalysis.curatedCorpus(Tables.documents(s, d))),
+    "text_repetition" -> ((s, d) => TextAnalysis.repetitionSignals(Tables.documents(s, d))),
+    "pii_scrub_stats" -> ((s, d) =>
+      TextAnalysis.piiScrubStats(Tables.documents(s, d), Tables.events(s, d))),
+    "distinctive_terms" -> ((s, d) => TextAnalysis.distinctiveTerms(Tables.documents(s, d))),
+    "length_outlier_stats" -> ((s, d) => TextAnalysis.lengthOutlierStats(Tables.documents(s, d))),
     // ---- multimodal plumbing ----
     "media_bytes_stats" -> ((s, d) => Multimodal.bytesStats(Tables.documents(s, d))),
     "media_frame_sample" -> ((s, d) => Multimodal.frameSample(Tables.documents(s, d))),
@@ -297,6 +304,76 @@ object SparkEntry {
        |WHERE $QualityScoreSql >= 0.5 AND ($LangIdEnSql) = 'en'
        |  AND doc_id NOT IN (SELECT rdoc FROM drops)
        |ORDER BY doc_id""".stripMargin
+
+  /** Normalized text → whitespace tokens (with duplicates), shared by the
+    * repetition / distinctive-terms oracles. */
+  private val TokenCte =
+    """norm AS (SELECT doc_id, source, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t FROM documents),
+      |tok AS (SELECT doc_id, source, unnest(string_split(t, ' ')) AS tok FROM norm)""".stripMargin
+
+  private def repetitionOracle: String =
+    s"""WITH $TokenCte,
+       |cnt AS (SELECT doc_id, tok, count(*) AS c FROM tok WHERE tok != '' GROUP BY 1, 2)
+       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS n_distinct,
+       |  CAST((100 * (sum(c) - count(*))) // greatest(sum(c), 1) AS BIGINT) AS repetition_pct,
+       |  CAST((100 * max(c)) // greatest(sum(c), 1) AS BIGINT) AS top_token_share_pct
+       |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  private def distinctiveTermsOracle: String =
+    s"""WITH $TokenCte,
+       |tf AS (SELECT source, tok, count(*) AS tf FROM tok WHERE tok != '' GROUP BY 1, 2),
+       |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok WHERE tok != '' GROUP BY 1),
+       |s AS (SELECT source, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       |    CAST((tf * 1000000) // df AS BIGINT) AS score_ppm FROM tf JOIN df USING (tok)),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source ORDER BY score_ppm DESC, tok) AS BIGINT) AS rk FROM s)
+       |SELECT source, rk, tok, tf, df, score_ppm FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin
+
+  /** Mirrors TextAnalysis.piiScrubStats — the pattern strings are the
+    * Scala constants interpolated verbatim (Java∩RE2 subset). */
+  private def piiScrubOracle: String = {
+    import graft.functions.TextFunctions.{EmailRe, Ipv4Re, PhoneRe, LongDigitRe}
+    val redacted =
+      s"regexp_replace(regexp_replace(regexp_replace(regexp_replace(s, '$EmailRe', '[EMAIL]', 'g'), " +
+        s"'$Ipv4Re', '[IP]', 'g'), '$PhoneRe', '[PHONE]', 'g'), '$LongDigitRe', '[NUM]', 'g')"
+    s"""WITH f AS (SELECT 'documents.text' AS field, text AS s FROM documents
+       |           UNION ALL SELECT 'events.props' AS field, props AS s FROM events)
+       |SELECT field, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(len(regexp_extract_all(s, '$EmailRe'))) AS BIGINT) AS email_hits,
+       |  CAST(sum(len(regexp_extract_all(s, '$Ipv4Re'))) AS BIGINT) AS ipv4_hits,
+       |  CAST(sum(len(regexp_extract_all(s, '$PhoneRe'))) AS BIGINT) AS phone_hits,
+       |  CAST(sum(len(regexp_extract_all(s, '$LongDigitRe'))) AS BIGINT) AS digit_run_hits,
+       |  CAST(sum(length(s)) AS BIGINT) AS chars,
+       |  CAST(sum(length($redacted)) AS BIGINT) AS chars_redacted
+       |FROM f GROUP BY field ORDER BY field""".stripMargin
+  }
+
+  private def lengthOutlierOracle: String =
+    """WITH s AS (SELECT source, count(*) AS n, sum(n_chars) AS s1, sum(n_chars * n_chars) AS s2
+      |           FROM documents GROUP BY 1),
+      |j AS (SELECT d.source, n, s1, s2, n * d.n_chars - s1 AS dev, n * s2 - s1 * s1 AS nvar
+      |      FROM documents d JOIN s ON d.source = s.source)
+      |SELECT source, CAST(n AS BIGINT) AS n_docs,
+      |  CAST((1000 * s1) // n AS BIGINT) AS mean_chars_milli,
+      |  CAST((1000 * nvar) // (n * n) AS BIGINT) AS var_chars_milli,
+      |  CAST(sum(CASE WHEN dev > 0 AND dev * dev > 4 * nvar THEN 1 ELSE 0 END) AS BIGINT) AS n_over_2sd,
+      |  CAST(sum(CASE WHEN dev < 0 AND dev * dev > 4 * nvar THEN 1 ELSE 0 END) AS BIGINT) AS n_under_2sd
+      |FROM j GROUP BY source, n, s1, s2, nvar ORDER BY source""".stripMargin
+
+  private def crossSourceDupOracle: String =
+    s"""WITH pairs AS ($minhashOracle),
+       |d AS (SELECT doc_id, source FROM documents)
+       |SELECT least(da.source, db.source) AS source_a, greatest(da.source, db.source) AS source_b,
+       |  CAST(count(*) AS BIGINT) AS dup_pairs
+       |FROM pairs JOIN d da ON doc_a = da.doc_id JOIN d db ON doc_b = db.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private def embeddingNormStatsOracle: String =
+    s"""WITH b AS (SELECT $BucketSql AS bucket,
+       |    round(sqrt(list_sum(list_transform(range(64), i -> embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE))), 4) AS nrm
+       |  FROM embeddings)
+       |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+       |  min(nrm) AS min_norm, max(nrm) AS max_norm
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
   private def imageMetaOracle: String = {
     def nib(i: Int) = s"(strpos('0123456789abcdef', substr(md5(text), $i, 1)) - 1)"
@@ -609,6 +686,12 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "corpus_sample_stratified" -> stratifiedSampleOracle,
     "corpus_curated" -> curatedCorpusOracle,
+    "text_repetition" -> repetitionOracle,
+    "distinctive_terms" -> distinctiveTermsOracle,
+    "pii_scrub_stats" -> piiScrubOracle,
+    "length_outlier_stats" -> lengthOutlierOracle,
+    "cross_source_dup_matrix" -> crossSourceDupOracle,
+    "embedding_norm_stats" -> embeddingNormStatsOracle,
     "corpus_summary" ->
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(length(text)) AS BIGINT) AS total_chars,

@@ -43,6 +43,24 @@ object TextFunctions {
       .otherwise(lit("unk"))
   }
 
+  /** PII patterns, kept to the Java∩RE2 syntax subset so the DuckDB
+    * oracle runs the IDENTICAL pattern strings. Redaction applies them in
+    * a fixed order (email → ipv4 → phone → digit-run) — the order is part
+    * of the contract since the classes can overlap on dotted digits. */
+  val EmailRe     = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re      = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe     = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val LongDigitRe = "\\d{4,}"
+
+  /** Scrubbed text: every PII match replaced by a class tag. Pure chained
+    * regexp_replace — scan-shaped, codegen'd, no shuffle. */
+  def piiRedact(text: Column): Column = {
+    val e  = regexp_replace(text, EmailRe, "[EMAIL]")
+    val ip = regexp_replace(e, Ipv4Re, "[IP]")
+    val ph = regexp_replace(ip, PhoneRe, "[PHONE]")
+    regexp_replace(ph, LongDigitRe, "[NUM]")
+  }
+
   /** Non-whitespace character count. */
   def contentChars(text: Column): Column =
     length(regexp_replace(text, "\\s+", ""))

@@ -311,6 +311,24 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Cross-source duplication matrix: verified MinHash near-dup pairs
+    * rolled up by (source, source) — the "which crawls duplicate each
+    * other" view a pipeline checks before weighting its data mixture.
+    * Reuses the [[minhashLsh]] pair graph (and therefore the cached
+    * shingle relation); the joins attach two small (doc_id, source)
+    * projections to an already-verified pair list, and the final rollup
+    * is bounded by sources², not docs. */
+  def crossSourceDupMatrix(documents: DataFrame): DataFrame = {
+    val src = documents.select(col("doc_id"), col("source"))
+    minhashLsh(documents)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("dup_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Near-dup CLUSTERS from the MinHash pair graph: connected components
     * by iterative min-label propagation, emitting (doc_id, cluster_rep)
     * for every doc in at least one verified near-dup pair. The

@@ -238,6 +238,22 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Per-bucket norm statistics: vector count plus min/max L2 norm per
+    * sign-bucket — the embedding-health view (zero/degenerate vectors,
+    * norm drift across buckets) a pipeline checks before trusting cosine
+    * scores. min/max over per-vector rounded norms are order-independent,
+    * so the result is exact and engine-portable; one scan, one bounded
+    * aggregation, the 100 TB shape. */
+  def normStats(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(bucketKey(col("embedding")).as("bucket"),
+        round(sqrt(graft.plans.DotProduct.dot(col("embedding"), col("embedding"))), 4).as("nrm"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("nrm")).as("min_norm"),
+        max(col("nrm")).as("max_norm"))
+      .orderBy("bucket")
+
   /** Per-bucket occupancy — the sanity/skew view a pipeline operator
     * watches before trusting an LSH layout. */
   def bucketStats(embeddings: DataFrame): DataFrame =

@@ -131,6 +131,112 @@ object TextAnalysis {
       .orderBy("source", "rk")
   }
 
+  /** Gopher-style repetition signals per document: token volume, distinct
+    * tokens, repeated-token fraction and the single most frequent token's
+    * share (integer percentages — engine-exact). High repetition / high
+    * top-share flags boilerplate and degenerate generations in a
+    * training-data quality pass. Two-phase shape: the (doc_id, token)
+    * count aggregates map-side before any shuffle, and the per-doc rollup
+    * groups on doc_id — both keyed finer than the corpus, so no hot
+    * partition at any scale. */
+  def repetitionSignals(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("mx"))
+      .select(col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_distinct").cast("long").as("n_distinct"),
+        expr("(100 * (n_tokens - n_distinct)) div greatest(n_tokens, 1)").as("repetition_pct"),
+        expr("(100 * mx) div greatest(n_tokens, 1)").as("top_token_share_pct"))
+      .orderBy("doc_id")
+
+  /** PII scrubbing stats over every text-bearing field: match counts per
+    * pattern class plus the redaction length delta. chars_redacted ==
+    * chars on a clean corpus is the no-false-positive proof (and exactly
+    * what the synthetic tables should show); the scrub itself is
+    * [[graft.functions.TextFunctions.piiRedact]] — chained
+    * regexp_replace, scan-shaped, zero shuffle beyond the tiny per-field
+    * rollup. */
+  def piiScrubStats(documents: DataFrame, events: DataFrame): DataFrame = {
+    val fields = documents
+      .select(lit("documents.text").as("field"), col("text").as("s"))
+      .unionByName(events.select(lit("events.props").as("field"), col("props").as("s")))
+    fields
+      .groupBy(col("field"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(regexp_count(col("s"), lit(EmailRe))).cast("long").as("email_hits"),
+        sum(regexp_count(col("s"), lit(Ipv4Re))).cast("long").as("ipv4_hits"),
+        sum(regexp_count(col("s"), lit(PhoneRe))).cast("long").as("phone_hits"),
+        sum(regexp_count(col("s"), lit(LongDigitRe))).cast("long").as("digit_run_hits"),
+        sum(length(col("s"))).cast("long").as("chars"),
+        sum(length(piiRedact(col("s")))).cast("long").as("chars_redacted"))
+      .orderBy("field")
+  }
+
+  /** Distinctive terms per source: integer TF-IDF-style score
+    * (tf × 1e6 div corpus df) ranking the tokens that characterize each
+    * source against the whole corpus — the mixture-debugging view of a
+    * training-data pipeline ("what is src7 actually full of?"). The
+    * ranking window reads the aggregated (source, token) table — bounded
+    * by sources × vocabulary, never corpus-sized — and the tf/df join
+    * shuffles on the token key. */
+  def distinctiveTerms(documents: DataFrame, k: Int = 5): DataFrame = {
+    val toks = documents
+      .select(col("source"), col("doc_id"),
+        explode(split(normText(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val tf = toks.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = toks.select(col("doc_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score_ppm").desc, col("tok"))
+    tf.join(df, "tok")
+      .withColumn("score_ppm", expr("(tf * 1000000) div df"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("rk"), col("tok"), col("tf"), col("df"), col("score_ppm"))
+      .orderBy("source", "rk")
+  }
+
+  /** Per-source length-distribution stats with integer-exact moments and
+    * 2σ outlier counts: mean and population variance computed from the
+    * exact integer sums (Σx, Σx²) with cross-multiplied comparisons —
+    * (n·x − Σx)² > 4·(n·Σx² − (Σx)²) ⇔ |x − μ| > 2σ — so no float ever
+    * enters and the result is bit-stable across engines and
+    * partitionings. Two-pass plan: tiny per-source moment table,
+    * broadcast back over the scan; at petabyte row counts the integer
+    * products want 128-bit (DECIMAL(38)) arithmetic — same plan, wider
+    * type. */
+  def lengthOutlierStats(documents: DataFrame): DataFrame = {
+    val stats = documents.groupBy(col("source")).agg(
+      count(lit(1)).as("n"),
+      sum(col("n_chars")).as("s1"),
+      sum(col("n_chars") * col("n_chars")).as("s2"))
+    documents.select(col("source"), col("n_chars"))
+      .join(broadcast(stats), "source")
+      .withColumn("dev", col("n") * col("n_chars") - col("s1"))
+      .withColumn("nvar", col("n") * col("s2") - col("s1") * col("s1"))
+      .groupBy(col("source"), col("n"), col("s1"), col("s2"))
+      .agg(
+        sum(when(col("dev") > 0 && col("dev") * col("dev") > lit(4) * col("nvar"), 1)
+          .otherwise(0)).as("n_over_2sd"),
+        sum(when(col("dev") < 0 && col("dev") * col("dev") > lit(4) * col("nvar"), 1)
+          .otherwise(0)).as("n_under_2sd"))
+      .select(col("source"),
+        col("n").cast("long").as("n_docs"),
+        expr("(1000 * s1) div n").as("mean_chars_milli"),
+        expr("(1000 * (n * s2 - s1 * s1)) div (n * n)").as("var_chars_milli"),
+        col("n_over_2sd").cast("long").as("n_over_2sd"),
+        col("n_under_2sd").cast("long").as("n_under_2sd"))
+      .orderBy("source")
+  }
+
   /** Corpus roll-up per (lang, source): doc counts and size totals —
     * the partition-level bookkeeping view of a training-data pipeline. */
   def corpusSummary(documents: DataFrame): DataFrame =

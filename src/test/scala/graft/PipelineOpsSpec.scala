@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Round-3 training-pipeline operators: PII scrubbing, repetition
+  * signals, distinctive terms, length-moment outliers, cross-source dup
+  * matrix, embedding norm stats. */
+class PipelineOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("piiRedact replaces every planted PII class and nothing else") {
+    val df = Seq(
+      (0L, "reach bob@example.com or 555-123-4567 via 192.168.0.1 ref 123456", "s0"),
+      (1L, "clean text with no identifiers at all", "s0")
+    ).toDF("doc_id", "text", "source")
+    val got = df.select(TextFunctions.piiRedact(col("text"))).as[String].collect()
+    assert(got(0) === "reach [EMAIL] or [PHONE] via [IP] ref [NUM]")
+    assert(got(1) === "clean text with no identifiers at all")
+  }
+
+  test("piiScrubStats counts hits per field and proves no-op on clean text") {
+    val docs = Seq(
+      (0L, "mail a@b.io and c@d.org now", "s0"),
+      (1L, "nothing here", "s0")
+    ).toDF("doc_id", "text", "source")
+    val events = Seq((0L, """{"k": 69}""")).toDF("event_id", "props")
+    val got = TextAnalysis.piiScrubStats(docs, events).collect()
+      .map { case Row(f: String, n: Long, em: Long, ip: Long, ph: Long, dg: Long, ch: Long, cr: Long) =>
+        f -> ((n, em, ip, ph, dg, ch, cr)) }.toMap
+    val (n, em, _, _, _, ch, cr) = got("documents.text")
+    assert(n === 2L && em === 2L)
+    assert(cr === ch - "a@b.io".length - "c@d.org".length + 2 * "[EMAIL]".length)
+    val (_, _, _, _, dg, chp, crp) = got("events.props")
+    assert(dg === 0L && chp === crp) // 2-digit value: no ≥4 digit-run, scrub is a no-op
+  }
+
+  test("repetitionSignals: exact integer shares on a known doc") {
+    val df = Seq(
+      (0L, "a a a b", "s0"),
+      (1L, "w x y z", "s0")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.repetitionSignals(df).collect()
+      .map { case Row(id: Long, n: Long, d: Long, rep: Long, top: Long) => id -> ((n, d, rep, top)) }
+      .toMap
+    assert(got(0L) === ((4L, 2L, 50L, 75L)))
+    assert(got(1L) === ((4L, 4L, 0L, 25L)))
+  }
+
+  test("distinctiveTerms ranks source-specific tokens above shared ones") {
+    val df = Seq(
+      (0L, "xray xray xray common", "s0"),
+      (1L, "yankee common", "s1")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.distinctiveTerms(df, k = 1).collect()
+      .map { case Row(src: String, _, tok: String, _, _, _) => src -> tok }.toMap
+    assert(got === Map("s0" -> "xray", "s1" -> "yankee"))
+  }
+
+  test("lengthOutlierStats: integer moments and a planted 2-sigma outlier") {
+    val docs = Seq(10, 10, 10, 10, 10, 200).zipWithIndex.map { case (len, i) =>
+      (i.toLong, "x" * len, "s0", len.toLong)
+    }.toDF("doc_id", "text", "source", "n_chars")
+    val Row(_, n: Long, mean: Long, v: Long, over: Long, under: Long) =
+      TextAnalysis.lengthOutlierStats(docs).head()
+    assert(n === 6L)
+    assert(mean === (1000L * 250) / 6)            // μ = 250/6
+    assert(v === (1000L * (6 * 40500 - 250 * 250)) / 36) // σ² from exact sums
+    assert(over === 1L && under === 0L)
+  }
+
+  test("crossSourceDupMatrix attributes the near-dup pair to its source pair") {
+    val base = (1 to 30).map(i => s"m$i").mkString(" ")
+    val df = Seq(
+      (0L, base + " tailA", "srcA"),
+      (1L, base + " tailB", "srcB"),
+      (2L, (50 to 90).map(i => s"q$i").mkString(" "), "srcA")
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.crossSourceDupMatrix(df).collect()
+      .map { case Row(a: String, b: String, c: Long) => (a, b, c) }
+    assert(got.toSeq === Seq(("srcA", "srcB", 1L)))
+  }
+
+  test("normStats reports exact rounded min/max norms per sign bucket") {
+    val vecs = Seq(
+      (0L, Array(3f, 4f) ++ Array.fill(6)(0f)),   // norm 5, bucket bits 1,1 → 3
+      (1L, Array(6f, 8f) ++ Array.fill(6)(0f)),   // norm 10, same bucket
+      (2L, Array(-1f, 2f) ++ Array.fill(6)(0f))   // norm √5, bucket bit0=0
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.normStats(vecs).collect()
+      .map { case Row(b: Long, n: Long, mn: Double, mx: Double) => b -> ((n, mn, mx)) }.toMap
+    assert(got(255L) === ((2L, 5.0, 10.0))) // zeros count as >= 0 sign bits
+    assert(got(254L) === ((1L, 2.2361, 2.2361)))
+  }
+}
