@@ -12,7 +12,8 @@ class PlanShapeSpec extends SparkSpec {
 
   test("pair-generation dedup ops never plan a nested-loop or cartesian pair join") {
     for (q <- Seq("dedup_embedding_cosine", "dedup_levenshtein",
-                  "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard")) {
+                  "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+                  "cross_source_dup_matrix")) {
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop")
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
@@ -39,5 +40,18 @@ class PlanShapeSpec extends SparkSpec {
     // the stage-1 window must partition by the crc32 salt, not query_id alone
     val p = plan("ann_bruteforce_topk")
     assert(p.contains("crc32"), "salted pre-reduce window missing")
+  }
+
+  test("per-source moments broadcast back over the scan, not the reverse") {
+    assert(plan("length_outlier_stats").contains("BroadcastHashJoin"))
+  }
+
+  test("distinctive-terms ranking prunes map-side (WindowGroupLimit) with no broadcast hint") {
+    // the window input is the vocab-bounded aggregate; Spark 4's group
+    // limit must prune to top-k before the shuffle, and the tf⋈df join
+    // must stay AQE-decided (a forced broadcast of a vocabulary-sized
+    // table would OOM at corpus scale)
+    val p = plan("distinctive_terms")
+    assert(p.contains("WindowGroupLimit"), "map-side top-k pruning missing")
   }
 }
