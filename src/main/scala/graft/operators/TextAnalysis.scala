@@ -191,9 +191,19 @@ object TextAnalysis {
       .select(col("source"), col("doc_id"),
         explode(split(normText(col("text")), " ")).as("tok"))
       .filter(col("tok") =!= "")
-    val tf = toks.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("tf"))
-    val df = toks.select(col("doc_id"), col("tok")).distinct()
-      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // shared base: one explode + ONE shuffle on (tok, source, doc_id),
+    // consumed by both rollups — the branches' first exchange is the same
+    // canonical subplan, so Spark plans a ReusedExchange instead of
+    // scanning and exploding the corpus twice (asserted in PlanShapeSpec).
+    // df counts docs with >= 1 occurrence — referencing c keeps the base
+    // aggregate un-pruned and therefore canonically identical in both
+    // branches ((tok, doc_id) is already distinct in the base: a doc has
+    // exactly one source).
+    val base = toks.groupBy(col("tok"), col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    val tf = base.groupBy(col("source"), col("tok")).agg(sum(col("c")).as("tf"))
+    val df = base.groupBy(col("tok"))
+      .agg(count(when(col("c") > 0, lit(1))).as("df"))
     val w = Window.partitionBy(col("source"))
       .orderBy(col("score_ppm").desc, col("tok"))
     tf.join(df, "tok")

@@ -53,5 +53,10 @@ class PlanShapeSpec extends SparkSpec {
     // table would OOM at corpus scale)
     val p = plan("distinctive_terms")
     assert(p.contains("WindowGroupLimit"), "map-side top-k pruning missing")
+    // exchange reuse is an AQE runtime decision — assert on the FINAL plan
+    val df = SparkEntry.queries("distinctive_terms")(spark, Sf0001)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "tf/df branches must share the exploded-token exchange, not scan twice")
   }
 }
