@@ -60,7 +60,11 @@ object Bench {
     try SparkEntry.queries("uu_per_minute")(spark, sfDir).count()
     catch { case _: Throwable => () }
     val warmupSec = (System.nanoTime() - w0) / 1e9
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // deterministic (sorted) query order: Map hash order varies with the
+    // key set, which made per-query times incomparable across rounds
+    // (whichever dedup query ran first paid the shared shingle-cache
+    // build). Sorted order pins who pays shared-artifact costs.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err: Option[String] =
         try { fn(spark, sfDir).count(); None }
@@ -75,7 +79,7 @@ object Bench {
     val errs = results.collect { case (k, (_, Some(e))) =>
       "\"" + k + "\":\"" + jsonEscape(e) + "\""
     }.mkString("{", ",", "}")
-    val total = results.values.map(_._1).sum
+    val total = results.map(_._2._1).sum
     val loadEnd = loadavg()
     val probeEnd = cpuProbe(cpus.toInt)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"warmup_sec":$warmupSec,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"cpu_probe_start_sec":$probeStart,"cpu_probe_end_sec":$probeEnd,"sf":"$sfDir"}""")

@@ -121,11 +121,25 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("na"), col("nb"), col("shared"))
   }
 
-  /** MinHash + LSH near-dup pairs, with an exact-Jaccard verify step.
-    * Banding: 4 bands × 2 rows; a pair is a candidate if any band's
-    * concatenated digest collides. Candidates are then verified at
-    * Jaccard >= 1/2 via integer math (3*shared >= |A|+|B|). */
-  def minhashLsh(documents: DataFrame): DataFrame = {
+  /** Verified MinHash pair graphs keyed by (session, canonicalized corpus
+    * plan): the pair graph is THE shared dedup artifact — the pairs query,
+    * the connected-components clustering, the cross-source matrix and the
+    * curation pass all consume it, and each would otherwise re-run the
+    * signature build + band join + verify. localCheckpointed (session
+    * state → session-scoped key, like [[clusterCache]]); at 100 TB this is
+    * the pair list a pipeline materializes to storage once per corpus
+    * snapshot. */
+  private val pairCache = scala.collection.concurrent.TrieMap[
+    (org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]()
+
+  /** Unordered verified near-dup pair graph (doc_a < doc_b), memoized per
+    * corpus per session. */
+  def minhashPairs(documents: DataFrame): DataFrame =
+    pairCache.getOrElseUpdate(
+      (documents.sparkSession, documents.queryExecution.analyzed.canonicalized),
+      computeMinhashPairs(documents))
+
+  private def computeMinhashPairs(documents: DataFrame): DataFrame = {
     val sig = minhashSignatures(documents)
     val bandCols = array((0 until MinhashBands).map { b =>
       md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")))
@@ -142,8 +156,15 @@ object Dedup {
     verifyOverlap(candidates, documents)
       .filter(col("shared") * 3 >= col("na") + col("nb"))
       .select(col("doc_a"), col("doc_b"))
-      .orderBy("doc_a", "doc_b")
+      .localCheckpoint()
   }
+
+  /** MinHash + LSH near-dup pairs, with an exact-Jaccard verify step.
+    * Banding: 4 bands × 2 rows; a pair is a candidate if any band's
+    * concatenated digest collides. Candidates are then verified at
+    * Jaccard >= 1/2 via integer math (3*shared >= |A|+|B|). */
+  def minhashLsh(documents: DataFrame): DataFrame =
+    minhashPairs(documents).orderBy("doc_a", "doc_b")
 
   /** 32-bit SimHash from the first 32 md5 nibbles of each distinct
     * shingle: bit j is the sign of the sum of (+1/-1) votes from nibble
@@ -314,13 +335,13 @@ object Dedup {
   /** Cross-source duplication matrix: verified MinHash near-dup pairs
     * rolled up by (source, source) — the "which crawls duplicate each
     * other" view a pipeline checks before weighting its data mixture.
-    * Reuses the [[minhashLsh]] pair graph (and therefore the cached
+    * Reuses the memoized [[minhashPairs]] graph (and therefore the cached
     * shingle relation); the joins attach two small (doc_id, source)
     * projections to an already-verified pair list, and the final rollup
     * is bounded by sources², not docs. */
   def crossSourceDupMatrix(documents: DataFrame): DataFrame = {
     val src = documents.select(col("doc_id"), col("source"))
-    minhashLsh(documents)
+    minhashPairs(documents)
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
       .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
       .groupBy(least(col("sa"), col("sb")).as("source_a"),
@@ -365,11 +386,9 @@ object Dedup {
   }
 
   private def computeClusters(documents: DataFrame, maxRounds: Int): DataFrame = {
-    // materialize the pair graph ONCE — edges reads it twice (both
-    // directions) and every round joins it; without this the whole
-    // MinHash pipeline would re-execute per use
-    val pairs = minhashLsh(documents).select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
+    // the memoized pair graph is already checkpointed — edges reads it
+    // twice (both directions) and every round joins it
+    val pairs = minhashPairs(documents)
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
     var labels = edges.select(col("src").as("doc_id")).distinct()
