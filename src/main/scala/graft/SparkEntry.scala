@@ -34,6 +34,10 @@ object SparkEntry {
     "sales_grouping_sets" -> ((s, d) => GraftSql.salesGroupingSets(s, d)),
     "order_value_percentiles" -> ((s, d) =>
       Relational.percentilesBySegment(Tables.orders(s, d), Tables.customer(s, d))),
+    // sketch percentiles: rows-only by design (KLL sketch internals are
+    // engine-specific); error-bounded against the exact op in OperatorSpec
+    "order_value_percentiles_approx" -> ((s, d) =>
+      Relational.percentilesBySegmentApprox(Tables.orders(s, d), Tables.customer(s, d))),
     "customer_order_counts" -> ((s, d) =>
       Relational.customerOrderCounts(Tables.customer(s, d), Tables.orders(s, d))),
     "daily_revenue_range7d" -> ((s, d) => Relational.dailyRevenueRange7d(Tables.orders(s, d))),

@@ -345,6 +345,27 @@ object Relational {
     * statistic as [[medianOrderValueBySegment]] — pass 1 locates each
     * percentile's bucket in a domain-bounded histogram, pass 2 ranks only
     * inside the target buckets. The window never sees raw fact rows. */
+  /** Sketch-based percentiles — the 100 TB scale path next to
+    * [[percentilesBySegment]]'s exact two-pass: one aggregation with
+    * O(accuracy) state per group (Spark's KLL-style quantile sketch),
+    * no second pass, mergeable map-side. Not oracle-checked (sketch
+    * internals are engine-specific — rows-only gate); OperatorSpec
+    * bounds its error against the exact operator. */
+  def percentilesBySegmentApprox(orders: DataFrame, customer: DataFrame,
+                                 ps: Seq[Int] = Seq(25, 50, 75, 90),
+                                 accuracy: Int = 10000): DataFrame =
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), cents(col("o_totalprice")).cast("long").as("v"))
+      .groupBy(col("c_mktsegment"))
+      .agg(percentile_approx(col("v"),
+        array(ps.map(p => lit(p / 100.0)): _*), lit(accuracy)).as("vals"))
+      .select(col("c_mktsegment"), posexplode(col("vals")).as(Seq("pos", "value")))
+      .select(col("c_mktsegment"),
+        element_at(typedLit(ps.map(_.toLong)), col("pos").cast("int") + 1).as("p"),
+        col("value"))
+      .orderBy("c_mktsegment", "p")
+
   def percentilesBySegment(orders: DataFrame, customer: DataFrame,
                            ps: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame = {
     val BucketCents = 100000L

@@ -180,6 +180,30 @@ object Similarity {
     cents.map(_.map(_.toFloat))
   }
 
+  /** Train (or reuse the memoized) coarse quantizer for a corpus. */
+  def quantizerFor(embeddings: DataFrame, nCells: Int = 16): Array[Array[Float]] = {
+    val planKey = embeddings.queryExecution.analyzed.canonicalized
+    ivfModelCache.getOrElseUpdate((planKey, nCells), trainQuantizer(embeddings, nCells))
+  }
+
+  /** Persist the quantizer as a model ARTIFACT — a tiny (cell, centroid)
+    * parquet table. At 100 TB the quantizer is trained once per corpus
+    * snapshot and shipped with the index; search jobs load it instead of
+    * retraining. Deterministic round-trip: cells keep their index and
+    * floats travel as exact float32. */
+  def saveQuantizer(embeddings: DataFrame, path: String, nCells: Int = 16): Unit = {
+    val model = quantizerFor(embeddings, nCells)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    model.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadQuantizer(spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Float]] =
+    spark.read.parquet(path).orderBy("cell").collect()
+      .map(_.getSeq[Float](1).toArray)
+
   /** IVF (inverted-file) ANN: a coarse quantizer partitions the corpus
     * into cells; each query probes only its `nProbe` nearest cells, then
     * scores candidates exactly. THE standard billion-vector layout: at
@@ -192,10 +216,14 @@ object Similarity {
     * rows-only check + the brute-force score-agreement test in
     * OperatorSpec. */
   def ivfTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 3,
-              nCells: Int = 16, nProbe: Int = 2): DataFrame = {
-    val planKey = embeddings.queryExecution.analyzed.canonicalized
-    val model = ivfModelCache.getOrElseUpdate((planKey, nCells),
-      trainQuantizer(embeddings, nCells))
+              nCells: Int = 16, nProbe: Int = 2): DataFrame =
+    ivfTopKWith(embeddings, quantizerFor(embeddings, nCells), nQueries, k, nProbe)
+
+  /** IVF search against a SUPPLIED quantizer (e.g. one loaded via
+    * [[loadQuantizer]]) — the deployment path where the model artifact is
+    * an input, not a per-query training job. */
+  def ivfTopKWith(embeddings: DataFrame, model: Array[Array[Float]],
+                  nQueries: Int = 5, k: Int = 3, nProbe: Int = 2): DataFrame = {
     if (model.isEmpty) {
       // empty corpus: nothing to index — emit the empty result with the
       // output schema instead of failing centroid construction

@@ -97,6 +97,32 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("quantizer artifact round-trips through parquet and searches identically") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-model").toString
+    Similarity.saveQuantizer(emb, dir)
+    val loaded = Similarity.loadQuantizer(spark, dir)
+    val inSession = Similarity.quantizerFor(emb)
+    assert(loaded.length === inSession.length)
+    loaded.zip(inSession).foreach { case (a, b) => assert(a.sameElements(b)) }
+    val direct = Similarity.ivfTopK(emb, nQueries = 3, k = 3).collect().toSeq
+    val viaArtifact = Similarity.ivfTopKWith(emb, loaded, nQueries = 3, k = 3).collect().toSeq
+    assert(direct === viaArtifact)
+  }
+
+  test("approx percentiles stay within 2% relative error of the exact two-pass") {
+    val o = Tables.orders(spark, Sf0001)
+    val c = Tables.customer(spark, Sf0001)
+    val exact = Relational.percentilesBySegment(o, c).collect()
+      .map { case Row(s: String, p: Long, v: Long) => (s, p) -> v }.toMap
+    val approx = Relational.percentilesBySegmentApprox(o, c).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { case Row(s: String, p: Long, v: Long) =>
+      val e = exact((s, p))
+      assert(math.abs(v - e).toDouble <= 0.02 * e, s"($s, p$p): approx $v vs exact $e")
+    }
+  }
+
   test("ivf on an empty corpus returns the empty result, not a training crash") {
     val emb = Tables.embeddings(spark, Sf0001).filter(col("vec_id") < 0)
     val got = Similarity.ivfTopK(emb)
