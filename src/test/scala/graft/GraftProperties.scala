@@ -112,4 +112,22 @@ object GraftProperties extends Properties("graft") {
       CosineSimilarity.cosineFast($"a", $"a")).head()
     ab == ba && math.abs(aa - 1.0) < 1e-12 && ab >= -1.0000001 && ab <= 1.0000001
   }
+
+  private val piiTextGen: Gen[String] = {
+    val word = Gen.oneOf("the", "fox", "ran", "mot", "Xy9", "a1b2c3d4", "12345")
+    val pii = Gen.oneOf("bob@example.com", "555-123-4567", "10.0.0.1", "98765432",
+      "x.y_z%q+1@sub.domain.org")
+    Gen.listOfN(12, Gen.frequency(4 -> word, 1 -> pii)).map(_.mkString(" "))
+  }
+
+  /** Scrubbing is IDEMPOTENT: the replacement tags contain no digits or
+    * '@', so a second pass can never find a new match — the property a
+    * pipeline relies on when a re-run re-scrubs already-clean shards. */
+  property("piiRedact is idempotent") = forAll(piiTextGen) { text =>
+    import graft.functions.TextFunctions.piiRedact
+    val df = Seq(Tuple1(text)).toDF("t")
+    val Row(once: String, twice: String) =
+      df.select(piiRedact($"t"), piiRedact(piiRedact($"t"))).head()
+    once == twice && !once.contains("@example.com")
+  }
 }

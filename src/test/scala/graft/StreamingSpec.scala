@@ -241,6 +241,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation drops low-quality docs and scrubs PII from survivors") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingCuration
+    val in = MemoryStream[(Long, String, Long)]
+    val docs = in.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"),
+        timestamp_seconds(col("_3")).as("ts"))
+    val q = StreamingCuration.curate(docs).writeStream
+      .format("memory").queryName("scurate").outputMode("append").start()
+    try {
+      val good = "the quick brown fox jumps over a lazy dog and then it runs " +
+        "to the barn where the farmer is reading mail from bob@example.com today"
+      in.addData(
+        (1L, good, w0),
+        (2L, "!!! ??? ***", w0 + 1),          // punctuation soup → quality drop
+        (3L, "mot mot mot mot", w0 + 2))      // no English stopwords → lang drop
+      q.processAllAvailable()
+      val rows = spark.table("scurate").collect()
+        .map(r => (r.getLong(0), r.getString(2)))
+      assert(rows.map(_._1).toSeq === Seq(1L))
+      assert(rows.head._2.contains("[EMAIL]") && !rows.head._2.contains("bob@"))
+    } finally q.stop()
+  }
+
   test("batch and streaming agree on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val events = Tables.events(spark, Sf0001)
