@@ -33,6 +33,14 @@ import graft.functions.TextFunctions.normText
   */
 object Dedup {
 
+  /** Drop the session-scoped memoized artifacts (pair graph, cluster
+    * maps). Benchmark hygiene: lets a re-measurement start cold, so
+    * repeated timings are comparable to first runs. */
+  def clearSessionState(): Unit = {
+    pairCache.clear()
+    clusterCache.clear()
+  }
+
   /** Distinct whitespace tokens of the normalized text, one row per
     * (doc_id, token) — the unigram view (used by text-level ops, NOT by
     * the sketches; see class doc). */

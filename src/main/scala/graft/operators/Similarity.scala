@@ -180,6 +180,10 @@ object Similarity {
     cents.map(_.map(_.toFloat))
   }
 
+  /** Drop the memoized quantizers (benchmark hygiene — see
+    * [[graft.operators.Dedup.clearSessionState]]). */
+  def clearSessionState(): Unit = ivfModelCache.clear()
+
   /** Train (or reuse the memoized) coarse quantizer for a corpus. */
   def quantizerFor(embeddings: DataFrame, nCells: Int = 16): Array[Array[Float]] = {
     val planKey = embeddings.queryExecution.analyzed.canonicalized
