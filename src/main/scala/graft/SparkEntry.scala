@@ -116,6 +116,13 @@ object SparkEntry {
     "media_bytes_stats" -> ((s, d) => Multimodal.bytesStats(Tables.documents(s, d))),
     "media_frame_sample" -> ((s, d) => Multimodal.frameSample(Tables.documents(s, d))),
     "image_meta_stub" -> ((s, d) => Multimodal.imageMeta(s, Tables.documents(s, d))),
+    // multimodal → ANN composition: stub-extracted per-payload features
+    // feed the similarity operator unchanged
+    "media_feature_ann" -> ((s, d) =>
+      Similarity.bruteForceTopK(
+        Multimodal.featureExtract(s, Tables.documents(s, d))
+          .selectExpr("doc_id AS vec_id", "features AS embedding"),
+        nQueries = 3, k = 5)),
   )
 
   // ---- generated oracle-SQL fragments (kept in Scala so the SQL mirrors
@@ -378,6 +385,29 @@ object SparkEntry {
        |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
        |  min(nrm) AS min_norm, max(nrm) AS max_norm
        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** Mirrors Multimodal.featureExtract + Similarity.bruteForceTopK: the
+    * fake features are exact rationals from md5 nibbles, float-rounded
+    * identically in both engines, and the cosine accumulates in double
+    * left-to-right like every other ANN oracle. */
+  private def mediaFeatureAnnOracle: String = {
+    def nib(i: Int) = s"(strpos('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1)"
+    val fList = (0 until 16).map { j =>
+      s"CAST((${nib(2 * j)} * 16 + ${nib(2 * j + 1)}) / 255.0 - 0.5 AS FLOAT)"
+    }.mkString("[", ", ", "]")
+    def dot16(a: String, b: String) =
+      s"list_sum(list_transform(range(16), i -> $a.f[i+1]::DOUBLE * $b.f[i+1]::DOUBLE))"
+    s"""WITH feat AS (SELECT doc_id AS vec_id, $fList AS f
+       |  FROM (SELECT doc_id, md5(text) AS m FROM documents)),
+       |s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    ${dot16("a", "b")} AS dp, ${dot16("a", "a")} AS nq, ${dot16("b", "b")} AS nn
+       |  FROM feat a JOIN feat b ON a.vec_id < 3 AND a.vec_id != b.vec_id),
+       |r AS (SELECT query_id, neighbor_id, dp / sqrt(nq * nn) AS cs,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY dp / sqrt(nq * nn) DESC, neighbor_id) AS rank
+       |  FROM s)
+       |SELECT query_id, neighbor_id, rank, round(cs, 4) AS cos_sim
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 
   private def imageMetaOracle: String = {
     def nib(i: Int) = s"(strpos('0123456789abcdef', substr(md5(text), $i, 1)) - 1)"
@@ -711,5 +741,6 @@ object SparkEntry {
         |  array_to_string(list_transform(range(1, length(text) + 1, 16), i -> substr(text, i, 1)), '') AS frames
         |FROM documents ORDER BY doc_id""".stripMargin,
     "image_meta_stub" -> imageMetaOracle,
+    "media_feature_ann" -> mediaFeatureAnnOracle,
   )
 }

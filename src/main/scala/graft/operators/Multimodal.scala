@@ -48,6 +48,39 @@ object Multimodal {
     MediaMeta(docId, 32L * (1 + nib(0)), 32L * (1 + nib(1)), Formats(nib(2) % 3))
   }
 
+  /** Typed output of the stubbed feature extractor. */
+  final case class MediaFeatures(doc_id: Long, features: Array[Float])
+
+  /** Stubbed per-payload FEATURE EXTRACTION — the embed-the-image step of
+    * a multimodal pipeline. A real extractor would run a vision encoder
+    * over the decoded pixels; the fake derives a 16-dim float vector from
+    * the payload's md5 (deterministic, engine-reproducible), and the
+    * plumbing — per-partition extractor init, streamed batches, fixed
+    * fixed-length float-array column out — is exactly the production
+    * shape. The output column is ANN-ready: it feeds
+    * [[Similarity.bruteForceTopK]] unchanged (see `media_feature_ann`). */
+  def featureExtract(spark: SparkSession, documents: DataFrame, dim: Int = 16): DataFrame = {
+    require(dim <= 16, "fake features are derived from 32 md5 nibbles")
+    val binary: Dataset[(Long, Array[Byte])] = documents
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    binary
+      .mapPartitions { it =>
+        // per-partition init point for a real encoder (model load, device
+        // handle); the md5 stand-in keeps the same lifecycle
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, payload) =>
+          val hex = md.digest(payload).map("%02x".format(_)).mkString
+          val fs = Array.tabulate(dim) { j =>
+            val b = Integer.parseInt(hex.substring(2 * j, 2 * j + 2), 16)
+            (b / 255.0 - 0.5).toFloat
+          }
+          MediaFeatures(id, fs)
+        }
+      }(Encoders.product[MediaFeatures])
+      .toDF()
+  }
+
   /** Decode metadata for every document via mapPartitions — one decoder
     * instance per partition (the expensive-init pattern for real codecs),
     * rows streamed, nothing collected to the driver. */

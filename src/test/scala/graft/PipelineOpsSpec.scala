@@ -85,6 +85,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.toSeq === Seq(("srcA", "srcB", 1L)))
   }
 
+  test("featureExtract derives the documented md5 features, ANN-composable") {
+    val docs = Seq((7L, "hello", "s0")).toDF("doc_id", "text", "source")
+    val got = graft.operators.Multimodal.featureExtract(spark, docs).collect()
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("hello".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = Array.tabulate(16) { j =>
+      (Integer.parseInt(hex.substring(2 * j, 2 * j + 2), 16) / 255.0 - 0.5).toFloat
+    }
+    assert(got.length === 1 && got(0).getLong(0) === 7L)
+    assert(got(0).getSeq[Float](1).toArray.sameElements(expect))
+    // composition: the feature column feeds the ANN operator unchanged
+    val corpus = Tables.documents(spark, Sf0001).limit(50)
+    val ann = Similarity.bruteForceTopK(
+      graft.operators.Multimodal.featureExtract(spark, corpus)
+        .selectExpr("doc_id AS vec_id", "features AS embedding"),
+      nQueries = 2, k = 3)
+    assert(ann.count() === 6L)
+  }
+
   test("normStats reports exact rounded min/max norms per sign bucket") {
     val vecs = Seq(
       (0L, Array(3f, 4f) ++ Array.fill(6)(0f)),   // norm 5, bucket bits 1,1 → 3
