@@ -91,6 +91,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables.documents(s, d))),
     "cross_source_dup_matrix" -> ((s, d) => Dedup.crossSourceDupMatrix(Tables.documents(s, d))),
+    "minhash_band_stats" -> ((s, d) => Dedup.minhashBandStats(Tables.documents(s, d))),
     // ---- similarity search ----
     "ann_bruteforce_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
@@ -154,6 +155,20 @@ object SparkEntry {
        |  GROUP BY 1, 2, 3, 4)
        |SELECT doc_a, doc_b FROM shr
        |WHERE shared * 3 >= na + nb ORDER BY 1, 2""".stripMargin
+  }
+
+  private def minhashBandStatsOracle: String = {
+    val sigCols = (0 until Dedup.MinhashSeeds)
+      .map(i => s"min(md5('$i:' || g)) AS h$i").mkString(", ")
+    val bandKeys = (0 until Dedup.MinhashBands)
+      .map(b => s"md5(h${2 * b} || h${2 * b + 1})").mkString("[", ", ", "]")
+    val bandIdxs = (0 until Dedup.MinhashBands).mkString("[", ", ", "]")
+    s"""WITH $ShingleCte,
+       |sig AS (SELECT doc_id, $sigCols FROM ex GROUP BY doc_id),
+       |bands AS (SELECT doc_id, unnest($bandKeys) AS band_key, unnest($bandIdxs) AS band_idx FROM sig)
+       |SELECT CAST(band_idx AS BIGINT) AS band_idx, band_key, CAST(count(*) AS BIGINT) AS n_docs
+       |FROM bands GROUP BY 1, 2 HAVING count(*) > 1
+       |ORDER BY n_docs DESC, band_idx, band_key LIMIT 20""".stripMargin
   }
 
   private def simhashOracle: String = {
@@ -725,6 +740,7 @@ object SparkEntry {
     "pii_scrub_stats" -> piiScrubOracle,
     "length_outlier_stats" -> lengthOutlierOracle,
     "cross_source_dup_matrix" -> crossSourceDupOracle,
+    "minhash_band_stats" -> minhashBandStatsOracle,
     "embedding_norm_stats" -> embeddingNormStatsOracle,
     "corpus_summary" ->
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,

@@ -147,13 +147,33 @@ object Dedup {
       (documents.sparkSession, documents.queryExecution.analyzed.canonicalized),
       computeMinhashPairs(documents))
 
-  private def computeMinhashPairs(documents: DataFrame): DataFrame = {
+  /** (doc_id, band_idx, band_key) — the LSH band table both the pair
+    * join and the skew monitor read. */
+  private def bandTable(documents: DataFrame): DataFrame = {
     val sig = minhashSignatures(documents)
     val bandCols = array((0 until MinhashBands).map { b =>
       md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")))
     }: _*)
-    val bands = sig.select(col("doc_id"), posexplode(bandCols))
+    sig.select(col("doc_id"), posexplode(bandCols))
       .toDF("doc_id", "band_idx", "band_key")
+  }
+
+  /** LSH bucket-skew monitor: the most-populated colliding band buckets.
+    * A hot bucket generates O(n²) candidate pairs — this is the view a
+    * pipeline alerts on before a skewed shard melts the verify join
+    * (the dedup-side analogue of [[Similarity.bucketStats]]). Bounded
+    * output: aggregate per (band, key), keep colliding buckets, top-k by
+    * occupancy via TakeOrdered. */
+  def minhashBandStats(documents: DataFrame, k: Int = 20): DataFrame =
+    bandTable(documents)
+      .groupBy(col("band_idx").cast("long").as("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("n_docs").desc, col("band_idx"), col("band_key"))
+      .limit(k)
+
+  private def computeMinhashPairs(documents: DataFrame): DataFrame = {
+    val bands = bandTable(documents)
     val candidates = bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&

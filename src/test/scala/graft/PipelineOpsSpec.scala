@@ -104,6 +104,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ann.count() === 6L)
   }
 
+  test("minhashBandStats surfaces colliding band buckets only") {
+    val base = (1 to 30).map(i => s"k$i").mkString(" ")
+    val df = Seq(
+      (0L, base, "s0"),
+      (1L, base, "s0"),                                     // identical → all 4 bands collide
+      (2L, (50 to 90).map(i => s"z$i").mkString(" "), "s0") // unrelated → no collision
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.minhashBandStats(df).collect()
+      .map { case Row(bi: Long, _, n: Long) => (bi, n) }
+    assert(got.length === graft.operators.Dedup.MinhashBands)
+    assert(got.forall(_._2 === 2L))
+  }
+
   test("normStats reports exact rounded min/max norms per sign bucket") {
     val vecs = Seq(
       (0L, Array(3f, 4f) ++ Array.fill(6)(0f)),   // norm 5, bucket bits 1,1 → 3
