@@ -92,6 +92,9 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables.documents(s, d))),
     "cross_source_dup_matrix" -> ((s, d) => Dedup.crossSourceDupMatrix(Tables.documents(s, d))),
     "minhash_band_stats" -> ((s, d) => Dedup.minhashBandStats(Tables.documents(s, d))),
+    "benchmark_contamination" -> ((s, d) => Dedup.benchmarkContamination(Tables.documents(s, d))),
+    "mixture_weights" -> ((s, d) => TextAnalysis.mixtureWeights(Tables.documents(s, d))),
+    "top_repeated_shingles" -> ((s, d) => TextAnalysis.topRepeatedShingles(Tables.documents(s, d))),
     // ---- similarity search ----
     "ann_bruteforce_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
@@ -156,6 +159,26 @@ object SparkEntry {
        |SELECT doc_a, doc_b FROM shr
        |WHERE shared * 3 >= na + nb ORDER BY 1, 2""".stripMargin
   }
+
+  private def benchmarkContaminationOracle: String =
+    s"""WITH $ShingleCte,
+       |ev AS (SELECT DISTINCT g, doc_id AS eval_id FROM ex WHERE doc_id < 5),
+       |co AS (SELECT e.doc_id, ev.eval_id, CAST(count(*) AS BIGINT) AS shared
+       |  FROM ex e JOIN ev ON e.g = ev.g AND e.doc_id >= 5 GROUP BY 1, 2)
+       |SELECT doc_id, eval_id, shared FROM co WHERE shared >= 2 ORDER BY doc_id, eval_id""".stripMargin
+
+  private def mixtureWeightsOracle: String =
+    """WITH s AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+      |t AS (SELECT sum(n) AS total, count(*) AS n_sources FROM s)
+      |SELECT source, CAST(n AS BIGINT) AS n_docs,
+      |  CAST((n * 1000000) // total AS BIGINT) AS actual_ppm,
+      |  CAST((total * 1000) // (n_sources * n) AS BIGINT) AS weight_milli
+      |FROM s, t ORDER BY source""".stripMargin
+
+  private def topRepeatedShinglesOracle: String =
+    s"""WITH $ShingleCte
+       |SELECT g AS shingle, CAST(count(*) AS BIGINT) AS df FROM ex
+       |GROUP BY 1 HAVING count(*) > 1 ORDER BY df DESC, shingle LIMIT 20""".stripMargin
 
   private def minhashBandStatsOracle: String = {
     val sigCols = (0 until Dedup.MinhashSeeds)
@@ -741,6 +764,9 @@ object SparkEntry {
     "length_outlier_stats" -> lengthOutlierOracle,
     "cross_source_dup_matrix" -> crossSourceDupOracle,
     "minhash_band_stats" -> minhashBandStatsOracle,
+    "benchmark_contamination" -> benchmarkContaminationOracle,
+    "mixture_weights" -> mixtureWeightsOracle,
+    "top_repeated_shingles" -> topRepeatedShinglesOracle,
     "embedding_norm_stats" -> embeddingNormStatsOracle,
     "corpus_summary" ->
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,

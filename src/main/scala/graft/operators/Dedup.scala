@@ -360,6 +360,28 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Benchmark DECONTAMINATION — the eval-leak check every LLM training
+    * pipeline runs before shipping a corpus: find training docs that
+    * share at least `minShared` distinct word-3-gram shingles with any
+    * doc of the eval set (here: doc_id < evalMaxId as the stand-in
+    * benchmark). Plan shape at 100 TB: the eval set's shingles are
+    * benchmark-sized (MBs) and BROADCAST; the corpus side stays
+    * scan-shaped with a map-side hash join and aggregates on
+    * (doc_id, eval_id) — no corpus shuffle of text, ever. Emits the
+    * contaminated (train_doc, eval_doc, shared) evidence rows. */
+  def benchmarkContamination(documents: DataFrame, evalMaxId: Long = 5,
+                             minShared: Int = 2): DataFrame = {
+    val sh = shingles(documents)
+    val evalSh = sh.filter(col("doc_id") < evalMaxId)
+      .select(col("g").as("eg"), col("doc_id").as("eval_id")).distinct()
+    sh.filter(col("doc_id") >= evalMaxId)
+      .join(broadcast(evalSh), col("g") === col("eg"))
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("shared")) // per-doc shingles are distinct
+      .filter(col("shared") >= minShared)
+      .orderBy("doc_id", "eval_id")
+  }
+
   /** Cross-source duplication matrix: verified MinHash near-dup pairs
     * rolled up by (source, source) — the "which crawls duplicate each
     * other" view a pipeline checks before weighting its data mixture.

@@ -247,6 +247,38 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Mixture reweighting — given the observed per-source doc counts,
+    * the integer weight each source's docs need for every source to
+    * contribute equally to the training mix (weight_milli =
+    * 1000·total ÷ (n_sources·n)). The inverse view of
+    * [[stratifiedSample]]: sample rates DOWN to a mixture, weights scale
+    * a loss UP to one. Integer-exact; the per-source table is tiny and
+    * the corpus is touched once. */
+  def mixtureWeights(documents: DataFrame): DataFrame = {
+    val stats = documents.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val totals = stats.agg(
+      sum(col("n")).as("total"), count(lit(1)).as("n_sources"))
+    stats.crossJoin(broadcast(totals))
+      .select(col("source"),
+        col("n").cast("long").as("n_docs"),
+        expr("(n * 1000000) div total").as("actual_ppm"),
+        expr("(total * 1000) div (n_sources * n)").as("weight_milli"))
+      .orderBy("source")
+  }
+
+  /** Boilerplate detector: the word-3-gram shingles appearing in the
+    * most documents (df > 1). Repeated passages across docs are
+    * navigation chrome / license headers / template text — the strings a
+    * cleaning pass strips. Bounded output: vocabulary-keyed aggregate →
+    * TakeOrdered top-k. */
+  def topRepeatedShingles(documents: DataFrame, k: Int = 20): DataFrame =
+    Dedup.shingles(documents)
+      .groupBy(col("g").as("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1)
+      .orderBy(col("df").desc, col("shingle"))
+      .limit(k)
+
   /** Corpus roll-up per (lang, source): doc counts and size totals —
     * the partition-level bookkeeping view of a training-data pipeline. */
   def corpusSummary(documents: DataFrame): DataFrame =

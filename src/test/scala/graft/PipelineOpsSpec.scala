@@ -104,6 +104,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ann.count() === 6L)
   }
 
+  test("benchmarkContamination flags train docs overlapping the eval set") {
+    val evalText = (1 to 30).map(i => s"e$i").mkString(" ")
+    val df = Seq(
+      (0L, evalText, "s0"),                                   // eval doc
+      (10L, evalText + " leak tail", "s0"),                   // contaminated
+      (11L, (50 to 90).map(i => s"u$i").mkString(" "), "s0")  // clean
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.benchmarkContamination(df).collect()
+      .map { case Row(d: Long, e: Long, s: Long) => (d, e, s) }
+    assert(got.map(t => (t._1, t._2)).toSeq === Seq((10L, 0L)))
+    assert(got.head._3 >= 25L) // nearly all eval shingles leaked
+  }
+
+  test("mixtureWeights: integer equal-contribution weights per source") {
+    val df = (1 to 3).map(i => (i.toLong, s"doc a$i", "s0")) :+ ((9L, "doc b", "s1"))
+    val got = TextAnalysis.mixtureWeights(df.toDF("doc_id", "text", "source")).collect()
+      .map { case Row(s: String, n: Long, a: Long, w: Long) => s -> ((n, a, w)) }.toMap
+    assert(got("s0") === ((3L, 750000L, 666L)))  // 4*1000 div (2*3)
+    assert(got("s1") === ((1L, 250000L, 2000L))) // 4*1000 div (2*1)
+  }
+
+  test("topRepeatedShingles returns only df>1 shingles, highest first") {
+    val shared = (1 to 10).map(i => s"r$i").mkString(" ")
+    val df = Seq(
+      (0L, shared, "s0"), (1L, shared, "s0"),
+      (2L, (50 to 60).map(i => s"q$i").mkString(" "), "s0")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.topRepeatedShingles(df).collect()
+      .map { case Row(g: String, n: Long) => g -> n }
+    assert(got.nonEmpty && got.forall(_._2 === 2L))
+    assert(got.length === 8) // 10 tokens → 8 trigram shingles, all shared
+  }
+
   test("minhashBandStats surfaces colliding band buckets only") {
     val base = (1 to 30).map(i => s"k$i").mkString(" ")
     val df = Seq(
