@@ -24,11 +24,16 @@ object Multimodal {
 
   /** Frame sampling: every 16th byte of the fake "video" payload,
     * reassembled as a preview string — the shape of a frame-subsample
-    * pass (stride read, no shuffle). */
+    * pass (stride read, no shuffle). Null payloads stay null and empty
+    * payloads sample to empty — `sequence(1, 0)` is an error, and a
+    * 100 TB corpus WILL contain empty/missing blobs. */
   def frameSample(documents: DataFrame, stride: Int = 16): DataFrame =
     documents.select(
       col("doc_id"),
-      expr(s"array_join(transform(sequence(1, length(text), $stride), i -> substring(text, i, 1)), '')")
+      when(col("text").isNull, lit(null).cast("string"))
+        .when(length(col("text")) < 1, lit(""))
+        .otherwise(expr(
+          s"array_join(transform(sequence(1, length(text), $stride), i -> substring(text, i, 1)), '')"))
         .as("frames"))
       .orderBy("doc_id")
 
@@ -43,7 +48,9 @@ object Multimodal {
     * driver-side collection) is exactly what it would look like. */
   def fakeDecode(docId: Long, payload: Array[Byte]): MediaMeta = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(payload).map("%02x".format(_)).mkString
+    // a missing blob decodes like an empty one — never an executor NPE
+    val bytes = if (payload == null) Array.emptyByteArray else payload
+    val hex = md.digest(bytes).map("%02x".format(_)).mkString
     def nib(i: Int): Int = Integer.parseInt(hex.substring(i, i + 1), 16)
     MediaMeta(docId, 32L * (1 + nib(0)), 32L * (1 + nib(1)), Formats(nib(2) % 3))
   }
@@ -70,7 +77,8 @@ object Multimodal {
         // handle); the md5 stand-in keeps the same lifecycle
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, payload) =>
-          val hex = md.digest(payload).map("%02x".format(_)).mkString
+          val bytes = if (payload == null) Array.emptyByteArray else payload
+          val hex = md.digest(bytes).map("%02x".format(_)).mkString
           val fs = Array.tabulate(dim) { j =>
             val b = Integer.parseInt(hex.substring(2 * j, 2 * j + 2), 16)
             (b / 255.0 - 0.5).toFloat

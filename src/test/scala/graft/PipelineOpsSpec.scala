@@ -150,6 +150,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.forall(_._2 === 2L))
   }
 
+  test("operators survive null, empty, and whitespace-only documents") {
+    // a 100 TB corpus WILL contain degenerate rows; none of these may
+    // throw (sequence(1,0) and digest(null) both did before round 3)
+    val df = Seq(
+      (0L, "normal doc with some words here", "s0"),
+      (1L, null.asInstanceOf[String], "s0"),
+      (2L, "", "s0"),
+      (3L, "   ", "s0")
+    ).toDF("doc_id", "text", "source")
+    assert(Dedup.minhashLsh(df).count() === 0L)
+    assert(Dedup.exactNormalized(df).count() === 3L) // "" and "   " normalize together
+    assert(TextAnalysis.repetitionSignals(df).count() === 1L)
+    val frames = graft.operators.Multimodal.frameSample(df).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(frames(1L).isEmpty && frames(2L).contains("") && frames(3L).contains(" "))
+    assert(graft.operators.Multimodal.imageMeta(spark, df).count() === 4L)
+    assert(graft.operators.Multimodal.featureExtract(spark, df).count() === 4L)
+  }
+
   test("normStats reports exact rounded min/max norms per sign bucket") {
     val vecs = Seq(
       (0L, Array(3f, 4f) ++ Array.fill(6)(0f)),   // norm 5, bucket bits 1,1 → 3
