@@ -124,7 +124,21 @@ object Bench {
     val total = results.map(_._2._1).sum
     val loadEnd = loadavg()
     val probeEnd = cpuProbe(cpus.toInt)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"retried_first_pass_sec":$retriedJson,"warmup_sec":$warmupSec,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"cpu_probe_start_sec":$probeStart,"cpu_probe_end_sec":$probeEnd,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"retried_first_pass_sec":$retriedJson,"warmup_sec":$warmupSec,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"cpu_probe_start_sec":$probeStart,"cpu_probe_end_sec":$probeEnd,"sf":"$sfDir"}"""
+    // the full line (~2.5 KB at 76 queries) outgrew the driver's 2000-char
+    // stdout tail, which cut its head off and made BENCH parse null. Two
+    // fixes: the complete record also goes to a file, and the LAST stdout
+    // line is a compact summary (total + slowest 10 queries) guaranteed to
+    // fit whole inside any tail window.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
+    println(full)
+    val slowest = results.sortBy(-_._2._1).take(10).map { case (k, (sec, err)) =>
+      "\"" + k + "\":" + (if (err.isEmpty) math.rint(sec * 1000) / 1000 else -1.0)
+    }.mkString("{", ",", "}")
+    val nErr = results.count(_._2._2.nonEmpty)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_errors":$nErr,"warmup_sec":$warmupSec,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"cpu_probe_start_sec":$probeStart,"cpu_probe_end_sec":$probeEnd,"sf":"$sfDir","note":"queries holds the 10 slowest; full per-query JSON in $outPath and the previous stdout line"}""")
     spark.stop()
   }
 }

@@ -447,6 +447,63 @@ object SparkEntry {
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** ann_ivf_topk oracle, generated AFTER the queries have run (Verify
+    * writes every query result BEFORE dumping oracle_sql.json, and running
+    * ann_ivf_topk trains + memoizes the quantizer): the session's centroid
+    * table is inlined as a (cell, centroid) literal relation — the same
+    * replicate-the-internals contract as [[embeddingNearDupOracle]], which
+    * inlines band arithmetic — and the SQL mirrors argmax cosine cell
+    * assignment, nProbe centroid probing, and the exact per-query top-k,
+    * accumulating every dot product in double left-to-right exactly like
+    * the codegen'd CosineSimilarity. Centroid floats travel as their
+    * shortest round-trip decimal inside a '…'::DOUBLE cast, so DuckDB
+    * reconstructs the identical double each Spark-side float widened to.
+    * Empty when no quantizer was trained this session — the driver then
+    * records its weaker rows-only check, same as before. */
+  private def annIvfOracleEntry: Map[String, String] = {
+    val model = graft.operators.Similarity.lastQuantizer
+    if (model.isEmpty) return Map.empty
+    val cells = model.indices.mkString("[", ", ", "]")
+    val cents = model
+      .map(_.map(f => s"'${f.toDouble}'::DOUBLE").mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+    // double-accumulated left-to-right dot fragments (qe/embedding are
+    // float lists promoted per element; centroid is already a double list)
+    def dotEC(e: String, c: String) =
+      s"list_sum(list_transform(range(64), i -> $e[i+1]::DOUBLE * $c[i+1]))"
+    def dotEE(e: String) =
+      s"list_sum(list_transform(range(64), i -> $e[i+1]::DOUBLE * $e[i+1]::DOUBLE))"
+    def dotCC(c: String) =
+      s"list_sum(list_transform(range(64), i -> $c[i+1] * $c[i+1]))"
+    val sql =
+      s"""WITH cents AS (SELECT unnest($cells) AS cell, unnest($cents) AS centroid),
+         |asgs AS (SELECT e.vec_id, e.embedding, c.cell,
+         |    ${dotEC("e.embedding", "c.centroid")} / sqrt(${dotEE("e.embedding")} * ${dotCC("c.centroid")}) AS cs
+         |  FROM embeddings e CROSS JOIN cents c),
+         |asg AS (SELECT vec_id, embedding, cell FROM (
+         |    SELECT vec_id, embedding, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS ark FROM asgs)
+         |  WHERE ark = 1),
+         |prs AS (SELECT q.vec_id AS query_id, q.embedding AS qe, c.cell,
+         |    ${dotEC("q.embedding", "c.centroid")} / sqrt(${dotEE("q.embedding")} * ${dotCC("c.centroid")}) AS cd
+         |  FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 5),
+         |probes AS (SELECT query_id, qe, cell FROM (
+         |    SELECT query_id, qe, cell,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cd DESC, cell) AS prk FROM prs)
+         |  WHERE prk <= 2),
+         |s AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    ${dotEC("p.qe", "a.embedding") /* both float lists: cast both sides */
+            .replace("a.embedding[i+1]", "a.embedding[i+1]::DOUBLE")} AS dp,
+         |    ${dotEE("p.qe")} AS nq, ${dotEE("a.embedding")} AS nn
+         |  FROM probes p JOIN asg a ON a.cell = p.cell AND a.vec_id != p.query_id),
+         |r AS (SELECT query_id, neighbor_id, dp / sqrt(nq * nn) AS cs,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dp / sqrt(nq * nn) DESC, neighbor_id) AS rank
+         |  FROM s)
+         |SELECT query_id, neighbor_id, rank, round(cs, 4) AS cos_sim
+         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    Map("ann_ivf_topk" -> sql)
+  }
+
   private def imageMetaOracle: String = {
     def nib(i: Int) = s"(strpos('0123456789abcdef', substr(md5(text), $i, 1)) - 1)"
     s"""SELECT doc_id, CAST(32 * (1 + ${nib(1)}) AS BIGINT) AS width,

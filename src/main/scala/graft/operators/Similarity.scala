@@ -55,12 +55,24 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Spread a narrow input across the session's parallelism WITHOUT
+    * collapsing an already-parallel scan: repartition only when the
+    * input arrives with fewer partitions than
+    * `sparkContext.defaultParallelism`. A 100 TB corpus scan arrives
+    * with far more splits than cores, so no exchange is added and the
+    * embedding column is never shuffled; a single-split local test file
+    * widens so the broadcast-probe stage isn't single-threaded. */
+  private def spreadToParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exact brute-force cosine top-k for a small query set
     * (vec_id < nQueries), excluding self. */
   def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
     val queries = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val corpus = embeddings.repartition(32) // single-split local file → spread the scan side
+    val corpus = spreadToParallelism(embeddings)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
     val scored = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim_raw", CosineSimilarity.cosineFast(col("qe"), col("ne")))
@@ -181,13 +193,25 @@ object Similarity {
   }
 
   /** Drop the memoized quantizers (benchmark hygiene — see
-    * [[graft.operators.Dedup.clearSessionState]]). */
+    * [[graft.operators.Dedup.clearSessionState]]). `lastTrained` survives
+    * on purpose: it feeds oracle GENERATION (SparkEntry reads it after
+    * Verify has run the queries), not query execution. */
   def clearSessionState(): Unit = ivfModelCache.clear()
+
+  /** The most recently trained/loaded quantizer this session. Verify runs
+    * every query BEFORE dumping oracle SQL, so by the time SparkEntry's
+    * ann_ivf_topk oracle generator reads this, it holds exactly the
+    * centroid table the query searched with — letting the DuckDB oracle
+    * inline the model and replicate assignment + probing bit-for-bit. */
+  @volatile private var lastTrained: Array[Array[Float]] = Array.empty
+  def lastQuantizer: Array[Array[Float]] = lastTrained
 
   /** Train (or reuse the memoized) coarse quantizer for a corpus. */
   def quantizerFor(embeddings: DataFrame, nCells: Int = 16): Array[Array[Float]] = {
     val planKey = embeddings.queryExecution.analyzed.canonicalized
-    ivfModelCache.getOrElseUpdate((planKey, nCells), trainQuantizer(embeddings, nCells))
+    val m = ivfModelCache.getOrElseUpdate((planKey, nCells), trainQuantizer(embeddings, nCells))
+    lastTrained = m
+    m
   }
 
   /** Persist the quantizer as a model ARTIFACT — a tiny (cell, centroid)

@@ -42,6 +42,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("crc32"), "salted pre-reduce window missing")
   }
 
+  test("brute-force ANN widens a narrow scan to session parallelism, never a fixed width") {
+    // single-split local file → spread to defaultParallelism (not a constant)
+    val par = spark.sparkContext.defaultParallelism
+    val p = plan("ann_bruteforce_topk")
+    assert(p.contains(s"RoundRobinPartitioning($par"),
+      "narrow input must widen to the session's parallelism")
+  }
+
+  test("brute-force ANN never collapses an already-parallel scan with a repartition") {
+    // at 100 TB the scan arrives with more splits than cores; the operator
+    // must add NO round-robin exchange there (round 3's #1 defect: a
+    // hardcoded repartition(32) would collapse the scan to 32 tasks)
+    import org.apache.spark.sql.functions.col
+    val par = spark.sparkContext.defaultParallelism
+    val wide = spark.range(0, 256, 1, par * 2)
+      .selectExpr("id AS vec_id",
+        "transform(sequence(1, 8), j -> cast(pmod(id * j, 7) - 3 AS DOUBLE)) AS embedding")
+    val pw = graft.operators.Similarity.bruteForceTopK(wide, nQueries = 3, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(!pw.contains("RoundRobinPartitioning"),
+      "operator repartitioned an input that already had >= parallelism partitions")
+  }
+
   test("per-source moments broadcast back over the scan, not the reverse") {
     assert(plan("length_outlier_stats").contains("BroadcastHashJoin"))
   }
