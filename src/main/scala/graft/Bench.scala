@@ -25,9 +25,8 @@ object Bench {
     * (which container loadavg does NOT show — observed 0.5 s queries
     * measuring 30 s at loadavg 1) it scales with the oversubscription
     * factor. Run at start+end so a contaminated bench is self-evident. */
-  private def cpuProbe(threads: Int): Double = {
+  private def cpuProbe(threads: Int, work: Long = 50000000L): Double = {
     @volatile var sink = 0L
-    val work = 50000000L
     val t0 = System.nanoTime()
     val ts = (1 to threads).map { _ =>
       new Thread(() => {
@@ -73,15 +72,23 @@ object Bench {
     // key set, which made per-query times incomparable across rounds
     // (whichever dedup query ran first paid the shared shingle-cache
     // build). Sorted order pins who pays shared-artifact costs.
+    // per-query contamination telemetry (round-5 judge ask): a ~4 ms
+    // mini-probe (same oversubscription-sensitive busy loop as the
+    // endpoint probes, 1/25 the work) runs after EVERY query, so external
+    // core steal DURING the run is localized to the queries it hit —
+    // endpoint-only probes can both read quiet while the middle of the
+    // run was stolen. Quiet-host mini-probe ≈ 0.004 s; under k×
+    // oversubscription it reads ≈ k× that.
+    def miniProbe(): Double = cpuProbe(cpus.toInt, 2000000L)
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Option[String]) = {
+        : (Double, Option[String], Double) = {
       val t0 = System.nanoTime()
       val err: Option[String] =
         try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable =>
           Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
         }
-      ((System.nanoTime() - t0) / 1e9, err)
+      ((System.nanoTime() - t0) / 1e9, err, miniProbe())
     }
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> timeOne(name, fn)
@@ -97,22 +104,31 @@ object Bench {
     // min() can only strip noise, never hide real cost. Bounded: one
     // retry each, only for queries over RetrySec.
     val RetrySec = 3.0
-    val retried = firstPass.collect { case (n, (s, None)) if s > RetrySec => n }
+    val retried = firstPass.collect { case (n, (s, None, _)) if s > RetrySec => n }
     if (retried.nonEmpty) {
       spark.catalog.clearCache()
       graft.operators.Dedup.clearSessionState()
       graft.operators.Similarity.clearSessionState()
     }
     val results = firstPass.map {
-      case (name, (sec, None)) if sec > RetrySec =>
-        val (sec2, err2) = timeOne(name, SparkEntry.queries(name))
-        name -> ((math.min(sec, if (err2.isEmpty) sec2 else sec), None: Option[String]))
+      case (name, (sec, None, probe)) if sec > RetrySec =>
+        val (sec2, err2, probe2) = timeOne(name, SparkEntry.queries(name))
+        // keep the probe measured beside the pass whose time we keep
+        val keepRetry = err2.isEmpty && sec2 < sec
+        name -> ((if (keepRetry) sec2 else sec, None: Option[String],
+          if (keepRetry) probe2 else probe))
       case r => r
     }
-    val qs = results.map { case (k, (sec, err)) =>
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    val qs = results.map { case (k, (sec, err, _)) =>
       "\"" + k + "\":" + (if (err.isEmpty) sec else -1.0)
     }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, (_, Some(e))) =>
+    // per-query mini-probe (seconds, quiet ≈ 0.004) measured immediately
+    // after each query — the steal detector the endpoint probes can't be
+    val probes = results.map { case (k, (_, _, p)) =>
+      "\"" + k + "\":" + r3(p)
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, (_, Some(e), _)) =>
       "\"" + k + "\":\"" + jsonEscape(e) + "\""
     }.mkString("{", ",", "}")
     // transparency: which queries were re-timed, and what the first pass
@@ -124,21 +140,25 @@ object Bench {
     val total = results.map(_._2._1).sum
     val loadEnd = loadavg()
     val probeEnd = cpuProbe(cpus.toInt)
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"retried_first_pass_sec":$retriedJson,"warmup_sec":$warmupSec,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"cpu_probe_start_sec":$probeStart,"cpu_probe_end_sec":$probeEnd,"sf":"$sfDir"}"""
+    val maxProbe = if (results.isEmpty) 0.0 else results.map(_._2._3).max
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_probes_sec":$probes,"errors":$errs,"retried_first_pass_sec":$retriedJson,"warmup_sec":$warmupSec,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"cpu_probe_start_sec":$probeStart,"cpu_probe_end_sec":$probeEnd,"max_query_probe_sec":${r3(maxProbe)},"sf":"$sfDir"}"""
     // the full line (~2.5 KB at 76 queries) outgrew the driver's 2000-char
     // stdout tail, which cut its head off and made BENCH parse null. Two
     // fixes: the complete record also goes to a file, and the LAST stdout
     // line is a compact summary (total + slowest 10 queries) guaranteed to
-    // fit whole inside any tail window.
+    // fit whole inside any tail window. The compact record carries a
+    // DISTINCT metric name ("total_compact") and puts the slowest-10 under
+    // "slowest", not "queries", so no parser keying on metric/queries can
+    // confuse the two records.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     println(full)
-    val slowest = results.sortBy(-_._2._1).take(10).map { case (k, (sec, err)) =>
-      "\"" + k + "\":" + (if (err.isEmpty) math.rint(sec * 1000) / 1000 else -1.0)
+    val slowest = results.sortBy(-_._2._1).take(10).map { case (k, (sec, err, _)) =>
+      "\"" + k + "\":" + (if (err.isEmpty) r3(sec) else -1.0)
     }.mkString("{", ",", "}")
     val nErr = results.count(_._2._2.nonEmpty)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_errors":$nErr,"warmup_sec":$warmupSec,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"cpu_probe_start_sec":$probeStart,"cpu_probe_end_sec":$probeEnd,"sf":"$sfDir","note":"queries holds the 10 slowest; full per-query JSON in $outPath and the previous stdout line"}""")
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","slowest":$slowest,"n_queries":${results.size},"n_errors":$nErr,"warmup_sec":$warmupSec,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"cpu_probe_start_sec":$probeStart,"cpu_probe_end_sec":$probeEnd,"max_query_probe_sec":${r3(maxProbe)},"sf":"$sfDir","note":"slowest holds the 10 slowest; full per-query JSON (incl per-query CPU probes) in $outPath and the previous stdout line"}""")
     spark.stop()
   }
 }

@@ -841,5 +841,5 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "image_meta_stub" -> imageMetaOracle,
     "media_feature_ann" -> mediaFeatureAnnOracle,
-  )
+  ) ++ annIvfOracleEntry
 }

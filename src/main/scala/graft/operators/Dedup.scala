@@ -33,12 +33,25 @@ import graft.functions.TextFunctions.normText
   */
 object Dedup {
 
-  /** Drop the session-scoped memoized artifacts (pair graph, cluster
-    * maps). Benchmark hygiene: lets a re-measurement start cold, so
-    * repeated timings are comparable to first runs. */
+  /** DataFrames this object persisted into the CacheManager, so
+    * [[clearSessionState]] can actually evict them — unpersist is keyed by
+    * the DataFrame's plan, so holding the handles is the only way to clear
+    * entries we created without nuking caches we don't own. */
+  private val tracked = scala.collection.mutable.ArrayBuffer[DataFrame]()
+
+  /** Drop the session-scoped memoized artifacts: pair graph, cluster maps,
+    * AND the persisted shingle cache (pre-round-6 this left the
+    * CacheManager entry pinned for the session — a 100 TB leak, and it
+    * made Bench's "cold" retries ride a warm shingle cache). Benchmark
+    * hygiene: lets a re-measurement start cold, so repeated timings are
+    * comparable to first runs. */
   def clearSessionState(): Unit = {
     pairCache.clear()
     clusterCache.clear()
+    synchronized {
+      tracked.foreach(df => try df.unpersist(blocking = false) catch { case _: Throwable => () })
+      tracked.clear()
+    }
   }
 
   /** Distinct whitespace tokens of the normalized text, one row per
@@ -72,6 +85,7 @@ object Dedup {
   def shingleArraysCached(documents: DataFrame): DataFrame = {
     val df = shingleArrays(documents)
     df.persist(StorageLevel.MEMORY_AND_DISK)
+    synchronized { tracked += df }
     df
   }
 
@@ -485,34 +499,40 @@ object Dedup {
     * enforced by a measured property test over synthetic pairs planted
     * just above the threshold (DedupSpec), not by corpus luck. A
     * production near-dup pass at cos ≥ 0.9 (θ=26°: per-bit p≈0.86)
-    * would widen to 8×8-bit bands for ~3% candidate volume at ≥93%
-    * recall — same plan, different constants. Threshold 0.5 on isotropic
+    * widens to 8×8-bit bands for ~3% candidate volume at ≥93% recall —
+    * same plan, different constants, exposed as the `bands`/`bits`
+    * parameters of [[embeddingNearDup]] (both configurations are
+    * recall-property-tested in DedupSpec). Threshold 0.5 on isotropic
     * vectors is the worst case for any LSH family; the point is the plan
     * SHAPE: sketch → band equi-join → verify, no nested-loop pair join
     * anywhere. */
   val EmbBandBits = 5
   val EmbBands = 12
 
-  private def embBandKey(emb: Column, band: Int): Column =
-    (0 until EmbBandBits)
+  private def embBandKey(emb: Column, band: Int, bits: Int): Column =
+    (0 until bits)
       // try_element_at: a vector shorter than the band range contributes 0
       // bits (null comparison is falsy) instead of an ANSI index error
-      .map(j => when(try_element_at(emb, lit(band * EmbBandBits + j + 1)) >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .map(j => when(try_element_at(emb, lit(band * bits + j + 1)) >= 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
 
   /** Embedding-cosine near-dup pairs: banded sign-LSH candidate
     * generation (equi-join on 1-byte band keys), then exact cosine verify
     * (codegen'd fused dot, double accumulation) within candidates only.
-    * Norms are computed once per vector, before the pair join. */
-  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.5): DataFrame = {
+    * Norms are computed once per vector, before the pair join.
+    * `bands`×`bits` is the recall/selectivity dial (see the banding note
+    * above): the 12×5 default suits boundary recall at cos 0.5; a
+    * cos ≥ 0.9 production pass should pass bands=8, bits=8. */
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.5,
+                       bands: Int = EmbBands, bits: Int = EmbBandBits): DataFrame = {
     import graft.plans.DotProduct.dot
     val base = embeddings.select(col("vec_id"), col("embedding"),
       dot(col("embedding"), col("embedding")).as("nrm"))
-    val bandCols = array((0 until EmbBands).map(b => embBandKey(col("embedding"), b)): _*)
-    val bands = base.select(col("vec_id"), posexplode(bandCols))
+    val bandCols = array((0 until bands).map(b => embBandKey(col("embedding"), b, bits)): _*)
+    val bandRows = base.select(col("vec_id"), posexplode(bandCols))
       .toDF("vec_id", "band_idx", "band_key")
-    val candidates = bands.as("a")
-      .join(bands.as("b"),
+    val candidates = bandRows.as("a")
+      .join(bandRows.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.vec_id") < col("b.vec_id"))

@@ -55,6 +55,30 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Estimated scan width of `df`, read off the OPTIMIZED LOGICAL leaves —
+    * deliberately not `df.rdd.getNumPartitions`, which builds a second
+    * physical lineage and, under AQE (default-on in Spark 4), finalizing
+    * that plan can eagerly execute upstream shuffle stages for non-scan
+    * inputs. File relations estimate bytes/maxPartitionBytes (the same
+    * arithmetic FilePartition uses, as a split-count lower bound — all the
+    * caller needs is "narrow or not"); Range carries its slice count;
+    * driver-local rows are always narrow; any other leaf is assumed wide
+    * so no exchange is ever added on a guess. */
+  private def inputWidthEstimate(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val conf = df.sparkSession.sessionState.conf
+    df.queryExecution.optimizedPlan.collectLeaves().map {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation =>
+          math.max(1L, fs.location.sizeInBytes / math.max(1L, conf.filesMaxPartitionBytes))
+        case _ => Long.MaxValue // non-file relation: assume wide, add no exchange
+      }
+      case r: org.apache.spark.sql.catalyst.plans.logical.Range =>
+        r.numSlices.getOrElse(df.sparkSession.sparkContext.defaultParallelism).toLong
+      case _ => 1L // LocalRelation etc: driver-local rows, always narrow
+    }.maxOption.getOrElse(1L)
+  }
+
   /** Spread a narrow input across the session's parallelism WITHOUT
     * collapsing an already-parallel scan: repartition only when the
     * input arrives with fewer partitions than
@@ -64,7 +88,7 @@ object Similarity {
     * widens so the broadcast-probe stage isn't single-threaded. */
   private def spreadToParallelism(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (inputWidthEstimate(df) < target) df.repartition(target) else df
   }
 
   /** Exact brute-force cosine top-k for a small query set
@@ -198,19 +222,26 @@ object Similarity {
     * Verify has run the queries), not query execution. */
   def clearSessionState(): Unit = ivfModelCache.clear()
 
-  /** The most recently trained/loaded quantizer this session. Verify runs
+  /** The quantizer the session's IVF query searched with. Verify runs
     * every query BEFORE dumping oracle SQL, so by the time SparkEntry's
     * ann_ivf_topk oracle generator reads this, it holds exactly the
     * centroid table the query searched with — letting the DuckDB oracle
-    * inline the model and replicate assignment + probing bit-for-bit. */
+    * inline the model and replicate assignment + probing bit-for-bit.
+    * Guarded against the two ways a single mutable slot could lie:
+    * empty-corpus training never overwrites a real model, and once TWO
+    * distinct (corpus, nCells) quantizers have been trained the slot
+    * reports empty — the oracle then degrades to the rows-only check
+    * instead of silently verifying against the wrong centroids. */
   @volatile private var lastTrained: Array[Array[Float]] = Array.empty
-  def lastQuantizer: Array[Array[Float]] = lastTrained
+  @volatile private var trainedKeys: Set[Any] = Set.empty
+  def lastQuantizer: Array[Array[Float]] =
+    if (trainedKeys.size > 1) Array.empty else lastTrained
 
   /** Train (or reuse the memoized) coarse quantizer for a corpus. */
   def quantizerFor(embeddings: DataFrame, nCells: Int = 16): Array[Array[Float]] = {
     val planKey = embeddings.queryExecution.analyzed.canonicalized
     val m = ivfModelCache.getOrElseUpdate((planKey, nCells), trainQuantizer(embeddings, nCells))
-    lastTrained = m
+    if (m.nonEmpty) synchronized { trainedKeys += ((planKey, nCells)); lastTrained = m }
     m
   }
 
@@ -240,9 +271,10 @@ object Similarity {
     * sample-trained and memoized ([[trainQuantizer]]); cell assignment is
     * one broadcast-centroid codegen map pass over the corpus — no
     * training jobs, no shuffle.
-    * Not oracle-checked (quantizer internals aren't SQL) — covered by
-    * rows-only check + the brute-force score-agreement test in
-    * OperatorSpec. */
+    * Oracle-checked: SparkEntry's ann_ivf_topk oracle inlines the
+    * session-trained centroid table ([[lastQuantizer]]) into DuckDB SQL
+    * that replicates assignment, probing, and top-k bit-for-bit; the
+    * brute-force score-agreement test in OperatorSpec covers recall. */
   def ivfTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 3,
               nCells: Int = 16, nProbe: Int = 2): DataFrame =
     ivfTopKWith(embeddings, quantizerFor(embeddings, nCells), nQueries, k, nProbe)

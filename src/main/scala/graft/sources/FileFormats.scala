@@ -40,6 +40,19 @@ object FileFormats {
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
 
+  /** Write a sorted bucketed table: `buckets` files per bucket key hash,
+    * rows sorted by `key` within each bucket. The shuffle is paid ONCE at
+    * write time; every later equi-join on `key` between tables bucketed
+    * the same way (same key, same bucket count) sort-merge joins with
+    * ZERO exchanges — the layout for repeated fact ⋈ fact joins at 100 TB
+    * where neither side broadcasts (BucketingSpec asserts the
+    * exchange-free plan). Registered as a catalog table because bucket
+    * metadata lives in the catalog, not in the parquet footers. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+
   /** Round-trip helpers for the events table (the reference's native
     * record stream): JSONL out and back with identical rows. Timestamps
     * travel as epoch micros (a long) — ISO strings lose sub-second

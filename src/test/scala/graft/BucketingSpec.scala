@@ -13,10 +13,8 @@ class BucketingSpec extends SparkSpec {
   test("bucketed-by-key tables sort-merge join with zero shuffle exchanges") {
     val orders = Tables.orders(spark, Sf0001)
     val customer = Tables.customer(spark, Sf0001)
-    orders.write.mode("overwrite")
-      .bucketBy(4, "o_custkey").sortBy("o_custkey").saveAsTable("orders_bkt")
-    customer.write.mode("overwrite")
-      .bucketBy(4, "c_custkey").sortBy("c_custkey").saveAsTable("customer_bkt")
+    graft.sources.FileFormats.writeBucketed(orders, "orders_bkt", "o_custkey", 4)
+    graft.sources.FileFormats.writeBucketed(customer, "customer_bkt", "c_custkey", 4)
     // force the shuffle-exposing path: no broadcast, no AQE re-planning
     val conf = spark.conf
     val prevBc = conf.get("spark.sql.autoBroadcastJoinThreshold")

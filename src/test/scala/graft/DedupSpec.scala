@@ -100,49 +100,85 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dedupClusters(distinctDocs).count() === 0L)
   }
 
-  /** JVM-side replica of [[Dedup.embBandKey]] — same constants, same
+  test("clearSessionState unpersists the shingle cache (CacheManager empty after clear)") {
+    spark.catalog.clearCache() // normalize: drop anything earlier suites cached
+    Dedup.shingleArraysCached(fixture).count()
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "shingleArraysCached must register a CacheManager entry")
+    Dedup.clearSessionState()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "clearSessionState must unpersist every DataFrame Dedup persisted")
+  }
+
+  /** JVM-side replica of [[Dedup.embBandKey]] — same arithmetic, same
     * missing-element semantics (index past the vector contributes no bit). */
-  private def bandKeys(v: Array[Double]): Seq[Long] =
-    (0 until Dedup.EmbBands).map { b =>
-      (0 until Dedup.EmbBandBits).map { j =>
-        val idx = b * Dedup.EmbBandBits + j
+  private def bandKeys(v: Array[Double], bands: Int, bits: Int): Seq[Long] =
+    (0 until bands).map { b =>
+      (0 until bits).map { j =>
+        val idx = b * bits + j
         if (idx < v.length && v(idx) >= 0) 1L << j else 0L
       }.sum
     }
-  private def bandCollide(a: Array[Double], b: Array[Double]): Boolean =
-    bandKeys(a).zip(bandKeys(b)).exists { case (x, y) => x == y }
+  private def bandCollide(a: Array[Double], b: Array[Double], bands: Int, bits: Int): Boolean =
+    bandKeys(a, bands, bits).zip(bandKeys(b, bands, bits)).exists { case (x, y) => x == y }
 
-  test("sign-LSH banding recall: measured ≈81% on pairs planted just above cos 0.5") {
-    // The operator's recall claim, enforced instead of corpus-luck: pairs
-    // at the worst spot of the contract (cos barely over the threshold)
-    // must band-collide at the rate the 12×5-bit math predicts
-    // (per-bit 1-θ/π ≈ 2/3, per-band (2/3)^5 ≈ 0.13, 1-(1-0.13)^12 ≈ 0.81),
-    // and unrelated pairs must NOT degenerate into near-all-pairs
-    // candidates (expected 1-(31/32)^12 ≈ 0.32).
-    val rnd = new scala.util.Random(12345)
-    def unit(): Array[Double] = {
-      val v = Array.fill(64)(rnd.nextGaussian())
-      val n = math.sqrt(v.map(x => x * x).sum)
-      v.map(_ / n)
-    }
-    def pairAtCos(c: Double): (Array[Double], Array[Double]) = {
-      val u = unit()
-      val r = unit()
-      val d = u.zip(r).map { case (x, y) => x * y }.sum
-      val perp = r.zip(u).map { case (y, x) => y - d * x }
-      val pn = math.sqrt(perp.map(x => x * x).sum)
-      val p = perp.map(_ / pn)
-      (u, u.zip(p).map { case (x, y) => c * x + math.sqrt(1 - c * c) * y })
-    }
+  private val rnd = new scala.util.Random(12345)
+  private def unit(): Array[Double] = {
+    val v = Array.fill(64)(rnd.nextGaussian())
+    val n = math.sqrt(v.map(x => x * x).sum)
+    v.map(_ / n)
+  }
+  private def pairAtCos(c: Double): (Array[Double], Array[Double]) = {
+    val u = unit()
+    val r = unit()
+    val d = u.zip(r).map { case (x, y) => x * y }.sum
+    val perp = r.zip(u).map { case (y, x) => y - d * x }
+    val pn = math.sqrt(perp.map(x => x * x).sum)
+    val p = perp.map(_ / pn)
+    (u, u.zip(p).map { case (x, y) => c * x + math.sqrt(1 - c * c) * y })
+  }
+
+  /** The banding recall claim, enforced instead of corpus-luck: pairs
+    * planted at the worst spot of the contract (cos barely over the
+    * threshold) must band-collide at the rate the sign-LSH math predicts
+    * (per-bit 1-θ/π, per-band p^bits, recall 1-(1-p^bits)^bands), and
+    * unrelated isotropic pairs must NOT degenerate into near-all-pairs. */
+  private def bandRecallCheck(bands: Int, bits: Int, cosLo: Double,
+                              recallLo: Double, recallHi: Double, unrelatedMax: Double): Unit = {
     val n = 500
     val boundary = (1 to n).count { _ =>
-      val (a, b) = pairAtCos(0.5 + 0.05 * rnd.nextDouble())
-      bandCollide(a, b)
+      val (a, b) = pairAtCos(cosLo + 0.03 * rnd.nextDouble())
+      bandCollide(a, b, bands, bits)
     }.toDouble / n
-    assert(boundary >= 0.70 && boundary <= 0.93,
-      s"boundary-pair band recall $boundary outside the documented ≈0.81 range")
-    val unrelated = (1 to n).count(_ => bandCollide(unit(), unit())).toDouble / n
-    assert(unrelated <= 0.45,
-      s"unrelated-pair candidate rate $unrelated — banding has degenerated toward all-pairs")
+    assert(boundary >= recallLo && boundary <= recallHi,
+      s"$bands×$bits boundary recall $boundary at cos≈$cosLo outside [$recallLo, $recallHi]")
+    val unrelated = (1 to n).count(_ => bandCollide(unit(), unit(), bands, bits)).toDouble / n
+    assert(unrelated <= unrelatedMax,
+      s"$bands×$bits unrelated candidate rate $unrelated — banding degenerated toward all-pairs")
+  }
+
+  test("sign-LSH banding recall: default 12×5 measures ≈81% just above cos 0.5") {
+    // per-bit 1-θ/π ≈ 2/3 at θ=60°, per-band (2/3)^5 ≈ 0.13,
+    // 1-(1-0.13)^12 ≈ 0.81; unrelated expectation 1-(31/32)^12 ≈ 0.32
+    bandRecallCheck(Dedup.EmbBands, Dedup.EmbBandBits, 0.5,
+      recallLo = 0.70, recallHi = 0.93, unrelatedMax = 0.45)
+  }
+
+  test("sign-LSH banding recall: production 8×8 measures ≈93% just above cos 0.9") {
+    // per-bit 1-θ/π ≈ 0.856 at θ≈26°, per-band 0.856^8 ≈ 0.29,
+    // 1-(1-0.29)^8 ≈ 0.93; unrelated expectation 1-(255/256)^8 ≈ 0.03
+    bandRecallCheck(8, 8, 0.9,
+      recallLo = 0.85, recallHi = 0.99, unrelatedMax = 0.10)
+  }
+
+  test("embeddingNearDup with 8×8 bands finds parallel vectors at threshold 0.9") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.99f, 0.14f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDup(vecs, 0.9, bands = 8, bits = 8).collect()
+      .map { case Row(a: Long, b: Long, _) => (a, b) }.toSet
+    assert(got === Set((0L, 1L)))
   }
 }

@@ -97,6 +97,16 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("ann_ivf_topk oracle is wired: after the query runs, oracleSql embeds the centroids") {
+    // regression guard for the round-5 dead-code bug: the oracle generator
+    // existed but was never merged into oracleSql, so the driver silently
+    // downgraded ann_ivf_topk to a rows-only check
+    assert(SparkEntry.queries("ann_ivf_topk")(spark, Sf0001).count() > 0)
+    val sql = SparkEntry.oracleSql.get("ann_ivf_topk")
+    assert(sql.nonEmpty, "oracleSql must contain ann_ivf_topk once a quantizer is trained")
+    assert(sql.get.contains("'::DOUBLE"), "oracle SQL must inline centroid float literals")
+  }
+
   test("quantizer artifact round-trips through parquet and searches identically") {
     val emb = Tables.embeddings(spark, Sf0001)
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-model").toString
