@@ -30,6 +30,43 @@ object GraftSql {
         |ORDER BY minute""".stripMargin)
   }
 
+  /** A pipeline north-star operator through the SQL surface: brute-force
+    * cosine ANN spelled entirely in `spark.sql`, scoring with the native
+    * codegen'd `cosine_similarity` expression
+    * ([[graft.plans.CosineSimilarity]], registered via
+    * [[graft.plans.GraftExtensions.registerOn]]) and ranking with the same
+    * salted two-stage top-k as the DataFrame operator
+    * ([[graft.operators.Similarity.bruteForceTopK]]): stage 1 ranks inside
+    * 64 crc32 hash buckets of neighbor_id so no task ever sorts a
+    * corpus-sized partition, stage 2 ranks the ≤ 64×k survivors. Row-equal
+    * to the DataFrame path (asserted in OperatorSpec) and shares its
+    * DuckDB oracle. */
+  def annBruteForceSql(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.GraftExtensions.registerOn(spark)
+    registerAll(spark, sfDir)
+    spark.sql(
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS ARRAY<DOUBLE>) AS qe
+        |           FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |         cosine_similarity(q.qe, CAST(c.embedding AS ARRAY<DOUBLE>)) AS cs
+        |  FROM embeddings c JOIN q ON q.query_id != c.vec_id),
+        |loc AS (
+        |  SELECT query_id, neighbor_id, cs,
+        |         row_number() OVER (
+        |           PARTITION BY query_id, pmod(crc32(CAST(neighbor_id AS STRING)), 64)
+        |           ORDER BY cs DESC, neighbor_id) AS lrk
+        |  FROM scored),
+        |rk AS (
+        |  SELECT query_id, neighbor_id, cs,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS LONG) AS rank
+        |  FROM loc WHERE lrk <= 10)
+        |SELECT query_id, neighbor_id, rank, round(cs, 4) AS cos_sim
+        |FROM rk WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin)
+  }
+
   /** Explicit GROUPING SETS (the general form rollup/cube specialize) with
     * grouping_id() disambiguating aggregation level from data NULLs —
     * plans as one Expand + a single shuffle, like rollup/cube. */

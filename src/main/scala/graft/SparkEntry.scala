@@ -97,6 +97,7 @@ object SparkEntry {
     "top_repeated_shingles" -> ((s, d) => TextAnalysis.topRepeatedShingles(Tables.documents(s, d))),
     // ---- similarity search ----
     "ann_bruteforce_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
+    "ann_bruteforce_sql" -> ((s, d) => GraftSql.annBruteForceSql(s, d)),
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
     "ann_lsh_multiprobe_topk" -> ((s, d) => Similarity.lshMultiProbeTopK(Tables.embeddings(s, d))),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
@@ -775,6 +776,9 @@ object SparkEntry {
     "dedup_embedding_cosine" -> embeddingNearDupOracle,
     // ---- similarity search ----
     "ann_bruteforce_topk" -> annBruteForceOracle,
+    // the SQL-surface spelling computes the identical result, so it shares
+    // the DataFrame operator's oracle verbatim
+    "ann_bruteforce_sql" -> annBruteForceOracle,
     "ann_lsh_topk" -> annLshOracle,
     "ann_lsh_multiprobe_topk" -> annLshMultiProbeOracle,
     "ann_bucket_stats" ->

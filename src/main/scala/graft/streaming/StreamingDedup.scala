@@ -31,6 +31,20 @@ object StreamingDedup {
       .dropDuplicatesWithinWatermark("fp")
       .select(col("doc_id"), col("fp"), col("ts"))
 
+  /** [[firstOccurrences]] with the payload kept: emits the surviving
+    * DOCUMENT rows (doc_id, text, ts) instead of fingerprint rows, so the
+    * dedup stage composes with downstream transforms in one topology —
+    * [[StreamingCuration.curate]] chains directly on this for the full
+    * online dedup ∧ quality ∧ language ∧ PII pipeline (state unchanged:
+    * still only the 16-byte fingerprint per doc in the state store; the
+    * text rides the batch, never the state). */
+  def firstOccurrenceDocs(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fp", fingerprint(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+      .select(col("doc_id"), col("text"), col("ts"))
+
   /** Per-batch dedup stats (update mode): how many raw vs distinct docs
     * per minute — the monitoring view of the online dedup. */
   def dedupRates(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =

@@ -97,6 +97,12 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("SQL-surface ANN (ann_bruteforce_sql) is row-equal to the DataFrame operator") {
+    val viaSql = GraftSql.annBruteForceSql(spark, Sf0001).collect().toSeq
+    val viaDf = Similarity.bruteForceTopK(Tables.embeddings(spark, Sf0001)).collect().toSeq
+    assert(viaSql === viaDf)
+  }
+
   test("ann_ivf_topk oracle is wired: after the query runs, oracleSql embeds the centroids") {
     // regression guard for the round-5 dead-code bug: the oracle generator
     // existed but was never merged into oracleSql, so the driver silently

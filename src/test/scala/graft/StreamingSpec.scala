@@ -265,6 +265,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("composed online pipeline: dedup feeds curation in one topology") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{StreamingCuration, StreamingDedup}
+    val in = MemoryStream[(Long, String, Long)]
+    val docs = in.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"),
+        timestamp_seconds(col("_3")).as("ts"))
+    // ONE streaming topology: watermark-bounded first-occurrence dedup
+    // chained into quality/language curation + PII scrub
+    val fused = StreamingCuration.curate(StreamingDedup.firstOccurrenceDocs(docs))
+    val q = fused.writeStream.format("memory").queryName("sfused")
+      .outputMode("append").start()
+    try {
+      val good = "the quick brown fox jumps over a lazy dog and then it runs " +
+        "to the barn where the farmer is reading mail from bob@example.com today"
+      in.addData(
+        (1L, good, w0),
+        (2L, good, w0 + 1),            // exact dup → dropped by the dedup stage
+        (3L, "!!! ??? ***", w0 + 2))   // unique but punctuation soup → curation drop
+      q.processAllAvailable()
+      // norm-dup (case/whitespace) within the watermark → dedup stage drops it
+      in.addData((4L, "  " + good.toUpperCase + "  ", w0 + 30))
+      q.processAllAvailable()
+      val rows = spark.table("sfused").collect()
+        .map(r => (r.getLong(0), r.getString(2)))
+      assert(rows.map(_._1).toSeq === Seq(1L),
+        "exactly the first occurrence of the one high-quality doc survives")
+      assert(rows.head._2.contains("[EMAIL]") && !rows.head._2.contains("bob@"))
+    } finally q.stop()
+  }
+
   test("batch and streaming agree on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val events = Tables.events(spark, Sf0001)
