@@ -111,6 +111,9 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
     "corpus_summary" -> ((s, d) => TextAnalysis.corpusSummary(Tables.documents(s, d))),
     "corpus_sample_stratified" -> ((s, d) => TextAnalysis.stratifiedSample(Tables.documents(s, d))),
+    "train_test_split" -> ((s, d) => TextAnalysis.trainTestSplit(Tables.documents(s, d))),
+    "pack_shards" -> ((s, d) => TextAnalysis.packShards(Tables.documents(s, d))),
+    "dedup_rate_by_source" -> ((s, d) => TextAnalysis.dedupRateBySource(Tables.documents(s, d))),
     "corpus_curated" -> ((s, d) => TextAnalysis.curatedCorpus(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionSignals(Tables.documents(s, d))),
     "pii_scrub_stats" -> ((s, d) =>
@@ -325,6 +328,48 @@ object SparkEntry {
        |WHERE hb < CASE source $rates ELSE ${TextAnalysis.SampleDefaultPct} END
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Mirrors TextAnalysis.splitAssign + trainTestSplit: same salted md5
+    * bucket (first 4 hex nibbles % 100), same split thresholds, token
+    * count as the \S+ regex both engines share. */
+  private def trainTestSplitOracle: String = {
+    def nib(i: Int) = s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)"
+    s"""WITH h AS (SELECT source, text,
+       |    md5('split:' || CAST(doc_id AS VARCHAR)) AS m FROM documents),
+       |b AS (SELECT source, text,
+       |    (${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)}) % 100 AS hb FROM h),
+       |a AS (SELECT source, text,
+       |    CASE WHEN hb < ${TextAnalysis.TestPct} THEN 'test'
+       |         WHEN hb < ${TextAnalysis.TestPct + TextAnalysis.ValidPct} THEN 'valid'
+       |         ELSE 'train' END AS split FROM b)
+       |SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS total_tokens
+       |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Mirrors TextAnalysis.packShards: same block key, same running-offset
+    * shard arithmetic (integer div), same doc_id ordering. */
+  private def packShardsOracle: String =
+    s"""WITH t AS (SELECT doc_id, source, doc_id // ${TextAnalysis.PackBlockDocs} AS block_id,
+       |    len(regexp_extract_all(text, '\\S+')) AS toks FROM documents),
+       |c AS (SELECT doc_id, source, block_id, toks,
+       |    CAST(sum(toks) OVER (PARTITION BY source, block_id ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM t)
+       |SELECT source, CAST(block_id AS BIGINT) AS block_id,
+       |  CAST((cum - toks) // ${TextAnalysis.PackBudgetTokens} AS BIGINT) AS shard_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(toks) AS BIGINT) AS shard_tokens,
+       |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+       |  CAST(max(doc_id) AS BIGINT) AS last_doc
+       |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  private def dedupRateBySourceOracle: String =
+    """WITH f AS (SELECT source,
+      |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp FROM documents)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct,
+      |  CAST((100 * (count(*) - count(DISTINCT fp))) // greatest(count(*), 1) AS BIGINT) AS dup_pct
+      |FROM f GROUP BY source ORDER BY source""".stripMargin
 
   private val QualityScoreSql =
     """round(least(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 20.0, 1.0)
@@ -818,6 +863,9 @@ object SparkEntry {
         |  substr(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), 1, 8) AS fp_prefix
         |FROM documents ORDER BY doc_id""".stripMargin,
     "corpus_sample_stratified" -> stratifiedSampleOracle,
+    "train_test_split" -> trainTestSplitOracle,
+    "pack_shards" -> packShardsOracle,
+    "dedup_rate_by_source" -> dedupRateBySourceOracle,
     "corpus_curated" -> curatedCorpusOracle,
     "text_repetition" -> repetitionOracle,
     "distinctive_terms" -> distinctiveTermsOracle,

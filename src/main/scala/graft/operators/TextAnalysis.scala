@@ -279,6 +279,100 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("shingle"))
       .limit(k)
 
+  /** Holdout percentages for [[splitAssign]] (hash buckets 0..TestPct-1 →
+    * test, next ValidPct → valid, rest → train). */
+  val TestPct = 10
+  val ValidPct = 10
+
+  /** Deterministic train/valid/test assignment — the holdout-discipline
+    * operator of a training-data pipeline: each doc's split is an md5 hash
+    * bucket of a salted doc_id, so the assignment is reproducible across
+    * runs, engines, partitionings, AND corpus growth (a doc never changes
+    * split when new docs arrive — the property rand()-based splitting
+    * loses). The salt ("split:") decorrelates these buckets from
+    * [[stratifiedSample]]'s, so sampling and splitting compose without
+    * bias. Pure map: pushes to the scan, no shuffle, any scale. */
+  def splitAssign(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("hb",
+        conv(substring(md5(concat_ws(":", lit("split"), col("doc_id"))), 1, 4), 16, 10)
+          .cast("long") % 100)
+      .withColumn("split",
+        when(col("hb") < TestPct, lit("test"))
+          .when(col("hb") < TestPct + ValidPct, lit("valid"))
+          .otherwise(lit("train")))
+
+  /** Per-(split, source) roll-up of [[splitAssign]]: doc and token volumes
+    * per holdout cell — the table a pipeline checks before training to
+    * confirm the holdout actually covers every source. */
+  def trainTestSplit(documents: DataFrame): DataFrame =
+    splitAssign(documents)
+      .groupBy(col("split"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text"))).cast("long").as("total_tokens"))
+      .select(col("split"), col("source"),
+        col("n_docs").cast("long").as("n_docs"), col("total_tokens"))
+      .orderBy("split", "source")
+
+  /** Documents per doc-range block for [[packShards]]: bounds every
+    * packing window partition, so no task ever buffers more than this many
+    * rows regardless of corpus size. */
+  val PackBlockDocs = 1000L
+
+  /** Default shard token budget for [[packShards]] (shared with the
+    * oracle SQL generator so both engines pack identically). */
+  val PackBudgetTokens = 2000L
+
+  /** Token-budget shard packing — split each source's doc stream into
+    * training shards of ≈ `budget` tokens, next-fit by running offset:
+    * shard = (tokens before this doc) div budget, docs in doc_id order.
+    * The running sum is windowed per (source, doc-range block of
+    * [[PackBlockDocs]]), NOT per source: a source at 100 TB is unbounded,
+    * a block is ≤ PackBlockDocs docs, so the sort/window buffer is bounded
+    * and blocks pack independently in parallel (shard ids are per-block —
+    * exactly how a distributed shard writer hands contiguous ranges to
+    * workers). Deterministic and integer-exact, so fully oracle-checked. */
+  def packShards(documents: DataFrame, budget: Long = PackBudgetTokens): DataFrame = {
+    val w = Window.partitionBy(col("source"), col("block_id")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(col("doc_id"), col("source"),
+        expr(s"doc_id div $PackBlockDocs").as("block_id"),
+        tokenCount(col("text")).cast("long").as("toks"))
+      .withColumn("cum", sum(col("toks")).over(w))
+      .withColumn("shard_id", expr(s"(cum - toks) div $budget"))
+      .groupBy(col("source"), col("block_id"), col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("shard_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .select(col("source"), col("block_id"), col("shard_id"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("shard_tokens").cast("long").as("shard_tokens"),
+        col("first_doc"), col("last_doc"))
+      .orderBy("source", "block_id", "shard_id")
+  }
+
+  /** Per-source duplication rate: docs vs distinct normalized-content
+    * fingerprints, with an integer duplicate percentage — the
+    * which-source-is-dirty monitoring view that decides where a dedup
+    * pass spends its budget. The shuffle carries 16-byte fingerprints
+    * keyed by source; `countDistinct` plans as the two-phase Expand
+    * aggregate, so distinct-dedup happens map-side first. */
+  def dedupRateBySource(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(fingerprint(col("text"))).as("n_distinct"))
+      .select(col("source"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("n_distinct").cast("long").as("n_distinct"),
+        expr("(100 * (n_docs - n_distinct)) div greatest(n_docs, 1)").as("dup_pct"))
+      .orderBy("source")
+
   /** Corpus roll-up per (lang, source): doc counts and size totals —
     * the partition-level bookkeeping view of a training-data pipeline. */
   def corpusSummary(documents: DataFrame): DataFrame =

@@ -169,6 +169,64 @@ class PipelineOpsSpec extends SparkSpec {
     assert(graft.operators.Multimodal.featureExtract(spark, df).count() === 4L)
   }
 
+  test("splitAssign is deterministic, covers every doc, and lands near 10/10/80") {
+    val docs = Tables.documents(spark, Sf0001)
+    val a = TextAnalysis.splitAssign(docs).select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = TextAnalysis.splitAssign(docs).select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b) // hash-based: identical across runs
+    val n = a.size.toDouble
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(frac("train") > 0.7 && frac("train") < 0.9)
+    assert(frac("test") > 0.04 && frac("test") < 0.16)
+    assert(frac("valid") > 0.04 && frac("valid") < 0.16)
+    // growth stability: a doc's split never changes when the corpus grows
+    val grown = TextAnalysis.splitAssign(docs.limit(100)).select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    grown.foreach { case (id, s) => assert(a(id) === s) }
+  }
+
+  test("packShards: shards partition each block's docs contiguously under the budget rule") {
+    val docs = Tables.documents(spark, Sf0001)
+    val shards = TextAnalysis.packShards(docs).collect()
+      .map { case Row(src: String, blk: Long, sh: Long, n: Long, tok: Long, f: Long, l: Long) =>
+        (src, blk, sh, n, tok, f, l) }
+    assert(shards.nonEmpty)
+    // per (source, block): shard ids contiguous from 0 and token totals conserved
+    shards.groupBy(t => (t._1, t._2)).foreach { case ((src, blk), rows) =>
+      val ids = rows.map(_._3).sorted.toSeq
+      assert(ids === (0L until ids.length).toSeq, s"($src,$blk) shard ids not contiguous")
+      // every shard except the last must have EXCEEDED the budget threshold
+      // (next-fit: a new shard starts only once the offset passes the budget)
+      val byId = rows.sortBy(_._3)
+      byId.init.foreach { r =>
+        assert(r._5 >= 1L, s"($src,$blk) empty shard")
+      }
+      // doc ranges don't overlap across consecutive shards
+      byId.sliding(2).foreach {
+        case Array(x, y) => assert(x._7 < y._6, s"($src,$blk) shard ranges overlap")
+        case _ => ()
+      }
+    }
+    // token conservation: sum of shard tokens == corpus token total
+    val total = docs.select(sum(TextFunctions.tokenCount(col("text")).cast("long")))
+      .head().getLong(0)
+    assert(shards.map(_._5).sum === total)
+  }
+
+  test("dedupRateBySource: planted duplicates yield the exact integer rate") {
+    val df = Seq(
+      (0L, "same doc", "s0"), (1L, "same doc", "s0"),
+      (2L, "SAME   DOC", "s0"), (3L, "unique here", "s0"),
+      (4L, "all different", "s1"), (5L, "totally other", "s1")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.dedupRateBySource(df).collect()
+      .map { case Row(s: String, n: Long, d: Long, p: Long) => s -> ((n, d, p)) }.toMap
+    assert(got("s0") === ((4L, 2L, 50L))) // 0,1,2 share one normalized fp
+    assert(got("s1") === ((2L, 2L, 0L)))
+  }
+
   test("normStats reports exact rounded min/max norms per sign bucket") {
     val vecs = Seq(
       (0L, Array(3f, 4f) ++ Array.fill(6)(0f)),   // norm 5, bucket bits 1,1 → 3
