@@ -65,6 +65,14 @@ class PlanShapeSpec extends SparkSpec {
       "operator repartitioned an input that already had >= parallelism partitions")
   }
 
+  test("shard packing windows per bounded doc-range block, never per whole source") {
+    // the running-sum window must be keyed (source, block_id): a window
+    // keyed by source alone would buffer an entire source in one task
+    val p = plan("pack_shards")
+    assert(p.contains("block_id"), "bounded block key missing from the packing window")
+    assert(p.contains("hashpartitioning(source"), "window partitioning missing")
+  }
+
   test("per-source moments broadcast back over the scan, not the reverse") {
     assert(plan("length_outlier_stats").contains("BroadcastHashJoin"))
   }
