@@ -73,6 +73,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(source"), "window partitioning missing")
   }
 
+  test("plan lint over EVERY query: no cartesian; nested-loop only on broadcast-bounded sides") {
+    // corpus-wide guard: the per-operator tests above pin known shapes,
+    // this sweep catches a scale-killer sneaking into ANY of the ~80
+    // queries. BroadcastNestedLoopJoin is allowed only where the
+    // broadcast side is bounded by construction (listed with its bound).
+    val nlAllowed = Map(
+      "mixture_weights" -> "1-row totals broadcast",
+      "order_value_percentiles" -> "20 percentile targets broadcast",
+      "order_value_percentiles_approx" -> "20 percentile targets broadcast",
+      "ann_ivf_topk" -> "nCells=16 centroid table broadcast",
+      "ann_bruteforce_topk" -> "nQueries=5 query set broadcast (brute force scans corpus once)",
+      "ann_bruteforce_sql" -> "nQueries=5 query set broadcast (brute force scans corpus once)",
+      "media_feature_ann" -> "nQueries=5 query set broadcast (brute force scans corpus once)")
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val p = fn(spark, Sf0001).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+      if (!nlAllowed.contains(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a nested-loop join on an unbounded side")
+    }
+  }
+
   test("per-source moments broadcast back over the scan, not the reverse") {
     assert(plan("length_outlier_stats").contains("BroadcastHashJoin"))
   }
