@@ -90,6 +90,12 @@ object SparkEntry {
     "dedup_levenshtein" -> ((s, d) => Dedup.levenshteinPrefix(Tables.documents(s, d))),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables.documents(s, d))),
+    // ingestion-time cross-corpus dedup: odd doc_ids arrive as the new
+    // batch, even doc_ids are the already-ingested corpus
+    "incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalDedup(docs.filter("doc_id % 2 = 1"), docs.filter("doc_id % 2 = 0"))
+    }),
     "cross_source_dup_matrix" -> ((s, d) => Dedup.crossSourceDupMatrix(Tables.documents(s, d))),
     "minhash_band_stats" -> ((s, d) => Dedup.minhashBandStats(Tables.documents(s, d))),
     "benchmark_contamination" -> ((s, d) => Dedup.benchmarkContamination(Tables.documents(s, d))),
@@ -162,6 +168,36 @@ object SparkEntry {
        |  GROUP BY 1, 2, 3, 4)
        |SELECT doc_a, doc_b FROM shr
        |WHERE shared * 3 >= na + nb ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Mirrors Dedup.incrementalDedup with the query's parity split: exact
+    * fingerprint anti-join, then new-side × existing-side band collisions
+    * verified at Jaccard >= 1/2. Band keys are computed over the shared
+    * shingle CTE and restricted by side — identical to per-side band
+    * tables because every key is per-doc. */
+  private def incrementalDedupOracle: String = {
+    val sigCols = (0 until Dedup.MinhashSeeds)
+      .map(i => s"min(md5('$i:' || g)) AS h$i").mkString(", ")
+    val bandKeys = (0 until Dedup.MinhashBands)
+      .map(b => s"md5(h${2 * b} || h${2 * b + 1})").mkString("[", ", ", "]")
+    val bandIdxs = (0 until Dedup.MinhashBands).mkString("[", ", ", "]")
+    s"""WITH $ShingleCte,
+       |fp AS (SELECT doc_id, md5(t) AS fp FROM norm),
+       |newok AS (SELECT doc_id FROM fp WHERE doc_id % 2 = 1
+       |  AND fp NOT IN (SELECT fp FROM fp WHERE doc_id % 2 = 0)),
+       |sig AS (SELECT doc_id, $sigCols FROM ex GROUP BY doc_id),
+       |bands AS (SELECT doc_id, unnest($bandKeys) AS band_key, unnest($bandIdxs) AS band_idx FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |  WHERE a.doc_id IN (SELECT doc_id FROM newok) AND b.doc_id % 2 = 0),
+       |shr AS (SELECT doc_a, doc_b, ta.n_g AS na, tb.n_g AS nb, count(*) AS shared FROM cand
+       |  JOIN ex ta ON doc_a = ta.doc_id JOIN ex tb ON doc_b = tb.doc_id AND ta.g = tb.g
+       |  GROUP BY 1, 2, 3, 4),
+       |neardup AS (SELECT DISTINCT doc_a FROM shr WHERE shared * 3 >= na + nb)
+       |SELECT d.doc_id, d.source FROM documents d
+       |WHERE d.doc_id IN (SELECT doc_id FROM newok)
+       |  AND d.doc_id NOT IN (SELECT doc_a FROM neardup)
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   private def benchmarkContaminationOracle: String =
@@ -815,6 +851,7 @@ object SparkEntry {
         |FROM n a JOIN n b ON a.source = b.source AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.p, b.p) <= 5 ORDER BY 1, 2""".stripMargin,
     "dedup_minhash_lsh" -> minhashOracle,
+    "incremental_dedup" -> incrementalDedupOracle,
     "dedup_clusters" -> dedupClustersOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,

@@ -208,6 +208,49 @@ object Dedup {
   def minhashLsh(documents: DataFrame): DataFrame =
     minhashPairs(documents).orderBy("doc_a", "doc_b")
 
+  /** Incremental (cross-corpus) dedup — the INGESTION-time operator:
+    * admit only the docs of a NEW batch that duplicate nothing in the
+    * EXISTING corpus, without ever pairing the existing corpus against
+    * itself (its own dedup already ran when it was ingested). Stage 1
+    * drops exact matches with a 16-byte normalized-fingerprint anti-join;
+    * stage 2 equi-joins the new batch's MinHash band keys against the
+    * existing side's band table only (never new × new or existing ×
+    * existing), verifies candidates at Jaccard >= 1/2 by exact shingle
+    * intersection, and anti-joins the confirmed near-dups away.
+    *
+    * At 100 TB the existing side's fingerprint set and band table are the
+    * persistent dedup INDEX a pipeline maintains incrementally (both are
+    * exactly what this plan computes from `existing` — materialize them
+    * once, bucket by key); the new batch (hours of ingest) is orders of
+    * magnitude smaller, so every join here is (small batch) × (bucketable
+    * index) on short hash keys — document text never shuffles. */
+  def incrementalDedup(newDocs: DataFrame, existing: DataFrame): DataFrame = {
+    val exFp = existing.select(md5(normText(col("text"))).as("fp")).distinct()
+    val exactOk = newDocs
+      .withColumn("fp", md5(normText(col("text"))))
+      .join(exFp, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("text"), col("source"))
+    val candidates = bandTable(exactOk).as("a")
+      .join(bandTable(existing).as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val nearDup = candidates
+      .join(shingleArraysCached(exactOk)
+        .select(col("doc_id").as("doc_a"), col("n_g").as("na"), col("gs").as("ga")), Seq("doc_a"))
+      .join(shingleArraysCached(existing)
+        .select(col("doc_id").as("doc_b"), col("n_g").as("nb"), col("gs").as("gb")), Seq("doc_b"))
+      .withColumn("shared", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .filter(col("shared") * 3 >= col("na") + col("nb"))
+      .select(col("doc_a"))
+      .distinct()
+    exactOk
+      .join(nearDup, col("doc_id") === col("doc_a"), "left_anti")
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
   /** 32-bit SimHash from the first 32 md5 nibbles of each distinct
     * shingle: bit j is the sign of the sum of (+1/-1) votes from nibble
     * j's low bit. */

@@ -100,6 +100,29 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dedupClusters(distinctDocs).count() === 0L)
   }
 
+  test("incrementalDedup admits only new docs that duplicate nothing in the existing corpus") {
+    val base2 = (50 to 80).map(i => s"v$i").mkString(" ")
+    val existing = Seq(
+      (0L, base, "s0"),            // exact-dup target
+      (2L, base2 + " extraA", "s0") // near-dup target
+    ).toDF("doc_id", "text", "source")
+    val newBatch = Seq(
+      (1L, "  " + base.toUpperCase + " ", "s1"), // exact dup of 0 after normalization
+      (3L, base2 + " extraB", "s1"),             // near-dup of 2 (J ≈ 0.94)
+      (5L, (300 to 340).map(i => s"q$i").mkString(" "), "s1") // genuinely new
+    ).toDF("doc_id", "text", "source")
+    val admitted = Dedup.incrementalDedup(newBatch, existing).collect()
+      .map(_.getLong(0)).toSeq
+    assert(admitted === Seq(5L))
+    // and the batch is never deduped against itself: two copies of a NEW
+    // doc both pass (intra-batch dedup is the plain dedup ops' job)
+    val twins = Seq(
+      (7L, "brand new thing entirely", "s1"),
+      (9L, "brand new thing entirely", "s1")
+    ).toDF("doc_id", "text", "source")
+    assert(Dedup.incrementalDedup(twins, existing).count() === 2L)
+  }
+
   test("clearSessionState unpersists the shingle cache (CacheManager empty after clear)") {
     spark.catalog.clearCache() // normalize: drop anything earlier suites cached
     Dedup.shingleArraysCached(fixture).count()
