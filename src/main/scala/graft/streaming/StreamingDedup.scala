@@ -45,6 +45,25 @@ object StreamingDedup {
       .dropDuplicatesWithinWatermark("fp")
       .select(col("doc_id"), col("text"), col("ts"))
 
+  /** Streaming half of [[graft.operators.Dedup.incrementalDedup]]'s exact
+    * stage: drop stream docs whose normalized fingerprint already exists
+    * in a STATIC index (the fingerprint table of everything previously
+    * ingested). Composes BEFORE [[firstOccurrences]]/[[firstOccurrenceDocs]]
+    * (which handle within-stream repeats) for the full online ingestion
+    * dedup. Structured Streaming's stream-static matrix has no left-anti,
+    * so this is the standard emulation: left-outer against the index and
+    * keep the null-probe rows. The index side is a static relation —
+    * broadcast when small, shuffled-bucketed when it is the whole corpus
+    * history. */
+  def againstIndex(docs: DataFrame, fpIndex: DataFrame): DataFrame = {
+    val idx = fpIndex.select(col("fp").as("idx_fp")).distinct()
+    docs
+      .withColumn("fp", fingerprint(col("text")))
+      .join(idx, col("fp") === col("idx_fp"), "left_outer")
+      .filter(col("idx_fp").isNull)
+      .select(col("doc_id"), col("text"), col("ts"))
+  }
+
   /** Per-batch dedup stats (update mode): how many raw vs distinct docs
     * per minute — the monitoring view of the online dedup. */
   def dedupRates(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =

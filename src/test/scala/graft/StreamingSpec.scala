@@ -265,6 +265,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream deduped against a static fingerprint index drops previously-ingested docs") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingDedup
+    val in = MemoryStream[(Long, String, Long)]
+    val docs = in.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"),
+        timestamp_seconds(col("_3")).as("ts"))
+    // the static index: fingerprints of everything already ingested
+    val index = Seq(Tuple1("known doc")).toDF("text")
+      .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+    val q = StreamingDedup.againstIndex(docs, index).writeStream
+      .format("memory").queryName("sagainst").outputMode("append").start()
+    try {
+      in.addData(
+        (1L, "KNOWN   doc", w0),  // normalizes to an indexed fingerprint → dropped
+        (2L, "fresh doc", w0 + 1))
+      q.processAllAvailable()
+      val ids = spark.table("sagainst").collect().map(_.getLong(0)).toSeq
+      assert(ids === Seq(2L))
+    } finally q.stop()
+  }
+
   test("composed online pipeline: dedup feeds curation in one topology") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.{StreamingCuration, StreamingDedup}
