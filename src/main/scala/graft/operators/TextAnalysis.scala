@@ -333,15 +333,35 @@ object TextAnalysis {
     * and blocks pack independently in parallel (shard ids are per-block —
     * exactly how a distributed shard writer hands contiguous ranges to
     * workers). Deterministic and integer-exact, so fully oracle-checked. */
-  def packShards(documents: DataFrame, budget: Long = PackBudgetTokens): DataFrame = {
+  /** Shared packing core: running token offset → shard id over a
+    * (source, block)-bounded window. `base` must carry (doc_id, source,
+    * block_id, toks) plus whatever payload the caller wants through the
+    * window exchange — the stats query passes no text, the shard writer
+    * passes text so it needs no second corpus join. */
+  private def shardAssignCore(base: DataFrame, budget: Long): DataFrame = {
     val w = Window.partitionBy(col("source"), col("block_id")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    documents
-      .select(col("doc_id"), col("source"),
-        expr(s"doc_id div $PackBlockDocs").as("block_id"),
-        tokenCount(col("text")).cast("long").as("toks"))
+    base
       .withColumn("cum", sum(col("toks")).over(w))
       .withColumn("shard_id", expr(s"(cum - toks) div $budget"))
+  }
+
+  /** Per-doc shard assignment WITH the document payload — the input of
+    * [[graft.sources.FileFormats.writeTrainingShards]]. */
+  def shardAssign(documents: DataFrame, budget: Long = PackBudgetTokens): DataFrame =
+    shardAssignCore(
+      documents.select(col("doc_id"), col("text"), col("source"),
+        expr(s"doc_id div $PackBlockDocs").as("block_id"),
+        tokenCount(col("text")).cast("long").as("toks")),
+      budget)
+      .select(col("doc_id"), col("text"), col("source"), col("block_id"), col("shard_id"))
+
+  def packShards(documents: DataFrame, budget: Long = PackBudgetTokens): DataFrame = {
+    shardAssignCore(
+      documents.select(col("doc_id"), col("source"),
+        expr(s"doc_id div $PackBlockDocs").as("block_id"),
+        tokenCount(col("text")).cast("long").as("toks")),
+      budget)
       .groupBy(col("source"), col("block_id"), col("shard_id"))
       .agg(
         count(lit(1)).as("n_docs"),

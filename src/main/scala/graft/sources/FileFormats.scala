@@ -53,6 +53,21 @@ object FileFormats {
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
 
+  /** End-to-end training-data EXPORT: assign every doc its token-budget
+    * shard ([[graft.operators.TextAnalysis.shardAssign]] — one bounded
+    * window, text carried through so no second corpus join) and write
+    * parquet partitioned by (source, block, shard). The resulting
+    * directory tree IS the training manifest: each shard directory holds
+    * ≈ budget tokens of contiguous docs, trainers consume shards as
+    * units, and partition pruning serves any (source, block, shard)
+    * subset without scanning the rest. */
+  def writeTrainingShards(documents: DataFrame, path: String,
+                          budget: Long = graft.operators.TextAnalysis.PackBudgetTokens): Unit =
+    graft.operators.TextAnalysis.shardAssign(documents, budget)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("source", "block_id", "shard_id")
+      .parquet(path)
+
   /** Round-trip helpers for the events table (the reference's native
     * record stream): JSONL out and back with identical rows. Timestamps
     * travel as epoch micros (a long) — ISO strings lose sub-second

@@ -49,6 +49,29 @@ class FileFormatsSpec extends SparkSpec {
       Set((1L, "alpha"), (2L, "beta")))
   }
 
+  test("training-shard export round-trips and its tree matches the packing stats") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, Sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    FileFormats.writeTrainingShards(docs, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === docs.count()) // every doc in exactly one shard
+    // the written tree's per-shard token totals equal the stats query's
+    val fromTree = back
+      .groupBy(col("source"), col("block_id"), col("shard_id"))
+      .agg(sum(graft.functions.TextFunctions.tokenCount(col("text")).cast("long")).as("t"))
+      .collect()
+      // partition-dir columns read back via partition inference as int
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue(),
+        r.getAs[Number](2).longValue()) -> r.getLong(3)).toMap
+    val fromStats = TextAnalysis.packShards(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getLong(4)).toMap
+    assert(fromTree === fromStats)
+    // and the layout is the partition tree a trainer prunes by
+    val shardDirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+    assert(shardDirs.nonEmpty && shardDirs.forall(_.getName.startsWith("source=")))
+  }
+
   test("partitioned write prunes to one partition directory on a source filter") {
     val docs = Tables.documents(spark, Sf0001)
     val dir = tmp("graft-part")

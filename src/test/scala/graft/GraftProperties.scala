@@ -113,6 +113,31 @@ object GraftProperties extends Properties("graft") {
     ab == ba && math.abs(aa - 1.0) < 1e-12 && ab >= -1.0000001 && ab <= 1.0000001
   }
 
+  private val shardDocsGen: Gen[List[(Long, Int)]] = // (doc_id, nTokens)
+    Gen.listOfN(20, Gen.zip(Gen.choose(0L, 2500L), Gen.choose(1, 60)))
+      .map(_.distinctBy(_._1))
+      .suchThat(_.nonEmpty)
+
+  /** Packing invariants on arbitrary doc-id/size mixes straddling block
+    * boundaries: token totals conserve, every doc lands in exactly one
+    * shard, shard ids are contiguous from 0 within each block, and every
+    * doc's block respects the doc-range bound. */
+  property("shard packing conserves tokens and respects block bounds") = forAll(shardDocsGen) { docs =>
+    import graft.operators.TextAnalysis
+    val df = docs.map { case (id, n) => (id, List.fill(n)("w").mkString(" "), "s0") }
+      .toDF("doc_id", "text", "source")
+    val shards = TextAnalysis.packShards(df, budget = 100).collect()
+      .map { case Row(_, blk: Long, sh: Long, nd: Long, tok: Long, f: Long, l: Long) =>
+        (blk, sh, nd, tok, f, l) }
+    val conserve = shards.map(_._4).sum == docs.map(_._2.toLong).sum &&
+      shards.map(_._3).sum == docs.size.toLong
+    val contiguous = shards.groupBy(_._1).forall { case (_, rows) =>
+      rows.map(_._2).sorted.toSeq == (0L until rows.length).toSeq }
+    val blockOk = shards.forall { case (blk, _, _, _, f, l) =>
+      f / TextAnalysis.PackBlockDocs == blk && l / TextAnalysis.PackBlockDocs == blk }
+    conserve && contiguous && blockOk
+  }
+
   private val piiTextGen: Gen[String] = {
     val word = Gen.oneOf("the", "fox", "ran", "mot", "Xy9", "a1b2c3d4", "12345")
     val pii = Gen.oneOf("bob@example.com", "555-123-4567", "10.0.0.1", "98765432",
