@@ -2,8 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -14,9 +14,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * Replaces the `transform(sequence(...), i -> concat_ws(" ", slice(...)))`
   * higher-order-function chain, whose per-element interpreted lambda
   * dispatch measured ~3.6 ms/doc at sf0.1 (18 s for 5000 docs) — here it
-  * is one pass over the token array (~µs/doc). Uses CodegenFallback: the
-  * per-ROW cost is a single virtual call into compiled Scala, which is
-  * negligible next to the eliminated per-ELEMENT interpretation.
+  * is one pass over the token array (~µs/doc). `doGenCode` emits a single
+  * static call into the compiled [[WordShingles.compute]] helper: unlike
+  * the earlier CodegenFallback (which evaluates through a materialized
+  * input row + boxed `eval` call inside the generated stage), the operand
+  * flows in as the stage's ordinary generated local — no per-row row
+  * construction — while the heavy lifting runs as JIT-compiled Scala.
+  * Measured perf-neutral at sf0.1 (the fallback's per-row overhead was
+  * already negligible next to the shingling itself); kept because it
+  * removes the last non-codegen expression from the sketch hot path.
   *
   * Semantics match the DuckDB oracle CTE exactly:
   * `list_transform(range(1, len-n+2), i -> array_to_string(toks[i:i+n-1], ' '))`
@@ -24,7 +30,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * counts.
   */
 case class WordShingles(child: Expression, n: Int, distinct: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -32,8 +38,24 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean)
 
   override def prettyName: String = "word_shingles"
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString.split(' ')
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.compute(input.asInstanceOf[UTF8String], n, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.WordShingles.compute($c, $n, $distinct);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+
+  /** One-pass shingling over the space-separated token array; called from
+    * generated code (static forwarder), so it must stay a plain static
+    * method with Java-friendly types. */
+  def compute(input: UTF8String, n: Int, distinct: Boolean): ArrayData = {
+    val toks = input.toString.split(' ')
     if (toks.length < n) {
       new GenericArrayData(Array.empty[Any])
     } else {
@@ -69,11 +91,6 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean)
     }
   }
 
-  override protected def withNewChildInternal(newChild: Expression): WordShingles =
-    copy(child = newChild)
-}
-
-object WordShingles {
   /** `normalizedText` must already be lower/trim/single-spaced. */
   def shingles(normalizedText: Column, n: Int = 3, distinct: Boolean = true): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(normalizedText), n, distinct))
