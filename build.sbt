@@ -17,6 +17,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver tails `sbt "runMain graft.Bench"` stdout for Bench's
+// final compact JSON line; sbt's own "[success] Total time ..." epilogue
+// otherwise gets the last word and nulls the parse (BENCH_r4–r6). This
+// drops that epilogue so the process's last stdout line is Bench's.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

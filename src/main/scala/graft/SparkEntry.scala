@@ -91,13 +91,17 @@ object SparkEntry {
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables.documents(s, d))),
     // ingestion-time cross-corpus dedup: odd doc_ids arrive as the new
-    // batch, even doc_ids are the already-ingested corpus
+    // batch, even doc_ids are the already-ingested corpus. The orderBy is
+    // THIS query's oracle-hash determinism, not the operator's — the
+    // production path returns the admitted set unordered.
     "incremental_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.incrementalDedup(docs.filter("doc_id % 2 = 1"), docs.filter("doc_id % 2 = 0"))
+        .orderBy("doc_id")
     }),
     "cross_source_dup_matrix" -> ((s, d) => Dedup.crossSourceDupMatrix(Tables.documents(s, d))),
     "minhash_band_stats" -> ((s, d) => Dedup.minhashBandStats(Tables.documents(s, d))),
+    "simhash_band_stats" -> ((s, d) => Dedup.simhashBandStats(Tables.documents(s, d))),
     "benchmark_contamination" -> ((s, d) => Dedup.benchmarkContamination(Tables.documents(s, d))),
     "mixture_weights" -> ((s, d) => TextAnalysis.mixtureWeights(Tables.documents(s, d))),
     "top_repeated_shingles" -> ((s, d) => TextAnalysis.topRepeatedShingles(Tables.documents(s, d))),
@@ -234,24 +238,50 @@ object SparkEntry {
        |ORDER BY n_docs DESC, band_idx, band_key LIMIT 20""".stripMargin
   }
 
-  private def simhashOracle: String = {
-    val votes = (0 until 32).map { j =>
-      s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(m, ${j + 1}, 1)) - 1) & 1) = 1 THEN 1 ELSE -1 END) AS s$j"
+  /** tm→votes→sig→bands CTE chain mirroring Dedup.simhashSignatures +
+    * simhashBandTable bit-for-bit: 64-bit signature (two vote bits per md5
+    * nibble), bit 63 entering as the signed two's-complement constant
+    * (DuckDB rejects 1::BIGINT << 63 as overflow; Long.MinValue is the
+    * same bit pattern), 4 × 16-bit pigeonhole bands extracted by
+    * arithmetic shift + mask (sign-safe in both engines). Ascending-j
+    * addition keeps every partial sum inside BIGINT range. Appended after
+    * ShingleCte. */
+  private def simhashBandsCte: String = {
+    val votes = (0 until Dedup.SimhashBits).map { j =>
+      s"sum(CASE WHEN (((strpos('0123456789abcdef', substr(m, ${(j >> 1) + 1}, 1)) - 1) >> ${j & 1}) & 1) = 1 THEN 1 ELSE -1 END) AS s$j"
     }.mkString(", ")
-    val sig = (0 until 32)
-      .map(j => s"(CASE WHEN s$j >= 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)")
-      .mkString(" + ")
-    val bandKeys = (0 until 4).map(b => s"(simhash >> ${8 * b}) & 255").mkString("[", ", ", "]")
-    s"""WITH $ShingleCte,
-       |tm AS (SELECT doc_id, md5(g) AS m FROM ex),
+    val sig = (0 until Dedup.SimhashBits).map { j =>
+      if (j == Dedup.SimhashBits - 1)
+        s"(CASE WHEN s$j >= 0 THEN (-9223372036854775807 - 1)::BIGINT ELSE 0::BIGINT END)"
+      else s"(CASE WHEN s$j >= 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)"
+    }.mkString(" + ")
+    val mask = (1L << Dedup.SimhashBandBits) - 1
+    val bandKeys = (0 until Dedup.SimhashBands)
+      .map(b => s"(simhash >> ${Dedup.SimhashBandBits * b}) & $mask").mkString("[", ", ", "]")
+    val bandIdxs = (0 until Dedup.SimhashBands).mkString("[", ", ", "]")
+    s"""tm AS (SELECT doc_id, md5(g) AS m FROM ex),
        |votes AS (SELECT doc_id, $votes FROM tm GROUP BY doc_id),
        |sig AS (SELECT doc_id, $sig AS simhash FROM votes),
-       |bands AS (SELECT doc_id, simhash, unnest($bandKeys) AS band_key, unnest([0, 1, 2, 3]) AS band_idx FROM sig),
+       |bands AS (SELECT doc_id, simhash, unnest($bandKeys) AS band_key, unnest($bandIdxs) AS band_idx FROM sig)""".stripMargin
+  }
+
+  private def simhashOracle: String =
+    s"""WITH $ShingleCte,
+       |$simhashBandsCte,
+       |keep AS (SELECT band_idx, band_key FROM bands GROUP BY 1, 2 HAVING count(*) <= ${Dedup.SimhashMaxBucket}),
+       |kept AS (SELECT b.* FROM bands b JOIN keep k USING (band_idx, band_key)),
        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-       |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+       |  FROM kept a JOIN kept b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY 1, 2""".stripMargin
-  }
+
+  private def simhashBandStatsOracle: String =
+    s"""WITH $ShingleCte,
+       |$simhashBandsCte
+       |SELECT CAST(band_idx AS BIGINT) AS band_idx, CAST(band_key AS BIGINT) AS band_key,
+       |  CAST(count(*) AS BIGINT) AS n_docs
+       |FROM bands GROUP BY 1, 2 HAVING count(*) > 1
+       |ORDER BY n_docs DESC, band_idx, band_key LIMIT 20""".stripMargin
 
   /** Connected components over the MinHash pair graph via a recursive
     * CTE: every node starts as its own label, labels flood along edges,
@@ -854,6 +884,7 @@ object SparkEntry {
     "incremental_dedup" -> incrementalDedupOracle,
     "dedup_clusters" -> dedupClustersOracle,
     "dedup_simhash" -> simhashOracle,
+    "simhash_band_stats" -> simhashBandStatsOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_embedding_cosine" -> embeddingNearDupOracle,
     // ---- similarity search ----

@@ -59,23 +59,31 @@ object Similarity {
     * deliberately not `df.rdd.getNumPartitions`, which builds a second
     * physical lineage and, under AQE (default-on in Spark 4), finalizing
     * that plan can eagerly execute upstream shuffle stages for non-scan
-    * inputs. File relations estimate bytes/maxPartitionBytes (the same
-    * arithmetic FilePartition uses, as a split-count lower bound — all the
-    * caller needs is "narrow or not"); Range carries its slice count;
-    * driver-local rows are always narrow; any other leaf is assumed wide
-    * so no exchange is ever added on a guess. */
+    * inputs. File relations estimate split count with FilePartition's own
+    * arithmetic — (bytes + files·openCost) / maxPartitionBytes — so a
+    * many-small-files corpus (whose per-file open cost is what forces
+    * extra splits) is not misread as narrow. Range carries its slice
+    * count. Only leaves PROVEN driver-local (LocalRelation,
+    * OneRowRelation) count as narrow; any unrecognized leaf
+    * (InMemoryRelation from .persist, DataSourceV2, stream relations) is
+    * assumed WIDE, so no exchange is ever added on a guess — the caller's
+    * contract is "never collapse an already-parallel input". */
   private def inputWidthEstimate(df: DataFrame): Long = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val conf = df.sparkSession.sessionState.conf
     df.queryExecution.optimizedPlan.collectLeaves().map {
       case l: LogicalRelation => l.relation match {
         case fs: HadoopFsRelation =>
-          math.max(1L, fs.location.sizeInBytes / math.max(1L, conf.filesMaxPartitionBytes))
+          val nFiles = fs.location.inputFiles.length.toLong
+          math.max(1L, (fs.location.sizeInBytes + nFiles * conf.filesOpenCostInBytes)
+            / math.max(1L, conf.filesMaxPartitionBytes))
         case _ => Long.MaxValue // non-file relation: assume wide, add no exchange
       }
       case r: org.apache.spark.sql.catalyst.plans.logical.Range =>
         r.numSlices.getOrElse(df.sparkSession.sparkContext.defaultParallelism).toLong
-      case _ => 1L // LocalRelation etc: driver-local rows, always narrow
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => 1L
+      case _: org.apache.spark.sql.catalyst.plans.logical.OneRowRelation => 1L
+      case _ => Long.MaxValue // unknown leaf: assume wide, add no exchange
     }.maxOption.getOrElse(1L)
   }
 
@@ -216,11 +224,19 @@ object Similarity {
     cents.map(_.map(_.toFloat))
   }
 
-  /** Drop the memoized quantizers (benchmark hygiene — see
-    * [[graft.operators.Dedup.clearSessionState]]). `lastTrained` survives
-    * on purpose: it feeds oracle GENERATION (SparkEntry reads it after
-    * Verify has run the queries), not query execution. */
-  def clearSessionState(): Unit = ivfModelCache.clear()
+  /** Drop the memoized quantizers AND the last-quantizer oracle slot
+    * (benchmark hygiene — see [[graft.operators.Dedup.clearSessionState]]).
+    * Resetting `trainedKeys`/`lastTrained` lets a cleared session
+    * re-establish a single-model state and regain the full IVF oracle —
+    * previously two trainings ever in a session degraded [[lastQuantizer]]
+    * permanently, even across a full clear and retrain. Verify never
+    * clears mid-run, so oracle generation still reads exactly the model
+    * its queries searched with. */
+  def clearSessionState(): Unit = synchronized {
+    ivfModelCache.clear()
+    trainedKeys = Set.empty
+    lastTrained = Array.empty
+  }
 
   /** The quantizer the session's IVF query searched with. Verify runs
     * every query BEFORE dumping oracle SQL, so by the time SparkEntry's

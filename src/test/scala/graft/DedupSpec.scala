@@ -46,6 +46,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs((0L, 1L)) === 0L)
   }
 
+  test("simhash banding: 4×16-bit keyspace, disclosed hot-bucket cap") {
+    // keyspace: every band key fits in 16 bits — 4 × 65536 join keys, not
+    // the quadratic-at-scale 4 × 256 of the old 8-bit banding
+    val bands = Dedup.simhashBandStats(fixture, k = 1000).collect()
+    bands.foreach { case Row(bi: Long, bk: Long, _) =>
+      assert(bi >= 0 && bi < Dedup.SimhashBands)
+      assert(bk >= 0 && bk < (1L << Dedup.SimhashBandBits), s"band key $bk exceeds 16 bits")
+    }
+    // hot-bucket cap: at maxBucket = 1 every colliding bucket (≥ 2 docs)
+    // is dropped from candidate generation, so no pair survives — the
+    // drop is disclosed, not silent, via simhashBandStats
+    assert(Dedup.simhashPairs(fixture, maxBucket = 1).count() === 0L)
+    // the default cap leaves a small corpus untouched
+    val pairs = Dedup.simhashPairs(fixture).collect()
+      .map { case Row(a: Long, b: Long, h: Long) => ((a, b), h) }.toMap
+    assert(pairs((0L, 1L)) === 0L)
+  }
+
   test("ngramJaccard scores the near-dup pair high and respects blocking") {
     val scored = Dedup.ngramJaccard(fixture).collect()
       .map { case Row(a: Long, b: Long, j: Long) => ((a, b), j) }.toMap
@@ -121,6 +139,54 @@ class DedupSpec extends SparkSpec {
       (9L, "brand new thing entirely", "s1")
     ).toDF("doc_id", "text", "source")
     assert(Dedup.incrementalDedup(twins, existing).count() === 2L)
+  }
+
+  test("incrementalDedup production path admits unordered: no global sort in the plan") {
+    val existing = Seq((0L, base, "s0")).toDF("doc_id", "text", "source")
+    val newBatch = Seq((1L, "fresh text here", "s1")).toDF("doc_id", "text", "source")
+    val plan = Dedup.incrementalDedup(newBatch, existing).queryExecution.optimizedPlan
+    val hasGlobalSort = plan.exists {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s.global
+      case _ => false
+    }
+    assert(!hasGlobalSort, "production incrementalDedup must not pay a total-order exchange")
+  }
+
+  test("dedup index round-trip: loaded-index result equals recompute, no re-shingling of the corpus") {
+    val existing = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+      .filter("doc_id % 2 = 0")
+    val newBatch = Seq(
+      (10001L, existing.orderBy("doc_id").select("text").head.getString(0), "sX"), // dup of an indexed doc
+      (10003L, (700 to 740).map(i => s"nw$i").mkString(" "), "sX")                 // genuinely new
+    ).toDF("doc_id", "text", "source")
+    Dedup.saveDedupIndex(existing, "dix_rt")
+    val idx = Dedup.loadDedupIndex(spark, "dix_rt")
+    val fromLoaded = Dedup.incrementalDedup(newBatch, idx)
+    val recomputed = Dedup.incrementalDedup(newBatch, existing)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(asSet(fromLoaded) === asSet(recomputed))
+    assert(asSet(fromLoaded) === Set((10003L, "sX")))
+    // plan lint on the ANALYZED plan (the optimizer hides shingling
+    // inside InMemoryRelation once the shingle cache substitutes in):
+    // the loaded path shingles the new batch — WordShingles is present —
+    // and NEVER re-reads the existing corpus: every leaf is either the
+    // batch's LocalRelation or one of the index's catalog tables, so
+    // re-shingling `existing` is impossible by construction (the corpus
+    // parquet is not even scanned).
+    val plan = fromLoaded.queryExecution.analyzed
+    val hasShingles = plan.exists(
+      _.expressions.exists(_.exists(_.isInstanceOf[graft.plans.WordShingles])))
+    assert(hasShingles, "the new batch must still be shingled")
+    plan.collectLeaves().foreach {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => ()
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        val tbl = l.catalogTable.map(_.identifier.table).getOrElse("")
+        assert(tbl.startsWith("dix_rt"),
+          s"loaded-index path reads a non-index relation (corpus re-read): $l")
+      case other => fail(s"unexpected leaf in loaded-index plan: $other")
+    }
   }
 
   test("clearSessionState unpersists the shingle cache (CacheManager empty after clear)") {

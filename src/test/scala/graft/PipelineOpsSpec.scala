@@ -197,11 +197,15 @@ class PipelineOpsSpec extends SparkSpec {
     shards.groupBy(t => (t._1, t._2)).foreach { case ((src, blk), rows) =>
       val ids = rows.map(_._3).sorted.toSeq
       assert(ids === (0L until ids.length).toSeq, s"($src,$blk) shard ids not contiguous")
-      // every shard except the last must have EXCEEDED the budget threshold
-      // (next-fit: a new shard starts only once the offset passes the budget)
+      // next-fit budget rule: shard s+1 exists only because the running
+      // offset crossed (s+1)·budget, so cumulative tokens through each
+      // non-final shard must reach (shard_id+1)·budget
       val byId = rows.sortBy(_._3)
-      byId.init.foreach { r =>
+      val cumTok = byId.map(_._5).scanLeft(0L)(_ + _).tail
+      byId.init.zip(cumTok).foreach { case (r, cum) =>
         assert(r._5 >= 1L, s"($src,$blk) empty shard")
+        assert(cum >= (r._3 + 1) * TextAnalysis.PackBudgetTokens,
+          s"($src,$blk) shard ${r._3} closed at $cum tokens, before crossing the budget")
       }
       // doc ranges don't overlap across consecutive shards
       byId.sliding(2).foreach {

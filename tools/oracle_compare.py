@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate (dev tooling, not part of
+the library): compare each dumped query result against its DuckDB oracle
+on the same sf parquet tables.
+
+Usage: python3 tools/oracle_compare.py <sfDir> <outDir> [query ...]
+"""
+import sys, json
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    return list(df.columns), sorted(
+        tuple(str(v) for v in row) for row in df.itertuples(index=False))
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    names = sys.argv[3:]
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if not names:
+        names = sorted(oracle.keys())
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS "
+                    f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    fails = 0
+    for name in names:
+        try:
+            sp = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+        except Exception as e:
+            print(f"{name}: ERR reading spark dump: {e}")
+            fails += 1
+            continue
+        if name not in oracle:
+            print(f"{name}: NO_ORACLE rows={len(sp)}")
+            continue
+        try:
+            orc = con.execute(oracle[name]).df()
+        except Exception as e:
+            print(f"{name}: ERR oracle: {e}")
+            fails += 1
+            continue
+        sp_cols, sp_rows = canon(sp)
+        orc_cols, orc_rows = canon(orc)
+        schema_ok = sp_cols == orc_cols
+        rows_ok = len(sp_rows) == len(orc_rows)
+        hash_ok = schema_ok and rows_ok and sp_rows == orc_rows
+        ok = schema_ok and rows_ok and hash_ok
+        if not ok:
+            fails += 1
+            detail = f" spark_cols={sp_cols} oracle_cols={orc_cols}" if not schema_ok else ""
+            print(f"{name}: FAIL rows={len(sp_rows)}/{len(orc_rows)} "
+                  f"schema={schema_ok} values={hash_ok}{detail}")
+            if schema_ok and rows_ok and not hash_ok:
+                diff = [(a, b) for a, b in zip(sp_rows, orc_rows) if a != b][:3]
+                for a, b in diff:
+                    print(f"  spark={a}\n  orcle={b}")
+        else:
+            print(f"{name}: PASS rows={len(sp_rows)}")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
