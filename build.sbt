@@ -18,10 +18,13 @@ libraryDependencies ++= Seq(
 Test / fork := true
 run / fork := true
 // The round driver tails `sbt "runMain graft.Bench"` stdout for Bench's
-// final compact JSON line; sbt's own "[success] Total time ..." epilogue
-// otherwise gets the last word and nulls the parse (BENCH_r4–r6). This
-// drops that epilogue so the process's last stdout line is Bench's.
+// final compact JSON line; two sbt behaviors otherwise corrupt that tail
+// (BENCH_r4–r6 parsed null): the "[success] Total time ..." epilogue gets
+// the last word, and the logger prefixes every forked-process line with
+// "[info] ", which a strict JSON parse of the tail line rejects. Drop the
+// epilogue and pass forked stdout through verbatim.
 Global / showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

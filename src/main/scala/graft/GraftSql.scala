@@ -67,6 +67,22 @@ object GraftSql {
         |ORDER BY query_id, rank""".stripMargin)
   }
 
+  /** A dedup operator through the pure-SQL surface: normalized-fingerprint
+    * exact dedup spelled entirely in `spark.sql` — the 16-byte-shuffle-key
+    * form of [[graft.operators.Dedup.exactNormalized]], row-equal to it
+    * (asserted in OperatorSpec) and sharing its DuckDB oracle. Catalyst
+    * plans this identically to the DataFrame operator: same partial
+    * aggregate on md5 fingerprints, document text never shuffles. */
+  def dedupExactNormSql(spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+        |FROM (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ')) AS fp
+        |      FROM documents)
+        |GROUP BY fp
+        |ORDER BY doc_id""".stripMargin)
+  }
+
   /** Explicit GROUPING SETS (the general form rollup/cube specialize) with
     * grouping_id() disambiguating aggregation level from data NULLs —
     * plans as one Expand + a single shuffle, like rollup/cube. */

@@ -84,6 +84,7 @@ object SparkEntry {
     // ---- deduplication (training-data pipeline) ----
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_exact_norm" -> ((s, d) => Dedup.exactNormalized(Tables.documents(s, d))),
+    "dedup_exact_norm_sql" -> ((s, d) => GraftSql.dedupExactNormSql(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
@@ -870,6 +871,11 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY text ORDER BY 1""",
     "dedup_exact_norm" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count
+        |FROM documents GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        |ORDER BY 1""".stripMargin,
+    // the SQL-surface twin shares the DataFrame operator's oracle
+    "dedup_exact_norm_sql" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count
         |FROM documents GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
         |ORDER BY 1""".stripMargin,

@@ -220,15 +220,22 @@ object TextAnalysis {
     * (n·x − Σx)² > 4·(n·Σx² − (Σx)²) ⇔ |x − μ| > 2σ — so no float ever
     * enters and the result is bit-stable across engines and
     * partitionings. Two-pass plan: tiny per-source moment table,
-    * broadcast back over the scan; at petabyte row counts the integer
-    * products want 128-bit (DECIMAL(38)) arithmetic — same plan, wider
-    * type. */
+    * broadcast back over the scan.
+    *
+    * The moments and products run in 128-bit integer arithmetic
+    * (DECIMAL(38,0)): the squared deviation is ≈ (n·c)² for n rows of c
+    * chars per source, which overflows a long already at n ≈ 3·10⁹
+    * thousand-char docs; DECIMAL(38) stays exact through n ≈ 10¹² rows
+    * of 10⁵-char docs (dev² ≈ 10³⁴ < 10³⁸). Same plan, wider type — the
+    * output schema is unchanged (integral division returns long, counts
+    * cast back). */
   def lengthOutlierStats(documents: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
     val stats = documents.groupBy(col("source")).agg(
-      count(lit(1)).as("n"),
-      sum(col("n_chars")).as("s1"),
-      sum(col("n_chars") * col("n_chars")).as("s2"))
-    documents.select(col("source"), col("n_chars"))
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("n_chars").cast(dec)).as("s1"),
+      sum(col("n_chars").cast(dec) * col("n_chars").cast(dec)).as("s2"))
+    documents.select(col("source"), col("n_chars").cast(dec).as("n_chars"))
       .join(broadcast(stats), "source")
       .withColumn("dev", col("n") * col("n_chars") - col("s1"))
       .withColumn("nvar", col("n") * col("s2") - col("s1") * col("s1"))

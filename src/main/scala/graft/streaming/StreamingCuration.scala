@@ -19,12 +19,14 @@ import graft.functions.TextFunctions.{langIdEn, piiRedact, qualityScore}
 object StreamingCuration {
 
   /** Keep docs that clear the quality bar AND language-ID as English;
-    * emit them PII-scrubbed with the score attached. Input needs
-    * (doc_id, text, ts). */
+    * emit them PII-scrubbed with the score attached. Schema-preserving:
+    * every input column rides through (text replaced by its scrubbed
+    * form, `quality_score` appended — scored on the ORIGINAL text,
+    * before redaction tags perturb the token counts), so payload columns
+    * like `source` survive for downstream sinks ([[TrainingPipeline]]). */
   def curate(docs: DataFrame, keepAt: Double = 0.5): DataFrame =
     docs
       .filter(qualityScore(col("text")) >= keepAt && langIdEn(col("text")) === "en")
-      .select(col("doc_id"), col("ts"),
-        piiRedact(col("text")).as("text"),
-        qualityScore(col("text")).as("quality_score"))
+      .withColumn("quality_score", qualityScore(col("text")))
+      .withColumn("text", piiRedact(col("text")))
 }

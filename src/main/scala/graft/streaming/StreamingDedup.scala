@@ -32,18 +32,20 @@ object StreamingDedup {
       .select(col("doc_id"), col("fp"), col("ts"))
 
   /** [[firstOccurrences]] with the payload kept: emits the surviving
-    * DOCUMENT rows (doc_id, text, ts) instead of fingerprint rows, so the
-    * dedup stage composes with downstream transforms in one topology —
-    * [[StreamingCuration.curate]] chains directly on this for the full
-    * online dedup ∧ quality ∧ language ∧ PII pipeline (state unchanged:
-    * still only the 16-byte fingerprint per doc in the state store; the
-    * text rides the batch, never the state). */
+    * DOCUMENT rows — every input column, unchanged — instead of
+    * fingerprint rows, so the dedup stage composes schema-preservingly
+    * with downstream transforms in one topology: [[StreamingCuration
+    * .curate]] chains directly on this, and payload columns (`source`,
+    * media bytes, …) ride through untouched for the sink
+    * ([[TrainingPipeline]] needs `source` for shard packing). State is
+    * unchanged: only the 16-byte fingerprint per doc in the state store;
+    * the text rides the batch, never the state. */
   def firstOccurrenceDocs(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
     docs
       .withColumn("fp", fingerprint(col("text")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
-      .select(col("doc_id"), col("text"), col("ts"))
+      .drop("fp")
 
   /** Streaming half of [[graft.operators.Dedup.incrementalDedup]]'s exact
     * stage: drop stream docs whose normalized fingerprint already exists
@@ -61,7 +63,7 @@ object StreamingDedup {
       .withColumn("fp", fingerprint(col("text")))
       .join(idx, col("fp") === col("idx_fp"), "left_outer")
       .filter(col("idx_fp").isNull)
-      .select(col("doc_id"), col("text"), col("ts"))
+      .drop("fp", "idx_fp") // schema-preserving: all input columns survive
   }
 
   /** Per-batch dedup stats (update mode): how many raw vs distinct docs

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The end-to-end ONLINE training-data pipeline — the composition the
+  * individual stages exist for: documents stream in and flow through
+  *
+  *   1. [[StreamingDedup.againstIndex]] — drop anything already in the
+  *      persisted corpus fingerprint index (the streaming mirror of
+  *      [[graft.operators.Dedup.incrementalDedup]]'s exact stage);
+  *   2. [[StreamingDedup.firstOccurrenceDocs]] — watermark-bounded
+  *      within-stream dedup (16-byte fingerprint state, text never enters
+  *      the state store);
+  *   3. [[StreamingCuration.curate]] — quality/language gate + PII scrub;
+  *   4. [[graft.sources.FileFormats.writeTrainingShards]] — token-budget
+  *      shard export, partitioned by (source, block, shard), inside an
+  *      idempotent batchId-keyed `foreachBatch`.
+  *
+  * Every stage is schema-preserving, so the `source` column (and any
+  * other payload) rides from ingest to the shard tree untouched.
+  *
+  * Exactly-once: the aggregation/dedup state lives in the checkpoint; the
+  * sink writes each micro-batch under its own `batch_id=<id>/` directory
+  * with overwrite, so a replayed batch overwrites itself instead of
+  * duplicating output (the same contract as
+  * [[StreamingUniqueUsers.startIdempotentParquetSink]]). A restart from
+  * the same checkpoint resumes the dedup state and never reprocesses
+  * consumed input (StreamingSpec's restart case drives this end to end).
+  *
+  * At 100 TB-a-day ingest this is the whole online topology: the only
+  * shuffle is the per-batch shard-packing window (bounded by the
+  * (source, block) key), the index join is a static-side join the
+  * optimizer can broadcast or bucket, and state is O(distinct docs per
+  * watermark horizon) × 16 bytes.
+  */
+object TrainingPipeline {
+
+  /** The transform chain (stages 1–3), sink-agnostic — reusable against
+    * a memory sink in tests or the shard exporter in [[start]]. Input
+    * needs (doc_id, text, source, ts); any extra column survives. */
+  def transforms(docs: DataFrame, fpIndex: DataFrame,
+                 watermark: String = "10 minutes", keepAt: Double = 0.5): DataFrame =
+    StreamingCuration.curate(
+      StreamingDedup.firstOccurrenceDocs(
+        StreamingDedup.againstIndex(docs, fpIndex), watermark),
+      keepAt)
+
+  /** Start the full pipeline with the idempotent batchId-keyed
+    * shard-export sink: each micro-batch's admitted docs become a
+    * training-shard tree under `<outDir>/batch_id=<id>/`. */
+  def start(docs: DataFrame, fpIndex: DataFrame, outDir: String, checkpointDir: String,
+            budget: Long = graft.operators.TextAnalysis.PackBudgetTokens,
+            watermark: String = "10 minutes", keepAt: Double = 0.5): StreamingQuery =
+    transforms(docs, fpIndex, watermark, keepAt).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.sources.FileFormats.writeTrainingShards(
+          batch.select("doc_id", "text", "source"),
+          s"$outDir/batch_id=$batchId", budget)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
-import graft.operators.{Relational, Sessionize, Similarity}
+import graft.operators.{Dedup, Relational, Sessionize, Similarity}
 import graft.plans.CosineSimilarity
 
 /** Relational / session / vector operator behavior on hand-built fixtures. */
@@ -100,6 +100,12 @@ class OperatorSpec extends SparkSpec {
   test("SQL-surface ANN (ann_bruteforce_sql) is row-equal to the DataFrame operator") {
     val viaSql = GraftSql.annBruteForceSql(spark, Sf0001).collect().toSeq
     val viaDf = Similarity.bruteForceTopK(Tables.embeddings(spark, Sf0001)).collect().toSeq
+    assert(viaSql === viaDf)
+  }
+
+  test("SQL-surface dedup (dedup_exact_norm_sql) is row-equal to the DataFrame operator") {
+    val viaSql = GraftSql.dedupExactNormSql(spark, Sf0001).collect().toSeq
+    val viaDf = Dedup.exactNormalized(Tables.documents(spark, Sf0001)).collect().toSeq
     assert(viaSql === viaDf)
   }
 

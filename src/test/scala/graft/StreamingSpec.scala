@@ -259,7 +259,7 @@ class StreamingSpec extends SparkSpec {
         (3L, "mot mot mot mot", w0 + 2))      // no English stopwords → lang drop
       q.processAllAvailable()
       val rows = spark.table("scurate").collect()
-        .map(r => (r.getLong(0), r.getString(2)))
+        .map(r => (r.getLong(0), r.getAs[String]("text")))
       assert(rows.map(_._1).toSeq === Seq(1L))
       assert(rows.head._2.contains("[EMAIL]") && !rows.head._2.contains("bob@"))
     } finally q.stop()
@@ -311,7 +311,7 @@ class StreamingSpec extends SparkSpec {
       in.addData((4L, "  " + good.toUpperCase + "  ", w0 + 30))
       q.processAllAvailable()
       val rows = spark.table("sfused").collect()
-        .map(r => (r.getLong(0), r.getString(2)))
+        .map(r => (r.getLong(0), r.getAs[String]("text")))
       assert(rows.map(_._1).toSeq === Seq(1L),
         "exactly the first occurrence of the one high-quality doc survives")
       assert(rows.head._2.contains("[EMAIL]") && !rows.head._2.contains("bob@"))
@@ -356,6 +356,76 @@ class StreamingSpec extends SparkSpec {
     assert(emissions.head._2 === Map(w0 -> 2L))
     assert(emissions.last._2 === Map(w0 -> 3L, (w0 + 60) -> 1L))
     assert(emissions.last._1 > emissions.head._1) // a genuinely later batch
+  }
+
+  test("end-to-end training pipeline: index dedup → curation → shard tree, restart-safe") {
+    import graft.streaming.TrainingPipeline
+    import graft.operators.TextAnalysis
+    val inDir = java.nio.file.Files.createTempDirectory("graft-tp-in").toString
+    val cpDir = java.nio.file.Files.createTempDirectory("graft-tp-cp").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-tp-out").toString
+    val good1 = "the quick brown fox jumps over a lazy dog and then it runs " +
+      "to the barn where the farmer is reading mail from bob@example.com today"
+    val good2 = "a second fine document in the english language with the usual " +
+      "collection of stopwords and a perfectly reasonable length for a test"
+    def docJson(id: Long, text: String, source: String, sec: Long): String =
+      s"""{"doc_id": $id, "text": "$text", "source": "$source", "ts_sec": $sec}"""
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(inDir, name), lines.mkString("", "\n", "\n"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, source STRING, ts_sec BIGINT")
+    // the persisted-corpus fingerprint index: "known doc" already ingested
+    val index = Seq(Tuple1("known doc")).toDF("text")
+      .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+    def runOnce(): Unit = {
+      val docs = spark.readStream.schema(schema).json(inDir)
+        .select(col("doc_id"), col("text"), col("source"),
+          timestamp_seconds(col("ts_sec")).as("ts"))
+      TrainingPipeline.start(docs, index, outDir, cpDir).awaitTermination()
+    }
+    // run 1: an already-indexed dup, one good doc, punctuation soup
+    writeFile("f1.jsonl", Seq(
+      docJson(1, "KNOWN   doc", "s0", w0),
+      docJson(2, good1, "s0", w0 + 1),
+      docJson(3, "!!! ??? ***", "s0", w0 + 2)))
+    runOnce()
+    // run 2, SAME checkpoint: a within-watermark repeat of good1 (must be
+    // dropped — only possible if the dedup state survived the restart)
+    // plus one genuinely new good doc
+    writeFile("f2.jsonl", Seq(
+      docJson(4, good1, "s1", w0 + 30),
+      docJson(5, good2, "s1", w0 + 31)))
+    runOnce()
+    // read the shard trees batch by batch (empty batches write no rows)
+    val batchDirs = new java.io.File(outDir).listFiles().filter(_.isDirectory).toSeq
+    val perBatch = batchDirs.flatMap { d =>
+      try Some(spark.read.parquet(d.getPath)) catch { case _: Throwable => None }
+    }.filter(_.count() > 0)
+    val admitted = perBatch.flatMap(_.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("text")))
+    // exactly docs 2 and 5 survive: 1 killed by the index join, 3 by
+    // curation, 4 by cross-restart dedup state; and 2 appears exactly
+    // once — run 2 did not reprocess f1
+    assert(admitted.map(_._1).sorted === Seq(2L, 5L))
+    val scrubbed = admitted.toMap.apply(2L)
+    assert(scrubbed.contains("[EMAIL]") && !scrubbed.contains("bob@"))
+    // the exported tree IS the packing: per batch, the (source, block,
+    // shard) totals reconstructed from the tree equal pack_shards run on
+    // that batch's admitted docs
+    perBatch.foreach { df =>
+      // partition-discovery infers block_id/shard_id as int — cast back
+      val fromTree = df.groupBy(col("source"),
+          col("block_id").cast("long").as("block_id"),
+          col("shard_id").cast("long").as("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.functions.TextFunctions.tokenCount(col("text")).cast("long")).as("shard_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .collect().map(_.toSeq).toSet
+      val expected = TextAnalysis.packShards(df.select(col("doc_id"), col("text"), col("source")))
+        .collect().map(_.toSeq).toSet
+      assert(fromTree === expected, "shard tree totals must match pack_shards")
+    }
   }
 
   test("batch and streaming agree on the same data") {
