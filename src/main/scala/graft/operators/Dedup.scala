@@ -312,6 +312,24 @@ object Dedup {
       spark.table(s"${name}_bands"),
       spark.table(s"${name}_shingles"))
 
+  /** The MAINTENANCE half of the incremental contract: after
+    * [[incrementalDedup]] admits a batch, append the batch's
+    * fingerprints, band keys and shingle arrays to the persisted index so
+    * the NEXT batch is deduped against them too — the index grows with
+    * the corpus, and no batch ever re-sketches what came before it.
+    * Appends use the tables' existing bucketing spec, so the layout keeps
+    * serving bucket-aligned joins; each append costs one shuffle of the
+    * BATCH (not the corpus). */
+  def appendToDedupIndex(admitted: DataFrame, name: String, buckets: Int = 8): Unit = {
+    def app(df: DataFrame, table: String, key: String): Unit =
+      df.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+    app(admitted.select(md5(normText(col("text"))).as("fp")).distinct(), s"${name}_fp", "fp")
+    app(bandTable(admitted), s"${name}_bands", "band_key")
+    app(shingleArrays(admitted).select(col("doc_id"), col("n_g"), col("gs")),
+      s"${name}_shingles", "doc_id")
+  }
+
   /** SimHash geometry: a 64-bit signature banded as 4 × 16-bit for
     * candidate generation. Pigeonhole: hamming ≤ 3 flips damage at most 3
     * of the 4 bands, so at least one band survives intact — recall 1 for

@@ -313,29 +313,74 @@ object Similarity {
 
     // assignment: argmax cosine over the broadcast centroids, fully inside
     // whole-stage codegen (array of fused-cosine expressions + array_max)
+    val assigned = assignCells(embeddings, model)
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = assigned.join(broadcast(probedCells(queries, model, nProbe)), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim_raw", CosineSimilarity.cosineFast(col("qe"), col("embedding")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim_raw"))
+    topKPerQuery(scored, k)
+  }
+
+  /** (vec_id, embedding, cell): each vector labeled with its argmax-cosine
+    * quantizer cell — one broadcast-centroid codegen map pass, no shuffle. */
+  private def assignCells(embeddings: DataFrame, model: Array[Array[Float]]): DataFrame = {
     val cosArr = array(model.map(c =>
       CosineSimilarity.cosineFast(col("embedding"), typedLit(c.toSeq))): _*)
-    val assigned = embeddings
+    embeddings
       .withColumn("cs", cosArr)
       .withColumn("cell", (array_position(col("cs"), array_max(col("cs"))) - 1).cast("int"))
       .select(col("vec_id"), col("embedding"), col("cell"))
+  }
 
-    // nProbe nearest cells per query, by cosine to the centroids
-    val centroids = model.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
-    val spark = embeddings.sparkSession
+  /** (query_id, qe, cell): each query paired with its `nProbe` nearest
+    * quantizer cells by centroid cosine. */
+  private def probedCells(queries: DataFrame, model: Array[Array[Float]], nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
     import spark.implicits._
-    val centDf = centroids.toDF("cell", "centroid")
-    val queries = embeddings.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val centDf = model.zipWithIndex.map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
     val wCell = Window.partitionBy(col("query_id"))
       .orderBy(col("cdist").desc, col("cell"))
-    val probed = queries.crossJoin(broadcast(centDf))
+    queries.crossJoin(broadcast(centDf))
       .withColumn("cdist", CosineSimilarity.cosineFast(col("qe"), col("centroid")))
       .withColumn("crk", row_number().over(wCell))
       .filter(col("crk") <= nProbe)
       .select(col("query_id"), col("qe"), col("cell"))
+  }
 
-    val scored = assigned.join(broadcast(probed), Seq("cell"))
+  /** Materialize the full IVF index LAYOUT on storage: the quantizer
+    * artifact (`<path>/quantizer`) plus the corpus parquet-PARTITIONED BY
+    * assigned cell (`<path>/cells/cell=N/`). This is the billion-vector
+    * layout the ivfTopK plan implies, made physical: once the corpus
+    * lives partitioned by cell, a search probing nProbe of nCells reads
+    * nProbe/nCells of the BYTES (directory-level partition pruning), not
+    * just of the rows — at 100 TB the difference between scanning the
+    * corpus per query batch and scanning a few percent of it. Write cost
+    * is one assignment map pass + one shuffle-free partitioned write. */
+  def saveIvfIndex(embeddings: DataFrame, path: String, nCells: Int = 16): Unit = {
+    val model = quantizerFor(embeddings, nCells)
+    saveQuantizer(embeddings, s"$path/quantizer", nCells)
+    assignCells(embeddings, model)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** IVF search against the PERSISTED index layout ([[saveIvfIndex]]):
+    * loads the quantizer artifact, probes each query's `nProbe` cells,
+    * and scans ONLY those cells' partitions — the probed cell set (≤
+    * nCells ints, a model-sized value, not a corpus collect) becomes a
+    * static partition filter, so pruning happens at the file-listing
+    * level (asserted in OperatorSpec). `queries` needs
+    * (query_id, embedding). */
+  def ivfSearchIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                       queries: DataFrame, k: Int = 3, nProbe: Int = 2): DataFrame = {
+    val model = loadQuantizer(spark, s"$path/quantizer")
+    val corpus = spark.read.parquet(s"$path/cells")
+    val q = queries.select(col("query_id"), col("embedding").as("qe"))
+    val probed = probedCells(q, model, nProbe)
+    val cellsToRead = probed.select(col("cell")).distinct().collect().map(_.getInt(0)).sorted
+    val scored = corpus.filter(col("cell").isin(cellsToRead.map(Integer.valueOf): _*))
+      .join(broadcast(probed), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos_sim_raw", CosineSimilarity.cosineFast(col("qe"), col("embedding")))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim_raw"))

@@ -189,6 +189,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("appendToDedupIndex: the index grows with admitted batches") {
+    val fresh1 = (400 to 440).map(i => s"g$i").mkString(" ")
+    val fresh2 = (500 to 540).map(i => s"h$i").mkString(" ")
+    val existing = Seq((0L, base, "s0")).toDF("doc_id", "text", "source")
+    Dedup.saveDedupIndex(existing, "dix_grow")
+    val b1 = Seq((1L, fresh1, "s1")).toDF("doc_id", "text", "source")
+    val admitted1 = Dedup.incrementalDedup(b1, Dedup.loadDedupIndex(spark, "dix_grow"))
+    assert(admitted1.collect().map(_.getLong(0)).toSeq === Seq(1L))
+    Dedup.appendToDedupIndex(b1, "dix_grow")
+    // next batch: a NEAR dup of the appended doc (band join + shingle
+    // verify must see b1's appended sketches) and a genuinely new doc
+    val b2 = Seq(
+      (2L, fresh1 + " extraZ", "s2"),
+      (3L, fresh2, "s2")
+    ).toDF("doc_id", "text", "source")
+    val admitted2 = Dedup.incrementalDedup(b2, Dedup.loadDedupIndex(spark, "dix_grow"))
+    assert(admitted2.collect().map(_.getLong(0)).toSet === Set(3L),
+      "the appended batch must reject its near-dups in the next batch")
+  }
+
   test("clearSessionState unpersists the shingle cache (CacheManager empty after clear)") {
     spark.catalog.clearCache() // normalize: drop anything earlier suites cached
     Dedup.shingleArraysCached(fixture).count()

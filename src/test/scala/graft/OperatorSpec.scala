@@ -109,6 +109,24 @@ class OperatorSpec extends SparkSpec {
     assert(viaSql === viaDf)
   }
 
+  test("IVF index layout: cell-partitioned corpus, pruned search equals in-memory IVF") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+    Similarity.saveIvfIndex(emb, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val viaIndex = Similarity.ivfSearchIndexed(spark, dir, queries)
+    val inMemory = Similarity.ivfTopK(emb)
+    assert(viaIndex.collect().toSeq === inMemory.collect().toSeq,
+      "search over the persisted layout must equal the in-memory IVF result")
+    // the probed cells became a STATIC partition filter: the cells scan
+    // lists only those directories
+    val planStr = viaIndex.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters: [cell#") ||
+      planStr.matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*\\].*"),
+      s"cells scan must carry a cell partition filter:\n$planStr")
+  }
+
   test("ann_ivf_topk oracle is wired: after the query runs, oracleSql embeds the centroids") {
     // regression guard for the round-5 dead-code bug: the oracle generator
     // existed but was never merged into oracleSql, so the driver silently

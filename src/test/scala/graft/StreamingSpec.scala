@@ -287,6 +287,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch-persisted dedup index feeds the streaming stage (full circle)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    import graft.streaming.StreamingDedup
+    // the batch side materializes the index once ...
+    val ingested = Seq((0L, "already ingested doc", "s0")).toDF("doc_id", "text", "source")
+    Dedup.saveDedupIndex(ingested, "dix_stream")
+    // ... and the ONLINE pipeline dedups against exactly that artifact
+    val fpIndex = Dedup.loadDedupIndex(spark, "dix_stream").fp
+    val in = MemoryStream[(Long, String, Long)]
+    val docs = in.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"),
+        timestamp_seconds(col("_3")).as("ts"))
+    val q = StreamingDedup.againstIndex(docs, fpIndex).writeStream
+      .format("memory").queryName("sfromidx").outputMode("append").start()
+    try {
+      in.addData(
+        (1L, "ALREADY   ingested DOC", w0), // normalizes into the persisted index → dropped
+        (2L, "never seen before", w0 + 1))
+      q.processAllAvailable()
+      assert(spark.table("sfromidx").collect().map(_.getLong(0)).toSeq === Seq(2L))
+    } finally q.stop()
+  }
+
   test("composed online pipeline: dedup feeds curation in one topology") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.{StreamingCuration, StreamingDedup}
