@@ -88,18 +88,22 @@ object Dedup {
     * corpus, not one per use. The compact array form is cached (one row
     * per doc); consumers that need exploded rows explode FROM the cache.
     * MEMORY_AND_DISK spills instead of evicting under pressure. */
-  def shingleArraysCached(documents: DataFrame): DataFrame = synchronized {
-    val df = shingleArrays(documents)
+  /** Persist `df` and track the handle (idempotent per canonicalized
+    * plan). Re-checks the storage level on every call, not just on
+    * insert: an external `spark.catalog.clearCache()` evicts the
+    * CacheManager entry while the tracked handle lives on — storageLevel
+    * reads the CacheManager, so this re-persists exactly when the entry
+    * is actually gone. */
+  private def persistTracked(df: DataFrame): DataFrame = synchronized {
     val handle = tracked.getOrElseUpdate(
       (df.sparkSession, df.queryExecution.analyzed.canonicalized), df)
-    // re-check on every call, not just on insert: an external
-    // spark.catalog.clearCache() evicts the CacheManager entry while the
-    // tracked handle lives on — storageLevel reads the CacheManager, so
-    // this re-persists exactly when the entry is actually gone
     if (handle.storageLevel == StorageLevel.NONE)
       handle.persist(StorageLevel.MEMORY_AND_DISK)
     handle
   }
+
+  def shingleArraysCached(documents: DataFrame): DataFrame =
+    persistTracked(shingleArrays(documents))
 
   /** Exploded shingle rows (doc_id, source, n_g, g), derived from the
     * cached array relation. */
@@ -388,7 +392,12 @@ object Dedup {
     * Arithmetic shift + mask extracts exact bit ranges regardless of the
     * signature's sign. */
   private def simhashBandTable(documents: DataFrame): DataFrame = {
-    val sig = simhashSignatures(documents)
+    // the signature table is 16 bytes per doc and feeds this band table
+    // THREE times per pairs query (keep list + both join sides) plus the
+    // band-stats monitor — persist it (same session-tracked cache as the
+    // shingle arrays) so the shingle explode + 64-vote aggregation runs
+    // once per corpus, not once per consumer
+    val sig = persistTracked(simhashSignatures(documents))
     val mask = (1L << SimhashBandBits) - 1
     val bandCols = array((0 until SimhashBands).map { b =>
       shiftright(col("simhash"), SimhashBandBits * b).bitwiseAND(lit(mask))
