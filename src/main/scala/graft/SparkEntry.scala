@@ -127,6 +127,8 @@ object SparkEntry {
     "dedup_rate_by_source" -> ((s, d) => TextAnalysis.dedupRateBySource(Tables.documents(s, d))),
     "corpus_curated" -> ((s, d) => TextAnalysis.curatedCorpus(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionSignals(Tables.documents(s, d))),
+    "text_token_rarity" -> ((s, d) => TextAnalysis.tokenRarity(Tables.documents(s, d))),
+    "tokenizer_fertility" -> ((s, d) => TextAnalysis.tokenizerFertility(Tables.documents(s, d))),
     "pii_scrub_stats" -> ((s, d) =>
       TextAnalysis.piiScrubStats(Tables.documents(s, d), Tables.events(s, d))),
     "distinctive_terms" -> ((s, d) => TextAnalysis.distinctiveTerms(Tables.documents(s, d))),
@@ -940,6 +942,27 @@ object SparkEntry {
     "train_test_split" -> trainTestSplitOracle,
     "pack_shards" -> packShardsOracle,
     "dedup_rate_by_source" -> dedupRateBySourceOracle,
+    "text_token_rarity" ->
+      """WITH norm AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t FROM documents),
+        |tk AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
+        |tk2 AS (SELECT doc_id, tok FROM tk WHERE len(tok) > 0),
+        |tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM tk2 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n_total FROM tf),
+        |sc AS (SELECT doc_id, (tf * 1000000) // n_total AS p_ppm, tf FROM tk2 JOIN tf USING (tok), tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |  CAST(sum(p_ppm) // count(*) AS BIGINT) AS mean_prob_ppm,
+        |  CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "tokenizer_fertility" ->
+      s"""WITH a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(length(text)) AS BIGINT) AS chars,
+         |    CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS ws_tokens,
+         |    CAST(sum(len(regexp_extract_all(text, '${graft.functions.TextFunctions.BpePattern}'))) AS BIGINT) AS bpe_tokens
+         |  FROM documents GROUP BY 1)
+         |SELECT source, n_docs,
+         |  CAST((1000 * chars) // greatest(bpe_tokens, 1) AS BIGINT) AS chars_per_bpe_milli,
+         |  CAST((1000 * bpe_tokens) // greatest(ws_tokens, 1) AS BIGINT) AS bpe_per_ws_milli
+         |FROM a ORDER BY source""".stripMargin,
     "corpus_curated" -> curatedCorpusOracle,
     "text_repetition" -> repetitionOracle,
     "distinctive_terms" -> distinctiveTermsOracle,

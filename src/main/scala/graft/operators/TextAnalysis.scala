@@ -382,6 +382,52 @@ object TextAnalysis {
       .orderBy("source", "block_id", "shard_id")
   }
 
+  /** Per-doc token-RARITY signal — the integer-exact stand-in for an LM
+    * perplexity filter (the CCNet-style "does this text look like the
+    * corpus" gate, with no float log-prob anywhere): every token
+    * occurrence scores its corpus-wide unigram probability in ppm
+    * (integer div), and a doc reports its occurrence count, MEAN token
+    * probability, and hapax count (tokens occurring exactly once in the
+    * whole corpus). Low mean probability = text unlike the corpus
+    * (gibberish, other languages, id soup); a high hapax share is the
+    * same signal read from the tail. Plan at 100 TB: one token explode;
+    * the frequency table is vocabulary-bounded; the join back shuffles
+    * on the token key with the exploded (doc_id, token) relation as the
+    * big side — document text rides in neither shuffle. */
+  def tokenRarity(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val total = tf.agg(sum(col("tf")).as("n_total"))
+    toks.join(tf, "tok")
+      .crossJoin(broadcast(total)) // one row: the corpus token count
+      .withColumn("p_ppm", expr("(tf * 1000000) div n_total"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_toks"),
+        expr("sum(p_ppm) div count(1)").as("mean_prob_ppm"),
+        sum(when(col("tf") === 1, 1).otherwise(0)).cast("long").as("n_hapax"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source tokenizer-fertility stats: milli-characters per BPE-ish
+    * token and milli-BPE-tokens per whitespace word — the table a
+    * pipeline reads when sizing token budgets and spotting sources that
+    * tokenize expensively (code, tables, non-Latin text inflate BPE
+    * counts relative to words). Integer-exact; one scan, a tiny
+    * per-source aggregate. */
+  def tokenizerFertility(documents: DataFrame): DataFrame =
+    documents.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(length(col("text")).cast("long")).as("chars"),
+      sum(tokenCount(col("text")).cast("long")).as("ws_tokens"),
+      sum(bpeTokenCount(col("text")).cast("long")).as("bpe_tokens"))
+      .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+        expr("(1000 * chars) div greatest(bpe_tokens, 1L)").as("chars_per_bpe_milli"),
+        expr("(1000 * bpe_tokens) div greatest(ws_tokens, 1L)").as("bpe_per_ws_milli"))
+      .orderBy("source")
+
   /** Per-source duplication rate: docs vs distinct normalized-content
     * fingerprints, with an integer duplicate percentage — the
     * which-source-is-dirty monitoring view that decides where a dedup

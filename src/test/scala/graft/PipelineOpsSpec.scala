@@ -219,6 +219,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(shards.map(_._5).sum === total)
   }
 
+  test("tokenRarity: integer unigram probabilities and hapax counts") {
+    val df = Seq(
+      (0L, "common common common", "s0"),
+      (1L, "common unique", "s0")
+    ).toDF("doc_id", "text", "source")
+    // corpus tf: common=4, unique=1, total=5 → p_ppm: common 800000, unique 200000
+    val got = TextAnalysis.tokenRarity(df).collect()
+      .map { case Row(id: Long, n: Long, p: Long, h: Long) => id -> ((n, p, h)) }.toMap
+    assert(got(0L) === ((3L, 800000L, 0L)))
+    assert(got(1L) === ((2L, 500000L, 1L))) // (800000+200000) div 2; one hapax
+  }
+
   test("dedupRateBySource: planted duplicates yield the exact integer rate") {
     val df = Seq(
       (0L, "same doc", "s0"), (1L, "same doc", "s0"),

@@ -80,6 +80,7 @@ class PlanShapeSpec extends SparkSpec {
     // broadcast side is bounded by construction (listed with its bound).
     val nlAllowed = Map(
       "mixture_weights" -> "1-row totals broadcast",
+      "text_token_rarity" -> "1-row corpus-token-total broadcast",
       "order_value_percentiles" -> "20 percentile targets broadcast",
       "order_value_percentiles_approx" -> "20 percentile targets broadcast",
       "ann_ivf_topk" -> "nCells=16 centroid table broadcast",
