@@ -59,6 +59,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val loadStart = loadavg()
+    // untimed probe warmup: the first busy-loop execution in a fresh JVM
+    // measures its own JIT compilation (observed ≈0.14 s vs ≈0.03 s
+    // steady-state on a quiet host), which read as phantom "start
+    // contamination" every round — compile the loop before measuring
+    cpuProbe(cpus.toInt, 2000000L)
     val probeStart = cpuProbe(cpus.toInt)
     // untimed warmup: session-infra first-touch costs (parquet footers,
     // codegen/JIT compilation, broadcast thread pools) land here instead
