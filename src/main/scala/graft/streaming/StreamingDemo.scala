@@ -46,6 +46,32 @@ object StreamingDemo {
     val out = spark.table("demo_out").orderBy("key")
     println(s"[demo] finalized windows: ${out.count()}")
     out.show(5, false)
+
+    // part 2: the online TRAINING-DATA pipeline — documents stream through
+    // persisted-index dedup → within-stream dedup → curation → token-budget
+    // shard export (graft.streaming.TrainingPipeline)
+    val docStage = Files.createTempDirectory("graft-docs-in").toString
+    Tables.documents(spark, sfDir)
+      .select(to_json(struct(col("doc_id"), col("text"), col("source"),
+        (lit(1700000000L) + col("doc_id")).as("ts_sec"))).as("value"))
+      .write.mode("overwrite").text(docStage)
+    // pretend the first five docs were already ingested: their fingerprints
+    // form the persisted index the stream dedups against
+    val fpIndex = Tables.documents(spark, sfDir).filter(col("doc_id") < 5)
+      .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+    val docsIn = spark.readStream
+      .schema("doc_id BIGINT, text STRING, source STRING, ts_sec BIGINT")
+      .json(docStage)
+      .select(col("doc_id"), col("text"), col("source"),
+        timestamp_seconds(col("ts_sec")).as("ts"))
+    val shardDir = Files.createTempDirectory("graft-shards-out").toString
+    val cpDir = Files.createTempDirectory("graft-demo-cp").toString
+    TrainingPipeline.start(docsIn, fpIndex, shardDir, cpDir).awaitTermination()
+    val exported = new java.io.File(shardDir).listFiles().filter(_.isDirectory).toSeq
+      .flatMap(d => try Some(spark.read.parquet(d.getPath)) catch { case _: Throwable => None })
+      .map(_.count()).sum
+    println(s"[demo] training shards exported under $shardDir: $exported docs " +
+      "(index dups, stream dups and low-quality docs dropped)")
     spark.stop()
   }
 }

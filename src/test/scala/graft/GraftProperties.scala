@@ -138,6 +138,27 @@ object GraftProperties extends Properties("graft") {
     conserve && contiguous && blockOk
   }
 
+  private val sigFlipGen: Gen[(Long, Set[Int])] = for {
+    sig <- Gen.long
+    n <- Gen.choose(0, 3)
+    bits <- Gen.listOfN(n, Gen.choose(0, 63)).map(_.toSet)
+  } yield (sig, bits)
+
+  /** The simhash banding recall guarantee is STRUCTURAL, not statistical:
+    * hamming ≤ 3 damages at most 3 of the 4 16-bit bands, so at least one
+    * band key collides — for ANY signature and ANY choice of ≤ 3 flipped
+    * bits, including bit 63 (the signed two's-complement bit). JVM
+    * replica of Dedup.simhashBandTable's shift+mask; also pins every
+    * band key inside the 16-bit keyspace. Pure JVM — no Spark job. */
+  property("simhash 4x16 banding: any hamming<=3 pair shares a band") = forAll(sigFlipGen) {
+    case (sig, bits) =>
+      val other = bits.foldLeft(sig)((s, b) => s ^ (1L << b))
+      def bands(x: Long): Seq[Long] = (0 until Dedup.SimhashBands)
+        .map(b => (x >> (Dedup.SimhashBandBits * b)) & ((1L << Dedup.SimhashBandBits) - 1))
+      bands(sig).zip(bands(other)).exists { case (a, b) => a == b } &&
+        bands(sig).forall(k => k >= 0 && k < (1L << Dedup.SimhashBandBits))
+  }
+
   private val piiTextGen: Gen[String] = {
     val word = Gen.oneOf("the", "fox", "ran", "mot", "Xy9", "a1b2c3d4", "12345")
     val pii = Gen.oneOf("bob@example.com", "555-123-4567", "10.0.0.1", "98765432",
