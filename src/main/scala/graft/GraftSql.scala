@@ -83,6 +83,42 @@ object GraftSql {
         |ORDER BY doc_id""".stripMargin)
   }
 
+  /** MinHash+LSH near-dup detection spelled entirely in `spark.sql`,
+    * driven by the NATIVE `word_shingles` expression registered through
+    * [[graft.plans.GraftExtensions]] — the demonstration that the
+    * engine's custom Catalyst expressions are first-class SQL citizens,
+    * not DataFrame-only. Mirrors [[graft.operators.Dedup.minhashLsh]]
+    * stage for stage (signature mins, digest band keys, band equi-join,
+    * exact array_intersect verify at Jaccard >= 1/2) and is row-equal to
+    * it (asserted in OperatorSpec), sharing its DuckDB oracle. */
+  def dedupMinhashSql(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.GraftExtensions.registerOn(spark)
+    registerAll(spark, sfDir)
+    val sigCols = (0 until graft.operators.Dedup.MinhashSeeds)
+      .map(i => s"min(md5(concat_ws(':', '$i', g))) AS h$i").mkString(", ")
+    val bandKeys = (0 until graft.operators.Dedup.MinhashBands)
+      .map(b => s"md5(concat(h${2 * b}, h${2 * b + 1}))").mkString(", ")
+    spark.sql(
+      s"""WITH sh AS (
+         |  SELECT doc_id, word_shingles(regexp_replace(trim(lower(text)), '\\\\s+', ' ')) AS gs
+         |  FROM documents),
+         |ex AS (SELECT doc_id, explode(gs) AS g FROM sh),
+         |sig AS (SELECT doc_id, $sigCols FROM ex GROUP BY doc_id),
+         |bands AS (SELECT doc_id, posexplode(array($bandKeys)) AS (band_idx, band_key) FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |v AS (
+         |  SELECT doc_a, doc_b,
+         |         size(array_intersect(sa.gs, sb.gs)) AS shared,
+         |         size(sa.gs) AS na, size(sb.gs) AS nb
+         |  FROM cand JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id)
+         |SELECT doc_a, doc_b FROM v
+         |WHERE shared * 3 >= na + nb
+         |ORDER BY doc_a, doc_b""".stripMargin)
+  }
+
   /** Explicit GROUPING SETS (the general form rollup/cube specialize) with
     * grouping_id() disambiguating aggregation level from data NULLs —
     * plans as one Expand + a single shuffle, like rollup/cube. */

@@ -86,6 +86,7 @@ object SparkEntry {
     "dedup_exact_norm" -> ((s, d) => Dedup.exactNormalized(Tables.documents(s, d))),
     "dedup_exact_norm_sql" -> ((s, d) => GraftSql.dedupExactNormSql(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
+    "dedup_minhash_sql" -> ((s, d) => GraftSql.dedupMinhashSql(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "dedup_levenshtein" -> ((s, d) => Dedup.levenshteinPrefix(Tables.documents(s, d))),
@@ -889,6 +890,9 @@ object SparkEntry {
         |FROM n a JOIN n b ON a.source = b.source AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.p, b.p) <= 5 ORDER BY 1, 2""".stripMargin,
     "dedup_minhash_lsh" -> minhashOracle,
+    // the SQL-surface twin (native word_shingles through spark.sql)
+    // shares the DataFrame operator's oracle
+    "dedup_minhash_sql" -> minhashOracle,
     "incremental_dedup" -> incrementalDedupOracle,
     "dedup_clusters" -> dedupClustersOracle,
     "dedup_simhash" -> simhashOracle,

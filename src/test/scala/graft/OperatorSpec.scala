@@ -109,6 +109,12 @@ class OperatorSpec extends SparkSpec {
     assert(viaSql === viaDf)
   }
 
+  test("SQL-surface MinHash (dedup_minhash_sql, native word_shingles) is row-equal") {
+    val viaSql = GraftSql.dedupMinhashSql(spark, Sf0001).collect().toSeq
+    val viaDf = Dedup.minhashLsh(Tables.documents(spark, Sf0001)).collect().toSeq
+    assert(viaSql === viaDf)
+  }
+
   test("IVF index layout: cell-partitioned corpus, pruned search equals in-memory IVF") {
     val emb = Tables.embeddings(spark, Sf0001)
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
