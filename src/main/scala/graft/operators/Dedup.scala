@@ -332,6 +332,17 @@ object Dedup {
     app(bandTable(admitted), s"${name}_bands", "band_key")
     app(shingleArrays(admitted).select(col("doc_id"), col("n_g"), col("gs")),
       s"${name}_shingles", "doc_id")
+    // readers cache a table's resolved relation (file listing included)
+    // PER SESSION — and a streaming foreachBatch hands this code a CLONED
+    // session, so refreshing only `admitted.sparkSession` would leave the
+    // parent session (whose spark.table the pipeline's static side and
+    // the next caller resolve) serving the pre-append listing. Refresh
+    // every session we can see: the writer's, the default, the active.
+    val sessions = (Seq(admitted.sparkSession) ++
+      org.apache.spark.sql.SparkSession.getDefaultSession.toSeq ++
+      org.apache.spark.sql.SparkSession.getActiveSession.toSeq).distinct
+    for (s <- Seq("_fp", "_bands", "_shingles"); ss <- sessions)
+      ss.catalog.refreshTable(name + s)
   }
 
   /** SimHash geometry: a 64-bit signature banded as 4 × 16-bit for

@@ -48,17 +48,34 @@ object TrainingPipeline {
 
   /** Start the full pipeline with the idempotent batchId-keyed
     * shard-export sink: each micro-batch's admitted docs become a
-    * training-shard tree under `<outDir>/batch_id=<id>/`. */
+    * training-shard tree under `<outDir>/batch_id=<id>/`.
+    *
+    * With `maintainIndexName` set, the sink also APPENDS each admitted
+    * batch to that persisted dedup index
+    * ([[graft.operators.Dedup.appendToDedupIndex]]) — pass the same
+    * index's fp table as `fpIndex` (the static side is re-planned per
+    * micro-batch, so batch N+1 dedups against what batch N admitted) and
+    * the stream maintains its own cross-horizon dedup state: watermark
+    * state handles the near-term repeats, the growing index handles
+    * everything ever admitted. The append is at-least-once under batch
+    * replay, which is safe: duplicate index rows cannot change an
+    * anti-join/candidate-distinct outcome, only add bytes. */
   def start(docs: DataFrame, fpIndex: DataFrame, outDir: String, checkpointDir: String,
             budget: Long = graft.operators.TextAnalysis.PackBudgetTokens,
-            watermark: String = "10 minutes", keepAt: Double = 0.5): StreamingQuery =
+            watermark: String = "10 minutes", keepAt: Double = 0.5,
+            maintainIndexName: Option[String] = None): StreamingQuery =
     transforms(docs, fpIndex, watermark, keepAt).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.sources.FileFormats.writeTrainingShards(
-          batch.select("doc_id", "text", "source"),
-          s"$outDir/batch_id=$batchId", budget)
+        // skip no-data batches (watermark-advance ticks): an empty shard
+        // tree and three empty index appends would cost a write each
+        if (!batch.isEmpty) {
+          val admitted = batch.select("doc_id", "text", "source")
+          graft.sources.FileFormats.writeTrainingShards(
+            admitted, s"$outDir/batch_id=$batchId", budget)
+          maintainIndexName.foreach(graft.operators.Dedup.appendToDedupIndex(admitted, _))
+        }
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -452,6 +452,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("TrainingPipeline maintains its dedup index online: admitted docs reject later dups") {
+    import graft.operators.Dedup
+    import graft.streaming.TrainingPipeline
+    val good = "the quick brown fox jumps over a lazy dog and then it runs " +
+      "to the barn where the farmer is reading the morning mail today"
+    def docJson(id: Long, text: String, source: String, sec: Long): String =
+      s"""{"doc_id": $id, "text": "$text", "source": "$source", "ts_sec": $sec}"""
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, source STRING, ts_sec BIGINT")
+    // seed the persisted index from a batch-side corpus
+    Dedup.saveDedupIndex(
+      Seq((0L, "seed corpus doc", "s0")).toDF("doc_id", "text", "source"), "dix_online")
+    // separate outDir per run: fresh checkpoints restart batch ids at 0,
+    // and the batchId-keyed overwrite would make run 2 overwrite run 1
+    def runOnce(outDir: String, lines: Seq[String]): Unit = {
+      // FRESH input dir and FRESH checkpoint per run: any cross-run dedup
+      // below is therefore the INDEX's doing, not retained stream state
+      val inDir = java.nio.file.Files.createTempDirectory("graft-online-in").toString
+      val cpDir = java.nio.file.Files.createTempDirectory("graft-online-cp").toString
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(inDir, "in.jsonl"), lines.mkString("", "\n", "\n"))
+      val docs = spark.readStream.schema(schema).json(inDir)
+        .select(col("doc_id"), col("text"), col("source"),
+          timestamp_seconds(col("ts_sec")).as("ts"))
+      TrainingPipeline.start(docs, spark.table("dix_online_fp"), outDir, cpDir,
+        maintainIndexName = Some("dix_online")).awaitTermination()
+    }
+    val out1 = java.nio.file.Files.createTempDirectory("graft-online-out1").toString
+    val out2 = java.nio.file.Files.createTempDirectory("graft-online-out2").toString
+    runOnce(out1, Seq(docJson(1, good, "s0", w0)))          // admitted + appended to the index
+    runOnce(out2, Seq(docJson(2, good.toUpperCase, "s1", w0 + 5000))) // exact norm-dup of doc 1
+    def admittedIn(dir: String): Seq[Long] =
+      new java.io.File(dir).listFiles().filter(_.isDirectory).toSeq
+        .flatMap(d => try spark.read.parquet(d.getPath).collect() catch { case _: Throwable => Nil })
+        .map(_.getAs[Long]("doc_id"))
+    val admitted = admittedIn(out1) ++ admittedIn(out2)
+    assert(admitted === Seq(1L),
+      "run 2's dup must be rejected by the index run 1 appended — with a fresh checkpoint, " +
+        "only the maintained index can know about doc 1")
+  }
+
   test("batch and streaming agree on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val events = Tables.events(spark, Sf0001)
