@@ -310,11 +310,20 @@ object Dedup {
       s"${name}_shingles", "doc_id", buckets)
   }
 
-  def loadDedupIndex(spark: org.apache.spark.sql.SparkSession, name: String): DedupIndex =
+  def loadDedupIndex(spark: org.apache.spark.sql.SparkSession, name: String): DedupIndex = {
+    // refresh-on-read: appends may have landed from OTHER sessions (a
+    // streaming foreachBatch runs under a cloned session) and table
+    // relations cache per session — invalidate this session's entries so
+    // a load always sees the current files. Best-effort: a missing table
+    // surfaces as a meaningful error from spark.table below, not here.
+    Seq("_fp", "_bands", "_shingles").foreach(s =>
+      try spark.catalog.refreshTable(name + s)
+      catch { case _: org.apache.spark.sql.AnalysisException => () })
     DedupIndex(
       spark.table(s"${name}_fp"),
       spark.table(s"${name}_bands"),
       spark.table(s"${name}_shingles"))
+  }
 
   /** The MAINTENANCE half of the incremental contract: after
     * [[incrementalDedup]] admits a batch, append the batch's
@@ -342,7 +351,12 @@ object Dedup {
       org.apache.spark.sql.SparkSession.getDefaultSession.toSeq ++
       org.apache.spark.sql.SparkSession.getActiveSession.toSeq).distinct
     for (s <- Seq("_fp", "_bands", "_shingles"); ss <- sessions)
-      ss.catalog.refreshTable(name + s)
+      // best-effort: a session that cannot resolve the table (e.g. a
+      // concurrent writer mid-overwrite, or a thread-local session with a
+      // different view) has no stale entry to refresh — never let the
+      // refresh fail an append whose writes already committed
+      try ss.catalog.refreshTable(name + s)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
   }
 
   /** SimHash geometry: a 64-bit signature banded as 4 × 16-bit for

@@ -15,13 +15,21 @@ class ExtensionsSpec extends AnyFunSuite {
     // underlying SparkContext is shared, which is fine)
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    SparkSession.builder()
+    val s = SparkSession.builder()
       .master("local[2]")
       .appName("graft-ext-test")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
+    // restore the shared suite session as the JVM-wide default: the fresh
+    // extensions session owns a NEW SharedState (empty catalog), and
+    // leaving it as default would hand every concurrently-running suite
+    // that resolves catalog tables through getDefaultSession an empty
+    // catalog (bit the dedup-index suites in round 7)
+    SparkSession.setDefaultSession(SparkSpec.spark)
+    SparkSession.setActiveSession(SparkSpec.spark)
+    s
   }
 
   test("cosine_similarity, dot_product, word_shingles usable from SQL") {

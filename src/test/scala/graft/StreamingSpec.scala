@@ -476,7 +476,9 @@ class StreamingSpec extends SparkSpec {
       val docs = spark.readStream.schema(schema).json(inDir)
         .select(col("doc_id"), col("text"), col("source"),
           timestamp_seconds(col("ts_sec")).as("ts"))
-      TrainingPipeline.start(docs, spark.table("dix_online_fp"), outDir, cpDir,
+      // load through the product API: refresh-on-read picks up appends
+      // made by previous runs' foreachBatch (cloned-session) writers
+      TrainingPipeline.start(docs, Dedup.loadDedupIndex(spark, "dix_online").fp, outDir, cpDir,
         maintainIndexName = Some("dix_online")).awaitTermination()
     }
     val out1 = java.nio.file.Files.createTempDirectory("graft-online-out1").toString
