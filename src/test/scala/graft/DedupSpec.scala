@@ -189,6 +189,48 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("null / empty / whitespace-only text neither crashes nor corrupts the dedup family") {
+    // real corpora carry nulls and junk rows; pin the semantics:
+    //  - sketch paths (minhash/simhash/ngram/levenshtein): a null-text doc
+    //    has no shingles, so it silently drops out of pair generation;
+    //  - exact paths: empty and whitespace-only normalize to "" and fold
+    //    together; null texts form their own group (md5(null) = null);
+    //  - curation: a null text scores null, which the quality filter drops
+    val messy = Seq(
+      (0L, null.asInstanceOf[String], "s0"),
+      (1L, "", "s0"),
+      (2L, "   ", "s0"),
+      (3L, base, "s0"),
+      (4L, base.toUpperCase, "s0"),
+      (5L, null.asInstanceOf[String], "s0")
+    ).toDF("doc_id", "text", "source")
+    val norm = Dedup.exactNormalized(messy).collect()
+      .map { case Row(id: Long, n: Long) => id -> n }.toMap
+    assert(norm(1L) === 2L) // "" and "   " fold
+    assert(norm(3L) === 2L) // base and BASE fold
+    assert(norm(0L) === 2L) // the null group folds to its smallest id
+    val mh = Dedup.minhashLsh(messy).collect().map { case Row(a: Long, b: Long) => (a, b) }.toSet
+    assert(mh === Set((3L, 4L)), "sketch pairs must come only from shingled docs")
+    val sh = Dedup.simhashPairs(messy).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sh === Set((3L, 4L)))
+    assert(Dedup.ngramJaccard(messy).collect().map(r => (r.getLong(0), r.getLong(1))).toSet === Set((3L, 4L)))
+    // "" and "   " normalize to the SAME string, so the edit-distance
+    // operator correctly reports them as a distance-0 pair (its contract
+    // is the normalized prefix); null docs never appear in any pair
+    val lev = Dedup.levenshteinPrefix(messy).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(lev === Set((1L, 2L, 0L), (3L, 4L, 0L)))
+    // curation drops null/junk rows instead of NPEing
+    val curated = graft.operators.TextAnalysis.curatedCorpus(messy).collect().map(_.getLong(0))
+    assert(!curated.exists(Set(0L, 1L, 2L, 5L)))
+    // incremental: a null-text batch doc has no fingerprint and no
+    // shingles — it is ADMITTED (nothing to match on), never a crash
+    val admitted = Dedup.incrementalDedup(
+      Seq((9L, null.asInstanceOf[String], "s1")).toDF("doc_id", "text", "source"),
+      messy.filter("text IS NOT NULL")).collect().map(_.getLong(0))
+    assert(admitted.toSeq === Seq(9L))
+  }
+
   test("appendToDedupIndex: the index grows with admitted batches") {
     val fresh1 = (400 to 440).map(i => s"g$i").mkString(" ")
     val fresh2 = (500 to 540).map(i => s"h$i").mkString(" ")
