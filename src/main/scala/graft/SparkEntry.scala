@@ -331,12 +331,13 @@ object SparkEntry {
       .mkString(" + ")
     val bandKeys = (0 until Dedup.EmbBands).map(bandKey).mkString("[", ", ", "]")
     val bandIdxs = (0 until Dedup.EmbBands).mkString("[", ", ", "]")
-    s"""WITH bands AS (SELECT vec_id, unnest($bandKeys) AS band_key, unnest($bandIdxs) AS band_idx FROM embeddings),
+    s"""WITH nz AS (SELECT * FROM embeddings WHERE ${dotSql("embeddings", "embeddings")} > 0),
+       |bands AS (SELECT vec_id, unnest($bandKeys) AS band_key, unnest($bandIdxs) AS band_idx FROM nz),
        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b FROM bands a
        |  JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id),
        |p AS (SELECT vec_a, vec_b,
        |    ${dotSql("a", "b")} AS dp, ${dotSql("a", "a")} AS na, ${dotSql("b", "b")} AS nb
-       |  FROM cand JOIN embeddings a ON vec_a = a.vec_id JOIN embeddings b ON vec_b = b.vec_id)
+       |  FROM cand JOIN nz a ON vec_a = a.vec_id JOIN nz b ON vec_b = b.vec_id)
        |SELECT vec_a, vec_b, round(dp / sqrt(na * nb), 4) AS cos_sim
        |FROM p WHERE dp / sqrt(na * nb) >= 0.5 ORDER BY 1, 2""".stripMargin
   }

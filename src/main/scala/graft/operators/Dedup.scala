@@ -751,6 +751,10 @@ object Dedup {
     import graft.plans.DotProduct.dot
     val base = embeddings.select(col("vec_id"), col("embedding"),
       dot(col("embedding"), col("embedding")).as("nrm"))
+      // zero/null vectors have no direction — excluded by contract (and
+      // the cosine division would be an ANSI divide-by-zero). The oracle
+      // mirrors the nrm > 0 guard.
+      .filter(col("nrm") > 0)
     val bandCols = array((0 until bands).map(b => embBandKey(col("embedding"), b, bits)): _*)
     val bandRows = base.select(col("vec_id"), posexplode(bandCols))
       .toDF("vec_id", "band_idx", "band_key")

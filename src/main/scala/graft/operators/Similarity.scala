@@ -111,10 +111,13 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** Sign-LSH bucket key: bit j set iff embedding[j] >= 0, j < 8. */
+  /** Sign-LSH bucket key: bit j set iff embedding[j] >= 0, j < 8.
+    * try_element_at: a vector shorter than 8 dims (or a null element)
+    * contributes no bit instead of an ANSI index error — degenerate rows
+    * land in a bucket, they don't kill the scan. */
   private def bucketKey(emb: Column) =
     (0 until 8)
-      .map(j => when(element_at(emb, j + 1) >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .map(j => when(try_element_at(emb, lit(j + 1)) >= 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
 
   /** LSH-bucketed ANN: candidates limited to the query's sign-bucket,
@@ -189,6 +192,9 @@ object Similarity {
     // centroids (and every ivf_topk answer) run-to-run unstable.
     val sample: Array[Array[Double]] = embeddings
       .select(col("vec_id"), col("embedding"))
+      // degenerate rows (null / empty vectors) carry no geometry — train
+      // on the real ones instead of NPEing on Row.getSeq(null)
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
       .orderBy(col("vec_id")).limit(IvfTrainSample)
       .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
     if (sample.isEmpty) return Array.empty
@@ -199,8 +205,12 @@ object Similarity {
       var best = 0; var bestScore = Double.MinValue
       var c = 0
       while (c < cents.length) {
+        // ragged sample: vectors (and therefore centroids, which start as
+        // cloned sample vectors) shorter than the head's dim contribute
+        // zeros for their missing dimensions instead of indexing past the end
+        val m = math.min(math.min(dim, v.length), cents(c).length)
         var dot = 0.0; var nc = 0.0; var nv = 0.0; var j = 0
-        while (j < dim) { dot += v(j) * cents(c)(j); nc += cents(c)(j) * cents(c)(j); nv += v(j) * v(j); j += 1 }
+        while (j < m) { dot += v(j) * cents(c)(j); nc += cents(c)(j) * cents(c)(j); nv += v(j) * v(j); j += 1 }
         val s = if (nc == 0 || nv == 0) -2.0 else dot / math.sqrt(nc * nv)
         if (s > bestScore) { bestScore = s; best = c }
         c += 1
@@ -213,7 +223,8 @@ object Similarity {
       val counts = Array.fill(k)(0L)
       sample.foreach { v =>
         val c = cosArg(v, cents)
-        var j = 0; while (j < dim) { sums(c)(j) += v(j); j += 1 }
+        var j = 0; val m = math.min(dim, v.length)
+        while (j < m) { sums(c)(j) += v(j); j += 1 }
         counts(c) += 1
       }
       cents = Array.tabulate(k) { c =>

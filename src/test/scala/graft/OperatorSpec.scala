@@ -185,4 +185,26 @@ class OperatorSpec extends SparkSpec {
       assert(brute.get((q, n)).forall(_ === c), s"pair ($q,$n)")
     }
   }
+
+  // LAST in the suite on purpose: training on this second corpus puts a
+  // second key in the quantizer slot, which (correctly) degrades the IVF
+  // oracle for the rest of the session — the oracle-wired test above must
+  // run before it.
+  test("degenerate embedding rows (null/empty/zero/short) never kill a similarity operator") {
+    val vecs = Seq(
+      (0L, Array(1f, 2f, 3f, 4f, 1f, 2f, 3f, 4f)),
+      (1L, null.asInstanceOf[Array[Float]]),
+      (2L, Array.empty[Float]),
+      (3L, Array(0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (4L, Array(1f, 2f)) // ragged: shorter than the corpus dim
+    ).toDF("vec_id", "embedding")
+    assert(Similarity.bruteForceTopK(vecs, nQueries = 1, k = 3).count() >= 1)
+    assert(Similarity.lshTopK(vecs, nQueries = 1, k = 3).count() >= 0)
+    assert(Similarity.lshMultiProbeTopK(vecs, nQueries = 1, k = 3).count() >= 0)
+    assert(Similarity.ivfTopK(vecs, nQueries = 1, k = 3).count() >= 1)
+    assert(Similarity.bucketStats(vecs).count() >= 1)
+    assert(Similarity.normStats(vecs).count() >= 1)
+    // zero/null/empty vectors have no direction: excluded, not fatal
+    assert(graft.operators.Dedup.embeddingNearDup(vecs).count() === 0)
+  }
 }
