@@ -219,6 +219,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(shards.map(_._5).sum === total)
   }
 
+  test("null text flows through text analysis as null metrics, never an exception") {
+    val messy = Seq(
+      (0L, null.asInstanceOf[String], "s0", "en"),
+      (1L, "some real text right here", "s0", "en")
+    ).toDF("doc_id", "text", "source", "lang")
+    // per-doc metric ops keep the row (metrics null) rather than dropping
+    // or crashing — a pipeline sees its nulls instead of losing them
+    assert(TextAnalysis.stats(messy).count() === 2)
+    assert(TextAnalysis.tokenCounts(messy).count() === 2)
+    assert(TextAnalysis.langId(messy).count() === 2)
+    assert(TextAnalysis.quality(messy).count() === 2)
+    assert(TextAnalysis.fingerprints(messy).count() === 2)
+    // token-level ops exclude the token-less doc
+    assert(TextAnalysis.tokenRarity(messy).collect().map(_.getLong(0)).toSeq === Seq(1L))
+    assert(TextAnalysis.packShards(messy).count() >= 1)
+    assert(TextAnalysis.tokenizerFertility(messy).count() === 1)
+  }
+
   test("tokenRarity: integer unigram probabilities and hapax counts") {
     val df = Seq(
       (0L, "common common common", "s0"),
