@@ -90,7 +90,13 @@ object GraftSql {
     * not DataFrame-only. Mirrors [[graft.operators.Dedup.minhashLsh]]
     * stage for stage (signature mins, digest band keys, band equi-join,
     * exact array_intersect verify at Jaccard >= 1/2) and is row-equal to
-    * it (asserted in OperatorSpec), sharing its DuckDB oracle. */
+    * it (asserted in OperatorSpec), sharing its DuckDB oracle.
+    *
+    * Scale note: Spark inlines CTEs, so the `sh` shingle relation here is
+    * computed once per reference (three times) — this SQL form
+    * demonstrates the expressions are SQL-complete; the DataFrame
+    * operator remains the production path, riding the session-cached
+    * shingle arrays and the memoized pair graph. */
   def dedupMinhashSql(spark: SparkSession, sfDir: String): DataFrame = {
     graft.plans.GraftExtensions.registerOn(spark)
     registerAll(spark, sfDir)

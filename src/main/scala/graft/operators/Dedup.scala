@@ -332,7 +332,12 @@ object Dedup {
     * the corpus, and no batch ever re-sketches what came before it.
     * Appends use the tables' existing bucketing spec, so the layout keeps
     * serving bucket-aligned joins; each append costs one shuffle of the
-    * BATCH (not the corpus). */
+    * BATCH (not the corpus). Each append adds one file set per bucket, so
+    * after many small batches the index wants the standard warehouse
+    * compaction (rewrite via [[saveDedupIndex]] over the full corpus at
+    * the next snapshot) — the dedup RESULTS are unaffected either way
+    * (duplicate/fragmented index rows cannot change an anti-join or
+    * candidate-distinct outcome). */
   def appendToDedupIndex(admitted: DataFrame, name: String, buckets: Int = 8): Unit = {
     def app(df: DataFrame, table: String, key: String): Unit =
       df.write.mode(org.apache.spark.sql.SaveMode.Append)
