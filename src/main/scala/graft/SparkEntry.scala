@@ -129,6 +129,16 @@ object SparkEntry {
     "corpus_curated" -> ((s, d) => TextAnalysis.curatedCorpus(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionSignals(Tables.documents(s, d))),
     "text_token_rarity" -> ((s, d) => TextAnalysis.tokenRarity(Tables.documents(s, d))),
+    // LM-gate deployable form: odd docs scored against the even docs'
+    // reference frequency model (orderBy is this query's oracle-hash
+    // determinism — the operator is unordered)
+    "token_rarity_against" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.tokenRarityAgainst(
+        docs.filter("doc_id % 2 = 1"),
+        TextAnalysis.tokenFreqs(docs.filter("doc_id % 2 = 0")))
+        .orderBy("doc_id")
+    }),
     "tokenizer_fertility" -> ((s, d) => TextAnalysis.tokenizerFertility(Tables.documents(s, d))),
     "pii_scrub_stats" -> ((s, d) =>
       TextAnalysis.piiScrubStats(Tables.documents(s, d), Tables.events(s, d))),
@@ -957,6 +967,19 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
         |  CAST(sum(p_ppm) // count(*) AS BIGINT) AS mean_prob_ppm,
         |  CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "token_rarity_against" ->
+      """WITH norm AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t FROM documents),
+        |tk AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
+        |tk2 AS (SELECT doc_id, tok FROM tk WHERE len(tok) > 0),
+        |rtf AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM tk2 WHERE doc_id % 2 = 0 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n_total FROM rtf),
+        |sc AS (SELECT b.doc_id, COALESCE((rtf.tf * 1000000) // tot.n_total, 0) AS p_ppm, rtf.tf
+        |  FROM tk2 b LEFT JOIN rtf ON b.tok = rtf.tok CROSS JOIN tot
+        |  WHERE b.doc_id % 2 = 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |  CAST(sum(p_ppm) // count(*) AS BIGINT) AS mean_prob_ppm,
+        |  CAST(sum(CASE WHEN tf IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen
         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
     "tokenizer_fertility" ->
       s"""WITH a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

@@ -411,6 +411,71 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Persist a REFERENCE token-frequency model — the artifact behind
+    * [[tokenRarityAgainst]]'s online/incremental rarity gate: the corpus
+    * unigram table `<name>_freq` (tok, tf; bucketed by token so the score
+    * join hits a pre-bucketed scan) plus a one-row `<name>_meta` carrying
+    * the total token count. The same model-artifact pattern as the IVF
+    * quantizer and the dedup index: fit once per reference-corpus
+    * snapshot, consumed by every later batch/stream without re-reading
+    * the reference. */
+  /** The reference unigram table (tok, tf) a rarity gate scores against. */
+  def tokenFreqs(documents: DataFrame): DataFrame =
+    documents
+      .select(explode(split(normText(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+
+  def saveTokenFreqs(documents: DataFrame, name: String, buckets: Int = 8): Unit = {
+    import graft.sources.FileFormats.writeBucketed
+    val tf = tokenFreqs(documents)
+    writeBucketed(tf, s"${name}_freq", "tok", buckets)
+    tf.agg(sum(col("tf")).as("n_total")).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(s"${name}_meta")
+  }
+
+  /** Load the reference frequency model: (freq table, total tokens). */
+  def loadTokenFreqs(spark: org.apache.spark.sql.SparkSession, name: String): (DataFrame, Long) = {
+    Seq("_freq", "_meta").foreach(s =>
+      try spark.catalog.refreshTable(name + s)
+      catch { case _: org.apache.spark.sql.AnalysisException => () })
+    (spark.table(s"${name}_freq"), spark.table(s"${name}_meta").head.getLong(0))
+  }
+
+  /** Score docs against a REFERENCE frequency model ([[saveTokenFreqs]]):
+    * per doc, the mean reference-unigram probability of its tokens in
+    * integer ppm, with unseen tokens scoring 0 (maximally surprising) and
+    * counted in `n_unseen`. This is [[tokenRarity]]'s deployable form —
+    * self-scoring re-derives the vocabulary from the corpus being
+    * scored, which an ingestion batch can't do honestly (a batch of pure
+    * gibberish would look "normal" to itself); scoring against the
+    * trusted reference is the CCNet-style LM gate. Integer-exact, so the
+    * keep/drop decision is engine- and partitioning-stable. Docs with no
+    * tokens are absent (nothing to score — the quality gate owns them). */
+  def tokenRarityAgainst(docs: DataFrame, freqs: DataFrame, nTotal: Long): DataFrame =
+    tokenRarityAgainstCore(docs, freqs,
+      docs.sparkSession.range(1).select(lit(nTotal).as("n_total")))
+
+  /** [[tokenRarityAgainst]] with the total derived from the freq table
+    * itself — the fully declarative form the oracle-checked query uses. */
+  def tokenRarityAgainst(docs: DataFrame, freqs: DataFrame): DataFrame =
+    tokenRarityAgainstCore(docs, freqs, freqs.agg(sum(col("tf")).as("n_total")))
+
+  private def tokenRarityAgainstCore(docs: DataFrame, freqs: DataFrame,
+                                     totals: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    toks.join(freqs.select(col("tok"), col("tf")), Seq("tok"), "left_outer")
+      .crossJoin(broadcast(totals)) // one row: the reference token count
+      .withColumn("p_ppm", coalesce(expr("(tf * 1000000) div n_total"), lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_toks"),
+        expr("sum(p_ppm) div count(1)").as("mean_prob_ppm"),
+        sum(when(col("tf").isNull, 1).otherwise(0)).cast("long").as("n_unseen"))
+  }
+
   /** Per-source tokenizer-fertility stats: milli-characters per BPE-ish
     * token and milli-BPE-tokens per whitespace word — the table a
     * pipeline reads when sizing token budgets and spotting sources that

@@ -60,10 +60,19 @@ object TrainingPipeline {
     * everything ever admitted. The append is at-least-once under batch
     * replay, which is safe: duplicate index rows cannot change an
     * anti-join/candidate-distinct outcome, only add bytes. */
+  /** With `rarityGate = Some((freqModelName, minMeanPpm))`, each batch is
+    * additionally scored against the persisted reference frequency model
+    * ([[graft.operators.TextAnalysis.saveTokenFreqs]]) and docs whose
+    * mean reference-unigram probability falls below `minMeanPpm` are
+    * dropped — the CCNet-style LM gate, applied per micro-batch as a
+    * batch op (the score is a per-doc aggregate of that doc's own
+    * tokens, so it needs no stream state; the reference model is the
+    * static side). */
   def start(docs: DataFrame, fpIndex: DataFrame, outDir: String, checkpointDir: String,
             budget: Long = graft.operators.TextAnalysis.PackBudgetTokens,
             watermark: String = "10 minutes", keepAt: Double = 0.5,
-            maintainIndexName: Option[String] = None): StreamingQuery =
+            maintainIndexName: Option[String] = None,
+            rarityGate: Option[(String, Long)] = None): StreamingQuery =
     transforms(docs, fpIndex, watermark, keepAt).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -71,7 +80,15 @@ object TrainingPipeline {
         // skip no-data batches (watermark-advance ticks): an empty shard
         // tree and three empty index appends would cost a write each
         if (!batch.isEmpty) {
-          val admitted = batch.select("doc_id", "text", "source")
+          import graft.operators.TextAnalysis
+          val curated = batch.select("doc_id", "text", "source")
+          val admitted = rarityGate.fold(curated) { case (freqName, minMeanPpm) =>
+            val (freqs, nTotal) = TextAnalysis.loadTokenFreqs(batch.sparkSession, freqName)
+            val keep = TextAnalysis.tokenRarityAgainst(curated, freqs, nTotal)
+              .filter(org.apache.spark.sql.functions.col("mean_prob_ppm") >= minMeanPpm)
+              .select("doc_id")
+            curated.join(keep, "doc_id")
+          }
           graft.sources.FileFormats.writeTrainingShards(
             admitted, s"$outDir/batch_id=$batchId", budget)
           maintainIndexName.foreach(graft.operators.Dedup.appendToDedupIndex(admitted, _))

@@ -249,6 +249,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(1L) === ((2L, 500000L, 1L))) // (800000+200000) div 2; one hapax
   }
 
+  test("tokenRarityAgainst: reference scoring flags unseen-vocabulary docs, integer-exact") {
+    val reference = Seq(
+      (0L, "the cat sat on the mat", "s0"),
+      (2L, "the dog sat on the rug", "s0")
+    ).toDF("doc_id", "text", "source")
+    val freqs = TextAnalysis.tokenFreqs(reference) // 12 tokens: the×4, sat×2, on×2, ...
+    val batch = Seq(
+      (1L, "the cat sat", "s1"), // every token in the reference
+      (3L, "zz qq ww", "s1")     // pure gibberish: all unseen
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.tokenRarityAgainst(batch, freqs).collect()
+      .map { case Row(id: Long, n: Long, p: Long, u: Long) => id -> ((n, p, u)) }.toMap
+    assert(got(3L) === ((3L, 0L, 3L)), "unseen vocabulary must score 0 ppm")
+    // the=4/12 → 333333 ppm, cat=1/12 → 83333, sat=2/12 → 166666
+    assert(got(1L) === ((3L, (333333L + 83333L + 166666L) / 3, 0L)))
+    // the persisted-model round trip scores identically
+    TextAnalysis.saveTokenFreqs(reference, "rfreq_rt")
+    val (lf, lt) = TextAnalysis.loadTokenFreqs(spark, "rfreq_rt")
+    val viaModel = TextAnalysis.tokenRarityAgainst(batch, lf, lt).collect()
+      .map { case Row(id: Long, n: Long, p: Long, u: Long) => id -> ((n, p, u)) }.toMap
+    assert(viaModel === got)
+  }
+
   test("dedupRateBySource: planted duplicates yield the exact integer rate") {
     val df = Seq(
       (0L, "same doc", "s0"), (1L, "same doc", "s0"),

@@ -81,6 +81,7 @@ class PlanShapeSpec extends SparkSpec {
     val nlAllowed = Map(
       "mixture_weights" -> "1-row totals broadcast",
       "text_token_rarity" -> "1-row corpus-token-total broadcast",
+      "token_rarity_against" -> "1-row reference-total broadcast",
       "order_value_percentiles" -> "20 percentile targets broadcast",
       "order_value_percentiles_approx" -> "20 percentile targets broadcast",
       "ann_ivf_topk" -> "nCells=16 centroid table broadcast",

@@ -495,6 +495,43 @@ class StreamingSpec extends SparkSpec {
         "only the maintained index can know about doc 1")
   }
 
+  test("TrainingPipeline rarity gate drops reference-unseen gibberish online") {
+    import graft.operators.TextAnalysis
+    import graft.streaming.TrainingPipeline
+    val good = "the quick brown fox jumps over a lazy dog and then it runs " +
+      "to the barn where the farmer is reading the morning mail today"
+    // passes quality (20 tokens, no punctuation soup) and language-ID
+    // (2/20 stopwords = 0.1 ≥ 0.05), but its content words are unseen in
+    // the reference — exactly the doc only an LM-style gate catches.
+    // Exact scores vs the 25-token reference (p(the) = 160000 ppm):
+    // sneaky = (2×160000) div 20 = 16000; good = 1480000 div 25 = 59200.
+    val sneaky = "the xqzjv vvbnw qqplx zzrty wwkjh ttmnb ccxyz ppqrs ddfgh " +
+      "the mmnop rrstu aabbc ddeef gghhi jjkkl mmnno ppqqr sstt"
+    TextAnalysis.saveTokenFreqs(
+      Seq((0L, good, "s0")).toDF("doc_id", "text", "source"), "rfreq_gate")
+    val inDir = java.nio.file.Files.createTempDirectory("graft-rg-in").toString
+    val cpDir = java.nio.file.Files.createTempDirectory("graft-rg-cp").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-rg-out").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(inDir, "in.jsonl"),
+      Seq(
+        s"""{"doc_id": 1, "text": "$good", "source": "s1", "ts_sec": $w0}""",
+        s"""{"doc_id": 2, "text": "$sneaky", "source": "s1", "ts_sec": ${w0 + 1}}"""
+      ).mkString("", "\n", "\n"))
+    val docs = spark.readStream
+      .schema("doc_id BIGINT, text STRING, source STRING, ts_sec BIGINT")
+      .json(inDir)
+      .select(col("doc_id"), col("text"), col("source"),
+        timestamp_seconds(col("ts_sec")).as("ts"))
+    val emptyIndex = Seq.empty[Tuple1[String]].toDF("fp")
+    TrainingPipeline.start(docs, emptyIndex, outDir, cpDir,
+      rarityGate = Some(("rfreq_gate", 30000L))).awaitTermination()
+    val admitted = new java.io.File(outDir).listFiles().filter(_.isDirectory).toSeq
+      .flatMap(d => try spark.read.parquet(d.getPath).collect() catch { case _: Throwable => Nil })
+      .map(_.getAs[Long]("doc_id"))
+    assert(admitted === Seq(1L),
+      "the stopword-padded unseen-vocabulary doc must fail the rarity gate")
+  }
+
   test("batch and streaming agree on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val events = Tables.events(spark, Sf0001)
