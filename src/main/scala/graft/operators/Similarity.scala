@@ -376,6 +376,24 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
 
+  /** Grow the persisted IVF layout with NEW vectors — ingestion-time
+    * index maintenance, the ANN mirror of
+    * [[Dedup.appendToDedupIndex]]: assign each new vector to its cell
+    * with the index's OWN quantizer artifact (never retrained — cell
+    * geometry must stay fixed or the existing partitions lie) and append
+    * into the cell partition tree. Each append costs one broadcast-
+    * centroid map pass over the batch plus a partitioned write of the
+    * batch — the corpus is never rewritten. Quantizer drift (a reference
+    * distribution that moved) is a re-index decision, visible via
+    * [[bucketStats]]-style cell occupancy, not something an append
+    * should silently paper over. */
+  def appendToIvfIndex(newVectors: DataFrame, path: String): Unit = {
+    val model = loadQuantizer(newVectors.sparkSession, s"$path/quantizer")
+    assignCells(newVectors, model)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("cell").parquet(s"$path/cells")
+  }
+
   /** IVF search against the PERSISTED index layout ([[saveIvfIndex]]):
     * loads the quantizer artifact, probes each query's `nProbe` cells,
     * and scans ONLY those cells' partitions — the probed cell set (≤

@@ -133,6 +133,25 @@ class OperatorSpec extends SparkSpec {
       s"cells scan must carry a cell partition filter:\n$planStr")
   }
 
+  test("IVF index append: an index grown in batches searches like one built at once") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    // both layouts share ONE quantizer (trained on the full corpus plan —
+    // the same memoized model every other test uses): the appended index
+    // assigns each batch with the index's own fixed artifact
+    val atOnce = java.nio.file.Files.createTempDirectory("graft-ivf-once").toString
+    Similarity.saveIvfIndex(emb, atOnce)
+    val grown = java.nio.file.Files.createTempDirectory("graft-ivf-grown").toString
+    Similarity.saveQuantizer(emb, s"$grown/quantizer")
+    Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 2 === 0), grown)
+    Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 2 === 1), grown)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val viaAppends = Similarity.ivfSearchIndexed(spark, grown, queries).collect().toSeq
+    val allAtOnce = Similarity.ivfSearchIndexed(spark, atOnce, queries).collect().toSeq
+    assert(viaAppends === allAtOnce,
+      "an index built by appends must search identically to one built at once")
+  }
+
   test("ann_ivf_topk oracle is wired: after the query runs, oracleSql embeds the centroids") {
     // regression guard for the round-5 dead-code bug: the oracle generator
     // existed but was never merged into oracleSql, so the driver silently
