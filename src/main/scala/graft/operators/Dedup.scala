@@ -111,10 +111,20 @@ object Dedup {
     shingleArraysCached(documents)
       .select(col("doc_id"), col("source"), col("n_g"), explode(col("gs")).as("g"))
 
-  /** Exact dedup: keep the smallest doc_id per identical text. */
+  /** Exact dedup: keep the smallest doc_id per identical text, keyed by
+    * the 16-byte md5 of the RAW text — the shuffle key is the digest,
+    * never the document (grouping by `text` directly would ship every
+    * distinct doc across the wire whole; at 100 TB the shuffle IS the
+    * corpus). Assumes md5 is collision-free over the corpus: a collision
+    * would merge two distinct texts into one keeper — at 2^-64-scale
+    * probability for even a trillion docs, the accepted trade everywhere
+    * else in this engine ([[exactNormalized]], the dedup index, the
+    * streaming fingerprint state). The raw-text digest preserves exact
+    * (un-normalized) semantics, so the oracle's GROUP BY text is
+    * value-identical. */
   def exact(documents: DataFrame): DataFrame =
     documents
-      .groupBy(col("text"))
+      .groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
       .orderBy("doc_id")
@@ -338,10 +348,20 @@ object Dedup {
     * the next snapshot) — the dedup RESULTS are unaffected either way
     * (duplicate/fragmented index rows cannot change an anti-join or
     * candidate-distinct outcome). */
-  def appendToDedupIndex(admitted: DataFrame, name: String, buckets: Int = 8): Unit = {
+  def appendToDedupIndex(admitted: DataFrame, name: String): Unit = {
+    // the append MUST use the existing tables' own bucket spec — Spark
+    // rejects an Append whose bucketBy disagrees with the table's — so
+    // read the bucket count out of each table's catalog metadata instead
+    // of trusting a caller-supplied number to match whatever
+    // [[saveDedupIndex]] was called with (an index saved at buckets=32
+    // would otherwise fail every maintenance append at runtime)
+    val catalog = admitted.sparkSession.sessionState.catalog
+    def bucketsOf(table: String): Int =
+      catalog.getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .bucketSpec.map(_.numBuckets).getOrElse(8)
     def app(df: DataFrame, table: String, key: String): Unit =
       df.write.mode(org.apache.spark.sql.SaveMode.Append)
-        .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+        .bucketBy(bucketsOf(table), key).sortBy(key).saveAsTable(table)
     app(admitted.select(md5(normText(col("text"))).as("fp")).distinct(), s"${name}_fp", "fp")
     app(bandTable(admitted), s"${name}_bands", "band_key")
     app(shingleArrays(admitted).select(col("doc_id"), col("n_g"), col("gs")),

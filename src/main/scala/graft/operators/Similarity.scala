@@ -68,15 +68,27 @@ object Similarity {
     * (InMemoryRelation from .persist, DataSourceV2, stream relations) is
     * assumed WIDE, so no exchange is ever added on a guess — the caller's
     * contract is "never collapse an already-parallel input". */
-  private def inputWidthEstimate(df: DataFrame): Long = {
+  private def inputWidthEstimate(df: DataFrame, wideAt: Long): Long = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val conf = df.sparkSession.sessionState.conf
     df.queryExecution.optimizedPlan.collectLeaves().map {
       case l: LogicalRelation => l.relation match {
         case fs: HadoopFsRelation =>
-          val nFiles = fs.location.inputFiles.length.toLong
-          math.max(1L, (fs.location.sizeInBytes + nFiles * conf.filesOpenCostInBytes)
-            / math.max(1L, conf.filesMaxPartitionBytes))
+          // bytes/maxPartitionBytes is a LOWER bound on the split count
+          // (per-file open cost only adds splits), so a relation already
+          // wide on bytes alone never touches the file listing — the
+          // full-listing probe at a many-small-files 100 TB corpus is
+          // exactly the case this short-circuit removes. Only a
+          // small-on-bytes relation (≤ wideAt·maxPartitionBytes — a few
+          // GB at defaults) pays the per-file arithmetic, and its listing
+          // is already cached in the relation's FileIndex.
+          val maxPB = math.max(1L, conf.filesMaxPartitionBytes)
+          val bytesOnly = math.max(1L, fs.location.sizeInBytes / maxPB)
+          if (bytesOnly >= wideAt) bytesOnly
+          else {
+            val nFiles = fs.location.inputFiles.length.toLong
+            math.max(1L, (fs.location.sizeInBytes + nFiles * conf.filesOpenCostInBytes) / maxPB)
+          }
         case _ => Long.MaxValue // non-file relation: assume wide, add no exchange
       }
       case r: org.apache.spark.sql.catalyst.plans.logical.Range =>
@@ -96,7 +108,7 @@ object Similarity {
     * widens so the broadcast-probe stage isn't single-threaded. */
   private def spreadToParallelism(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (inputWidthEstimate(df) < target) df.repartition(target) else df
+    if (inputWidthEstimate(df, wideAt = target) < target) df.repartition(target) else df
   }
 
   /** Exact brute-force cosine top-k for a small query set

@@ -41,9 +41,25 @@ object TrainingPipeline {
     * needs (doc_id, text, source, ts); any extra column survives. */
   def transforms(docs: DataFrame, fpIndex: DataFrame,
                  watermark: String = "10 minutes", keepAt: Double = 0.5): DataFrame =
+    transformsWithOriginal(docs, fpIndex, watermark, keepAt).drop("orig_text")
+
+  /** [[transforms]] plus an `orig_text` column holding each doc's
+    * PRE-redaction text. Every dedup fingerprint in this topology —
+    * the index side ([[StreamingDedup.againstIndex]]), the watermark
+    * state, and [[graft.operators.Dedup.saveDedupIndex]] itself — hashes
+    * the RAW text, so index MAINTENANCE must too: appending
+    * md5(normText(redacted)) would silently re-admit every later raw
+    * duplicate of a PII-bearing doc (the redacted fingerprint matches
+    * nothing that ever arrives). The original rides the micro-batch
+    * only — [[StreamingDedup.firstOccurrenceDocs]] keys its state on the
+    * 16-byte fingerprint, so the extra column never enters the state
+    * store. */
+  private def transformsWithOriginal(docs: DataFrame, fpIndex: DataFrame,
+                                     watermark: String, keepAt: Double): DataFrame =
     StreamingCuration.curate(
       StreamingDedup.firstOccurrenceDocs(
-        StreamingDedup.againstIndex(docs, fpIndex), watermark),
+        StreamingDedup.againstIndex(docs, fpIndex), watermark)
+        .withColumn("orig_text", org.apache.spark.sql.functions.col("text")),
       keepAt)
 
   /** Start the full pipeline with the idempotent batchId-keyed
@@ -73,25 +89,45 @@ object TrainingPipeline {
             watermark: String = "10 minutes", keepAt: Double = 0.5,
             maintainIndexName: Option[String] = None,
             rarityGate: Option[(String, Long)] = None): StreamingQuery =
-    transforms(docs, fpIndex, watermark, keepAt).writeStream
+    transformsWithOriginal(docs, fpIndex, watermark, keepAt).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         // skip no-data batches (watermark-advance ticks): an empty shard
         // tree and three empty index appends would cost a write each
         if (!batch.isEmpty) {
+          import org.apache.spark.sql.functions.col
           import graft.operators.TextAnalysis
           val curated = batch.select("doc_id", "text", "source")
           val admitted = rarityGate.fold(curated) { case (freqName, minMeanPpm) =>
             val (freqs, nTotal) = TextAnalysis.loadTokenFreqs(batch.sparkSession, freqName)
-            val keep = TextAnalysis.tokenRarityAgainst(curated, freqs, nTotal)
-              .filter(org.apache.spark.sql.functions.col("mean_prob_ppm") >= minMeanPpm)
-              .select("doc_id")
-            curated.join(keep, "doc_id")
+            // score the PRE-redaction text: the reference model never saw
+            // redaction tags, so scoring the scrubbed form would charge
+            // every PII-bearing doc phantom unseen-token surprise (the
+            // same original-text rule [[StreamingCuration.curate]]
+            // applies to the quality score)
+            val scores = TextAnalysis.tokenRarityAgainst(
+              batch.select(col("doc_id"), col("orig_text").as("text"), col("source")),
+              freqs, nTotal)
+              .select(col("doc_id"), col("mean_prob_ppm"))
+            // LEFT join: a doc with zero tokens after normalization has no
+            // score row — that is "unscorable", not "below threshold"; the
+            // quality gate owns token-less docs, so they ride through
+            curated.join(scores, Seq("doc_id"), "left_outer")
+              .filter(col("mean_prob_ppm").isNull || col("mean_prob_ppm") >= minMeanPpm)
+              .drop("mean_prob_ppm")
           }
           graft.sources.FileFormats.writeTrainingShards(
             admitted, s"$outDir/batch_id=$batchId", budget)
-          maintainIndexName.foreach(graft.operators.Dedup.appendToDedupIndex(admitted, _))
+          // maintenance entries hash the ORIGINAL text (see
+          // [[transformsWithOriginal]]): the index must fingerprint what
+          // future raw arrivals will hash, not the redacted export form.
+          // Bucket spec is derived from the index's own catalog metadata
+          // inside appendToDedupIndex, so a non-default-bucket index
+          // maintains correctly too.
+          val forIndex = admitted.select(col("doc_id")).join(
+            batch.select(col("doc_id"), col("orig_text").as("text"), col("source")), Seq("doc_id"))
+          maintainIndexName.foreach(graft.operators.Dedup.appendToDedupIndex(forIndex, _))
         }
       }
       .trigger(Trigger.AvailableNow())

@@ -495,6 +495,50 @@ class StreamingSpec extends SparkSpec {
         "only the maintained index can know about doc 1")
   }
 
+  test("maintained index rejects raw duplicates of PII-bearing docs (pre-redaction fingerprints)") {
+    // regression: the index append must hash the PRE-redaction text. If a
+    // batch's entries were fingerprinted AFTER piiRedact, a later raw
+    // duplicate of any PII-bearing doc would hash differently and be
+    // silently re-admitted — the dup below only gets caught when the
+    // appended fingerprint matches what raw arrivals hash.
+    import graft.operators.Dedup
+    import graft.streaming.TrainingPipeline
+    val pii = "the quick brown fox jumps over a lazy dog and then it runs " +
+      "to the barn where the farmer is reading mail from bob@example.com today"
+    def docJson(id: Long, text: String, source: String, sec: Long): String =
+      s"""{"doc_id": $id, "text": "$text", "source": "$source", "ts_sec": $sec}"""
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, source STRING, ts_sec BIGINT")
+    Dedup.saveDedupIndex(
+      Seq((0L, "seed corpus doc", "s0")).toDF("doc_id", "text", "source"), "dix_pii")
+    def runOnce(outDir: String, lines: Seq[String]): Unit = {
+      // fresh input + checkpoint per run: cross-run dedup is the index's
+      val inDir = java.nio.file.Files.createTempDirectory("graft-pii-in").toString
+      val cpDir = java.nio.file.Files.createTempDirectory("graft-pii-cp").toString
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(inDir, "in.jsonl"), lines.mkString("", "\n", "\n"))
+      val docs = spark.readStream.schema(schema).json(inDir)
+        .select(col("doc_id"), col("text"), col("source"),
+          timestamp_seconds(col("ts_sec")).as("ts"))
+      TrainingPipeline.start(docs, Dedup.loadDedupIndex(spark, "dix_pii").fp, outDir, cpDir,
+        maintainIndexName = Some("dix_pii")).awaitTermination()
+    }
+    val out1 = java.nio.file.Files.createTempDirectory("graft-pii-out1").toString
+    val out2 = java.nio.file.Files.createTempDirectory("graft-pii-out2").toString
+    runOnce(out1, Seq(docJson(1, pii, "s0", w0)))          // admitted; text redacts on export
+    runOnce(out2, Seq(docJson(2, pii, "s1", w0 + 5000)))   // identical RAW arrival
+    def admittedIn(dir: String): Seq[(Long, String)] =
+      new java.io.File(dir).listFiles().filter(_.isDirectory).toSeq
+        .flatMap(d => try spark.read.parquet(d.getPath).collect() catch { case _: Throwable => Nil })
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val run1 = admittedIn(out1)
+    assert(run1.map(_._1) === Seq(1L))
+    assert(run1.head._2.contains("[EMAIL]") && !run1.head._2.contains("bob@"),
+      "the exported shard must carry the REDACTED text")
+    assert(admittedIn(out2).isEmpty,
+      "a raw duplicate of a PII-bearing doc must be rejected by the maintained index")
+  }
+
   test("TrainingPipeline rarity gate drops reference-unseen gibberish online") {
     import graft.operators.TextAnalysis
     import graft.streaming.TrainingPipeline
