@@ -113,6 +113,10 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
     "ann_lsh_multiprobe_topk" -> ((s, d) => Similarity.lshMultiProbeTopK(Tables.embeddings(s, d))),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
+    // IVF drift/skew monitor: per-cell occupancy under the same session
+    // quantizer ann_ivf_topk searches with (same (corpus, nCells) model
+    // key, so the oracle inlines one shared centroid table)
+    "ivf_cell_stats" -> ((s, d) => Similarity.cellStats(Tables.embeddings(s, d))),
     "ann_bucket_stats" -> ((s, d) => Similarity.bucketStats(Tables.embeddings(s, d))),
     "embedding_norm_stats" -> ((s, d) => Similarity.normStats(Tables.embeddings(s, d))),
     // ---- text analysis ----
@@ -628,7 +632,24 @@ object SparkEntry {
          |  FROM s)
          |SELECT query_id, neighbor_id, rank, round(cs, 4) AS cos_sim
          |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
-    Map("ann_ivf_topk" -> sql)
+    // ivf_cell_stats shares the inlined quantizer: the same asgs/asg
+    // argmax-assignment CTEs (ties break to the lowest cell, mirroring
+    // array_position-on-max), rolled up to per-cell counts and an
+    // integer-ppm share
+    val cellStatsSql =
+      s"""WITH cents AS (SELECT unnest($cells) AS cell, unnest($cents) AS centroid),
+         |asgs AS (SELECT e.vec_id, c.cell,
+         |    ${dotEC("e.embedding", "c.centroid")} / sqrt(${dotEE("e.embedding")} * ${dotCC("c.centroid")}) AS cs
+         |  FROM embeddings e CROSS JOIN cents c),
+         |asg AS (SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS ark FROM asgs)
+         |  WHERE ark = 1),
+         |g AS (SELECT CAST(cell AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n FROM asg GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+         |SELECT cell, n, CAST((n * 1000000) // total AS BIGINT) AS share_ppm
+         |FROM g, t ORDER BY cell""".stripMargin
+    Map("ann_ivf_topk" -> sql, "ivf_cell_stats" -> cellStatsSql)
   }
 
   private def imageMetaOracle: String = {

@@ -384,6 +384,56 @@ object Dedup {
       catch { case _: org.apache.spark.sql.AnalysisException => () }
   }
 
+  /** COMPACTION — the missing half of the append story: every
+    * [[appendToDedupIndex]] adds one file set per bucket, so after many
+    * small batches each bucket is a pile of tiny files and the
+    * bucket-aligned scans the layout exists for spend their time in
+    * per-file open cost. Rewrite all three tables in place — one
+    * bucketed write each (the same shuffle a fresh [[saveDedupIndex]]
+    * pays, WITHOUT re-reading or re-sketching the corpus: the inputs are
+    * the index tables themselves), staged under a temp table first: a
+    * table can't overwrite itself, and the staged copy means a crash
+    * mid-rewrite leaves either the old table or a complete staged one.
+    * The live table is then rewritten FROM the staged copy with the same
+    * saveAsTable(Overwrite) command every other writer here uses — that
+    * command invalidates its own path's file-status entries, where a
+    * DROP + catalog-RENAME swap (tried first) leaves the session's
+    * path-keyed FileStatusCache serving the dropped files' listing and
+    * the next scan dies on FILE_NOT_EXIST. The index pays 2× write IO;
+    * the index is a few percent of the corpus, so that is the cheap side
+    * of the trade. Each table keeps its own catalog bucket spec.
+    *
+    * Compaction also folds the duplicate rows at-least-once maintenance
+    * may have appended (a replayed micro-batch appends its rows twice):
+    * `fp`/`bands` dedupe whole rows, `shingles` by doc_id (replay rows
+    * are identical, so any survivor is the right one). Duplicates never
+    * affected RESULTS — an anti-join/candidate-distinct can't see
+    * multiplicity — they only cost bytes, which is exactly what
+    * compaction reclaims. Recommended cadence: per corpus snapshot, or
+    * whenever per-bucket file counts pass the warehouse's small-file
+    * threshold ([[TrainingPipeline]]'s maintained index after N
+    * micro-batches is the canonical caller). */
+  def compactDedupIndex(spark: org.apache.spark.sql.SparkSession, name: String): Unit = {
+    val catalog = spark.sessionState.catalog
+    def compactOne(suffix: String, key: String,
+                   canon: DataFrame => DataFrame): Unit = {
+      val t = name + suffix
+      try spark.catalog.refreshTable(t)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+      val buckets = catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+        .bucketSpec.map(_.numBuckets).getOrElse(8)
+      val staged = s"${t}__compact"
+      graft.sources.FileFormats.writeBucketed(canon(spark.table(t)), staged, key, buckets)
+      graft.sources.FileFormats.writeBucketed(spark.table(staged), t, key, buckets)
+      spark.sql(s"DROP TABLE `$staged`")
+      spark.catalog.refreshTable(t)
+    }
+    compactOne("_fp", "fp", _.distinct())
+    compactOne("_bands", "band_key", _.distinct())
+    compactOne("_shingles", "doc_id", _.dropDuplicates("doc_id"))
+  }
+
   /** SimHash geometry: a 64-bit signature banded as 4 × 16-bit for
     * candidate generation. Pigeonhole: hamming ≤ 3 flips damage at most 3
     * of the 4 bands, so at least one band survives intact — recall 1 for

@@ -406,6 +406,94 @@ object Similarity {
       .partitionBy("cell").parquet(s"$path/cells")
   }
 
+  /** Compact the persisted IVF cell tree: every [[appendToIvfIndex]]
+    * adds one file set per touched cell partition, so a long append
+    * history turns each `cell=N/` directory into a pile of batch-sized
+    * files and probed-cell scans pay per-file open cost instead of
+    * sequential reads. One hash repartition on `cell` (each output task
+    * then holds whole cells, so the partitioned write emits one file per
+    * cell) rewrites the tree into a staging directory; the swap is two
+    * filesystem renames, so a crash mid-compaction leaves the live tree
+    * untouched. Also folds replayed-append duplicates (one row per
+    * vec_id — replay rows are identical): unlike the dedup index, where
+    * an anti-join can't see multiplicity, a duplicated vector RETURNS
+    * TWICE in top-k, so at-least-once ingestion needs either an
+    * idempotent (batchId-keyed) writer or a compaction before the next
+    * search is trusted — compaction is the repair step, not just the
+    * byte reclaim (spec-pinned in OperatorSpec). The quantizer artifact
+    * is NOT touched: compaction reorganizes bytes, never geometry. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(s"$path/cells")
+    val staged = new org.apache.hadoop.fs.Path(s"$path/cells__compact")
+    val old = new org.apache.hadoop.fs.Path(s"$path/cells__old")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(live.toString)
+      .dropDuplicates("vec_id")
+      .repartition(col("cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell").parquet(staged.toString)
+    fs.delete(old, true)
+    if (!fs.rename(live, old)) sys.error(s"compactIvfIndex: could not stage out $live")
+    if (!fs.rename(staged, live)) {
+      fs.rename(old, live) // roll back: the un-compacted tree is still valid
+      sys.error(s"compactIvfIndex: could not swap in $staged")
+    }
+    fs.delete(old, true)
+    // drop any session-cached file listing for the live path: the shared
+    // FileStatusCache keys by path, and the swap changed every file under it
+    spark.catalog.refreshByPath(live.toString)
+  }
+
+  /** Per-cell occupancy of a corpus under a quantizer: vector count and
+    * integer-ppm share per assigned cell. THE quantizer-drift /
+    * skew monitor for an IVF layout: a cell whose share balloons means
+    * the reference distribution moved since training (searches probing
+    * that cell degrade toward brute force — the signal to re-index), and
+    * at write time it is the partition-size forecast for
+    * [[saveIvfIndex]]. Assignment is the same broadcast-centroid codegen
+    * map pass the search paths use — one scan, nCells-bounded output, no
+    * shuffle beyond the final tiny aggregate. Deterministic given the
+    * centroids, so fully oracle-checkable (the DuckDB twin inlines the
+    * session's quantizer and replicates argmax assignment bit-for-bit,
+    * like ann_ivf_topk). */
+  def cellStats(embeddings: DataFrame, nCells: Int = 16): DataFrame =
+    cellStatsWith(embeddings, quantizerFor(embeddings, nCells))
+
+  def cellStatsWith(embeddings: DataFrame, model: Array[Array[Float]]): DataFrame = {
+    if (model.isEmpty) {
+      import org.apache.spark.sql.types._
+      return embeddings.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("cell", LongType), StructField("n", LongType),
+          StructField("share_ppm", LongType))))
+    }
+    // the share window runs over the AGGREGATED rows — ≤ nCells of them,
+    // a model-sized relation, so the single-partition window is bounded
+    // by construction (same class as the probed-cell collect)
+    assignCells(embeddings, model)
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over())
+      .select(col("cell"), col("n").cast("long").as("n"),
+        expr("(n * 1000000) div total").as("share_ppm"))
+      .orderBy("cell")
+  }
+
+  /** [[cellStats]] read off a PERSISTED index ([[saveIvfIndex]]) — the
+    * deployed drift monitor [[appendToIvfIndex]]'s contract promises:
+    * occupancy comes from the cell tree's own partition column (a
+    * column-pruned scan of the partition value only — no embedding bytes
+    * read, no re-assignment), so it prices exactly what searches will
+    * touch, appends included. */
+  def ivfIndexCellStats(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/cells")
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over())
+      .select(col("cell"), col("n").cast("long").as("n"),
+        expr("(n * 1000000) div total").as("share_ppm"))
+      .orderBy("cell")
+
   /** IVF search against the PERSISTED index layout ([[saveIvfIndex]]):
     * loads the quantizer artifact, probes each query's `nProbe` cells,
     * and scans ONLY those cells' partitions — the probed cell set (≤

@@ -75,7 +75,13 @@ object TrainingPipeline {
     * state handles the near-term repeats, the growing index handles
     * everything ever admitted. The append is at-least-once under batch
     * replay, which is safe: duplicate index rows cannot change an
-    * anti-join/candidate-distinct outcome, only add bytes. */
+    * anti-join/candidate-distinct outcome, only add bytes. Those bytes —
+    * one file set per bucket per micro-batch, plus any replay rows — are
+    * reclaimed by [[graft.operators.Dedup.compactDedupIndex]]: run it on
+    * the maintained index at snapshot cadence (nightly, or whenever
+    * per-bucket file counts pass the warehouse's small-file threshold),
+    * while the pipeline is between batches. Results are identical before
+    * and after (spec-pinned); only scan cost changes. */
   /** With `rarityGate = Some((freqModelName, minMeanPpm))`, each batch is
     * additionally scored against the persisted reference frequency model
     * ([[graft.operators.TextAnalysis.saveTokenFreqs]]) and docs whose

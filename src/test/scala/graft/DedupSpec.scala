@@ -251,6 +251,49 @@ class DedupSpec extends SparkSpec {
       "the appended batch must reject its near-dups in the next batch")
   }
 
+  test("compactDedupIndex: an N-append index shrinks its files and stays result-identical") {
+    def docsOf(ids: Range, tag: String) =
+      ids.map(i => (i.toLong, (0 to 40).map(j => s"$tag${i}w$j").mkString(" "), s"s$tag"))
+        .toDF("doc_id", "text", "source")
+    val existing = docsOf(0 to 9, "a")
+    Dedup.saveDedupIndex(existing, "dix_cmp")
+    val batches = Seq(docsOf(100 to 104, "b"), docsOf(200 to 204, "c"), docsOf(300 to 304, "d"))
+    batches.foreach(Dedup.appendToDedupIndex(_, "dix_cmp"))
+    // the fresh-save reference: the same corpus indexed in one shot
+    Dedup.saveDedupIndex(existing.union(batches.reduce(_ union _)), "dix_cmp_fresh")
+    // probe batch: one near-dup of an appended doc, one genuinely new
+    val probe = Seq(
+      (9001L, (0 to 40).map(j => s"c202w$j").mkString(" ") + " tailZ", "sP"),
+      (9002L, (600 to 640).map(i => s"z$i").mkString(" "), "sP")
+    ).toDF("doc_id", "text", "source")
+    def admitted(ix: String): Set[Long] =
+      Dedup.incrementalDedup(probe, Dedup.loadDedupIndex(spark, ix))
+        .collect().map(_.getLong(0)).toSet
+    def dataFiles(name: String): Long = {
+      val cat = spark.sessionState.catalog
+      Seq("_fp", "_bands", "_shingles").map { s =>
+        val loc = java.nio.file.Paths.get(cat.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(name + s)).location)
+        val st = java.nio.file.Files.walk(loc)
+        try st.filter(p => p.getFileName.toString.startsWith("part-")).count()
+        finally st.close()
+      }.sum
+    }
+    val before = admitted("dix_cmp")
+    val filesBefore = dataFiles("dix_cmp")
+    Dedup.compactDedupIndex(spark, "dix_cmp")
+    assert(dataFiles("dix_cmp") < filesBefore,
+      s"compaction must shrink the file count (before: $filesBefore)")
+    assert(admitted("dix_cmp") === before, "compaction must not change dedup results")
+    assert(admitted("dix_cmp") === admitted("dix_cmp_fresh"),
+      "an N-append compacted index must dedup exactly like a fresh-save index")
+    assert(admitted("dix_cmp") === Set(9002L))
+    // the compacted tables keep their bucket spec: the next append still works
+    Dedup.appendToDedupIndex(probe, "dix_cmp")
+    assert(admitted("dix_cmp") === Set.empty,
+      "post-compaction appends must keep maintaining the index")
+  }
+
   test("clearSessionState unpersists the shingle cache (CacheManager empty after clear)") {
     spark.catalog.clearCache() // normalize: drop anything earlier suites cached
     Dedup.shingleArraysCached(fixture).count()

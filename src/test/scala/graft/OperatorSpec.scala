@@ -152,6 +152,56 @@ class OperatorSpec extends SparkSpec {
       "an index built by appends must search identically to one built at once")
   }
 
+  test("IVF compaction: an append-grown tree shrinks its files, searches identically, keeps stats honest") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-compact").toString
+    Similarity.saveQuantizer(emb, s"$dir/quantizer")
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val odd = emb.filter(col("vec_id") % 2 === 1)
+    Similarity.appendToIvfIndex(even, dir)
+    Similarity.appendToIvfIndex(odd, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def files(): Long = {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "cells"))
+      try st.filter(p => p.getFileName.toString.startsWith("part-")).count()
+      finally st.close()
+    }
+    // the clean-tree answer BEFORE any replay: a replayed append visibly
+    // corrupts top-k (the duplicated vector returns at two ranks) — IVF
+    // appends are NOT replay-tolerant the way dedup-index appends are,
+    // and compaction is the documented repair
+    val clean = Similarity.ivfSearchIndexed(spark, dir, queries).collect().toSeq
+    Similarity.appendToIvfIndex(odd, dir) // replayed micro-batch
+    val corrupted = Similarity.ivfSearchIndexed(spark, dir, queries).collect().toSeq
+    assert(corrupted !== clean, "a replayed append should perturb top-k (duplicate ranks)")
+    val filesBefore = files()
+    Similarity.compactIvfIndex(spark, dir)
+    assert(files() < filesBefore, s"compaction must shrink the cell tree (before: $filesBefore)")
+    assert(Similarity.ivfSearchIndexed(spark, dir, queries).collect().toSeq === clean,
+      "compaction must fold replay duplicates and restore the clean-tree answer")
+    // replay rows folded: persisted-index occupancy now equals a fresh
+    // assignment of the corpus under the same quantizer
+    val loaded = Similarity.loadQuantizer(spark, s"$dir/quantizer")
+    assert(Similarity.ivfIndexCellStats(spark, dir).collect().toSeq ===
+      Similarity.cellStatsWith(emb, loaded).collect().toSeq,
+      "post-compaction cell stats must match in-memory assignment stats")
+    // the tree still grows after compaction
+    Similarity.appendToIvfIndex(emb.filter(col("vec_id") === 0), dir)
+    assert(spark.read.parquet(s"$dir/cells").filter(col("vec_id") === 0).count() === 2)
+  }
+
+  test("ivf_cell_stats: shares sum to ~1e6 ppm and counts cover the corpus") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val stats = Similarity.cellStats(emb).collect()
+    assert(stats.nonEmpty)
+    val n = stats.map(_.getLong(1)).sum
+    assert(n === emb.count())
+    val ppm = stats.map(_.getLong(2)).sum
+    assert(ppm <= 1000000L && ppm > 1000000L - stats.length,
+      s"integer-floor shares must sum to just under 1e6 ppm, got $ppm")
+  }
+
   test("ann_ivf_topk oracle is wired: after the query runs, oracleSql embeds the centroids") {
     // regression guard for the round-5 dead-code bug: the oracle generator
     // existed but was never merged into oracleSql, so the driver silently
