@@ -391,16 +391,38 @@ object TextAnalysis {
     * whole corpus). Low mean probability = text unlike the corpus
     * (gibberish, other languages, id soup); a high hapax share is the
     * same signal read from the tail. Plan at 100 TB: one token explode;
-    * the frequency table is vocabulary-bounded; the join back shuffles
-    * on the token key with the exploded (doc_id, token) relation as the
-    * big side — document text rides in neither shuffle. */
+    * the frequency table is vocabulary-bounded; document text rides in
+    * no shuffle. The score join is SKEW-PROOF by construction — a plain
+    * hash join on `tok` would put every occurrence of "the" (a few
+    * percent of ALL token occurrences under Zipf) on one reducer — via a
+    * head/tail split: the [[HotVocab]] highest-frequency tokens (bounded
+    * top-k, broadcastable regardless of corpus or vocabulary size) join
+    * map-side with no shuffle of their occurrences, and only the tail —
+    * where every key's occurrence count is ≤ the HotVocab-th largest,
+    * i.e. the skew is capped by the split itself — takes the shuffle
+    * join. The two branches are disjoint by key, so the union is exactly
+    * the single-join result (oracle unchanged and green; the broadcast
+    * shape is plan-asserted in PlanShapeSpec). */
+  /** Size of the broadcast Zipf head in [[tokenRarity]]'s skew-proof
+    * score join: a bounded top-k, so the broadcast is ≤ HotVocab
+    * (tok, tf) rows — a few hundred KB — no matter how large the corpus
+    * or its vocabulary grows. Anything hot enough to skew a reducer is
+    * by definition in the head; every tail key's occurrence count is
+    * capped at the head's smallest member. */
+  val HotVocab = 10000
+
   def tokenRarity(documents: DataFrame): DataFrame = {
     val toks = documents
       .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
     val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
     val total = tf.agg(sum(col("tf")).as("n_total"))
-    toks.join(tf, "tok")
+    // Zipf head: bounded top-k by frequency (TakeOrderedAndProject, ties
+    // broken by token for determinism), broadcast to both branches
+    val hot = broadcast(tf.orderBy(col("tf").desc, col("tok")).limit(HotVocab))
+    val headScored = toks.join(hot, "tok")
+    val tailScored = toks.join(hot.select(col("tok")), Seq("tok"), "left_anti").join(tf, "tok")
+    headScored.unionByName(tailScored)
       .crossJoin(broadcast(total)) // one row: the corpus token count
       .withColumn("p_ppm", expr("(tf * 1000000) div n_total"))
       .groupBy(col("doc_id"))
@@ -426,10 +448,21 @@ object TextAnalysis {
       .filter(length(col("tok")) > 0)
       .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
 
-  def saveTokenFreqs(documents: DataFrame, name: String, buckets: Int = 8): Unit = {
+  /** `minTf` bounds the artifact's vocabulary — the lever that keeps the
+    * score join's broadcast assumption true at any corpus size: a web
+    * corpus's raw vocabulary is dominated by near-hapax junk whose
+    * integer probability is 0 ppm anyway once n_total/1e6 > tf, so
+    * cutting at such a minTf changes no mean_prob_ppm score — it only
+    * reclassifies those tokens from "seen at 0 ppm" to "unseen" in
+    * n_unseen (disclosed; the gate thresholds on mean probability).
+    * n_total is computed over ALL occurrences, cut rows included, so
+    * surviving probabilities are unchanged by the cut. Default 1 = no
+    * cut (small-reference fidelity; the oracle mirrors it exactly). */
+  def saveTokenFreqs(documents: DataFrame, name: String, buckets: Int = 8,
+                     minTf: Long = 1L): Unit = {
     import graft.sources.FileFormats.writeBucketed
     val tf = tokenFreqs(documents)
-    writeBucketed(tf, s"${name}_freq", "tok", buckets)
+    writeBucketed(tf.filter(col("tf") >= minTf), s"${name}_freq", "tok", buckets)
     tf.agg(sum(col("tf")).as("n_total")).write
       .mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(s"${name}_meta")
   }
@@ -466,7 +499,14 @@ object TextAnalysis {
     val toks = docs
       .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
-    toks.join(freqs.select(col("tok"), col("tf")), Seq("tok"), "left_outer")
+    // BROADCAST the reference model: it is a fitted artifact (one row
+    // per vocab token, [[saveTokenFreqs]]'s minTf lever bounds it), and
+    // shipping it to every task removes the shuffle of the exploded
+    // (doc_id, token) relation entirely — which is also the skew
+    // insurance: a hash join keyed on `tok` would pile every occurrence
+    // of the Zipf head ("the", ~percent of ALL occurrences) onto single
+    // reducers. Plan-asserted in PlanShapeSpec.
+    toks.join(broadcast(freqs.select(col("tok"), col("tf"))), Seq("tok"), "left_outer")
       .crossJoin(broadcast(totals)) // one row: the reference token count
       .withColumn("p_ppm", coalesce(expr("(tf * 1000000) div n_total"), lit(0L)))
       .groupBy(col("doc_id"))

@@ -272,6 +272,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(viaModel === got)
   }
 
+  test("saveTokenFreqs minTf: the vocab cut changes n_unseen only, never a probability") {
+    // the cut is probability-free only when n_total/1e6 > minTf-1 (the
+    // docstring's own precondition): build a reference past a million
+    // occurrences so tf=1 genuinely floors to 0 ppm
+    val reference = Seq((0L, "", "s0"), (1L, "rare2 rare3", "s0"))
+      .toDF("doc_id", "ignored", "source")
+      .withColumn("text", when(col("doc_id") === 0L,
+        concat(expr("repeat('filler ', 1100000)"), lit("rare1")))
+        .otherwise(col("ignored")))
+      .select(col("doc_id"), col("text"), col("source"))
+    val batch = Seq((10L, "filler rare1 zz", "s1")).toDF("doc_id", "text", "source")
+    TextAnalysis.saveTokenFreqs(reference, "rfreq_full")
+    TextAnalysis.saveTokenFreqs(reference, "rfreq_cut", minTf = 2L)
+    def score(name: String) = {
+      val (f, t) = TextAnalysis.loadTokenFreqs(spark, name)
+      TextAnalysis.tokenRarityAgainst(batch, f, t).collect()
+        .map { case Row(id: Long, n: Long, p: Long, u: Long) => id -> ((n, p, u)) }.toMap
+    }
+    val full = score("rfreq_full")
+    val cut = score("rfreq_cut")
+    // n_total is over ALL 1,100,003 occurrences either way, so rare1's
+    // single occurrence is 0 ppm seen OR unseen — mean identical
+    assert(full(10L)._2 === cut(10L)._2, "the cut must not move any probability")
+    assert(full(10L)._3 === 1L, "full model: only zz unseen")
+    assert(cut(10L)._3 === 2L, "cut model: rare1 reclassified to unseen")
+    // and the cut artifact is genuinely smaller
+    assert(spark.table("rfreq_cut_freq").count() < spark.table("rfreq_full_freq").count())
+  }
+
   test("dedupRateBySource: planted duplicates yield the exact integer rate") {
     val df = Seq(
       (0L, "same doc", "s0"), (1L, "same doc", "s0"),

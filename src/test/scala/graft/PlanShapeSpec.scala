@@ -97,6 +97,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("rarity-score joins are skew-proof: reference model broadcasts, self-scoring splits the Zipf head") {
+    // a plain hash join keyed on `tok` piles every occurrence of the
+    // Zipf head ("the" ≈ percent of ALL occurrences) onto one reducer;
+    // the deployable gate broadcasts its bounded reference artifact, and
+    // the self-scoring variant joins its bounded hot set map-side
+    assert(plan("token_rarity_against").contains("BroadcastHashJoin"),
+      "reference freq artifact must broadcast (no shuffle of the exploded tokens)")
+    val self = plan("text_token_rarity")
+    assert(self.contains("BroadcastHashJoin"), "Zipf-head tf rows must join broadcast")
+    assert(self.contains("TakeOrderedAndProject"), "the hot set must be a bounded top-k")
+  }
+
   test("per-source moments broadcast back over the scan, not the reverse") {
     assert(plan("length_outlier_stats").contains("BroadcastHashJoin"))
   }
