@@ -713,19 +713,30 @@ object Dedup {
   }
 
   /** Near-dup CLUSTERS from the MinHash pair graph: connected components
-    * by iterative min-label propagation, emitting (doc_id, cluster_rep)
-    * for every doc in at least one verified near-dup pair. The
-    * representative is the component's smallest doc_id — the doc a dedup
-    * pass KEEPS. Pairs alone don't dedup a corpus: {A,B} and {B,C} must
-    * collapse to one keeper, which is exactly a connected-components pass.
+    * by alternating large-star / small-star contraction, emitting
+    * (doc_id, cluster_rep) for every doc in at least one verified
+    * near-dup pair. The representative is the component's smallest
+    * doc_id — the doc a dedup pass KEEPS. Pairs alone don't dedup a
+    * corpus: {A,B} and {B,C} must collapse to one keeper, which is
+    * exactly a connected-components pass.
     *
-    * Each round is one distributed join + min-aggregate (label travels one
-    * hop), so the loop runs O(component diameter) rounds — near-dup
-    * components are clique-like (every member band-collides with most
-    * others), so this converges in a couple of rounds; the web-scale
-    * refinement (large-star/small-star contraction) has the same
-    * per-round plan shape. Rounds localCheckpoint to cut lineage growth.
-    * Deterministic — checked against a DuckDB recursive-CTE oracle. */
+    * The contraction (the MapReduce-CC construction of Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    * literature) rewires, per round, every node's larger neighbors to
+    * its neighborhood minimum (large-star), then its smaller neighbors
+    * to theirs (small-star); components collapse toward their minimum
+    * from EVERY side at once, so a component converges in O(log n)
+    * rounds regardless of SHAPE — where one-hop min-label propagation
+    * is O(diameter), fine for clique-like near-dup blobs but linear on
+    * chain-shaped pair graphs (boilerplate gradients: doc i overlaps
+    * i±1 only). Each half-round is one join + min-aggregate on the
+    * (doc_a, doc_b) edge list — the same plan shape, just fewer rounds.
+    * Convergence is checked EXACTLY: a round whose output edge set
+    * equals its input is the paper's fixpoint (star graphs per
+    * component), verified with a count + except over the
+    * localCheckpointed edge frames, not a heuristic stall counter.
+    * Deterministic — checked against a DuckDB recursive-CTE oracle; the
+    * O(log n) round bound is spec-pinned on a 128-node path graph. */
   /** Converged cluster maps keyed by (session, canonicalized corpus
     * plan, maxRounds): the result is a materialized artifact
     * (localCheckpointed at every round), so re-deriving it for each
@@ -747,38 +758,69 @@ object Dedup {
       computeClusters(documents, maxRounds))
   }
 
-  private def computeClusters(documents: DataFrame, maxRounds: Int): DataFrame = {
-    // the memoized pair graph is already checkpointed — edges reads it
-    // twice (both directions) and every round joins it
-    val pairs = minhashPairs(documents)
-    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst")
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("lbl", col("doc_id"))
-      .localCheckpoint()
-    // convergence via the label sum: min-label propagation only ever
-    // DECREASES labels over a fixed node set, so the sum is strictly
-    // monotone until the fixpoint — an O(1)-row aggregate per round
-    // instead of a change-detection join. sum() over ZERO rows is null
-    // (a dup-free corpus has an empty pair graph), so coalesce to 0 —
-    // the empty fixpoint then converges on the first round.
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
-    var prevSum = labelSum(labels)
+  private def computeClusters(documents: DataFrame, maxRounds: Int): DataFrame =
+    // the memoized pair graph is already checkpointed — the contraction
+    // canonicalizes it once and every round joins only its own edges
+    starContract(minhashPairs(documents), maxRounds)
+
+  /** Rounds the last [[starContract]] ran — observability for the
+    * O(log n) convergence bound (read by the path-graph spec). */
+  @volatile private[graft] var lastClusterRounds: Int = 0
+
+  /** Large-star/small-star connected components over an undirected pair
+    * list (doc_a, doc_b) → (doc_id, cluster_rep = component min).
+    * Edges live canonically as (hi, lo), hi > lo, distinct; the edge
+    * count never grows (each rewire replaces an edge one-for-one, then
+    * dedupes), so every round costs at most the first round's shuffle. */
+  private[graft] def starContract(pairs0: DataFrame, maxRounds: Int): DataFrame = {
+    // large-star: for every node u, connect each LARGER neighbor v to
+    // m = min(N(u) ∪ {u}) — each edge is seen from its smaller
+    // endpoint's perspective (the union makes both directions visible),
+    // so no edge is dropped and every output edge has hi > lo
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = und.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      und.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+    }
+    // small-star: for every node u, rewire its SMALLER neighbors (and u
+    // itself) to m = min of those neighbors — m < every emitted hi
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("hi").agg(min("lo").as("m"))
+      e.join(mins, "hi")
+        .filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .union(mins.select(col("hi"), col("m").as("lo")))
+        .distinct()
+    }
+    var edges = pairs0
+      .select(greatest(col("doc_a"), col("doc_b")).as("hi"),
+        least(col("doc_a"), col("doc_b")).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct().localCheckpoint()
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      val prop = edges.join(labels, col("src") === col("doc_id"))
-        .select(col("dst").as("doc_id"), col("lbl"))
-      val next = labels.union(prop).groupBy("doc_id")
-        .agg(min("lbl").as("lbl")).localCheckpoint()
-      val s = labelSum(next)
-      converged = s == prevSum
-      prevSum = s
-      labels = next
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // exact fixpoint test on two checkpointed frames: equal counts +
+      // empty difference ⟺ identical edge sets (both are distinct) ⟺
+      // the star-graph fixpoint — no stall heuristic to mis-fire
+      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      edges = next
       round += 1
     }
-    labels.select(col("doc_id"), col("lbl").as("cluster_rep")).orderBy("doc_id")
+    lastClusterRounds = round
+    // at the fixpoint every component is a star: non-roots carry exactly
+    // one edge (to the component min), roots carry none
+    val nodes = pairs0.select(col("doc_a").as("doc_id"))
+      .union(pairs0.select(col("doc_b").as("doc_id"))).distinct()
+    nodes
+      .join(edges.select(col("hi").as("doc_id"), col("lo").as("rep")), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
+      .orderBy("doc_id")
   }
 
   /** Sign-LSH banding for the embedding near-dup: `EmbBands` bands of

@@ -97,6 +97,29 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains(30L)) // unpaired docs aren't in any cluster
   }
 
+  test("starContract: a 128-node path converges in O(log n) rounds, not O(diameter)") {
+    // the worst shape for one-hop label propagation: a chain-shaped pair
+    // graph (boilerplate gradients — doc i near-dups only i±1) has
+    // diameter 127; star contraction must collapse it logarithmically
+    val path = (0L until 127L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.starContract(path, maxRounds = 50).collect()
+      .map { case Row(id: Long, rep: Long) => id -> rep }.toMap
+    assert(got.size === 128)
+    assert(got.values.forall(_ === 0L), "every path node must land on the component min")
+    assert(Dedup.lastClusterRounds <= 12,
+      s"a 128-path must converge logarithmically, took ${Dedup.lastClusterRounds} rounds")
+    // shape mix: two cliques + a bridge + an isolated pair, scrambled ids
+    val messy = Seq((9L, 4L), (4L, 7L), (7L, 9L), // clique {4,7,9}
+      (7L, 2L),                                   // bridge to {2,3,8}
+      (3L, 2L), (8L, 3L), (8L, 2L),
+      (101L, 100L)                                // separate component
+    ).toDF("doc_a", "doc_b")
+    val reps = Dedup.starContract(messy, maxRounds = 50).collect()
+      .map { case Row(id: Long, rep: Long) => id -> rep }.toMap
+    assert(Seq(2L, 3L, 4L, 7L, 8L, 9L).forall(reps(_) === 2L))
+    assert(reps(100L) === 100L && reps(101L) === 100L)
+  }
+
   test("embeddingNearDup flags parallel vectors, not orthogonal ones") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),
