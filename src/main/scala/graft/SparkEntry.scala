@@ -29,6 +29,9 @@ object SparkEntry {
     "uu_per_minute_twophase" -> ((s, d) => UniqueUsers.perMinuteTwoPhase(Tables.events(s, d))),
     "uu_per_minute_collect_set" -> ((s, d) => UniqueUsers.perMinuteCollectSet(Tables.events(s, d))),
     "uu_per_minute_approx" -> ((s, d) => UniqueUsers.perMinuteApprox(Tables.events(s, d))),
+    // the sketch's BOUND GATE: exact anchor + 0/1 verdict, fully
+    // oracle-checked (the estimate itself stays rows-only by design)
+    "uu_per_minute_approx_check" -> ((s, d) => UniqueUsers.perMinuteApproxCheck(Tables.events(s, d))),
     "uu_per_minute_udaf" -> ((s, d) => UniqueUsers.perMinuteUdaf(Tables.events(s, d))),
     "uu_per_minute_sql" -> ((s, d) => GraftSql.uuPerMinuteSql(s, d)),
     "sales_grouping_sets" -> ((s, d) => GraftSql.salesGroupingSets(s, d)),
@@ -36,6 +39,8 @@ object SparkEntry {
       Relational.percentilesBySegment(Tables.orders(s, d), Tables.customer(s, d))),
     // sketch percentiles: rows-only by design (KLL sketch internals are
     // engine-specific); error-bounded against the exact op in OperatorSpec
+    "order_value_percentiles_approx_check" -> ((s, d) =>
+      Relational.percentilesBySegmentApproxCheck(Tables.orders(s, d), Tables.customer(s, d))),
     "order_value_percentiles_approx" -> ((s, d) =>
       Relational.percentilesBySegmentApprox(Tables.orders(s, d), Tables.customer(s, d))),
     "customer_order_counts" -> ((s, d) =>
@@ -675,7 +680,13 @@ object SparkEntry {
       """SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-    // uu_per_minute_approx: HLL sketch — intentionally no SQL oracle (rows-only check).
+    // uu_per_minute_approx: HLL sketch — intentionally no SQL oracle
+    // (rows-only check); its BOUND is the oracle-checked gate below.
+    "uu_per_minute_approx_check" ->
+      """SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS uu_exact,
+        |       CAST(1 AS BIGINT) AS within_bound
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "uu_per_minute_udaf" ->
       """SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users
@@ -847,6 +858,26 @@ object SparkEntry {
         |pct(p) AS (VALUES (25), (50), (75), (90))
         |SELECT c_mktsegment, CAST(p AS BIGINT) AS p, v AS value
         |FROM r, pct WHERE rk = greatest(1, (cnt * p + 99) // 100)
+        |ORDER BY 1, 2""".stripMargin,
+    // the KLL-ish sketch's bound gate: the p±1-percent nearest-rank
+    // bracket is recomputed here independently; within_bound is literal 1
+    // (the Spark side computes the real verdict — a sketch outside its
+    // bracket hash-mismatches)
+    "order_value_percentiles_approx_check" ->
+      """WITH j AS (SELECT c_mktsegment, CAST(round(o_totalprice*100) AS BIGINT) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |r AS (SELECT c_mktsegment, v,
+        |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY v) AS rk,
+        |    count(*) OVER (PARTITION BY c_mktsegment) AS cnt FROM j),
+        |pct(p) AS (VALUES (25), (50), (75), (90)),
+        |lo AS (SELECT c_mktsegment, CAST(p AS BIGINT) AS p, min(v) AS lo_value
+        |  FROM r, pct WHERE rk = greatest(1, (cnt * (p-1) + 99) // 100) GROUP BY 1, 2),
+        |hi AS (SELECT c_mktsegment, CAST(p AS BIGINT) AS p, min(v) AS hi_value
+        |  FROM r, pct WHERE rk = greatest(1, (cnt * (p+1) + 99) // 100) GROUP BY 1, 2)
+        |SELECT lo.c_mktsegment AS c_mktsegment, lo.p AS p,
+        |       CAST(lo_value AS BIGINT) AS lo_value, CAST(hi_value AS BIGINT) AS hi_value,
+        |       CAST(1 AS BIGINT) AS within_bound
+        |FROM lo JOIN hi ON lo.c_mktsegment = hi.c_mktsegment AND lo.p = hi.p
         |ORDER BY 1, 2""".stripMargin,
     "top_tokens_per_source" ->
       """WITH norm AS (SELECT source, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t FROM documents),

@@ -348,9 +348,11 @@ object Relational {
   /** Sketch-based percentiles — the 100 TB scale path next to
     * [[percentilesBySegment]]'s exact two-pass: one aggregation with
     * O(accuracy) state per group (Spark's KLL-style quantile sketch),
-    * no second pass, mergeable map-side. Not oracle-checked (sketch
-    * internals are engine-specific — rows-only gate); OperatorSpec
-    * bounds its error against the exact operator. */
+    * no second pass, mergeable map-side. The VALUES are not
+    * oracle-checked (sketch internals are engine-specific — rows-only
+    * gate); the BOUND is: [[percentilesBySegmentApproxCheck]] is the
+    * oracle-checked gate, and OperatorSpec asserts the tighter 2%
+    * relative error against the exact operator. */
   def percentilesBySegmentApprox(orders: DataFrame, customer: DataFrame,
                                  ps: Seq[Int] = Seq(25, 50, 75, 90),
                                  accuracy: Int = 10000): DataFrame =
@@ -365,6 +367,34 @@ object Relational {
         element_at(typedLit(ps.map(_.toLong)), col("pos").cast("int") + 1).as("p"),
         col("value"))
       .orderBy("c_mktsegment", "p")
+
+  /** The machine-checked error gate for [[percentilesBySegmentApprox]]:
+    * per (segment, percentile) it emits the exact nearest-rank values at
+    * p−1 and p+1 percent (both recomputed independently by the DuckDB
+    * oracle — the bracket is cross-engine-verified) and a 0/1 verdict
+    * that the sketch value lands inside that bracket. One percentage
+    * point of rank slack is ~100× the sketch's documented rank error
+    * (1/accuracy = 0.0001·n) yet still a real gate — a sketch returning
+    * a value from the wrong region of the distribution cannot pass. The
+    * oracle emits literal 1 everywhere, so a bound violation
+    * hash-mismatches; the tighter 2% relative-error assertion lives in
+    * the sbt suite. Reuses the two-pass exact operator for the bracket —
+    * no window over raw fact rows. */
+  def percentilesBySegmentApproxCheck(orders: DataFrame, customer: DataFrame,
+                                      ps: Seq[Int] = Seq(25, 50, 75, 90),
+                                      accuracy: Int = 10000): DataFrame = {
+    val approx = percentilesBySegmentApprox(orders, customer, ps, accuracy)
+      .withColumnRenamed("value", "v_approx")
+    val lo = percentilesBySegment(orders, customer, ps.map(_ - 1))
+      .select(col("c_mktsegment"), (col("p") + 1).as("p"), col("value").as("lo_value"))
+    val hi = percentilesBySegment(orders, customer, ps.map(_ + 1))
+      .select(col("c_mktsegment"), (col("p") - 1).as("p"), col("value").as("hi_value"))
+    approx.join(lo, Seq("c_mktsegment", "p")).join(hi, Seq("c_mktsegment", "p"))
+      .select(col("c_mktsegment"), col("p"), col("lo_value"), col("hi_value"),
+        (col("v_approx") >= col("lo_value") && col("v_approx") <= col("hi_value"))
+          .cast("long").as("within_bound"))
+      .orderBy("c_mktsegment", "p")
+  }
 
   def percentilesBySegment(orders: DataFrame, customer: DataFrame,
                            ps: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame = {

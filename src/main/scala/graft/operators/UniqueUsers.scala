@@ -71,6 +71,29 @@ object UniqueUsers {
         col("unique_users"))
       .orderBy("minute")
 
+  /** The machine-checked error gate for [[perMinuteApprox]] — the query
+    * that turns the sketch's rows-only correctness status into a real
+    * oracle check: per window it emits the EXACT distinct count (which
+    * the DuckDB oracle recomputes independently — the anchor is
+    * cross-engine-verified in this very query) and a 0/1 verdict that
+    * the sketch estimate lies within max(1, 5% of exact) — the same
+    * bound the sbt error test enforces, 5× the sketch's rsd=0.01. The
+    * oracle emits literal 1 for every window, so any window where the
+    * sketch strays outside its documented bound hash-mismatches and the
+    * driver goes red. The sketch estimate itself is deliberately NOT a
+    * column: its exact value is engine-specific (that's why
+    * [[perMinuteApprox]] has no oracle), but whether it honors its bound
+    * is not. */
+  def perMinuteApproxCheck(events: DataFrame, rsd: Double = 0.01): DataFrame = {
+    val exact = perMinute(events).withColumnRenamed("unique_users", "uu_exact")
+    val approx = perMinuteApprox(events, rsd).withColumnRenamed("unique_users", "uu_approx")
+    exact.join(approx, "minute")
+      .select(col("minute"), col("uu_exact").cast("long").as("uu_exact"),
+        expr("abs(uu_approx - uu_exact) <= greatest(1, uu_exact div 20)")
+          .cast("long").as("within_bound"))
+      .orderBy("minute")
+  }
+
   /** Reference-mechanism parity: the windowed distinct via a typed
     * Aggregator (set-union state, the reference's own algorithm — see
     * [[graft.functions.DistinctSetAggregator]]). Same result as perMinute. */

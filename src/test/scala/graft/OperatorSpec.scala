@@ -225,6 +225,17 @@ class OperatorSpec extends SparkSpec {
     assert(direct === viaArtifact)
   }
 
+  test("percentile bound gate: every (segment, p) verdict is 1 with a real bracket") {
+    val o = Tables.orders(spark, Sf0001)
+    val c = Tables.customer(spark, Sf0001)
+    val rows = Relational.percentilesBySegmentApproxCheck(o, c).collect()
+    assert(rows.length === 20) // 5 segments × 4 percentiles
+    rows.foreach { case Row(_, _, lo: Long, hi: Long, w: Long) =>
+      assert(lo <= hi, "the p±1 bracket must be ordered")
+      assert(w === 1L, "the sketch must land inside its p±1-percent bracket")
+    }
+  }
+
   test("approx percentiles stay within 2% relative error of the exact two-pass") {
     val o = Tables.orders(spark, Sf0001)
     val c = Tables.customer(spark, Sf0001)

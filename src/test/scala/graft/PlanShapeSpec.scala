@@ -84,6 +84,8 @@ class PlanShapeSpec extends SparkSpec {
       "token_rarity_against" -> "1-row reference-total broadcast",
       "order_value_percentiles" -> "20 percentile targets broadcast",
       "order_value_percentiles_approx" -> "20 percentile targets broadcast",
+      "order_value_percentiles_approx_check" ->
+        "percentile targets broadcast (3 instances of the bounded percentile machinery)",
       "ann_ivf_topk" -> "nCells=16 centroid table broadcast",
       "ann_bruteforce_topk" -> "nQueries=5 query set broadcast (brute force scans corpus once)",
       "ann_bruteforce_sql" -> "nQueries=5 query set broadcast (brute force scans corpus once)",

@@ -35,6 +35,16 @@ class UniqueUsersSpec extends SparkSpec {
     }
   }
 
+  test("perMinuteApproxCheck: every window verdict is 1 and the gate genuinely bites") {
+    val rows = UniqueUsers.perMinuteApproxCheck(events).collect()
+      .map { case Row(m: Long, e: Long, w: Long) => (m, e, w) }
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3 === 1L), "rsd=0.01 sketch must sit inside the 5% gate")
+    // the exact anchor matches the exact operator (the oracle's anchor)
+    val exact = UniqueUsers.perMinute(events).collect().map { case Row(m: Long, n: Long) => m -> n }.toMap
+    rows.foreach { case (m, e, _) => assert(e === exact(m)) }
+  }
+
   test("sliding windows cover each event 5 times") {
     val rows = UniqueUsers.slidingDistinct(events).collect()
     val expectedWindows = raw.flatMap { case (sec, _) =>
