@@ -16,7 +16,7 @@ import org.apache.spark.sql.SparkSession
   * disclosed under "retried_first_pass_sec".
   */
 object Bench {
-  private def loadavg(): Double =
+  private[graft] def loadavg(): Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
@@ -25,7 +25,7 @@ object Bench {
     * (which container loadavg does NOT show — observed 0.5 s queries
     * measuring 30 s at loadavg 1) it scales with the oversubscription
     * factor. Run at start+end so a contaminated bench is self-evident. */
-  private def cpuProbe(threads: Int, work: Long = 50000000L): Double = {
+  private[graft] def cpuProbe(threads: Int, work: Long = 50000000L): Double = {
     @volatile var sink = 0L
     val t0 = System.nanoTime()
     val ts = (1 to threads).map { _ =>

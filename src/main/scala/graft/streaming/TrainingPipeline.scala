@@ -69,11 +69,22 @@ object TrainingPipeline {
     * With `maintainIndexName` set, the sink also APPENDS each admitted
     * batch to that persisted dedup index
     * ([[graft.operators.Dedup.appendToDedupIndex]]) — pass the same
-    * index's fp table as `fpIndex` (the static side is re-planned per
-    * micro-batch, so batch N+1 dedups against what batch N admitted) and
-    * the stream maintains its own cross-horizon dedup state: watermark
-    * state handles the near-term repeats, the growing index handles
-    * everything ever admitted. The append is at-least-once under batch
+    * index's fp table as `fpIndex`, and the stream maintains its own
+    * cross-horizon dedup state: watermark state handles the near-term
+    * repeats, the growing index handles everything ever admitted —
+    * including duplicates arriving AFTER their original's watermark
+    * state evicted, WITHIN the same run. That within-run visibility is
+    * load-bearing and subtle: the static side resolves to a catalog
+    * table whose files are listed per EXECUTION (not pinned at query
+    * start), and [[graft.operators.Dedup.appendToDedupIndex]] refreshes
+    * the listing caches of every session it can see after each append —
+    * so micro-batch N+1's static-join scan includes what batch N
+    * appended. StreamingSpec pins this end to end (a duplicate arriving
+    * hours past its original's watermark eviction is still rejected);
+    * if a Spark upgrade or session topology ever re-pins static-side
+    * listings, that spec is the tripwire, and the fallback is an
+    * explicit per-batch anti-join inside the sink.
+    * The append is at-least-once under batch
     * replay, which is safe: duplicate index rows cannot change an
     * anti-join/candidate-distinct outcome, only add bytes. Those bytes —
     * one file set per bucket per micro-batch, plus any replay rows — are

@@ -1,0 +1,202 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Throughput micro-bench for the ONLINE training pipeline — the
+  * streaming counterpart of [[graft.Bench]]'s batch surface: drives the
+  * full [[graft.streaming.TrainingPipeline]] topology (persisted-index
+  * dedup → watermark dedup → curation → rarity gate → idempotent shard
+  * export, with online index maintenance) over a deterministic synthetic
+  * doc stream, and reports
+  *   - end-to-end rows/sec across N micro-batches,
+  *   - per-batch trigger time, input rows, and STATE-STORE size
+  *     (rows + bytes — the number that must stay O(watermark horizon),
+  *     not O(stream history), for the topology to run forever),
+  *   - per-stage batch-mode rows/sec (each stage is a plain DataFrame
+  *     transform, so its standalone cost is measurable exactly),
+  *   - the maintained index's file count before/after
+  *     [[graft.operators.Dedup.compactDedupIndex]] and the compaction
+  *     cost — the snapshot-cadence operation the append story prescribes.
+  *
+  * Deterministic: fixed seeds, fixed doc mix (4% junk, 4% reference-
+  * unseen gibberish, 8% duplicates split between seed-corpus dups and
+  * cross-batch stream dups, rest unique well-formed English-like text).
+  * One JSON line on stdout, same contract as Bench. */
+object StreamBench {
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val batchRows = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCH_ROWS", "5000").toInt
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "8").toInt
+    val warehouse = java.nio.file.Files.createTempDirectory("graft-sb-wh").toString
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.warehouse.dir", warehouse)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    graft.Bench.cpuProbe(cpus.toInt, 2000000L) // JIT-compile the probe loop
+    val probeStart = graft.Bench.cpuProbe(cpus.toInt)
+    val loadStart = graft.Bench.loadavg()
+
+    // ---- deterministic synthetic corpus ----
+    // good text must clear BOTH online gates: every 4th token is an
+    // English stopword (25% density ≫ the 5% langid bar), and the
+    // non-stop vocabulary is drawn with a hard power skew (r^6), so the
+    // Zipf head dominates and a good doc's mean reference probability
+    // sits well above the rarity threshold
+    val stops = Array("the", "a", "an", "and", "of", "to", "in", "is", "it")
+    val vocabN = 2000
+    def goodText(seed: Int): String = {
+      val r = new scala.util.Random(seed)
+      (0 until 60).map { j =>
+        if (j % 4 == 0) stops(r.nextInt(stops.length))
+        else s"w${math.min(vocabN - 1, (math.pow(r.nextDouble(), 6) * vocabN).toInt)}"
+      }.mkString(" ")
+    }
+    // gibberish that the rarity gate (not curation) must kill: enough
+    // stopwords to pass langid, every other token unseen in the reference
+    def gibberish(g: Int): String =
+      (0 until 60).map(j => if (j % 12 == 0) stops(j % stops.length) else s"xq${g}z$j")
+        .mkString(" ")
+    val SeedBase = 5000000 // seed-corpus text seeds, disjoint from stream ids
+    def streamDoc(g: Int): (Long, String, String) = {
+      val text = (g % 25) match {
+        case 0 => "!!! ??? *** %%% ((( ))) @@@"                    // curation kill
+        case 1 => gibberish(g)                                      // rarity kill
+        case 2 => goodText(SeedBase + (g % 1000))                   // seed-corpus dup
+        // cross-batch dup of the batch-0 ROOT at the same position (the
+        // root fell through to unique good text, so every later case-3
+        // doc is a true duplicate of an ADMITTED doc — by the time batch
+        // b >= 2 arrives the root's watermark state has evicted, so the
+        // kill exercises the online-maintained index, not stream state)
+        case 3 if g >= batchRows => goodText(g % batchRows)
+        case _ => goodText(g)
+      }
+      (g.toLong, text, s"s${g % 4}")
+    }
+
+    // ---- persisted artifacts the deployed topology starts from ----
+    val refDocs = (0 until 2000)
+      .map(i => (i.toLong, goodText(SeedBase + 2000 + i), "ref")).toDF("doc_id", "text", "source")
+    graft.operators.TextAnalysis.saveTokenFreqs(refDocs, "sb_freq")
+    val seedDocs = (0 until 1000)
+      .map(i => (i.toLong, goodText(SeedBase + i), "seed")).toDF("doc_id", "text", "source")
+    graft.operators.Dedup.saveDedupIndex(seedDocs, "sb_dix")
+    def indexFiles(): Long = {
+      val cat = spark.sessionState.catalog
+      Seq("_fp", "_bands", "_shingles").map { s =>
+        val loc = java.nio.file.Paths.get(cat.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier("sb_dix" + s)).location)
+        val st = java.nio.file.Files.walk(loc)
+        try st.filter(p => p.getFileName.toString.startsWith("part-")).count()
+        finally st.close()
+      }.sum
+    }
+
+    // ---- the input stream: one JSONL file per micro-batch ----
+    val inDir = java.nio.file.Files.createTempDirectory("graft-sb-in").toString
+    val base = 1700000000L
+    for (b <- 0 until nBatches) {
+      val lines = (0 until batchRows).map { i =>
+        val g = b * batchRows + i
+        val (id, text, src) = streamDoc(g)
+        s"""{"doc_id": $id, "text": "${jsonEscape(text)}", "source": "$src", "ts_sec": ${base + g / 10}}"""
+      }
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(inDir, f"f$b%03d.jsonl"),
+        lines.mkString("", "\n", "\n"))
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, source STRING, ts_sec BIGINT")
+    val allDocs = spark.read.schema(schema).json(inDir)
+      .select(col("doc_id"), col("text"), col("source"),
+        timestamp_seconds(col("ts_sec")).as("ts"))
+    allDocs.count() // warm parquet/json/codegen first-touch outside the timings
+
+    // ---- per-stage batch-mode throughput (each stage standalone) ----
+    val rowsTotal = (nBatches * batchRows).toLong
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val fpIndex = graft.operators.Dedup.loadDedupIndex(spark, "sb_dix").fp
+    val (survIndex, tIndex) =
+      timed(graft.streaming.StreamingDedup.againstIndex(allDocs, fpIndex).count())
+    val (survCurate, tCurate) = timed(graft.streaming.StreamingCuration.curate(allDocs).count())
+    val (freqs, nTotal) = graft.operators.TextAnalysis.loadTokenFreqs(spark, "sb_freq")
+    val (scored, tRarity) =
+      timed(graft.operators.TextAnalysis.tokenRarityAgainst(allDocs, freqs, nTotal).count())
+    val exportDir = java.nio.file.Files.createTempDirectory("graft-sb-exp").toString
+    val (_, tExport) = timed(graft.sources.FileFormats.writeTrainingShards(
+      allDocs.select(col("doc_id"), col("text"), col("source")), exportDir))
+
+    // ---- the full online topology, per-batch cadence via one file per trigger ----
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sb-out").toString
+    val cpDir = java.nio.file.Files.createTempDirectory("graft-sb-cp").toString
+    val docsStream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").json(inDir)
+      .select(col("doc_id"), col("text"), col("source"),
+        timestamp_seconds(col("ts_sec")).as("ts"))
+    val (q, e2eSec) = timed {
+      val query = graft.streaming.TrainingPipeline.start(docsStream, fpIndex, outDir, cpDir,
+        maintainIndexName = Some("sb_dix"), rarityGate = Some(("sb_freq", 8000L)))
+      query.awaitTermination()
+      query
+    }
+    val admittedDf = spark.read.option("basePath", outDir).parquet(s"$outDir/batch_id=*")
+    val admitted = admittedDf.count()
+    // ground truth per doc class (doc_id % 25 encodes the mix): junk=0,
+    // gibberish=1, seed-dup=2, cross-batch-dup=3, else unique good
+    val admittedByClass = admittedDf
+      .groupBy((col("doc_id") % 25).as("cls")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val classCounts = Seq(0L, 1L, 2L, 3L)
+      .map(c => s""""cls$c":${admittedByClass.getOrElse(c, 0L)}""").mkString(",")
+
+    // per-batch telemetry off the terminated query's progress history:
+    // trigger time, input rows, and the dedup state store's rows + bytes
+    // (the series that must track the watermark horizon, not the stream)
+    val perBatch = q.recentProgress.toSeq.filter(_.numInputRows > 0).map { p =>
+      val st = p.stateOperators.toSeq
+      s"""{"batch":${p.batchId},"input_rows":${p.numInputRows},""" +
+        s""""trigger_sec":${p.durationMs.get("triggerExecution").toDouble / 1000},""" +
+        s""""state_rows":${st.map(_.numRowsTotal).sum},""" +
+        s""""state_bytes":${st.map(_.memoryUsedBytes).sum}}"""
+    }
+
+    // index growth + compaction payoff
+    val filesBefore = indexFiles()
+    val (_, compactSec) = timed(graft.operators.Dedup.compactDedupIndex(spark, "sb_dix"))
+    val filesAfter = indexFiles()
+
+    val probeEnd = graft.Bench.cpuProbe(cpus.toInt)
+    val json = new StringBuilder
+    json ++= "{"
+    json ++= s""""metric":"stream_pipeline","unit":"rows_per_sec","value":${rowsTotal / e2eSec},"""
+    json ++= s""""rows_total":$rowsTotal,"batches":$nBatches,"end_to_end_sec":$e2eSec,"""
+    json ++= s""""admitted":$admitted,"admitted_by_class":{$classCounts},"""
+    json ++= s""""stages_rows_per_sec":{"index_antijoin":${(rowsTotal / tIndex).toLong},"""
+    json ++= s""""curate":${(rowsTotal / tCurate).toLong},"""
+    json ++= s""""rarity_score":${(rowsTotal / tRarity).toLong},"""
+    json ++= s""""shard_export":${(rowsTotal / tExport).toLong}},"""
+    json ++= s""""stages_survivors":{"index_antijoin":$survIndex,"curate":$survCurate,"rarity_scored":$scored},"""
+    json ++= s""""per_batch":[${perBatch.mkString(",")}],"""
+    json ++= s""""index_files_before_compact":$filesBefore,"index_files_after_compact":$filesAfter,"""
+    json ++= s""""compact_sec":$compactSec,"""
+    json ++= s""""cpu_probe_start_sec":$probeStart,"cpu_probe_end_sec":$probeEnd,"""
+    json ++= s""""loadavg_start":$loadStart,"loadavg_end":${graft.Bench.loadavg()}"""
+    json ++= "}"
+    println(json.toString)
+    spark.stop()
+  }
+}

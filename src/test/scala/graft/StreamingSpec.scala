@@ -495,6 +495,57 @@ class StreamingSpec extends SparkSpec {
         "only the maintained index can know about doc 1")
   }
 
+  test("maintained index rejects duplicates beyond the watermark horizon WITHIN one run") {
+    // doc 1 is admitted in batch 0; its exact dup arrives two hours
+    // later (batch 2), long after doc 1's watermark state evicted — so
+    // ONLY the online-maintained index can reject it, and only if the
+    // stream's static-side join actually SEES batch 0's append within
+    // the same run. That visibility is the load-bearing subtlety
+    // (catalog tables list files per execution + appendToDedupIndex's
+    // cross-session cache refresh); this test is the tripwire if a
+    // Spark upgrade or refactor ever pins static-side listings at query
+    // start — the documented fallback is a per-batch anti-join in the
+    // sink (see TrainingPipeline.start's docstring).
+    import graft.operators.Dedup
+    import graft.streaming.TrainingPipeline
+    val good = "the quick brown fox jumps over a lazy dog and then it runs " +
+      "to the barn where the farmer is reading the morning mail today"
+    val other = "a second fine document in the english language with the usual " +
+      "collection of stopwords and a perfectly reasonable length for a test"
+    def docJson(id: Long, text: String, sec: Long): String =
+      s"""{"doc_id": $id, "text": "$text", "source": "s0", "ts_sec": $sec}"""
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, source STRING, ts_sec BIGINT")
+    val inDir = java.nio.file.Files.createTempDirectory("graft-hzn-in").toString
+    val cpDir = java.nio.file.Files.createTempDirectory("graft-hzn-cp").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-hzn-out").toString
+    Dedup.saveDedupIndex(
+      Seq((0L, "seed corpus doc", "s0")).toDF("doc_id", "text", "source"), "dix_horizon")
+    // one file per micro-batch, mtimes force processing order; each
+    // batch's event time advances 2 h, evicting the previous batch's
+    // 10-minute watermark state before the dup arrives
+    Seq(
+      "f0.jsonl" -> docJson(1, good, w0),
+      "f1.jsonl" -> docJson(2, other, w0 + 7200),
+      "f2.jsonl" -> docJson(3, good, w0 + 14400) // horizon-crossing dup of doc 1
+    ).zipWithIndex.foreach { case ((name, line), i) =>
+      val p = java.nio.file.Paths.get(inDir, name)
+      java.nio.file.Files.writeString(p, line + "\n")
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
+    }
+    val docs = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(inDir)
+      .select(col("doc_id"), col("text"), col("source"),
+        timestamp_seconds(col("ts_sec")).as("ts"))
+    TrainingPipeline.start(docs, Dedup.loadDedupIndex(spark, "dix_horizon").fp, outDir, cpDir,
+      maintainIndexName = Some("dix_horizon")).awaitTermination()
+    val admitted = new java.io.File(outDir).listFiles().filter(_.isDirectory).toSeq
+      .flatMap(d => try spark.read.parquet(d.getPath).collect() catch { case _: Throwable => Nil })
+      .map(_.getAs[Long]("doc_id")).sorted
+    assert(admitted === Seq(1L, 2L),
+      "the horizon-crossing dup must be rejected by the per-batch fresh-index anti-join")
+  }
+
   test("maintained index rejects raw duplicates of PII-bearing docs (pre-redaction fingerprints)") {
     // regression: the index append must hash the PRE-redaction text. If a
     // batch's entries were fingerprinted AFTER piiRedact, a later raw
