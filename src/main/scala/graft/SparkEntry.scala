@@ -134,6 +134,8 @@ object SparkEntry {
     "corpus_sample_stratified" -> ((s, d) => TextAnalysis.stratifiedSample(Tables.documents(s, d))),
     "train_test_split" -> ((s, d) => TextAnalysis.trainTestSplit(Tables.documents(s, d))),
     "pack_shards" -> ((s, d) => TextAnalysis.packShards(Tables.documents(s, d))),
+    // deterministic hash-keyed training-order shuffle (epoch-salted)
+    "train_order_shuffle" -> ((s, d) => TextAnalysis.trainOrderShuffle(Tables.documents(s, d))),
     "dedup_rate_by_source" -> ((s, d) => TextAnalysis.dedupRateBySource(Tables.documents(s, d))),
     "corpus_curated" -> ((s, d) => TextAnalysis.curatedCorpus(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionSignals(Tables.documents(s, d))),
@@ -1008,6 +1010,16 @@ object SparkEntry {
     "corpus_sample_stratified" -> stratifiedSampleOracle,
     "train_test_split" -> trainTestSplitOracle,
     "pack_shards" -> packShardsOracle,
+    // the md5 hex string is identical across engines; the bucket is its
+    // 2-char prefix and positions rank (key, doc_id) within the bucket
+    "train_order_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+        |    md5(CAST(doc_id AS VARCHAR) || ':epoch-0') AS sk FROM documents)
+        |SELECT substr(sk, 1, 2) AS bucket,
+        |       CAST(row_number() OVER (PARTITION BY substr(sk, 1, 2)
+        |                               ORDER BY sk, doc_id) AS BIGINT) AS pos,
+        |       doc_id
+        |FROM k ORDER BY bucket, pos""".stripMargin,
     "dedup_rate_by_source" -> dedupRateBySourceOracle,
     "text_token_rarity" ->
       """WITH norm AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t FROM documents),

@@ -363,6 +363,38 @@ object TextAnalysis {
       budget)
       .select(col("doc_id"), col("text"), col("source"), col("block_id"), col("shard_id"))
 
+  /** Deterministic TRAINING-ORDER shuffle — the randomization step
+    * between curation and shard export: training wants the corpus in a
+    * pseudorandom order decorrelated from ingest/source order (long runs
+    * of one source bias gradients), re-drawable per epoch, and
+    * reproducible across reruns. A real random shuffle can't be
+    * checkpointed or audited; the standard trick is a HASH-keyed order:
+    * shuffle_key = md5(doc_id ‖ salt), new salt per epoch = a fresh
+    * permutation, same salt = bit-identical order on any engine
+    * (DuckDB-oracle-checked).
+    *
+    * Scale shape: a global orderBy(shuffle_key) would range-exchange the
+    * corpus and a global row_number would funnel it through one task —
+    * instead the key's first `prefixLen` hex chars form 16^prefixLen
+    * BUCKETS (the md5 prefix is uniform, so buckets are balanced by
+    * construction), positions are ranked per bucket (bounded windows, no
+    * global sort), and the total order is (bucket, pos). At 100 TB widen
+    * prefixLen to 4 (65536 buckets ≈ corpus/65536 rows per window task);
+    * the default 2 keeps the oracle output readable at test SF. One
+    * codegen'd hash pass + one bounded-window shuffle — text never
+    * moves; a training reader consumes (bucket, pos) order directly. */
+  def trainOrderShuffle(documents: DataFrame, salt: String = "epoch-0",
+                        prefixLen: Int = 2): DataFrame = {
+    val w = Window.partitionBy(col("bucket")).orderBy(col("sk"), col("doc_id"))
+    documents
+      .select(col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit(":" + salt))).as("sk"))
+      .withColumn("bucket", substring(col("sk"), 1, prefixLen))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("bucket"), col("pos"), col("doc_id"))
+      .orderBy("bucket", "pos")
+  }
+
   def packShards(documents: DataFrame, budget: Long = PackBudgetTokens): DataFrame = {
     shardAssignCore(
       documents.select(col("doc_id"), col("source"),

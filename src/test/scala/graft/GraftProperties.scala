@@ -169,6 +169,34 @@ object GraftProperties extends Properties("graft") {
   /** Scrubbing is IDEMPOTENT: the replacement tags contain no digits or
     * '@', so a second pass can never find a new match — the property a
     * pipeline relies on when a re-run re-scrubs already-clean shards. */
+  /** Random undirected edge lists: up to 24 nodes, up to 40 edges
+    * (self-loops and parallel/reversed duplicates included on purpose —
+    * the contraction must canonicalize them away). */
+  private val edgesGen: Gen[List[(Long, Long)]] =
+    Gen.listOfN(40, Gen.zip(Gen.choose(0L, 23L), Gen.choose(0L, 23L)))
+
+  property("star contraction == reference union-find on random graphs") = forAll(edgesGen) { es =>
+    val pairs = es.toDF("doc_a", "doc_b")
+    val got = Dedup.starContract(pairs, maxRounds = 50).collect()
+      .map { case Row(id: Long, rep: Long) => id -> rep }.toMap
+    // reference: textbook union-find with path compression
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // expected rep = component MIN; nodes only appear if they touch an edge
+    val nodes = es.flatMap { case (a, b) => Seq(a, b) }.toSet
+    val expected = nodes.groupBy(find).flatMap { case (_, comp) =>
+      val m = comp.min; comp.map(_ -> m)
+    }
+    got == expected
+  }
+
   property("piiRedact is idempotent") = forAll(piiTextGen) { text =>
     import graft.functions.TextFunctions.piiRedact
     val df = Seq(Tuple1(text)).toDF("t")

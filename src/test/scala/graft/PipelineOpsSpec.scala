@@ -301,6 +301,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(spark.table("rfreq_cut_freq").count() < spark.table("rfreq_full_freq").count())
   }
 
+  test("trainOrderShuffle: a reproducible permutation, re-drawn per epoch salt") {
+    val docs = (0L until 300L).map(i => (i, s"text $i", "s0")).toDF("doc_id", "text", "source")
+    val e0 = TextAnalysis.trainOrderShuffle(docs).collect()
+      .map { case Row(b: String, p: Long, id: Long) => (b, p, id) }
+    // a permutation: every doc exactly once, positions contiguous per bucket
+    assert(e0.map(_._3).sorted === (0L until 300L))
+    e0.groupBy(_._1).values.foreach { bucket =>
+      assert(bucket.map(_._2).sorted === (1L to bucket.length))
+    }
+    // decorrelated from id order: the per-bucket sequences are not just
+    // sorted doc_ids (md5 scatters them)
+    assert(e0.sortBy(t => (t._1, t._2)).map(_._3).toSeq !== (0L until 300L).toSeq)
+    // reproducible within an epoch, fresh permutation for the next one
+    val e0again = TextAnalysis.trainOrderShuffle(docs).collect()
+      .map { case Row(b: String, p: Long, id: Long) => (b, p, id) }
+    assert(e0again === e0)
+    val e1 = TextAnalysis.trainOrderShuffle(docs, salt = "epoch-1").collect()
+      .map { case Row(b: String, p: Long, id: Long) => (b, p, id) }
+    assert(e1.sortBy(t => (t._1, t._2)).map(_._3) !== e0.sortBy(t => (t._1, t._2)).map(_._3),
+      "a new epoch salt must draw a different permutation")
+    assert(e1.map(_._3).sorted === (0L until 300L))
+  }
+
   test("dedupRateBySource: planted duplicates yield the exact integer rate") {
     val df = Seq(
       (0L, "same doc", "s0"), (1L, "same doc", "s0"),
