@@ -94,6 +94,8 @@ object SparkEntry {
     "dedup_minhash_sql" -> ((s, d) => GraftSql.dedupMinhashSql(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
+    // verbatim-passage overlap (exact-substring dedup, positional grams)
+    "dedup_substring" -> ((s, d) => Dedup.substringDup(Tables.documents(s, d))),
     "dedup_levenshtein" -> ((s, d) => Dedup.levenshteinPrefix(Tables.documents(s, d))),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables.documents(s, d))),
@@ -963,6 +965,24 @@ object SparkEntry {
     "dedup_simhash" -> simhashOracle,
     "simhash_band_stats" -> simhashBandStatsOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    // exact-substring overlap: identical positional-gram construction
+    // (md5 of 8-token slices), aligned-offset runs, contiguity by
+    // count==span, longest run per pair in tokens
+    "dedup_substring" ->
+      """WITH norm AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t FROM documents),
+        |tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm),
+        |grams AS (SELECT doc_id, i AS pos, md5(array_to_string(toks[i:i+7], ' ')) AS g
+        |  FROM tk, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+        |  WHERE len(toks) >= 8),
+        |rare AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY 1) WHERE df <= 1000),
+        |idx AS (SELECT grams.* FROM grams JOIN rare USING (g)),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+        |  FROM idx a JOIN idx b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |runs AS (SELECT doc_a, doc_b, pa - pb AS off,
+        |    count(DISTINCT pa) AS n, max(pa) - min(pa) + 1 AS span
+        |  FROM p GROUP BY 1, 2, 3)
+        |SELECT doc_a, doc_b, CAST(max(span + 7) AS BIGINT) AS overlap_tokens
+        |FROM runs WHERE n = span AND span >= 5 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dedup_embedding_cosine" -> embeddingNearDupOracle,
     // ---- similarity search ----
     "ann_bruteforce_topk" -> annBruteForceOracle,

@@ -585,6 +585,63 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** EXACT-SUBSTRING overlap detection — the verbatim-duplication
+    * operator of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" (ACL'22, public literature), re-shaped for Spark:
+    * instead of a suffix array (a global sorted structure that doesn't
+    * distribute), detect a verbatim run of >= `minRunGrams + gramLen - 1`
+    * tokens shared between two docs via a POSITIONAL gram index:
+    *
+    *   1. each doc emits md5 digests of its `gramLen`-token grams at
+    *      every position (one codegen'd transform over the token array —
+    *      text leaves the scan only as 16-byte digests + positions);
+    *   2. a df-cut inverted index joins aligned gram hits
+    *      (same digest, doc_a < doc_b) — the same boilerplate cut as
+    *      [[ngramJaccard]], since a gram in thousands of docs is
+    *      template noise that contributes O(df²) pairs;
+    *   3. hits group by (doc_a, doc_b, pos_a − pos_b): a shared VERBATIM
+    *      run of R grams at one alignment offset is exactly a group
+    *      whose distinct positions tile an interval —
+    *      count = max − min + 1 — so the contiguity test is integer
+    *      arithmetic on the group, no re-reading of text;
+    *   4. per pair, report the longest such run in TOKENS
+    *      (span + gramLen − 1).
+    *
+    * Finds pairs sharing long verbatim passages even when the docs as a
+    * WHOLE are dissimilar (quote chains, boilerplate headers, licence
+    * blocks) — the case Jaccard/MinHash miss by design because global
+    * overlap stays below any whole-doc threshold. Fully deterministic:
+    * md5 grams, integer spans; the DuckDB oracle replicates the gram
+    * construction bit-for-bit. */
+  def substringDup(documents: DataFrame, gramLen: Int = 8,
+                   minRunGrams: Int = 5, maxDf: Int = 1000): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), split(normText(col("text")), " ").as("toks"))
+      .filter(size(col("toks")) >= gramLen)
+    val grams = toks
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(toks) - ${gramLen - 1})," +
+          s" i -> md5(array_join(slice(toks, i, $gramLen), ' ')))")).as(Seq("pos0", "g")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("g"))
+    val rare = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("g"))
+    val idx = grams.join(rare, "g")
+    val hits = idx.as("a")
+      .join(idx.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+    hits
+      .groupBy(col("doc_a"), col("doc_b"), (col("pa") - col("pb")).as("off"))
+      .agg(countDistinct(col("pa")).as("n"),
+        (max(col("pa")) - min(col("pa")) + 1).as("span"))
+      .filter(col("n") === col("span") && col("span") >= minRunGrams)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("span") + lit(gramLen - 1)).cast("long").as("overlap_tokens"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Edit-distance near-dup: Levenshtein over normalized `prefixLen`-char
     * prefixes, at distance <= `maxDist`, blocked by `source`. The prefix
     * bound caps per-pair cost at prefixLen² cells; PIGEONHOLE SEGMENT

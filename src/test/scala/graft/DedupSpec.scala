@@ -97,6 +97,33 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains(30L)) // unpaired docs aren't in any cluster
   }
 
+  test("substringDup: finds verbatim runs, ignores scattered shared grams") {
+    def words(tag: String, n: Int) = (0 until n).map(i => s"$tag$i")
+    val passage = words("p", 20) // a 20-token verbatim passage
+    val docs = Seq(
+      // docs 0 and 1: globally DISSIMILAR (40 unique tokens each) but
+      // share the 20-token passage verbatim → overlap = 20
+      (0L, (words("a", 40) ++ passage).mkString(" "), "s0"),
+      (1L, (passage ++ words("b", 40)).mkString(" "), "s0"),
+      // doc 2 shares the passage's TOKENS with doc 0 but scrambled in
+      // pairs of 4 (every 8-gram spans a seam) → no gram matches, no row
+      (2L, (words("c", 40) ++ passage.grouped(4).toSeq.reverse.flatten).mkString(" "), "s0"),
+      // doc 3: unrelated
+      (3L, words("z", 60).mkString(" "), "s0")
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.substringDup(docs).collect()
+      .map { case Row(a: Long, b: Long, t: Long) => (a, b) -> t }.toMap
+    assert(got.keySet === Set((0L, 1L)), s"only the verbatim pair may appear, got $got")
+    // 20-token run = 13 grams of 8 tokens; span 13 → 13 + 7 = 20 tokens
+    assert(got((0L, 1L)) === 20L)
+    // below the 12-token minimum (5 grams): an 11-token shared run is silent
+    val short = Seq(
+      (0L, (words("a", 30) ++ words("q", 11)).mkString(" "), "s0"),
+      (1L, (words("q", 11) ++ words("b", 30)).mkString(" "), "s0")
+    ).toDF("doc_id", "text", "source")
+    assert(Dedup.substringDup(short).count() === 0L)
+  }
+
   test("starContract: a 128-node path converges in O(log n) rounds, not O(diameter)") {
     // the worst shape for one-hop label propagation: a chain-shaped pair
     // graph (boilerplate gradients — doc i near-dups only i±1) has

@@ -13,7 +13,7 @@ class PlanShapeSpec extends SparkSpec {
   test("pair-generation dedup ops never plan a nested-loop or cartesian pair join") {
     for (q <- Seq("dedup_embedding_cosine", "dedup_levenshtein",
                   "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
-                  "cross_source_dup_matrix")) {
+                  "dedup_substring", "cross_source_dup_matrix")) {
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop")
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
