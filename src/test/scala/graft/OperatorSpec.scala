@@ -189,6 +189,13 @@ class OperatorSpec extends SparkSpec {
     // the tree still grows after compaction
     Similarity.appendToIvfIndex(emb.filter(col("vec_id") === 0), dir)
     assert(spark.read.parquet(s"$dir/cells").filter(col("vec_id") === 0).count() === 2)
+    // the persisted-index monitor prices occupancy from the partition
+    // column ALONE — the scan must read zero data columns (no embedding
+    // bytes), which is what makes it free at 100 TB
+    val monitorPlan = Similarity.ivfIndexCellStats(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(monitorPlan.contains("ReadSchema: struct<>"),
+      s"cell-stats scan must be partition-column-only:\n$monitorPlan")
   }
 
   test("ivf_cell_stats: shares sum to ~1e6 ppm and counts cover the corpus") {
