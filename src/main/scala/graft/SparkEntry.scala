@@ -157,6 +157,9 @@ object SparkEntry {
       TextAnalysis.piiScrubStats(Tables.documents(s, d), Tables.events(s, d))),
     "distinctive_terms" -> ((s, d) => TextAnalysis.distinctiveTerms(Tables.documents(s, d))),
     "length_outlier_stats" -> ((s, d) => TextAnalysis.lengthOutlierStats(Tables.documents(s, d))),
+    // integer-BM25 retrieval: the corpus-inspection / decontamination
+    // lookup side of the pipeline
+    "bm25_search" -> ((s, d) => Search.bm25TopK(Tables.documents(s, d))),
     // ---- multimodal plumbing ----
     "media_bytes_stats" -> ((s, d) => Multimodal.bytesStats(Tables.documents(s, d))),
     "media_frame_sample" -> ((s, d) => Multimodal.frameSample(Tables.documents(s, d))),
@@ -363,6 +366,35 @@ object SparkEntry {
        |  FROM cand JOIN nz a ON vec_a = a.vec_id JOIN nz b ON vec_b = b.vec_id)
        |SELECT vec_a, vec_b, round(dp / sqrt(na * nb), 4) AS cos_sim
        |FROM p WHERE dp / sqrt(na * nb) >= 0.5 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Mirrors Search.bm25TopK step for step — same integer units
+    * (idf_kilo / x_milli / denom_milli / part_ppm), same rational idf,
+    * same tie-break — with the term list generated from the SAME
+    * queryTerms() the operator uses, so query and oracle cannot drift. */
+  private def bm25Oracle: String = {
+    val terms = Search.queryTerms(Search.DefaultQuery)
+      .map(t => s"'$t'").mkString("[", ", ", "]")
+    val k1 = Search.K1Milli; val b = Search.BMilli
+    s"""WITH terms AS (SELECT unnest($terms) AS tok),
+       |d AS (SELECT doc_id,
+       |    regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nt,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS dl
+       |  FROM documents),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+       |toks AS (SELECT doc_id, dl, unnest(string_split(nt, ' ')) AS tok FROM d),
+       |m AS (SELECT t.* FROM toks t JOIN terms USING (tok) WHERE length(t.tok) > 0),
+       |tf AS (SELECT doc_id, tok, dl, CAST(count(*) AS BIGINT) AS tf FROM m GROUP BY 1, 2, 3),
+       |dfx AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT doc_id,
+       |    ((n_docs - df + 1) * 1000) // (df + 1) AS idf_kilo,
+       |    (tf * ${k1 + 1000L} * 1000000) // (tf * 1000 +
+       |      ($k1 * (1000 - $b + ($b * ((dl * 1000000) // ((sum_dl * 1000) // n_docs))) // 1000)) // 1000) AS part_ppm
+       |  FROM tf JOIN dfx USING (tok) CROSS JOIN stats)
+       |SELECT doc_id, CAST(sum((idf_kilo * part_ppm) // 1000) AS BIGINT) AS score_ppm,
+       |  CAST(count(*) AS BIGINT) AS n_terms
+       |FROM sc GROUP BY 1 ORDER BY score_ppm DESC, doc_id LIMIT ${Search.DefaultK}""".stripMargin
   }
 
   private def annBruteForceOracle: String =
@@ -1080,6 +1112,7 @@ object SparkEntry {
     "distinctive_terms" -> distinctiveTermsOracle,
     "pii_scrub_stats" -> piiScrubOracle,
     "length_outlier_stats" -> lengthOutlierOracle,
+    "bm25_search" -> bm25Oracle,
     "cross_source_dup_matrix" -> crossSourceDupOracle,
     "minhash_band_stats" -> minhashBandStatsOracle,
     "benchmark_contamination" -> benchmarkContaminationOracle,

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.{normText, tokenCount}
+
+/** Full-text retrieval over the documents table — the lookup side of a
+  * training-data pipeline (inspecting what the corpus says about a topic,
+  * spot-checking decontamination hits, pulling exemplars for eval curation).
+  *
+  * BM25 scoring in pure integer arithmetic: every quantity is scaled to
+  * milli/kilo/ppm units and combined with integer division, so the score —
+  * and therefore the top-k cut — is bit-identical across engines and
+  * partitionings (same contract as the token-rarity ppm scores; DuckDB
+  * mirrors each step with `//`). The classical `log`-based idf is replaced
+  * by the rational `(N - df + 1) / (df + 1)` (the argument of the standard
+  * BM25+ idf, un-logged): log implementations are not IEEE-exact across
+  * libms, and for RANKING the un-logged ratio orders candidates by the
+  * same per-term dominance. The trade-off is disclosed: rare terms weigh
+  * relatively more than under log-idf; the familiar k1/b saturation
+  * machinery is untouched.
+  *
+  * Scale shape: the only corpus-wide shuffle is the per-(doc, term) tf
+  * count over QUERY-TERM OCCURRENCES ONLY — the exploded token relation is
+  * semi-joined against the broadcast query-term set before anything
+  * shuffles, so a 5-term query over 100 TB moves only the docs that
+  * mention those terms. Document length (dl) is a per-row column
+  * expression (no groupBy); corpus totals (N, sum dl) are a 1-row
+  * aggregate broadcast to the scorer. Final top-k is TakeOrdered — k rows
+  * per partition funnel to the driver, never a global sort.
+  *
+  * Overflow bound: contrib_ppm <= idf_kilo * part_ppm / 1000 with
+  * idf_kilo <= 1000 * (N + 1) and part_ppm <= (k1 + 1) * 1e6, so scores
+  * stay inside Long for corpora up to ~4e11 documents — disclosed, far
+  * past the 100 TB design point (~1e11 docs at 1 KB/doc).
+  */
+object Search {
+
+  /** BM25 k1 (term-frequency saturation) in milli: 1.2. */
+  val K1Milli = 1200L
+  /** BM25 b (length normalization) in milli: 0.75. */
+  val BMilli = 750L
+
+  val DefaultQuery = "spark stream window join"
+  val DefaultK = 10
+
+  /** Deterministic query-term list: normalized, deduped, order-free. */
+  def queryTerms(query: String): Seq[String] =
+    query.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty).distinct.sorted
+
+  /** Top-k documents by integer BM25 against a whitespace-tokenized query.
+    * Returns (doc_id, score_ppm, n_terms) — n_terms = distinct query terms
+    * the doc matched (coordination count, useful for AND-ish filtering). */
+  def bm25TopK(documents: DataFrame, query: String = DefaultQuery,
+               k: Int = DefaultK): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val qterms = broadcast(queryTerms(query).toDF("tok"))
+
+    // dl (per-doc token count) is a column expression on the scan — NOT a
+    // groupBy over the exploded tokens: normText collapses whitespace, so
+    // the \S+ run count IS the post-split token count
+    val docs = documents.select(
+      col("doc_id"), normText(col("text")).as("nt"),
+      tokenCount(col("text")).cast("long").as("dl"))
+
+    // 1-row corpus totals; avgdl kept in milli. Docs with NULL text have
+    // NULL dl: count(*) still counts them, sum skips them — both engines.
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+
+    // explode AFTER carrying dl, semi-join against the broadcast query
+    // terms BEFORE any shuffle: only query-term occurrences survive
+    val matched = docs
+      .select(col("doc_id"), col("dl"), explode(split(col("nt"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .join(qterms, "tok")
+
+    // the one shuffle: (doc_id, tok, dl) → tf, over matched rows only.
+    // dl rides in the grouping key (functionally dependent on doc_id).
+    val tf = matched.groupBy(col("doc_id"), col("tok"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    // document frequency per query term: <= |terms| rows, broadcast back.
+    // df derives from tf, not from a window over it: partition-by-tok
+    // would funnel every hit of a common term onto one reducer, while
+    // this groupBy partial-aggregates map-side. The shared tf subtree is
+    // NOT recomputed — AQE's ReuseExchange dedups the identical shuffle
+    // (verified on the executed plan: ReusedExchange, one corpus scan
+    // for the tf/df pair).
+    val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+
+    tf.join(broadcast(dfT), "tok")
+      .crossJoin(broadcast(stats)) // one row: N and sum(dl)
+      .withColumn("avgdl_milli", expr("(sum_dl * 1000) div n_docs"))
+      .withColumn("idf_kilo", expr("((n_docs - df + 1) * 1000) div (df + 1)"))
+      .withColumn("x_milli", expr("(dl * 1000000) div avgdl_milli"))
+      .withColumn("denom_milli", expr(
+        s"tf * 1000 + ($K1Milli * (1000 - $BMilli + ($BMilli * x_milli) div 1000)) div 1000"))
+      .withColumn("part_ppm", expr(s"(tf * ${K1Milli + 1000L} * 1000000) div denom_milli"))
+      .withColumn("contrib_ppm", expr("(idf_kilo * part_ppm) div 1000"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib_ppm")).as("score_ppm"),
+        count(lit(1)).cast("long").as("n_terms"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .limit(k)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Search, Similarity, TextAnalysis}
 
 /** Round-3 training-pipeline operators: PII scrubbing, repetition
   * signals, distinctive terms, length-moment outliers, cross-source dup
@@ -235,6 +235,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(TextAnalysis.tokenRarity(messy).collect().map(_.getLong(0)).toSeq === Seq(1L))
     assert(TextAnalysis.packShards(messy).count() >= 1)
     assert(TextAnalysis.tokenizerFertility(messy).count() === 1)
+  }
+
+  test("bm25TopK: coordination, saturation, and length normalization rank as BM25 demands") {
+    val docs = Seq(
+      (1L, "spark stream window join extras words here", "s"),       // all 4 terms
+      (2L, "spark spark spark spark spark pad pad pad", "s"),        // 1 term, saturated tf
+      (3L, "spark " + ("pad " * 200), "s"),                          // 1 term, long doc
+      (4L, "spark pad pad pad pad pad pad", "s"),                    // 1 term, short doc
+      (5L, "nothing relevant at all", "s")                           // no terms
+    ).toDF("doc_id", "text", "source")
+    val rows = Search.bm25TopK(docs, query = "spark stream window join", k = 10)
+      .collect().map { case Row(id: Long, s: Long, n: Long) => (id, s, n) }
+    val byId = rows.map(r => r._1 -> r).toMap
+    assert(!byId.contains(5L), "a doc matching no query term must not be retrieved")
+    assert(byId(1L)._3 === 4L, "coordination count = distinct matched terms")
+    // four distinct terms (three of them rare, idf-heavy) beat one
+    // saturated term: k1 caps what repetition alone can earn
+    assert(byId(1L)._2 > byId(2L)._2)
+    // same term, same tf: the 201-token doc pays the b-length penalty
+    assert(byId(4L)._2 > byId(3L)._2)
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sortBy(-_).toSeq, "descending score order")
   }
 
   test("tokenRarity: integer unigram probabilities and hapax counts") {
