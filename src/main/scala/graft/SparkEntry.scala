@@ -22,6 +22,10 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     UniqueUsers.perMinute(Tables.events(spark, "/root/testdata/sf0.001"))
 
+  /** dedup_semantic's registered threshold — shared by query and oracle
+    * so the two cannot drift (see the registry comment for why 0.4). */
+  private val SemanticGateThreshold = 0.4
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference-parity family (events): SURVEY.md §2 S1-S3/O1-O7 ----
@@ -98,6 +102,14 @@ object SparkEntry {
     "dedup_substring" -> ((s, d) => Dedup.substringDup(Tables.documents(s, d))),
     "dedup_levenshtein" -> ((s, d) => Dedup.levenshteinPrefix(Tables.documents(s, d))),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
+    // SemDeDup: cluster-scoped semantic dedup sharing the session IVF
+    // quantizer (oracle inlines the same centroid table post-run).
+    // Registered at threshold 0.4: the synthetic embeddings are
+    // near-isotropic (ONE pair corpus-wide reaches the 0.5 default at
+    // sf0.01), and 0.4 exercises the in-cell verify + keeper logic on
+    // real rows at both gate scales
+    "dedup_semantic" -> ((s, d) =>
+      Dedup.semanticDedup(Tables.embeddings(s, d), threshold = SemanticGateThreshold)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables.documents(s, d))),
     // ingestion-time cross-corpus dedup: odd doc_ids arrive as the new
     // batch, even doc_ids are the already-ingested corpus. The orderBy is
@@ -690,7 +702,36 @@ object SparkEntry {
          |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
          |SELECT cell, n, CAST((n * 1000000) // total AS BIGINT) AS share_ppm
          |FROM g, t ORDER BY cell""".stripMargin
-    Map("ann_ivf_topk" -> sql, "ivf_cell_stats" -> cellStatsSql)
+    // dedup_semantic shares the inlined quantizer too: the same argmax
+    // assignment (nrm > 0 guard first, as in embeddingNearDup), the
+    // SemanticMaxCell participation cap, in-cell pairs at cos >= 0.5,
+    // and the min-qualifying-neighbor keeper per dropped vector
+    def dotFF(a: String, b: String) =
+      s"list_sum(list_transform(range(64), i -> $a.embedding[i+1]::DOUBLE * $b.embedding[i+1]::DOUBLE))"
+    val semanticSql =
+      s"""WITH cents AS (SELECT unnest($cells) AS cell, unnest($cents) AS centroid),
+         |nz AS (SELECT vec_id, embedding, ${dotEE("embedding")} AS nrm
+         |  FROM embeddings WHERE ${dotEE("embedding")} > 0),
+         |asgs AS (SELECT e.vec_id, e.embedding, e.nrm, c.cell,
+         |    ${dotEC("e.embedding", "c.centroid")} / sqrt(e.nrm * ${dotCC("c.centroid")}) AS cs
+         |  FROM nz e CROSS JOIN cents c),
+         |asg AS (SELECT vec_id, embedding, nrm, cell FROM (
+         |    SELECT vec_id, embedding, nrm, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS ark FROM asgs)
+         |  WHERE ark = 1),
+         |kept AS (SELECT vec_id, embedding, nrm, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS crk FROM asg)
+         |  WHERE crk <= ${graft.operators.Dedup.SemanticMaxCell}),
+         |p AS (SELECT b.vec_id AS vec_id, a.vec_id AS dup_of, a.cell,
+         |    ${dotFF("a", "b")} / sqrt(a.nrm * b.nrm) AS cos
+         |  FROM kept a JOIN kept b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |f AS (SELECT vec_id, dup_of, cell, cos,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dup_of) AS rk
+         |  FROM p WHERE cos >= $SemanticGateThreshold)
+         |SELECT vec_id, dup_of, CAST(cell AS BIGINT) AS cell, round(cos, 4) AS cos_sim
+         |FROM f WHERE rk = 1 ORDER BY vec_id""".stripMargin
+    Map("ann_ivf_topk" -> sql, "ivf_cell_stats" -> cellStatsSql,
+      "dedup_semantic" -> semanticSql)
   }
 
   private def imageMetaOracle: String = {

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -948,5 +949,75 @@ object Dedup {
       .filter(col("cos_sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos_sim"), 4).as("cos_sim"))
       .orderBy("vec_a", "vec_b")
+  }
+
+  /** Hot-cell participation cap for [[semanticDedup]] — same disclosed
+    * mechanism as [[SimhashMaxBucket]]: a quantizer cell holding the
+    * corpus's densest mode would otherwise go quadratic in the in-cell
+    * pair join. Only the first `maxCell` vec_ids of a cell participate in
+    * pairing (deterministic, oracle-mirrored); `ivf_cell_stats` is the
+    * monitor that shows when a cell approaches the cap — the signal to
+    * re-train with more cells rather than to raise the cap. */
+  val SemanticMaxCell = 1000
+
+  /** SemDeDup-style CLUSTER-SCOPED semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540 — public literature): coarse-quantize the
+    * embedding space with the SAME spherical k-means quantizer the IVF
+    * index uses ([[Similarity.quantizerFor]] — one model per corpus
+    * snapshot serves search AND dedup), then verify exact cosine only
+    * WITHIN each cell and drop every vector that has a smaller-id in-cell
+    * neighbor above `threshold`. Emits one row per DROPPED vector:
+    * (vec_id, dup_of = its smallest qualifying in-cell neighbor, cell,
+    * cos_sim to that neighbor).
+    *
+    * Versus [[embeddingNearDup]]'s sign-LSH banding: the blocking here is
+    * DATA-ADAPTIVE — cells follow the corpus's own density modes instead
+    * of fixed axis-aligned hyperplanes, which is what the SemDeDup recipe
+    * exploits (semantic duplicates concentrate inside clusters). The
+    * trade is quantizer recall at cell boundaries (a pair split across
+    * cells is never compared — by design, same as the paper), bounded
+    * skew via [[SemanticMaxCell]], and ZERO extra model cost when an IVF
+    * index already exists. Plan shape at 100 TB: assignment is a
+    * broadcast-centroid codegen map pass; the pair join is an equi-join
+    * on `cell` over capped cells; norms computed once per vector before
+    * pairing; no nested loops, no all-pairs. */
+  def semanticDedup(embeddings: DataFrame, nCells: Int = 16,
+                    threshold: Double = 0.5,
+                    maxCell: Int = SemanticMaxCell): DataFrame = {
+    import graft.plans.DotProduct.dot
+    val model = Similarity.quantizerFor(embeddings, nCells)
+    val spark = embeddings.sparkSession
+    if (model.isEmpty) {
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(
+          StructField("vec_id", LongType), StructField("dup_of", LongType),
+          StructField("cell", LongType), StructField("cos_sim", DoubleType))))
+    }
+    val base = embeddings.select(col("vec_id"), col("embedding"),
+      dot(col("embedding"), col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0) // directionless rows excluded, as in embeddingNearDup
+    val kept = Similarity.withCell(base, model)
+      .withColumn("crk",
+        row_number().over(Window.partitionBy(col("cell")).orderBy(col("vec_id"))))
+      .filter(col("crk") <= maxCell)
+      .drop("crk")
+    val pairs = kept.as("a")
+      .join(kept.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_sim",
+        dot(col("a.embedding"), col("b.embedding")) / sqrt(col("a.nrm") * col("b.nrm")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("dup_of"),
+        col("a.cell").cast("long").as("cell"), col("cos_sim"))
+    // one row per dropped vector: keep the smallest qualifying neighbor
+    pairs
+      .withColumn("rk",
+        row_number().over(Window.partitionBy(col("vec_id")).orderBy(col("dup_of"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("dup_of"), col("cell"),
+        round(col("cos_sim"), 4).as("cos_sim"))
+      .orderBy("vec_id")
   }
 }

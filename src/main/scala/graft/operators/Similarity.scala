@@ -346,16 +346,22 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** (vec_id, embedding, cell): each vector labeled with its argmax-cosine
-    * quantizer cell — one broadcast-centroid codegen map pass, no shuffle. */
-  private def assignCells(embeddings: DataFrame, model: Array[Array[Float]]): DataFrame = {
+  /** Adds the argmax-cosine quantizer `cell` column, preserving every
+    * existing column — one broadcast-centroid codegen map pass, no
+    * shuffle. Shared by the IVF family here and by
+    * [[graft.operators.Dedup.semanticDedup]]'s cluster-scoped blocking. */
+  private[operators] def withCell(df: DataFrame, model: Array[Array[Float]]): DataFrame = {
     val cosArr = array(model.map(c =>
       CosineSimilarity.cosineFast(col("embedding"), typedLit(c.toSeq))): _*)
-    embeddings
-      .withColumn("cs", cosArr)
-      .withColumn("cell", (array_position(col("cs"), array_max(col("cs"))) - 1).cast("int"))
-      .select(col("vec_id"), col("embedding"), col("cell"))
+    df.withColumn("cs__arr", cosArr)
+      .withColumn("cell", (array_position(col("cs__arr"), array_max(col("cs__arr"))) - 1).cast("int"))
+      .drop("cs__arr")
   }
+
+  /** (vec_id, embedding, cell): each vector labeled with its argmax-cosine
+    * quantizer cell. */
+  private def assignCells(embeddings: DataFrame, model: Array[Array[Float]]): DataFrame =
+    withCell(embeddings, model).select(col("vec_id"), col("embedding"), col("cell"))
 
   /** (query_id, qe, cell): each query paired with its `nProbe` nearest
     * quantizer cells by centroid cosine. */

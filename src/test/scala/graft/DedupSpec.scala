@@ -425,4 +425,30 @@ class DedupSpec extends SparkSpec {
       .map { case Row(a: Long, b: Long, _) => (a, b) }.toSet
     assert(got === Set((0L, 1L)))
   }
+
+  test("semanticDedup: in-cell keepers, cross-cell blindness, and the hot-cell cap") {
+    // two tight modes far apart; nCells=2 k-means must split them
+    def jig(main: Int, j: Float) = Array.tabulate(4)(i =>
+      if (i == main) 1f else if (i == (main + 1) % 4) j else 0f)
+    val vecs = Seq(
+      (0L, jig(0, 0.01f)), (1L, jig(0, 0.02f)), (2L, jig(0, 0.03f)), (3L, jig(0, 0.04f)),
+      (10L, jig(2, 0.01f)), (11L, jig(2, 0.02f)), (12L, jig(2, 0.03f)),
+      (20L, Array(0f, 0f, 0f, 0f)) // directionless: excluded by contract
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedup(vecs, nCells = 2, threshold = 0.9).collect()
+      .map { case Row(v: Long, d: Long, _, c: Double) => (v, d, c) }
+    // every non-minimum member of a mode drops, dup_of = the mode's
+    // smallest id; no cross-mode pair is ever compared (cos ≈ 0 anyway)
+    assert(got.map(r => (r._1, r._2)).toSeq ===
+      Seq((1L, 0L), (2L, 0L), (3L, 0L), (11L, 10L), (12L, 10L)))
+    assert(got.forall(_._3 >= 0.9))
+    // cap=2: only the first two ids per cell participate in pairing
+    val capped = Dedup.semanticDedup(vecs, nCells = 2, threshold = 0.9, maxCell = 2)
+      .collect().map { case Row(v: Long, d: Long, _, _) => (v, d) }.toSeq
+    assert(capped === Seq((1L, 0L), (11L, 10L)))
+    // empty corpus: empty result with the right schema, not a crash
+    val empty = Dedup.semanticDedup(vecs.filter("vec_id < 0"), nCells = 2)
+    assert(empty.count() === 0L)
+    assert(empty.columns.toSeq === Seq("vec_id", "dup_of", "cell", "cos_sim"))
+  }
 }
