@@ -68,6 +68,21 @@ object FileFormats {
       .partitionBy("source", "block_id", "shard_id")
       .parquet(path)
 
+  /** ORC writer — the OTHER columnar warehouse format Spark ships
+    * natively (no extra jars): same predicate-pushdown / column-pruning
+    * contract as parquet, preferred by Hive-lineage warehouses. Exposed
+    * so a user migrating an ORC lake onto this engine keeps their layout;
+    * zlib is ORC's widely-supported default codec. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("compression", "zlib").orc(path)
+
+  /** ORC reader with declared schema — same no-inference stance as the
+    * JSONL/CSV readers (ORC carries its own schema; declaring it makes a
+    * layout drift a loud AnalysisException at read time, not a silent
+    * type widening downstream). */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** Round-trip helpers for the events table (the reference's native
     * record stream): JSONL out and back with identical rows. Timestamps
     * travel as epoch micros (a long) — ISO strings lose sub-second

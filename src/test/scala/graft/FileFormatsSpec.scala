@@ -27,6 +27,20 @@ class FileFormatsSpec extends SparkSpec {
     assert(events.select(cols: _*).except(back.select(cols: _*)).count() === 0L)
   }
 
+  test("ORC round-trip preserves rows exactly and pushes filters to the scan") {
+    val docs = Tables.documents(spark, Sf0001)
+    val dir = tmp("graft-orc")
+    FileFormats.writeOrc(docs, dir)
+    val back = FileFormats.readOrc(spark, dir, docs.schema)
+    assert(back.count() === docs.count())
+    assert(back.except(docs).count() === 0L && docs.except(back).count() === 0L)
+    // same pushdown contract as parquet: the predicate must reach the scan
+    val plan = back.filter(col("doc_id") === 7L).select("doc_id", "source")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,7)]"),
+      s"ORC scan did not receive the pushed filter:\n$plan")
+  }
+
   test("JSONL reader routes malformed lines to the corrupt column, never drops them") {
     val dir = tmp("graft-corrupt")
     Seq("""{"a": 1, "b": "x"}""", """{"a": oops""", """{"a": 3, "b": "y"}""")
