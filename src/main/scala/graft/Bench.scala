@@ -114,6 +114,7 @@ object Bench {
       spark.catalog.clearCache()
       graft.operators.Dedup.clearSessionState()
       graft.operators.Similarity.clearSessionState()
+      graft.operators.QualityModel.clearSessionState()
     }
     val results = firstPass.map {
       case (name, (sec, None, probe)) if sec > RetrySec =>

@@ -143,6 +143,10 @@ object SparkEntry {
     "text_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextAnalysis.quality(Tables.documents(s, d))),
+    // distilled linear quality classifier (margin scoring; oracle inlines
+    // the fitted coefficients post-run, like the IVF centroids)
+    "quality_classifier" -> ((s, d) =>
+      QualityModel.trainedQualityScores(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
     "corpus_summary" -> ((s, d) => TextAnalysis.corpusSummary(Tables.documents(s, d))),
     "corpus_sample_stratified" -> ((s, d) => TextAnalysis.stratifiedSample(Tables.documents(s, d))),
@@ -734,6 +738,44 @@ object SparkEntry {
       "dedup_semantic" -> semanticSql)
   }
 
+  /** quality_classifier oracle, generated AFTER the query has run (same
+    * post-run contract as [[annIvfOracleEntry]]): the fitted logistic
+    * coefficients + intercept are inlined as '…'::DOUBLE literals, and
+    * the SQL recomputes the hashed-unigram features (md5-nibble bucket,
+    * count/dl fractions) and the margin as the SAME left-to-right double
+    * chain as the codegen'd DotProduct — term i is coef_i * (s_i / dl),
+    * accumulated ascending, intercept added last. Missing buckets
+    * contribute an exact +0.0 in both engines. Empty when no model was
+    * fit this session (or two were — ambiguity degrades to rows-only). */
+  private def qualityModelOracleEntry: Map[String, String] = {
+    val (coef, intercept) = graft.operators.QualityModel.lastModel
+    if (coef.isEmpty) return Map.empty
+    val dim = graft.operators.QualityModel.FeatureDim
+    def nib(i: Int) = s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    val bktExpr = s"CAST((${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)}) % $dim AS INT)"
+    val sums = (0 until dim)
+      .map(i => s"sum(CASE WHEN bkt = $i THEN cnt ELSE 0 END) AS s$i").mkString(", ")
+    val margin = (0 until dim)
+      .map(i => s"'${coef(i)}'::DOUBLE * (CAST(s$i AS DOUBLE) / CAST(dl AS DOUBLE))")
+      .mkString(" + ") + s" + '$intercept'::DOUBLE"
+    val sql =
+      s"""WITH d AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nt FROM documents),
+         |tk AS (SELECT doc_id, md5(tok) AS h FROM
+         |  (SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM d) WHERE length(tok) > 0),
+         |hb AS (SELECT doc_id, $bktExpr AS bkt FROM tk),
+         |cnts AS (SELECT doc_id, bkt, CAST(count(*) AS BIGINT) AS cnt FROM hb GROUP BY 1, 2),
+         |wide AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS dl, $sums FROM cnts GROUP BY 1),
+         |sc AS (SELECT doc_id, $margin AS margin_raw FROM wide),
+         |hk AS (SELECT doc_id,
+         |    round(least(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) / 20.0, 1.0)
+         |      * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+         |                     / greatest(CAST(length(text) AS DOUBLE), 1.0) * 4.0, 1.0)), 6) >= 0.5 AS heur_keep
+         |  FROM documents)
+         |SELECT sc.doc_id, round(margin_raw, 4) AS margin, margin_raw >= 0 AS model_keep, hk.heur_keep
+         |FROM sc JOIN hk USING (doc_id) ORDER BY doc_id""".stripMargin
+    Map("quality_classifier" -> sql)
+  }
+
   private def imageMetaOracle: String = {
     def nib(i: Int) = s"(strpos('0123456789abcdef', substr(md5(text), $i, 1)) - 1)"
     s"""SELECT doc_id, CAST(32 * (1 + ${nib(1)}) AS BIGINT) AS width,
@@ -1176,5 +1218,5 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "image_meta_stub" -> imageMetaOracle,
     "media_feature_ann" -> mediaFeatureAnnOracle,
-  ) ++ annIvfOracleEntry
+  ) ++ annIvfOracleEntry ++ qualityModelOracleEntry
 }

@@ -427,6 +427,15 @@ class DedupSpec extends SparkSpec {
   }
 
   test("semanticDedup: in-cell keepers, cross-cell blindness, and the hot-cell cap") {
+    // this test trains a quantizer on a synthetic corpus — a SECOND model
+    // key in the JVM-wide session, which (by design) trips lastQuantizer's
+    // ambiguity guard; clear at the end so later suites re-establish the
+    // single-model oracle state the wired-oracle test asserts
+    try semanticDedupBody()
+    finally graft.operators.Similarity.clearSessionState()
+  }
+
+  private def semanticDedupBody(): Unit = {
     // two tight modes far apart; nCells=2 k-means must split them
     def jig(main: Int, j: Float) = Array.tabulate(4)(i =>
       if (i == main) 1f else if (i == (main + 1) % 4) j else 0f)

@@ -212,7 +212,11 @@ class OperatorSpec extends SparkSpec {
   test("ann_ivf_topk oracle is wired: after the query runs, oracleSql embeds the centroids") {
     // regression guard for the round-5 dead-code bug: the oracle generator
     // existed but was never merged into oracleSql, so the driver silently
-    // downgraded ann_ivf_topk to a rows-only check
+    // downgraded ann_ivf_topk to a rows-only check.
+    // clear first: a prior suite may have trained a synthetic-corpus
+    // quantizer, and two keys (correctly) blank the oracle slot — this
+    // test asserts the RE-ESTABLISHMENT path the docstring promises
+    Similarity.clearSessionState()
     assert(SparkEntry.queries("ann_ivf_topk")(spark, Sf0001).count() > 0)
     val sql = SparkEntry.oracleSql.get("ann_ivf_topk")
     assert(sql.nonEmpty, "oracleSql must contain ann_ivf_topk once a quantizer is trained")

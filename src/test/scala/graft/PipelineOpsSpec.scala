@@ -237,6 +237,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(TextAnalysis.tokenizerFertility(messy).count() === 1)
   }
 
+  test("quality classifier separates clean prose from punctuation soup and matches its teacher") {
+    try {
+      val clean = (0L until 30L).map(i =>
+        (i, ("alpha beta gamma delta epsilon zeta eta theta " * 3) + s"word$i tail", "s"))
+      val junk = (100L until 130L).map(i =>
+        (i, "!!! ### $$$ %%% ^^^ &&& *** ((( ))) " + ("@@@ " * 5), "s"))
+      val docs = (clean ++ junk).toDF("doc_id", "text", "source")
+      val got = graft.operators.QualityModel.trainedQualityScores(docs).collect()
+        .map { case Row(id: Long, m: Double, mk: Boolean, hk: Boolean) => (id, m, mk, hk) }
+      val byId = got.map(r => r._1 -> r).toMap
+      assert(clean.forall(c => byId(c._1)._4), "clean docs must carry keep teacher labels")
+      assert(junk.forall(j => !byId(j._1)._4), "junk docs must carry drop teacher labels")
+      // linearly separable hashed features: the distilled model must agree
+      // with its teacher everywhere, with a real margin gap between classes
+      assert(got.forall(r => r._3 === r._4))
+      assert(clean.map(c => byId(c._1)._2).min > junk.map(j => byId(j._1)._2).max)
+    } finally graft.operators.QualityModel.clearSessionState()
+  }
+
+  test("quality_classifier oracle is wired: post-run oracleSql inlines the fitted coefficients") {
+    try {
+      graft.operators.QualityModel.clearSessionState()
+      assert(SparkEntry.queries("quality_classifier")(spark, Sf0001).count() > 0)
+      val sql = SparkEntry.oracleSql.get("quality_classifier")
+      assert(sql.nonEmpty, "oracleSql must contain quality_classifier once a model is fit")
+      assert(sql.get.contains("'::DOUBLE"), "oracle SQL must inline coefficient literals")
+      // ambiguity guard: a second distinct fit blanks the slot (rows-only
+      // degradation beats silently checking against the wrong model)
+      val other = Seq((1L, "some words here", "s")).toDF("doc_id", "text", "source")
+      graft.operators.QualityModel.trainedQualityScores(other).count()
+      assert(SparkEntry.oracleSql.get("quality_classifier").isEmpty)
+    } finally graft.operators.QualityModel.clearSessionState()
+  }
+
   test("bm25TopK: coordination, saturation, and length normalization rank as BM25 demands") {
     val docs = Seq(
       (1L, "spark stream window join extras words here", "s"),       // all 4 terms
