@@ -168,6 +168,16 @@ object SparkEntry {
         TextAnalysis.tokenFreqs(docs.filter("doc_id % 2 = 0")))
         .orderBy("doc_id")
     }),
+    // bigram-LM fluency filter (integer floor-log2 surprisal), self-scored
+    "lm_bigram_surprisal" -> ((s, d) => TextAnalysis.bigramSurprisal(Tables.documents(s, d))),
+    // deployable perplexity gate: odd docs scored under the even docs'
+    // bigram LM (orderBy = oracle-hash determinism, operator unordered)
+    "lm_surprisal_against" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.bigramSurprisalAgainst(
+        docs.filter("doc_id % 2 = 1"), docs.filter("doc_id % 2 = 0"))
+        .orderBy("doc_id")
+    }),
     "tokenizer_fertility" -> ((s, d) => TextAnalysis.tokenizerFertility(Tables.documents(s, d))),
     "pii_scrub_stats" -> ((s, d) =>
       TextAnalysis.piiScrubStats(Tables.documents(s, d), Tables.events(s, d))),
@@ -1179,6 +1189,46 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
         |  CAST(sum(p_ppm) // count(*) AS BIGINT) AS mean_prob_ppm,
         |  CAST(sum(CASE WHEN tf IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "lm_bigram_surprisal" ->
+      """WITH norm AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t FROM documents),
+        |tl AS (SELECT doc_id, string_split(t, ' ') AS l FROM norm),
+        |bgq AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 1),
+        |    i -> l[i] || ' ' || l[i + 1])) AS bg FROM tl WHERE len(l) >= 2),
+        |c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM bgq GROUP BY 1),
+        |c1 AS (SELECT string_split(bg, ' ')[1] AS prev, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+        |vt AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+        |  FROM (SELECT unnest(string_split(t, ' ')) AS tok FROM norm) WHERE len(tok) > 0),
+        |lm AS (SELECT bg, CAST(length(bin((c1 + v) // (c2 + 1))) - 1 AS BIGINT) AS bits
+        |  FROM c2 JOIN c1 ON string_split(c2.bg, ' ')[1] = c1.prev, vt),
+        |sc AS (SELECT doc_id, bits FROM bgq JOIN lm USING (bg))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(bits) AS BIGINT) AS total_bits,
+        |  CAST((sum(bits) * 1000) // count(*) AS BIGINT) AS bits_per_bigram_milli
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "lm_surprisal_against" ->
+      """WITH norm AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t FROM documents),
+        |tl AS (SELECT doc_id, string_split(t, ' ') AS l FROM norm),
+        |rbg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 1),
+        |    i -> l[i] || ' ' || l[i + 1])) AS bg FROM tl WHERE len(l) >= 2 AND doc_id % 2 = 0),
+        |c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM rbg GROUP BY 1),
+        |c1 AS (SELECT string_split(bg, ' ')[1] AS prev, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+        |vt AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+        |  FROM (SELECT unnest(string_split(t, ' ')) AS tok FROM norm WHERE doc_id % 2 = 0) WHERE len(tok) > 0),
+        |lm AS (SELECT bg, CAST(length(bin((c1 + v) // (c2 + 1))) - 1 AS BIGINT) AS bits
+        |  FROM c2 JOIN c1 ON string_split(c2.bg, ' ')[1] = c1.prev, vt),
+        |lmp AS (SELECT prev, CAST(length(bin(c1 + v)) - 1 AS BIGINT) AS miss_bits FROM c1, vt),
+        |dbg AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS prev
+        |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 1),
+        |      i -> l[i] || ' ' || l[i + 1])) AS bg FROM tl WHERE len(l) >= 2 AND doc_id % 2 = 1)),
+        |sc AS (SELECT doc_id,
+        |    COALESCE(lm.bits, lmp.miss_bits, CAST(length(bin(vt.v)) - 1 AS BIGINT)) AS s,
+        |    lm.bits AS b
+        |  FROM dbg LEFT JOIN lm USING (bg) LEFT JOIN lmp ON dbg.prev = lmp.prev CROSS JOIN vt)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(s) AS BIGINT) AS total_bits,
+        |  CAST((sum(s) * 1000) // count(*) AS BIGINT) AS bits_per_bigram_milli,
+        |  CAST(sum(CASE WHEN b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen
         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
     "tokenizer_fertility" ->
       s"""WITH a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -582,6 +582,179 @@ object TextAnalysis {
         col("n_distinct").cast("long").as("n_distinct"),
         expr("(100 * (n_docs - n_distinct)) div greatest(n_docs, 1)").as("dup_pct"))
       .orderBy("source")
+
+  /** One bigram-occurrence row (doc_id, bg = "prev next") per adjacent
+    * token pair of the normalized text, in position order with
+    * multiplicity — the CONTEXT-aware unit the LM filter scores, where
+    * [[tokenRarity]]'s unigrams are context-blind ("the the the" is all
+    * head-vocab unigrams but all improbable bigrams). Docs with fewer
+    * than 2 tokens emit nothing (no bigram to score — the quality gate
+    * owns degenerate docs, same contract as [[tokenRarityAgainst]]). */
+  private def bigramRows(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(normText(col("text")), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1)," +
+          " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")).as("bg"))
+
+  /** floor(log2(n)) for a positive integer column, computed EXACTLY as
+    * bit-length − 1 (`bin` renders the minimal binary string in Spark and
+    * DuckDB alike) — no floating log anywhere, so the surprisal metric
+    * below is bit-identical across engines, partitionings and platforms
+    * (a libm `log2` differing in the last ulp at a power-of-two boundary
+    * would flip a floor and break the oracle hash). */
+  private def floorLog2(n: Column): Column = (length(bin(n)) - 1).cast("long")
+
+  /** The fitted add-1-smoothed bigram LM over a reference corpus: one row
+    * per observed bigram with its integer surprisal
+    * `bits = floor(log2((c1 + V) div (c2 + 1)))` — the floor-log2 of the
+    * inverted smoothed transition probability
+    * p(next|prev) = (c2 + 1)/(c1 + V), where c2 = bigram occurrences,
+    * c1 = prev's occurrences as a bigram prefix, V = reference vocabulary
+    * size. Integer end to end (see [[floorLog2]]); `c2` is kept so score
+    * joins can split off the Zipf head. Both build joins are between
+    * vocabulary-bounded aggregate tables — no occurrence row ever joins
+    * here. */
+  def bigramLm(reference: DataFrame): DataFrame = {
+    val c2 = bigramRows(reference).groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(substring_index(col("bg"), " ", 1).as("prev"))
+      .agg(sum(col("c2")).as("c1"))
+    c2.withColumn("prev", substring_index(col("bg"), " ", 1))
+      .join(c1, "prev")
+      .crossJoin(broadcast(vocabSize(reference)))
+      .withColumn("bits", floorLog2(expr("(c1 + v) div (c2 + 1)")))
+      .select(col("bg"), col("prev"), col("c2"), col("c1"), col("bits"))
+  }
+
+  /** One-row (v) = reference vocabulary size — distinct normalized
+    * tokens, the smoothing denominator's additive mass. */
+  private def vocabSize(reference: DataFrame): DataFrame =
+    reference
+      .select(explode(split(normText(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .agg(countDistinct(col("tok")).cast("long").as("v"))
+
+  /** CCNet-style LM fluency filter, self-scored: per doc, the mean
+    * integer bigram surprisal of its adjacent token pairs under the
+    * corpus's own add-1-smoothed bigram model ([[bigramLm]]) — the
+    * context-aware upgrade of [[tokenRarity]]: token-salad junk built
+    * from common words scores normal on unigram probability but
+    * improbable on transitions, which is exactly what a perplexity
+    * filter exists to catch. Emits (doc_id, n_bigrams, total_bits,
+    * bits_per_bigram_milli); higher bits-per-bigram = less fluent under
+    * the model. Integer-exact (floor-log2 surprisal in whole bits,
+    * milli-bits via integer division), so keep/drop thresholds are
+    * engine- and partitioning-stable and the DuckDB oracle hash-matches.
+    *
+    * Scale shape: the LM build aggregates to vocabulary-bounded tables;
+    * the score join takes [[tokenRarity]]'s Zipf head/tail split — the
+    * [[HotVocab]] most frequent bigrams broadcast and join map-side
+    * (skew lives in the head by definition), the tail takes the shuffle
+    * join with per-key occurrence counts capped at the head's smallest
+    * member. Self-scoring re-derives the model from the corpus being
+    * scored (outlier detection); the deployable ingestion-gate form is
+    * [[bigramSurprisalAgainst]]. */
+  def bigramSurprisal(documents: DataFrame): DataFrame = {
+    val lm = bigramLm(documents)
+    val bg = bigramRows(documents)
+    val hot = broadcast(
+      lm.orderBy(col("c2").desc, col("bg")).limit(HotVocab)
+        .select(col("bg"), col("bits")))
+    val head = bg.join(hot, "bg")
+    val tail = bg.join(hot.select(col("bg")), Seq("bg"), "left_anti")
+      .join(lm.select(col("bg"), col("bits")), "bg")
+    head.unionByName(tail)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_bigrams"),
+        sum(col("bits")).as("total_bits"),
+        expr("(sum(bits) * 1000) div count(1)").as("bits_per_bigram_milli"))
+      .orderBy("doc_id")
+  }
+
+  /** Score docs against a REFERENCE bigram LM — the deployable
+    * perplexity gate ([[tokenRarityAgainst]]'s context-aware sibling):
+    * an ingestion batch is scored under the TRUSTED corpus's transition
+    * model, never its own (a batch of fluent-looking token salad would
+    * score itself normal). Unseen events take the add-1-smoothed
+    * fallback chain, each one exact floor-log2 integer bits:
+    * bigram seen → bits; bigram unseen, prev seen →
+    * floor(log2(c1 + V)) (p = 1/(c1+V)); prev unseen → floor(log2(V))
+    * (p = 1/V). `n_unseen` counts unseen bigrams — the OOV-rate signal
+    * alongside the surprisal score.
+    *
+    * Plan shape: all three model relations are fitted vocabulary-bounded
+    * artifacts and BROADCAST, so scoring is one scan of the batch with
+    * map-side joins plus the per-doc rollup — no shuffle of the exploded
+    * bigram relation at all (same argument, and the same PlanShapeSpec
+    * assertion pattern, as the token-rarity gate). */
+  def bigramSurprisalAgainst(docs: DataFrame, reference: DataFrame): DataFrame = {
+    val lm = bigramLm(reference)
+    bigramSurprisalAgainstCore(docs,
+      lm.select(col("bg"), col("bits")),
+      prevMissTable(lm, vocabSize(reference)),
+      vocabSize(reference))
+  }
+
+  /** (prev, miss_bits = floor(log2(c1 + V))) — the unseen-bigram
+    * fallback surprisal per seen prefix token, derived from the fitted
+    * LM's own rows (one per prev after the distinct; vocabulary-bounded
+    * like everything else in the model). */
+  private def prevMissTable(lm: DataFrame, vrow: DataFrame): DataFrame =
+    lm.select(col("prev"), col("c1")).distinct()
+      .crossJoin(broadcast(vrow))
+      .withColumn("miss_bits", floorLog2(col("c1") + col("v")))
+      .select(col("prev"), col("miss_bits"))
+
+  /** Persist the reference bigram LM as catalog tables — `<name>_bg`
+    * (bg, bits; bucketed by bg), `<name>_prev` (prev, miss_bits;
+    * bucketed by prev), `<name>_meta` (one row: v) — the same
+    * model-artifact pattern as [[saveTokenFreqs]]: fit once per trusted
+    * reference snapshot, scored against by every later ingestion batch
+    * without re-reading the reference. */
+  def saveBigramLm(reference: DataFrame, name: String, buckets: Int = 8): Unit = {
+    import graft.sources.FileFormats.writeBucketed
+    val lm = bigramLm(reference)
+    val vrow = vocabSize(reference)
+    writeBucketed(lm.select(col("bg"), col("bits")), s"${name}_bg", "bg", buckets)
+    writeBucketed(prevMissTable(lm, vrow), s"${name}_prev", "prev", buckets)
+    vrow.write.mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(s"${name}_meta")
+  }
+
+  /** Load a persisted bigram LM: (bg table, prev table, meta). Same
+    * refresh-on-read as [[loadTokenFreqs]] — appends/rewrites from other
+    * sessions must be visible to this one. */
+  def loadBigramLm(spark: org.apache.spark.sql.SparkSession,
+                   name: String): (DataFrame, DataFrame, DataFrame) = {
+    Seq("_bg", "_prev", "_meta").foreach(s =>
+      try spark.catalog.refreshTable(name + s)
+      catch { case _: org.apache.spark.sql.AnalysisException => () })
+    (spark.table(s"${name}_bg"), spark.table(s"${name}_prev"), spark.table(s"${name}_meta"))
+  }
+
+  /** [[bigramSurprisalAgainst]] over a persisted model
+    * ([[loadBigramLm]]'s triple) — the per-batch deployment path. */
+  def bigramSurprisalAgainst(docs: DataFrame, lmBg: DataFrame,
+                             lmPrev: DataFrame, meta: DataFrame): DataFrame =
+    bigramSurprisalAgainstCore(docs, lmBg, lmPrev, meta)
+
+  private def bigramSurprisalAgainstCore(docs: DataFrame, lmBg: DataFrame,
+                                         lmPrev: DataFrame, vrow: DataFrame): DataFrame = {
+    val bg = bigramRows(docs)
+      .withColumn("prev", substring_index(col("bg"), " ", 1))
+    bg
+      .join(broadcast(lmBg), Seq("bg"), "left_outer")
+      .join(broadcast(lmPrev), Seq("prev"), "left_outer")
+      .crossJoin(broadcast(vrow)) // one row: the reference vocabulary size
+      .withColumn("s", coalesce(col("bits"), col("miss_bits"), floorLog2(col("v"))))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_bigrams"),
+        sum(col("s")).as("total_bits"),
+        expr("(sum(s) * 1000) div count(1)").as("bits_per_bigram_milli"),
+        sum(when(col("bits").isNull, 1).otherwise(0)).cast("long").as("n_unseen"))
+  }
 
   /** Corpus roll-up per (lang, source): doc counts and size totals —
     * the partition-level bookkeeping view of a training-data pipeline. */

@@ -101,11 +101,22 @@ object TrainingPipeline {
     * batch op (the score is a per-doc aggregate of that doc's own
     * tokens, so it needs no stream state; the reference model is the
     * static side). */
+  /** With `lmGate = Some((lmModelName, maxMilliBits))`, each batch is
+    * also scored against the persisted bigram LM
+    * ([[graft.operators.TextAnalysis.saveBigramLm]]) and docs whose
+    * milli-bits-per-bigram surprisal EXCEEDS `maxMilliBits` are dropped —
+    * the context-aware perplexity gate that kills common-word token
+    * salad the unigram rarity gate admits. Same contracts as the rarity
+    * gate: pre-redaction text is scored, docs with no bigram to score
+    * (< 2 tokens) ride through (the quality gate owns degenerate docs),
+    * and the model relations are broadcast static sides — no stream
+    * state. */
   def start(docs: DataFrame, fpIndex: DataFrame, outDir: String, checkpointDir: String,
             budget: Long = graft.operators.TextAnalysis.PackBudgetTokens,
             watermark: String = "10 minutes", keepAt: Double = 0.5,
             maintainIndexName: Option[String] = None,
-            rarityGate: Option[(String, Long)] = None): StreamingQuery =
+            rarityGate: Option[(String, Long)] = None,
+            lmGate: Option[(String, Long)] = None): StreamingQuery =
     transformsWithOriginal(docs, fpIndex, watermark, keepAt).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -115,17 +126,17 @@ object TrainingPipeline {
         if (!batch.isEmpty) {
           import org.apache.spark.sql.functions.col
           import graft.operators.TextAnalysis
+          // both gates score the PRE-redaction text (the reference models
+          // never saw redaction tags — scoring the scrubbed form would
+          // charge every PII-bearing doc phantom unseen-event surprise,
+          // the same original-text rule StreamingCuration.curate applies
+          // to the quality score)
+          val original = batch.select(
+            col("doc_id"), col("orig_text").as("text"), col("source"))
           val curated = batch.select("doc_id", "text", "source")
-          val admitted = rarityGate.fold(curated) { case (freqName, minMeanPpm) =>
+          val rarityOk = rarityGate.fold(curated) { case (freqName, minMeanPpm) =>
             val (freqs, nTotal) = TextAnalysis.loadTokenFreqs(batch.sparkSession, freqName)
-            // score the PRE-redaction text: the reference model never saw
-            // redaction tags, so scoring the scrubbed form would charge
-            // every PII-bearing doc phantom unseen-token surprise (the
-            // same original-text rule [[StreamingCuration.curate]]
-            // applies to the quality score)
-            val scores = TextAnalysis.tokenRarityAgainst(
-              batch.select(col("doc_id"), col("orig_text").as("text"), col("source")),
-              freqs, nTotal)
+            val scores = TextAnalysis.tokenRarityAgainst(original, freqs, nTotal)
               .select(col("doc_id"), col("mean_prob_ppm"))
             // LEFT join: a doc with zero tokens after normalization has no
             // score row — that is "unscorable", not "below threshold"; the
@@ -133,6 +144,17 @@ object TrainingPipeline {
             curated.join(scores, Seq("doc_id"), "left_outer")
               .filter(col("mean_prob_ppm").isNull || col("mean_prob_ppm") >= minMeanPpm)
               .drop("mean_prob_ppm")
+          }
+          val admitted = lmGate.fold(rarityOk) { case (lmName, maxMilliBits) =>
+            val (bgT, prevT, metaT) = TextAnalysis.loadBigramLm(batch.sparkSession, lmName)
+            val scores = TextAnalysis.bigramSurprisalAgainst(original, bgT, prevT, metaT)
+              .select(col("doc_id"), col("bits_per_bigram_milli"))
+            // same LEFT-join contract: a doc with < 2 tokens has no bigram
+            // to score and rides through to the quality gate's verdict
+            rarityOk.join(scores, Seq("doc_id"), "left_outer")
+              .filter(col("bits_per_bigram_milli").isNull ||
+                col("bits_per_bigram_milli") <= maxMilliBits)
+              .drop("bits_per_bigram_milli")
           }
           graft.sources.FileFormats.writeTrainingShards(
             admitted, s"$outDir/batch_id=$batchId", budget)

@@ -327,6 +327,67 @@ class PipelineOpsSpec extends SparkSpec {
     assert(viaModel === got)
   }
 
+  test("bigramSurprisal: integer floor-log2 surprisal, hand-checked") {
+    val df = Seq(
+      (0L, "a b a b", "s0"), // bigrams: "a b" ×2, "b a"
+      (1L, "a b c", "s0"),   // bigrams: "a b", "b c"
+      (2L, "a", "s0")        // single token: no bigram, absent from output
+    ).toDF("doc_id", "text", "source")
+    // c2: "a b"=3, "b a"=1, "b c"=1; c1: a=3, b=2; V=3
+    // bits("a b") = floor(log2((3+3) div (3+1))) = floor(log2(1)) = 0
+    // bits("b a") = floor(log2((2+3) div 2)) = floor(log2(2)) = 1
+    // bits("b c") = floor(log2((2+3) div 2)) = 1
+    val got = TextAnalysis.bigramSurprisal(df).collect()
+      .map { case Row(id: Long, n: Long, t: Long, m: Long) => id -> ((n, t, m)) }.toMap
+    assert(got === Map(
+      0L -> ((3L, 1L, 333L)), // 0+1+0 bits over 3 bigrams
+      1L -> ((2L, 1L, 500L))))
+  }
+
+  test("bigramSurprisalAgainst: the unseen fallback chain, and the persisted round trip") {
+    val reference = Seq(
+      (0L, "a b a b", "s0"),
+      (1L, "a b c", "s0")
+    ).toDF("doc_id", "text", "source")
+    // LM as above: bits("a b")=0, "b a"=1, "b c"=1; c1: a=3, b=2; V=3
+    val batch = Seq(
+      (10L, "a b c", "s1"),  // both bigrams seen: 0+1 bits
+      (11L, "a c b", "s1"),  // "a c" unseen, prev a seen → floor(log2(3+3))=2
+                             // "c b" prev c never a prefix → floor(log2(V=3))=1
+      (12L, "zz qq", "s1")   // prev zz unseen → 1
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.bigramSurprisalAgainst(batch, reference).collect()
+      .map { case Row(id: Long, n: Long, t: Long, m: Long, u: Long) => id -> ((n, t, m, u)) }.toMap
+    assert(got === Map(
+      10L -> ((2L, 1L, 500L, 0L)),
+      11L -> ((2L, 3L, 1500L, 2L)),
+      12L -> ((1L, 1L, 1000L, 1L))))
+    // persisted-model round trip scores identically
+    TextAnalysis.saveBigramLm(reference, "blm_rt")
+    val (bg, prev, meta) = TextAnalysis.loadBigramLm(spark, "blm_rt")
+    val viaModel = TextAnalysis.bigramSurprisalAgainst(batch, bg, prev, meta).collect()
+      .map { case Row(id: Long, n: Long, t: Long, m: Long, u: Long) => id -> ((n, t, m, u)) }.toMap
+    assert(viaModel === got)
+  }
+
+  test("bigram LM catches common-word token salad that unigram rarity scores normal") {
+    // the motivating case: every TOKEN is head vocabulary, every
+    // TRANSITION is improbable — a unigram gate passes it, the LM flags it
+    val reference = Seq.tabulate(20)(i =>
+      (i.toLong, "the cat sat on the mat and the dog ran to the rug", "s0"))
+      .toDF("doc_id", "text", "source")
+    val fluent = (100L, "the cat sat on the mat", "s1")
+    val salad = (101L, "the the mat cat on sat the", "s1") // same vocab, shuffled
+    val batch = Seq(fluent, salad).toDF("doc_id", "text", "source")
+    val rarity = TextAnalysis.tokenRarityAgainst(batch, TextAnalysis.tokenFreqs(reference))
+      .collect().map { case Row(id: Long, _, p: Long, u: Long) => id -> ((p, u)) }.toMap
+    assert(rarity(101L)._2 === 0L, "unigram gate: no unseen tokens in the salad")
+    val lm = TextAnalysis.bigramSurprisalAgainst(batch, reference).collect()
+      .map { case Row(id: Long, _, _, m: Long, _) => id -> m }.toMap
+    assert(lm(101L) > 2 * lm(100L),
+      s"salad must score well above fluent text (got ${lm(101L)} vs ${lm(100L)})")
+  }
+
   test("saveTokenFreqs minTf: the vocab cut changes n_unseen only, never a probability") {
     // the cut is probability-free only when n_total/1e6 > minTf-1 (the
     // docstring's own precondition): build a reference past a million

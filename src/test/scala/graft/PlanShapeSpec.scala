@@ -82,6 +82,8 @@ class PlanShapeSpec extends SparkSpec {
       "mixture_weights" -> "1-row totals broadcast",
       "text_token_rarity" -> "1-row corpus-token-total broadcast",
       "token_rarity_against" -> "1-row reference-total broadcast",
+      "lm_bigram_surprisal" -> "1-row vocabulary-size broadcast",
+      "lm_surprisal_against" -> "1-row vocabulary-size broadcast",
       "order_value_percentiles" -> "20 percentile targets broadcast",
       "order_value_percentiles_approx" -> "20 percentile targets broadcast",
       "order_value_percentiles_approx_check" ->
@@ -110,6 +112,13 @@ class PlanShapeSpec extends SparkSpec {
     val self = plan("text_token_rarity")
     assert(self.contains("BroadcastHashJoin"), "Zipf-head tf rows must join broadcast")
     assert(self.contains("TakeOrderedAndProject"), "the hot set must be a bounded top-k")
+    // the bigram LM takes the same two shapes: model relations broadcast
+    // in the deployable gate, Zipf-head split in the self-scored form
+    assert(plan("lm_surprisal_against").contains("BroadcastHashJoin"),
+      "bigram LM artifacts must broadcast (no shuffle of the exploded bigrams)")
+    val lmSelf = plan("lm_bigram_surprisal")
+    assert(lmSelf.contains("BroadcastHashJoin"), "hot-bigram rows must join broadcast")
+    assert(lmSelf.contains("TakeOrderedAndProject"), "the hot set must be a bounded top-k")
   }
 
   test("per-source moments broadcast back over the scan, not the reverse") {

@@ -627,6 +627,55 @@ class StreamingSpec extends SparkSpec {
       "the stopword-padded unseen-vocabulary doc must fail the rarity gate")
   }
 
+  test("TrainingPipeline LM gate drops common-word token salad the rarity gate admits") {
+    import graft.operators.TextAnalysis
+    import graft.streaming.TrainingPipeline
+    val fluent = "the cat sat on the mat and the dog ran to the rug"
+    // every TOKEN is reference vocabulary (the unigram rarity gate scores
+    // it normal), every TRANSITION is unattested — only the bigram LM
+    // flags it. Stopword count is unchanged by the shuffle, so language-ID
+    // and the quality heuristics pass it too.
+    val salad = "the the cat mat on and sat dog the ran rug to the"
+    val reference = Seq.tabulate(20)(i => (i.toLong, fluent, "s0"))
+      .toDF("doc_id", "text", "source")
+    TextAnalysis.saveTokenFreqs(reference, "rfreq_lmg")
+    TextAnalysis.saveBigramLm(reference, "blm_gate")
+    // measure the separation batch-side and gate at the midpoint: the
+    // spec pins that the two classes are far apart, not a magic constant
+    val batchScores = TextAnalysis.bigramSurprisalAgainst(
+      Seq((1L, fluent, "s1"), (2L, salad, "s1")).toDF("doc_id", "text", "source"),
+      reference).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bits_per_bigram_milli")).toMap
+    assert(batchScores(2L) > 2 * batchScores(1L),
+      s"salad must score well above fluent text (got $batchScores)")
+    val thr = (batchScores(1L) + batchScores(2L)) / 2
+    val inDir = java.nio.file.Files.createTempDirectory("graft-lmg-in").toString
+    val cpDir = java.nio.file.Files.createTempDirectory("graft-lmg-cp").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-lmg-out").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(inDir, "in.jsonl"),
+      Seq(
+        s"""{"doc_id": 1, "text": "$fluent", "source": "s1", "ts_sec": $w0}""",
+        s"""{"doc_id": 2, "text": "$salad", "source": "s1", "ts_sec": ${w0 + 1}}"""
+      ).mkString("", "\n", "\n"))
+    val docs = spark.readStream
+      .schema("doc_id BIGINT, text STRING, source STRING, ts_sec BIGINT")
+      .json(inDir)
+      .select(col("doc_id"), col("text"), col("source"),
+        timestamp_seconds(col("ts_sec")).as("ts"))
+    val emptyIndex = Seq.empty[Tuple1[String]].toDF("fp")
+    // rarity gate ON with a threshold both docs pass (same vocabulary ⇒
+    // near-identical unigram scores) — proving the LM gate is the one
+    // that discriminates
+    TrainingPipeline.start(docs, emptyIndex, outDir, cpDir,
+      rarityGate = Some(("rfreq_lmg", 30000L)),
+      lmGate = Some(("blm_gate", thr))).awaitTermination()
+    val admitted = new java.io.File(outDir).listFiles().filter(_.isDirectory).toSeq
+      .flatMap(d => try spark.read.parquet(d.getPath).collect() catch { case _: Throwable => Nil })
+      .map(_.getAs[Long]("doc_id"))
+    assert(admitted === Seq(1L),
+      "the token-salad doc must fail the LM gate while the fluent doc passes every gate")
+  }
+
   test("batch and streaming agree on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val events = Tables.events(spark, Sf0001)
