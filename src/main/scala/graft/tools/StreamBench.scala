@@ -1,14 +1,14 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Throughput micro-bench for the ONLINE training pipeline — the
   * streaming counterpart of [[graft.Bench]]'s batch surface: drives the
   * full [[graft.streaming.TrainingPipeline]] topology (persisted-index
-  * dedup → watermark dedup → curation → rarity gate → idempotent shard
-  * export, with online index maintenance) over a deterministic synthetic
-  * doc stream, and reports
+  * dedup → watermark dedup → curation → rarity gate → bigram-LM
+  * perplexity gate → idempotent shard export, with online index
+  * maintenance) over a deterministic synthetic doc stream, and reports
   *   - end-to-end rows/sec across N micro-batches,
   *   - per-batch trigger time, input rows, and STATE-STORE size
   *     (rows + bytes — the number that must stay O(watermark horizon),
@@ -21,7 +21,13 @@ import org.apache.spark.sql.functions._
   *
   * Deterministic: fixed seeds, fixed doc mix (4% junk, 4% reference-
   * unseen gibberish, 8% duplicates split between seed-corpus dups and
-  * cross-batch stream dups, rest unique well-formed English-like text).
+  * cross-batch stream dups, 4% common-word token salad only the LM gate
+  * can kill, rest unique well-formed English-like text). Both the rarity
+  * and LM gates threshold at the midpoint of their MEASURED class
+  * separation (`rarity_sep_ppm` / `lm_sep_milli` in the JSON — a mix
+  * regression shows up as a non-positive separation, not a mistuned
+  * constant), and `admitted` is checkable against `admitted_expected`
+  * (the mix is deterministic, so the gate cascade has an exact answer).
   * One JSON line on stdout, same contract as Bench. */
 object StreamBench {
 
@@ -51,14 +57,33 @@ object StreamBench {
     val loadStart = graft.Bench.loadavg()
 
     // ---- deterministic synthetic corpus ----
-    // good text must clear BOTH online gates: every 4th token is an
-    // English stopword (25% density ≫ the 5% langid bar), and the
-    // non-stop vocabulary is drawn with a hard power skew (r^6), so the
-    // Zipf head dominates and a good doc's mean reference probability
-    // sits well above the rarity threshold
+    // good text must clear ALL THREE online gates: every 4th token is an
+    // English stopword (25% density ≫ the 5% langid bar); each 3-token
+    // content block starts at a hard-power-skewed (r^6) vocabulary index
+    // and then walks SEQUENTIALLY (w_k, w_k+1, w_k+2) — the Zipf head
+    // still dominates the unigram marginal (rarity gate passes) AND the
+    // in-block transitions are deterministic successors, so the
+    // reference bigram LM attests them densely (LM gate passes). A
+    // salad doc draws the SAME marginal with independent tokens — the
+    // unigram gates can't see the difference, the transition model can.
     val stops = Array("the", "a", "an", "and", "of", "to", "in", "is", "it")
     val vocabN = 2000
     def goodText(seed: Int): String = {
+      val r = new scala.util.Random(seed)
+      var w = 0
+      (0 until 60).map { j =>
+        if (j % 4 == 0) stops(r.nextInt(stops.length))
+        else {
+          if (j % 4 == 1) w = math.min(vocabN - 3, (math.pow(r.nextDouble(), 6) * vocabN).toInt)
+          else w += 1
+          s"w$w"
+        }
+      }.mkString(" ")
+    }
+    // common-word token salad the LM gate (and only it) must kill: the
+    // same skewed marginal and stopword density as good text, but every
+    // token drawn independently — transitions are noise
+    def saladText(seed: Int): String = {
       val r = new scala.util.Random(seed)
       (0 until 60).map { j =>
         if (j % 4 == 0) stops(r.nextInt(stops.length))
@@ -82,6 +107,7 @@ object StreamBench {
         // b >= 2 arrives the root's watermark state has evicted, so the
         // kill exercises the online-maintained index, not stream state)
         case 3 if g >= batchRows => goodText(g % batchRows)
+        case 4 => saladText(g)                                      // LM-gate kill
         case _ => goodText(g)
       }
       (g.toLong, text, s"s${g % 4}")
@@ -91,6 +117,7 @@ object StreamBench {
     val refDocs = (0 until 2000)
       .map(i => (i.toLong, goodText(SeedBase + 2000 + i), "ref")).toDF("doc_id", "text", "source")
     graft.operators.TextAnalysis.saveTokenFreqs(refDocs, "sb_freq")
+    graft.operators.TextAnalysis.saveBigramLm(refDocs, "sb_blm")
     val seedDocs = (0 until 1000)
       .map(i => (i.toLong, goodText(SeedBase + i), "seed")).toDF("doc_id", "text", "source")
     graft.operators.Dedup.saveDedupIndex(seedDocs, "sb_dix")
@@ -134,8 +161,42 @@ object StreamBench {
       timed(graft.streaming.StreamingDedup.againstIndex(allDocs, fpIndex).count())
     val (survCurate, tCurate) = timed(graft.streaming.StreamingCuration.curate(allDocs).count())
     val (freqs, nTotal) = graft.operators.TextAnalysis.loadTokenFreqs(spark, "sb_freq")
-    val (scored, tRarity) =
-      timed(graft.operators.TextAnalysis.tokenRarityAgainst(allDocs, freqs, nTotal).count())
+    def rarityScores = graft.operators.TextAnalysis.tokenRarityAgainst(allDocs, freqs, nTotal)
+    val (scored, tRarity) = timed(rarityScores.count())
+    val (lmBgT, lmPrevT, lmMetaT) = graft.operators.TextAnalysis.loadBigramLm(spark, "sb_blm")
+    def lmScores = graft.operators.TextAnalysis
+      .bigramSurprisalAgainst(allDocs, lmBgT, lmPrevT, lmMetaT)
+    val (lmScored, tLm) = timed(lmScores.count())
+    // BOTH gate thresholds are midpoints of the MEASURED class separation
+    // (deterministic: fixed seeds) — and each separation is reported, so
+    // a mix regression shows up as a non-positive `*_sep_*` field, not as
+    // a silently mistuned constant that quietly drops good docs (which is
+    // exactly what a hardcoded rarity threshold did when goodText gained
+    // its sequential-block structure). Classes are split by what each
+    // gate must do: the rarity gate kills gibberish (cls1) and must pass
+    // everything else that reaches it; the LM gate kills salad (cls4)
+    // and must pass every surviving class. Junk (cls0) dies in curation
+    // upstream, so its scores are noise to both gates.
+    def classMinMax(scores: DataFrame, valueCol: String,
+                    kill: Column, noise: Column): ((Long, Long), (Long, Long)) = {
+      val m = scores
+        .withColumn("k", when(kill, "kill").when(noise, "noise").otherwise("pass"))
+        .groupBy(col("k"))
+        .agg(min(valueCol).as("mn"), max(valueCol).as("mx"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      (m("kill"), m("pass"))
+    }
+    val cls = col("doc_id") % 25
+    // rarity: gibberish scores LOW mean reference probability → threshold
+    // between max(gibberish) and min(everything the gate must pass)
+    val ((_, maxGibPpm), (minPassPpm, _)) =
+      classMinMax(rarityScores, "mean_prob_ppm", cls === 1, cls === 0)
+    val rarityThr = (maxGibPpm + minPassPpm) / 2
+    // LM: salad scores HIGH bits/bigram → threshold between max(pass) and
+    // min(salad)
+    val ((minSalad, _), (_, maxGood)) =
+      classMinMax(lmScores, "bits_per_bigram_milli", cls === 4, cls.isin(0L, 1L))
+    val lmThr = (maxGood + minSalad) / 2
     val exportDir = java.nio.file.Files.createTempDirectory("graft-sb-exp").toString
     val (_, tExport) = timed(graft.sources.FileFormats.writeTrainingShards(
       allDocs.select(col("doc_id"), col("text"), col("source")), exportDir))
@@ -149,18 +210,23 @@ object StreamBench {
         timestamp_seconds(col("ts_sec")).as("ts"))
     val (q, e2eSec) = timed {
       val query = graft.streaming.TrainingPipeline.start(docsStream, fpIndex, outDir, cpDir,
-        maintainIndexName = Some("sb_dix"), rarityGate = Some(("sb_freq", 8000L)))
+        maintainIndexName = Some("sb_dix"), rarityGate = Some(("sb_freq", rarityThr)),
+        lmGate = Some(("sb_blm", lmThr)))
       query.awaitTermination()
       query
     }
-    val admittedDf = spark.read.option("basePath", outDir).parquet(s"$outDir/batch_id=*")
+    // plain partition discovery over the shard root (batch_id plus the
+    // source/block/shard levels written per batch) — a glob path here
+    // makes the FileStreamSink metadata probe log a spurious
+    // FileNotFoundException stack at WARN
+    val admittedDf = spark.read.parquet(outDir)
     val admitted = admittedDf.count()
     // ground truth per doc class (doc_id % 25 encodes the mix): junk=0,
     // gibberish=1, seed-dup=2, cross-batch-dup=3, else unique good
     val admittedByClass = admittedDf
       .groupBy((col("doc_id") % 25).as("cls")).count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val classCounts = Seq(0L, 1L, 2L, 3L)
+    val classCounts = Seq(0L, 1L, 2L, 3L, 4L)
       .map(c => s""""cls$c":${admittedByClass.getOrElse(c, 0L)}""").mkString(",")
 
     // per-batch telemetry off the terminated query's progress history:
@@ -188,8 +254,13 @@ object StreamBench {
     json ++= s""""stages_rows_per_sec":{"index_antijoin":${(rowsTotal / tIndex).toLong},"""
     json ++= s""""curate":${(rowsTotal / tCurate).toLong},"""
     json ++= s""""rarity_score":${(rowsTotal / tRarity).toLong},"""
+    json ++= s""""lm_score":${(rowsTotal / tLm).toLong},"""
     json ++= s""""shard_export":${(rowsTotal / tExport).toLong}},"""
-    json ++= s""""stages_survivors":{"index_antijoin":$survIndex,"curate":$survCurate,"rarity_scored":$scored},"""
+    json ++= s""""stages_survivors":{"index_antijoin":$survIndex,"curate":$survCurate,"""
+    json ++= s""""rarity_scored":$scored,"lm_scored":$lmScored},"""
+    json ++= s""""rarity_gate_ppm_thr":$rarityThr,"rarity_sep_ppm":${minPassPpm - maxGibPpm},"""
+    json ++= s""""lm_gate_milli_thr":$lmThr,"lm_sep_milli":${minSalad - maxGood},"""
+    json ++= s""""admitted_expected":${rowsTotal - 4 * (rowsTotal / 25) - (rowsTotal / 25 - batchRows / 25)},"""
     json ++= s""""per_batch":[${perBatch.mkString(",")}],"""
     json ++= s""""index_files_before_compact":$filesBefore,"index_files_after_compact":$filesAfter,"""
     json ++= s""""compact_sec":$compactSec,"""
