@@ -373,14 +373,24 @@ object Dedup {
     // parent session (whose spark.table the pipeline's static side and
     // the next caller resolve) serving the pre-append listing. Refresh
     // every session we can see: the writer's, the default, the active.
-    val sessions = (Seq(admitted.sparkSession) ++
+    refreshIndexAcrossSessions(admitted.sparkSession, name)
+  }
+
+  /** Invalidate the three index tables' cached relations on every session
+    * this code can see (writer's, default, active) — required after any
+    * in-place mutation (append or compaction rewrite) performed from a
+    * foreachBatch CLONE, whose writes the parent session's per-session
+    * listing cache would otherwise never notice. Best-effort per session:
+    * one that cannot resolve the table (a concurrent writer mid-overwrite,
+    * a thread-local session with a different view) has no stale entry to
+    * refresh — never let the refresh fail a mutation whose writes already
+    * committed. */
+  private def refreshIndexAcrossSessions(
+      writer: org.apache.spark.sql.SparkSession, name: String): Unit = {
+    val sessions = (Seq(writer) ++
       org.apache.spark.sql.SparkSession.getDefaultSession.toSeq ++
       org.apache.spark.sql.SparkSession.getActiveSession.toSeq).distinct
     for (s <- Seq("_fp", "_bands", "_shingles"); ss <- sessions)
-      // best-effort: a session that cannot resolve the table (e.g. a
-      // concurrent writer mid-overwrite, or a thread-local session with a
-      // different view) has no stale entry to refresh — never let the
-      // refresh fail an append whose writes already committed
       try ss.catalog.refreshTable(name + s)
       catch { case _: org.apache.spark.sql.AnalysisException => () }
   }
@@ -433,6 +443,10 @@ object Dedup {
     compactOne("_fp", "fp", _.distinct())
     compactOne("_bands", "band_key", _.distinct())
     compactOne("_shingles", "doc_id", _.dropDuplicates("doc_id"))
+    // same cross-session visibility contract as the append path: a
+    // compaction run from a foreachBatch clone must not leave the parent
+    // session's listing cache serving the pre-rewrite files
+    refreshIndexAcrossSessions(spark, name)
   }
 
   /** SimHash geometry: a 64-bit signature banded as 4 × 16-bit for

@@ -41,7 +41,7 @@ object TrainingPipeline {
     * needs (doc_id, text, source, ts); any extra column survives. */
   def transforms(docs: DataFrame, fpIndex: DataFrame,
                  watermark: String = "10 minutes", keepAt: Double = 0.5): DataFrame =
-    transformsWithOriginal(docs, fpIndex, watermark, keepAt).drop("orig_text")
+    transformsWithOriginal(docs, Some(fpIndex), watermark, keepAt).drop("orig_text")
 
   /** [[transforms]] plus an `orig_text` column holding each doc's
     * PRE-redaction text. Every dedup fingerprint in this topology —
@@ -54,11 +54,11 @@ object TrainingPipeline {
     * only — [[StreamingDedup.firstOccurrenceDocs]] keys its state on the
     * 16-byte fingerprint, so the extra column never enters the state
     * store. */
-  private def transformsWithOriginal(docs: DataFrame, fpIndex: DataFrame,
+  private def transformsWithOriginal(docs: DataFrame, fpIndex: Option[DataFrame],
                                      watermark: String, keepAt: Double): DataFrame =
     StreamingCuration.curate(
       StreamingDedup.firstOccurrenceDocs(
-        StreamingDedup.againstIndex(docs, fpIndex), watermark)
+        fpIndex.fold(docs)(StreamingDedup.againstIndex(docs, _)), watermark)
         .withColumn("orig_text", org.apache.spark.sql.functions.col("text")),
       keepAt)
 
@@ -111,13 +111,45 @@ object TrainingPipeline {
     * (< 2 tokens) ride through (the quality gate owns degenerate docs),
     * and the model relations are broadcast static sides — no stream
     * state. */
+  /** With `compactEvery = Some(n)` (requires `maintainIndexName`), the
+    * sink runs [[graft.operators.Dedup.compactDedupIndex]] on the
+    * maintained index after every n-th micro-batch's append — the
+    * automatic form of the snapshot-cadence recommendation above, placed
+    * where it is provably safe: foreachBatch bodies execute sequentially,
+    * so the rewrite always runs BETWEEN batches, never under a concurrent
+    * scan. Keyed on batchId (monotonic across restarts), so
+    * the cadence survives checkpoint recovery; a replayed batch at a
+    * cadence boundary just re-compacts — a no-op rewrite. Results are
+    * unaffected either way (spec-pinned); the cadence only bounds the
+    * per-bucket small-file pileup at O(n) instead of O(total batches).
+    *
+    * Under a cadence the index anti-join MOVES from the query plan's
+    * static side into the sink, re-resolved from the catalog each batch:
+    * the streaming plan pins its static relations at query start, and a
+    * pinned relation tolerates appended files but NOT a compaction
+    * rewrite — the next micro-batch scans the pre-rewrite listing and
+    * dies on FAILED_READ_FILE.FILE_NOT_EXIST (observed, and pinned by
+    * the cadence spec). This is precisely the per-batch-anti-join
+    * fallback the visibility note above documents, applied automatically
+    * exactly when in-run rewrites make it necessary. Final admitted set
+    * is identical: the index filter is a per-doc predicate, so it
+    * commutes with the watermark dedup and curation it now follows
+    * (an index-dup that transiently occupies watermark state only
+    * shadows LATER copies of itself — docs the index filter would drop
+    * anyway). */
   def start(docs: DataFrame, fpIndex: DataFrame, outDir: String, checkpointDir: String,
             budget: Long = graft.operators.TextAnalysis.PackBudgetTokens,
             watermark: String = "10 minutes", keepAt: Double = 0.5,
             maintainIndexName: Option[String] = None,
             rarityGate: Option[(String, Long)] = None,
-            lmGate: Option[(String, Long)] = None): StreamingQuery =
-    transformsWithOriginal(docs, fpIndex, watermark, keepAt).writeStream
+            lmGate: Option[(String, Long)] = None,
+            compactEvery: Option[Int] = None): StreamingQuery = {
+    require(compactEvery.isEmpty || maintainIndexName.isDefined,
+      "compactEvery compacts the maintained index — set maintainIndexName too")
+    // under a compaction cadence the plan may not pin the index relation
+    // (see the docstring above): stage 1 moves into the sink
+    val planIndex = if (compactEvery.isDefined) None else Some(fpIndex)
+    transformsWithOriginal(docs, planIndex, watermark, keepAt).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -133,7 +165,17 @@ object TrainingPipeline {
           // to the quality score)
           val original = batch.select(
             col("doc_id"), col("orig_text").as("text"), col("source"))
-          val curated = batch.select("doc_id", "text", "source")
+          // the per-batch form of stage 1 under a compaction cadence:
+          // resolved from the catalog HERE, each batch, on the clone
+          // session whose caches append/compact refresh — never from the
+          // query plan's pinned listing
+          val curated = if (compactEvery.isEmpty) batch.select("doc_id", "text", "source")
+          else {
+            val fresh = batch.sparkSession.table(s"${maintainIndexName.get}_fp")
+            batch.select("doc_id", "text", "source").join(
+              StreamingDedup.againstIndex(original, fresh).select(col("doc_id")),
+              Seq("doc_id"), "left_semi")
+          }
           val rarityOk = rarityGate.fold(curated) { case (freqName, minMeanPpm) =>
             val (freqs, nTotal) = TextAnalysis.loadTokenFreqs(batch.sparkSession, freqName)
             val scores = TextAnalysis.tokenRarityAgainst(original, freqs, nTotal)
@@ -166,9 +208,14 @@ object TrainingPipeline {
           // maintains correctly too.
           val forIndex = admitted.select(col("doc_id")).join(
             batch.select(col("doc_id"), col("orig_text").as("text"), col("source")), Seq("doc_id"))
-          maintainIndexName.foreach(graft.operators.Dedup.appendToDedupIndex(forIndex, _))
+          maintainIndexName.foreach { name =>
+            graft.operators.Dedup.appendToDedupIndex(forIndex, name)
+            if (compactEvery.exists(n => (batchId + 1) % n == 0))
+              graft.operators.Dedup.compactDedupIndex(batch.sparkSession, name)
+          }
         }
       }
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 }

@@ -546,6 +546,67 @@ class StreamingSpec extends SparkSpec {
       "the horizon-crossing dup must be rejected by the per-batch fresh-index anti-join")
   }
 
+  test("compactEvery: in-sink compaction bounds index files and preserves dedup results") {
+    // four micro-batches with compactEvery=2 → the sink compacts after
+    // batches 1 and 3. The dup of doc 1 arrives in batch 3, AFTER the
+    // batch-1 compaction rewrote all three tables in place — so the
+    // rejection proves the rewritten index serves the static-side join
+    // correctly from a foreachBatch clone (the cross-session refresh in
+    // compactDedupIndex is what this pins). The final state is
+    // fully-compacted (batch 3 is a cadence boundary), so the file bound
+    // is exact: ≤ 1 file per bucket per table, versus one file SET per
+    // append without the cadence.
+    import graft.operators.Dedup
+    import graft.streaming.TrainingPipeline
+    val good = "the quick brown fox jumps over a lazy dog and then it runs " +
+      "to the barn where the farmer is reading the morning mail today"
+    val other = "a second fine document in the english language with the usual " +
+      "collection of stopwords and a perfectly reasonable length for a test"
+    val third = "yet another wholly original piece of text where the writer is " +
+      "in a hurry but the sentences still read like the plain english they are"
+    def docJson(id: Long, text: String, sec: Long): String =
+      s"""{"doc_id": $id, "text": "$text", "source": "s0", "ts_sec": $sec}"""
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, source STRING, ts_sec BIGINT")
+    val inDir = java.nio.file.Files.createTempDirectory("graft-cmp-in").toString
+    val cpDir = java.nio.file.Files.createTempDirectory("graft-cmp-cp").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-cmp-out").toString
+    Dedup.saveDedupIndex(
+      Seq((0L, "seed corpus doc", "s0")).toDF("doc_id", "text", "source"), "dix_cadence")
+    Seq(
+      "f0.jsonl" -> docJson(1, good, w0),
+      "f1.jsonl" -> docJson(2, other, w0 + 7200),
+      "f2.jsonl" -> docJson(3, third, w0 + 14400),
+      "f3.jsonl" -> docJson(4, good, w0 + 21600) // dup of doc 1, post-compaction
+    ).zipWithIndex.foreach { case ((name, line), i) =>
+      val p = java.nio.file.Paths.get(inDir, name)
+      java.nio.file.Files.writeString(p, line + "\n")
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
+    }
+    val docs = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(inDir)
+      .select(col("doc_id"), col("text"), col("source"),
+        timestamp_seconds(col("ts_sec")).as("ts"))
+    TrainingPipeline.start(docs, Dedup.loadDedupIndex(spark, "dix_cadence").fp, outDir, cpDir,
+      maintainIndexName = Some("dix_cadence"), compactEvery = Some(2)).awaitTermination()
+    val admitted = new java.io.File(outDir).listFiles().filter(_.isDirectory).toSeq
+      .flatMap(d => try spark.read.parquet(d.getPath).collect() catch { case _: Throwable => Nil })
+      .map(_.getAs[Long]("doc_id")).sorted
+    assert(admitted === Seq(1L, 2L, 3L),
+      "the post-compaction dup must still be rejected by the maintained index")
+    val catalog = spark.sessionState.catalog
+    val nFiles = Seq("_fp", "_bands", "_shingles").map { s =>
+      val loc = java.nio.file.Paths.get(catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("dix_cadence" + s)).location)
+      val st = java.nio.file.Files.walk(loc)
+      try st.filter(p => p.getFileName.toString.startsWith("part-")).count()
+      finally st.close()
+    }.sum
+    assert(nFiles <= 24,
+      s"a cadence-boundary final batch leaves a fully-compacted index (≤ 8 buckets × 3 " +
+        s"tables), got $nFiles files — the in-sink compaction did not run or did not rewrite")
+  }
+
   test("maintained index rejects raw duplicates of PII-bearing docs (pre-redaction fingerprints)") {
     // regression: the index append must hash the PRE-redaction text. If a
     // batch's entries were fingerprinted AFTER piiRedact, a later raw
