@@ -150,6 +150,18 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
     "corpus_summary" -> ((s, d) => TextAnalysis.corpusSummary(Tables.documents(s, d))),
     "corpus_sample_stratified" -> ((s, d) => TextAnalysis.stratifiedSample(Tables.documents(s, d))),
+    // α=0.5 temperature mixture (downsample-only; integer-exact after
+    // the correctly-rounded sqrt). The test corpus is source-uniform —
+    // where the α-mix is the identity — so the query runs over a
+    // deterministically SKEWED subset (per-source modulus filter, same
+    // expression in the oracle): tail sources keep all their docs, head
+    // sources give up theirs, and the oracle checks that arithmetic.
+    "mixture_sample_temperature" -> ((s, d) => TextAnalysis.temperatureSample(
+      Tables.documents(s, d)
+        .filter("doc_id % (2 + CAST(substring(source, 4, 10) AS INT) % 4) = 0"))),
+    // per-source cap, two-phase (hash-threshold prefilter + bounded
+    // row_number) so no source ever lands whole on one reducer
+    "source_cap_sample" -> ((s, d) => TextAnalysis.sourceCap(Tables.documents(s, d))),
     "train_test_split" -> ((s, d) => TextAnalysis.trainTestSplit(Tables.documents(s, d))),
     "pack_shards" -> ((s, d) => TextAnalysis.packShards(Tables.documents(s, d))),
     // deterministic hash-keyed training-order shuffle (epoch-salted)
@@ -479,6 +491,53 @@ object SparkEntry {
        |SELECT doc_id, source, CAST(hb AS BIGINT) AS hash_bucket FROM b
        |WHERE hb < CASE source $rates ELSE ${TextAnalysis.SampleDefaultPct} END
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** 5 leading md5 hex nibbles → value mod 1e6 (mirrors
+    * conv(substr(md5,1,5),16,10) % 1000000) — the ppm-precision
+    * hash-threshold shared by the temperature and source-cap samplers. */
+  private def hpPpm(m: String): String = {
+    def nib(i: Int) = s"(strpos('0123456789abcdef', substr($m, $i, 1)) - 1)"
+    s"(${nib(1)}*65536 + ${nib(2)}*4096 + ${nib(3)}*256 + ${nib(4)}*16 + ${nib(5)}) % 1000000"
+  }
+
+  /** Mirrors TextAnalysis.temperatureSample: sqrt is correctly-rounded
+    * IEEE in both engines, floored to milli before any sum, so every
+    * share/rate step is the same integer arithmetic. */
+  private def temperatureSampleOracle: String =
+    s"""WITH d0 AS (SELECT doc_id, source FROM documents
+       |      WHERE doc_id % (2 + CAST(substr(source, 4) AS INT) % 4) = 0),
+       |stats AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM d0 GROUP BY 1),
+       |w AS (SELECT source, n, CAST(floor(sqrt(n) * 1000) AS BIGINT) AS w_milli FROM stats),
+       |t AS (SELECT CAST(sum(w_milli) AS BIGINT) AS w_total FROM w),
+       |s AS (SELECT source, n, (w_milli * 1000000) // w_total AS share_ppm FROM w, t),
+       |m AS (SELECT CAST(min((n * 1000000) // share_ppm) AS BIGINT) AS m_total
+       |      FROM s WHERE share_ppm > 0),
+       |r AS (SELECT source, CASE WHEN share_ppm = 0 THEN 0
+       |        ELSE least(1000000, (((m_total * share_ppm) // 1000000) * 1000000) // n)
+       |      END AS rate_ppm FROM s, m),
+       |h AS (SELECT doc_id, source, rate_ppm,
+       |        md5(source || ':' || CAST(doc_id AS VARCHAR)) AS m5
+       |      FROM d0 JOIN r USING (source)),
+       |b AS (SELECT doc_id, source, rate_ppm, ${hpPpm("m5")} AS hp FROM h)
+       |SELECT doc_id, source, CAST(rate_ppm AS BIGINT) AS rate_ppm FROM b
+       |WHERE hp < rate_ppm ORDER BY doc_id""".stripMargin
+
+  /** Mirrors TextAnalysis.sourceCap: the same two phases — ppm
+    * hash-threshold prefilter at SourceCapSafety·cap, then row_number
+    * over (hp, doc_id) within source, rank ≤ cap. */
+  private def sourceCapOracle: String = {
+    val budget = TextAnalysis.SourceCapSafety.toLong * 10
+    s"""WITH stats AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+       |r AS (SELECT source, least(1000000, ($budget * 1000000) // n) AS rate_ppm FROM stats),
+       |h AS (SELECT doc_id, source, rate_ppm,
+       |        md5(source || ':' || CAST(doc_id AS VARCHAR)) AS m5
+       |      FROM documents JOIN r USING (source)),
+       |b AS (SELECT doc_id, source, rate_ppm, ${hpPpm("m5")} AS hp FROM h),
+       |f AS (SELECT doc_id, source, hp FROM b WHERE hp < rate_ppm),
+       |k AS (SELECT doc_id, source, CAST(row_number() OVER (
+       |        PARTITION BY source ORDER BY hp, doc_id) AS BIGINT) AS rk FROM f)
+       |SELECT doc_id, source, rk FROM k WHERE rk <= 10 ORDER BY doc_id""".stripMargin
   }
 
   /** Mirrors TextAnalysis.splitAssign + trainTestSplit: same salted md5
@@ -1250,6 +1309,8 @@ object SparkEntry {
     "minhash_band_stats" -> minhashBandStatsOracle,
     "benchmark_contamination" -> benchmarkContaminationOracle,
     "mixture_weights" -> mixtureWeightsOracle,
+    "mixture_sample_temperature" -> temperatureSampleOracle,
+    "source_cap_sample" -> sourceCapOracle,
     "top_repeated_shingles" -> topRepeatedShinglesOracle,
     "embedding_norm_stats" -> embeddingNormStatsOracle,
     "corpus_summary" ->

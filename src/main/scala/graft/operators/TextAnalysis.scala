@@ -273,6 +273,91 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Temperature-scaled mixture sampling (α = 0.5) — the standard
+    * multi-source training mix: target share per source ∝ n^α, which
+    * UPWEIGHTS tail sources relative to their raw counts without
+    * replicating documents (pure downsampling; the head sources give up
+    * docs until the α-mix is met). The achievable mixture size is bounded
+    * by the scarcest source relative to its target share —
+    * m_total = min_s (n_s / share_s) — and each source keeps
+    * k_s = m_total·share_s docs via the same deterministic md5-ppm
+    * hash-threshold as [[stratifiedSample]]: a pure map-filter against a
+    * broadcast per-source rate table, scan-shaped at any corpus size.
+    *
+    * Engine-exact by construction: α = 0.5 is IEEE-754 sqrt — correctly
+    * rounded, so bit-identical across engines — immediately scaled to an
+    * integer (floor·1000) so every downstream step (share_ppm, m_total,
+    * k, rate_ppm) is integer arithmetic with no float-summation order
+    * anywhere. The keep decision compares a 5-nibble md5 ppm against the
+    * source's rate, so membership is a pure function of (source, doc_id),
+    * stable under corpus growth — the same reproducibility contract as
+    * [[stratifiedSample]] and [[splitAssign]]. The kept count per source
+    * is the binomial realization of rate_ppm, not exactly k_s — accepted
+    * and disclosed, as for every hash-threshold sampler here. */
+  def temperatureSample(documents: DataFrame): DataFrame = {
+    val stats = documents.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val w = stats.withColumn("w_milli", floor(sqrt(col("n")) * 1000).cast("long"))
+    val tot = w.agg(sum(col("w_milli")).as("w_total"))
+    val shares = w.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("(w_milli * 1000000) div w_total"))
+    // a source rounded to 0 ppm contributes nothing and must not bound
+    // the mixture (and would divide by zero below)
+    val mTot = shares.filter(col("share_ppm") > 0)
+      .agg(min(expr("(n * 1000000) div share_ppm")).as("m_total"))
+    val rates = shares.crossJoin(broadcast(mTot))
+      .withColumn("rate_ppm",
+        when(col("share_ppm") === 0, lit(0L)).otherwise(
+          least(lit(1000000L), expr("(((m_total * share_ppm) div 1000000) * 1000000) div n"))))
+      .select(col("source"), col("rate_ppm"))
+    documents
+      .withColumn("hp",
+        conv(substring(md5(concat_ws(":", col("source"), col("doc_id"))), 1, 5), 16, 10)
+          .cast("long") % 1000000)
+      .join(broadcast(rates), "source")
+      .filter(col("hp") < col("rate_ppm"))
+      .select(col("doc_id"), col("source"), col("rate_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source document cap — the RefinedWeb-style anti-spam guard: no
+    * source may contribute more than `cap` documents, keepers chosen in
+    * deterministic md5-hash order (a seeded uniform draw, so the cap is
+    * a fair sample, not a doc_id-ordered prefix that would bias toward
+    * old documents).
+    *
+    * Two-phase so it scales: an exact per-source row_number at 100 TB
+    * puts an entire source — possibly most of the corpus — on one
+    * reducer. Phase 1 is the scan-shaped hash-threshold prefilter at
+    * rate ≈ SourceCapSafety·cap/n (keep-all when n is already within the
+    * safety budget), which bounds the window input to ~SourceCapSafety·cap
+    * rows per source; phase 2 ranks the survivors (row_number over the
+    * same md5 order) and keeps rank ≤ cap. Because the prefilter keeps
+    * exactly the LOW end of the hash order, the survivors contain the
+    * true cap-smallest hashes whenever the binomial draw yields ≥ cap
+    * survivors — at safety 4× that failure probability is exp(−Ω(cap));
+    * if it ever fires, the source contributes the survivors it has
+    * (disclosed; the oracle replicates both phases bit-for-bit, so the
+    * result is deterministic either way). */
+  val SourceCapSafety = 4
+
+  def sourceCap(documents: DataFrame, cap: Int = 10): DataFrame = {
+    val rates = documents.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .withColumn("rate_ppm",
+        least(lit(1000000L), expr(s"(${SourceCapSafety.toLong * cap} * 1000000) div n")))
+      .select(col("source"), col("rate_ppm"))
+    val w = Window.partitionBy(col("source")).orderBy(col("hp"), col("doc_id"))
+    documents
+      .withColumn("hp",
+        conv(substring(md5(concat_ws(":", col("source"), col("doc_id"))), 1, 5), 16, 10)
+          .cast("long") % 1000000)
+      .join(broadcast(rates), "source")
+      .filter(col("hp") < col("rate_ppm"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= cap)
+      .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy("doc_id")
+  }
+
   /** Boilerplate detector: the word-3-gram shingles appearing in the
     * most documents (df > 1). Repeated passages across docs are
     * navigation chrome / license headers / template text — the strings a

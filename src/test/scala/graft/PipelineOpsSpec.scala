@@ -125,6 +125,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got("s1") === ((1L, 250000L, 2000L))) // 4*1000 div (2*1)
   }
 
+  test("temperatureSample: α=0.5 rates — scarce source keeps all, head source halves") {
+    // n_a=100, n_b=400 → w_milli 10000:20000 → shares 333333:666666 ppm;
+    // m_total = min(100e6/333333, 400e6/666666) = min(300, 600) = 300
+    // → k_a = 99 (floor), k_b = 199 → rate_a = 990000, rate_b = 497500.
+    // Every step is the integer arithmetic above — asserted EXACTLY, so
+    // any drift in the share/rate math (or a float sum sneaking in)
+    // fails loudly rather than shifting a hash boundary silently.
+    val df = ((1 to 100).map(i => (i.toLong, s"doc a$i", "sa")) ++
+      (101 to 500).map(i => (i.toLong, s"doc b$i", "sb"))).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.temperatureSample(df)
+    val rates = got.select("source", "rate_ppm").distinct().collect()
+      .map { case Row(s: String, r: Long) => s -> r }.toMap
+    assert(rates === Map("sa" -> 990000L, "sb" -> 497500L))
+    // realized counts are the binomial draw of the rates; the tail source
+    // must keep a strictly larger FRACTION than the head (the α-mix's
+    // whole point), and membership is deterministic (re-run identical)
+    val byS = got.groupBy("source").count().collect()
+      .map { case Row(s: String, n: Long) => s -> n }.toMap
+    assert(byS("sa") * 4L > byS("sb"),
+      s"tail source must keep a higher fraction: $byS")
+    assert(got.collect().toSeq === TextAnalysis.temperatureSample(df).collect().toSeq)
+  }
+
+  test("sourceCap: caps a heavy source at cap in hash order, keeps small sources whole") {
+    val df = ((1 to 300).map(i => (i.toLong, s"doc a$i", "sa")) ++
+      (301 to 305).map(i => (i.toLong, s"doc b$i", "sb"))).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sourceCap(df, cap = 10).collect()
+      .map { case Row(d: Long, s: String, rk: Long) => (d, s, rk) }
+    val (a, b) = got.partition(_._2 == "sa")
+    assert(a.length === 10 && a.map(_._3).sorted.toSeq === (1L to 10L),
+      "heavy source must contribute exactly cap docs, ranks 1..cap")
+    assert(b.length === 5 && b.map(_._1).sorted.toSeq === (301L to 305L),
+      "a source under the cap keeps every doc")
+  }
+
   test("topRepeatedShingles returns only df>1 shingles, highest first") {
     val shared = (1 to 10).map(i => s"r$i").mkString(" ")
     val df = Seq(

@@ -80,6 +80,7 @@ class PlanShapeSpec extends SparkSpec {
     // broadcast side is bounded by construction (listed with its bound).
     val nlAllowed = Map(
       "mixture_weights" -> "1-row totals broadcast",
+      "mixture_sample_temperature" -> "1-row totals broadcast (w_total, then m_total)",
       "text_token_rarity" -> "1-row corpus-token-total broadcast",
       "token_rarity_against" -> "1-row reference-total broadcast",
       "lm_bigram_surprisal" -> "1-row vocabulary-size broadcast",
