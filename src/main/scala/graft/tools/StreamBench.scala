@@ -42,6 +42,12 @@ object StreamBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val batchRows = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCH_ROWS", "5000").toInt
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "8").toInt
+    // optional: run the topology in its production shape — automatic
+    // in-sink compaction every n batches (and the per-batch index
+    // anti-join that cadence implies). Default off so the baseline
+    // recording stays comparable across rounds; a cadence run reports
+    // its own number against it.
+    val compactEvery = sys.env.get("SPARK_GRAFT_STREAM_COMPACT_EVERY").map(_.toInt)
     val warehouse = java.nio.file.Files.createTempDirectory("graft-sb-wh").toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -211,7 +217,7 @@ object StreamBench {
     val (q, e2eSec) = timed {
       val query = graft.streaming.TrainingPipeline.start(docsStream, fpIndex, outDir, cpDir,
         maintainIndexName = Some("sb_dix"), rarityGate = Some(("sb_freq", rarityThr)),
-        lmGate = Some(("sb_blm", lmThr)))
+        lmGate = Some(("sb_blm", lmThr)), compactEvery = compactEvery)
       query.awaitTermination()
       query
     }
@@ -262,6 +268,7 @@ object StreamBench {
     json ++= s""""lm_gate_milli_thr":$lmThr,"lm_sep_milli":${minSalad - maxGood},"""
     json ++= s""""admitted_expected":${rowsTotal - 4 * (rowsTotal / 25) - (rowsTotal / 25 - batchRows / 25)},"""
     json ++= s""""per_batch":[${perBatch.mkString(",")}],"""
+    json ++= s""""compact_every":${compactEvery.getOrElse(0)},"""
     json ++= s""""index_files_before_compact":$filesBefore,"index_files_after_compact":$filesAfter,"""
     json ++= s""""compact_sec":$compactSec,"""
     json ++= s""""cpu_probe_start_sec":$probeStart,"cpu_probe_end_sec":$probeEnd,"""
