@@ -124,6 +124,8 @@ object SparkEntry {
     "minhash_band_stats" -> ((s, d) => Dedup.minhashBandStats(Tables.documents(s, d))),
     "simhash_band_stats" -> ((s, d) => Dedup.simhashBandStats(Tables.documents(s, d))),
     "benchmark_contamination" -> ((s, d) => Dedup.benchmarkContamination(Tables.documents(s, d))),
+    // per-doc recycled-text score (fraction of shingles seen elsewhere)
+    "doc_shingle_novelty" -> ((s, d) => Dedup.shingleNovelty(Tables.documents(s, d))),
     "mixture_weights" -> ((s, d) => TextAnalysis.mixtureWeights(Tables.documents(s, d))),
     "top_repeated_shingles" -> ((s, d) => TextAnalysis.topRepeatedShingles(Tables.documents(s, d))),
     // ---- similarity search ----
@@ -190,6 +192,27 @@ object SparkEntry {
         docs.filter("doc_id % 2 = 1"), docs.filter("doc_id % 2 = 0"))
         .orderBy("doc_id")
     }),
+    // DSIR importance weights: whole pool weighted by base-vs-target
+    // surprisal difference (target domain = src0, base = the raw pool)
+    "dsir_weights" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.dsirWeights(docs, docs.filter("source = 'src0'"), docs)
+        .orderBy("doc_id")
+    }),
+    // deterministic greedy form of DSIR's resampling step: top-100 by
+    // importance weight (tie-break doc_id — no lottery at the boundary)
+    "dsir_sample" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      TextAnalysis.dsirWeights(docs, docs.filter("source = 'src0'"), docs)
+        .orderBy(col("dsir_milli").desc, col("doc_id"))
+        .select(col("doc_id"), col("dsir_milli"))
+        .limit(100)
+    }),
+    // per-source calibrated quality gate (top-25% within each source)
+    "quality_calibrated" -> ((s, d) => TextAnalysis.qualityCalibrated(Tables.documents(s, d))),
+    // Heaps-law vocabulary growth curve at 50-doc bucket granularity
+    "vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(Tables.documents(s, d))),
     "tokenizer_fertility" -> ((s, d) => TextAnalysis.tokenizerFertility(Tables.documents(s, d))),
     "pii_scrub_stats" -> ((s, d) =>
       TextAnalysis.piiScrubStats(Tables.documents(s, d), Tables.events(s, d))),
@@ -286,6 +309,42 @@ object SparkEntry {
       |  CAST((n * 1000000) // total AS BIGINT) AS actual_ppm,
       |  CAST((total * 1000) // (n_sources * n) AS BIGINT) AS weight_milli
       |FROM s, t ORDER BY source""".stripMargin
+
+  /** Two add-1-smoothed integer bigram LMs (target = src0, base = the
+    * whole pool) scored in one pass, mirroring TextAnalysis.dsirCore —
+    * the t-/b-prefixed CTE pairs are the lm_surprisal_against oracle's
+    * chain instantiated twice over different subsets. Non-interpolated
+    * string: regex backslashes stay single. */
+  private val DsirCte =
+    """norm AS (SELECT doc_id, source, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t FROM documents),
+      |tl AS (SELECT doc_id, source, string_split(t, ' ') AS l FROM norm),
+      |bgq AS (SELECT doc_id, source, unnest(list_transform(generate_series(1, len(l) - 1),
+      |    i -> l[i] || ' ' || l[i + 1])) AS bg FROM tl WHERE len(l) >= 2),
+      |tc2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM bgq WHERE source = 'src0' GROUP BY 1),
+      |tc1 AS (SELECT string_split(bg, ' ')[1] AS prev, CAST(sum(c2) AS BIGINT) AS c1 FROM tc2 GROUP BY 1),
+      |tvt AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+      |  FROM (SELECT unnest(string_split(t, ' ')) AS tok FROM norm WHERE source = 'src0') WHERE len(tok) > 0),
+      |tlm AS (SELECT bg, CAST(length(bin((c1 + v) // (c2 + 1))) - 1 AS BIGINT) AS bits
+      |  FROM tc2 JOIN tc1 ON string_split(tc2.bg, ' ')[1] = tc1.prev, tvt),
+      |tlmp AS (SELECT prev, CAST(length(bin(c1 + v)) - 1 AS BIGINT) AS miss_bits FROM tc1, tvt),
+      |bc2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM bgq GROUP BY 1),
+      |bc1 AS (SELECT string_split(bg, ' ')[1] AS prev, CAST(sum(c2) AS BIGINT) AS c1 FROM bc2 GROUP BY 1),
+      |bvt AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+      |  FROM (SELECT unnest(string_split(t, ' ')) AS tok FROM norm) WHERE len(tok) > 0),
+      |blm AS (SELECT bg, CAST(length(bin((c1 + v) // (c2 + 1))) - 1 AS BIGINT) AS bits
+      |  FROM bc2 JOIN bc1 ON string_split(bc2.bg, ' ')[1] = bc1.prev, bvt),
+      |blmp AS (SELECT prev, CAST(length(bin(c1 + v)) - 1 AS BIGINT) AS miss_bits FROM bc1, bvt),
+      |dbg AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS prev FROM bgq),
+      |dsc AS (SELECT doc_id,
+      |    COALESCE(tlm.bits, tlmp.miss_bits, (SELECT CAST(length(bin(v)) - 1 AS BIGINT) FROM tvt)) AS st,
+      |    COALESCE(blm.bits, blmp.miss_bits, (SELECT CAST(length(bin(v)) - 1 AS BIGINT) FROM bvt)) AS sb
+      |  FROM dbg LEFT JOIN tlm ON dbg.bg = tlm.bg LEFT JOIN tlmp ON dbg.prev = tlmp.prev
+      |    LEFT JOIN blm ON dbg.bg = blm.bg LEFT JOIN blmp ON dbg.prev = blmp.prev),
+      |dw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    CAST(sum(st) AS BIGINT) AS target_bits,
+      |    CAST(sum(sb) AS BIGINT) AS base_bits,
+      |    CAST(((sum(sb) - sum(st)) * 1000) // count(*) AS BIGINT) AS dsir_milli
+      |  FROM dsc GROUP BY 1)""".stripMargin
 
   private def topRepeatedShinglesOracle: String =
     s"""WITH $ShingleCte
@@ -1289,6 +1348,46 @@ object SparkEntry {
         |  CAST((sum(s) * 1000) // count(*) AS BIGINT) AS bits_per_bigram_milli,
         |  CAST(sum(CASE WHEN b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen
         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dsir_weights" ->
+      s"""WITH $DsirCte
+         |SELECT doc_id, n_bigrams, target_bits, base_bits, dsir_milli
+         |FROM dw ORDER BY doc_id""".stripMargin,
+    "dsir_sample" ->
+      s"""WITH $DsirCte
+         |SELECT doc_id, dsir_milli FROM dw
+         |ORDER BY dsir_milli DESC, doc_id LIMIT 100""".stripMargin,
+    "quality_calibrated" ->
+      """WITH s AS (SELECT doc_id, source,
+        |    CAST(floor(round(least(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 20.0, 1.0)
+        |      * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+        |                     / greatest(CAST(length(text) AS DOUBLE), 1.0) * 4.0, 1.0)), 6) * 1000) AS BIGINT) AS q_milli
+        |  FROM documents),
+        |h AS (SELECT source, q_milli, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1, 2),
+        |c AS (SELECT source, q_milli,
+        |    sum(n) OVER (PARTITION BY source ORDER BY q_milli DESC
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(n) OVER (PARTITION BY source) AS n_src FROM h),
+        |thr AS (SELECT source, max(q_milli) AS src_threshold_milli FROM c
+        |  WHERE cum >= (n_src * 25 + 99) // 100 GROUP BY 1)
+        |SELECT s.doc_id, s.source, s.q_milli,
+        |  CAST(thr.src_threshold_milli AS BIGINT) AS src_threshold_milli,
+        |  s.q_milli >= thr.src_threshold_milli AS keep
+        |FROM s JOIN thr ON s.source = thr.source ORDER BY s.doc_id""".stripMargin,
+    "vocab_growth" ->
+      """WITH norm AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t FROM documents),
+        |tk AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
+        |tk2 AS (SELECT doc_id, tok FROM tk WHERE len(tok) > 0),
+        |occ AS (SELECT doc_id // 50 AS bucket, CAST(count(*) AS BIGINT) AS n_occ FROM tk2 GROUP BY 1),
+        |fd AS (SELECT tok, min(doc_id) AS fdoc FROM tk2 GROUP BY 1),
+        |nw AS (SELECT fdoc // 50 AS bucket, CAST(count(*) AS BIGINT) AS n_new FROM fd GROUP BY 1),
+        |d AS (SELECT doc_id // 50 AS bucket, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1)
+        |SELECT d.bucket AS bucket, d.n_docs,
+        |  CAST(sum(COALESCE(occ.n_occ, 0)) OVER (ORDER BY d.bucket
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+        |  CAST(sum(COALESCE(nw.n_new, 0)) OVER (ORDER BY d.bucket
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+        |FROM d LEFT JOIN occ ON d.bucket = occ.bucket LEFT JOIN nw ON d.bucket = nw.bucket
+        |ORDER BY bucket""".stripMargin,
     "tokenizer_fertility" ->
       s"""WITH a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          |    CAST(sum(length(text)) AS BIGINT) AS chars,
@@ -1312,6 +1411,13 @@ object SparkEntry {
     "mixture_sample_temperature" -> temperatureSampleOracle,
     "source_cap_sample" -> sourceCapOracle,
     "top_repeated_shingles" -> topRepeatedShinglesOracle,
+    "doc_shingle_novelty" ->
+      s"""WITH $ShingleCte,
+         |sdf AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM ex GROUP BY 1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |  CAST(((count(*) - sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)) * 1000) // count(*) AS BIGINT) AS novelty_milli
+         |FROM ex JOIN sdf ON ex.g = sdf.g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "embedding_norm_stats" -> embeddingNormStatsOracle,
     "corpus_summary" ->
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,

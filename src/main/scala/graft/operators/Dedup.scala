@@ -213,6 +213,42 @@ object Dedup {
       .orderBy(col("n_docs").desc, col("band_idx"), col("band_key"))
       .limit(k)
 
+  /** Per-doc shingle NOVELTY score: the fraction of a doc's distinct
+    * word-3-gram shingles that occur in NO other document, in integer
+    * milli — the per-document duplication metric (RefinedWeb-style) that
+    * complements the pairwise dedup family: pairwise ops answer "which
+    * docs are near-copies of each other", this answers "how much of THIS
+    * doc is recycled text" — a doc can pass every near-dup gate while
+    * being stitched entirely from widely-repeated passages, and this is
+    * the score that catches it (low novelty, no single dominant match).
+    * Emits (doc_id, n_shingles, n_shared, novelty_milli); docs with < 3
+    * tokens emit nothing (no shingle to score — the quality gate owns
+    * degenerate docs, same contract as the LM scores).
+    *
+    * Scale shape: shingle document-frequency is a hash aggregate over
+    * the cached shingle relation (partial agg map-side; the shuffle
+    * carries (shingle, count), never text), and the score join back is
+    * keyed on the shingle — the Zipf head lives in boilerplate shingles,
+    * so the df table's hot head (bounded top-[[TextAnalysis.HotVocab]]
+    * rows) broadcasts and joins map-side while only the long tail takes
+    * the shuffle join, the same skew split as the token-rarity scores. */
+  def shingleNovelty(documents: DataFrame): DataFrame = {
+    val ex = shingles(documents).select(col("doc_id"), col("g"))
+    val df_ = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val hot = broadcast(
+      df_.orderBy(col("df").desc, col("g")).limit(TextAnalysis.HotVocab))
+    val head = ex.join(hot, "g")
+    val tail = ex.join(hot.select(col("g")), Seq("g"), "left_anti").join(df_, "g")
+    head.unionByName(tail)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_shingles"),
+        sum(when(col("df") > 1, 1).otherwise(0)).cast("long").as("n_shared"),
+        expr("((count(1) - sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)) * 1000) div count(1)")
+          .as("novelty_milli"))
+      .orderBy("doc_id")
+  }
+
   private def computeMinhashPairs(documents: DataFrame): DataFrame = {
     val bands = bandTable(documents)
     val candidates = bands.as("a")

@@ -841,6 +841,151 @@ object TextAnalysis {
         sum(when(col("bits").isNull, 1).otherwise(0)).cast("long").as("n_unseen"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): per doc, the
+    * integer milli-bits-per-bigram surprisal DIFFERENCE between a BASE
+    * model (fit on the raw pool) and a TARGET model (fit on the
+    * high-quality target domain) — `dsir_milli > 0` means the doc is
+    * more probable under the target distribution than under the raw
+    * pool, i.e. target-domain-like, and should be up-weighted when
+    * selecting pretraining data. Both models are the same
+    * add-1-smoothed integer bigram LM as [[bigramSurprisalAgainst]]
+    * (floor-log2 bits, unseen fallback chain), so the weight is exact
+    * and engine-stable; the published method's exp-weighted sampling
+    * step is [[stratifiedSample]]-style hash sampling over these
+    * weights — the deterministic greedy form (rank by weight) is the
+    * `dsir_sample` query.
+    *
+    * Plan shape: ONE scan of the pool's exploded bigrams, scored
+    * against both models in the same pipeline — all six model
+    * relations are vocabulary-bounded fitted artifacts and BROADCAST,
+    * so no occurrence row ever shuffles on a token key (the same
+    * skew-proof argument, and the same plan-lint coverage, as the
+    * rarity gate). Emits (doc_id, n_bigrams, target_bits, base_bits,
+    * dsir_milli); docs with < 2 tokens are absent (nothing to score). */
+  def dsirWeights(pool: DataFrame, target: DataFrame, base: DataFrame): DataFrame = {
+    val tLm = bigramLm(target)
+    val bLm = bigramLm(base)
+    dsirCore(pool,
+      tLm.select(col("bg"), col("bits")), prevMissTable(tLm, vocabSize(target)), vocabSize(target),
+      bLm.select(col("bg"), col("bits")), prevMissTable(bLm, vocabSize(base)), vocabSize(base))
+  }
+
+  /** [[dsirWeights]] over two persisted models ([[loadBigramLm]]
+    * triples) — the deployable form: fit the target and base LMs once
+    * per snapshot, weight every later ingestion batch without
+    * re-reading either reference corpus. */
+  def dsirWeightsAgainst(pool: DataFrame,
+                         t: (DataFrame, DataFrame, DataFrame),
+                         b: (DataFrame, DataFrame, DataFrame)): DataFrame =
+    dsirCore(pool,
+      t._1, t._2, t._3.select(col("v")),
+      b._1, b._2, b._3.select(col("v")))
+
+  private def dsirCore(pool: DataFrame,
+                       tBg: DataFrame, tPrev: DataFrame, tV: DataFrame,
+                       bBg: DataFrame, bPrev: DataFrame, bV: DataFrame): DataFrame = {
+    val bg = bigramRows(pool).withColumn("prev", substring_index(col("bg"), " ", 1))
+    bg
+      .join(broadcast(tBg.select(col("bg"), col("bits").as("t_bits"))), Seq("bg"), "left_outer")
+      .join(broadcast(tPrev.select(col("prev"), col("miss_bits").as("t_miss"))), Seq("prev"), "left_outer")
+      .crossJoin(broadcast(tV.select(col("v").as("t_v")))) // one row: target vocab size
+      .join(broadcast(bBg.select(col("bg"), col("bits").as("b_bits"))), Seq("bg"), "left_outer")
+      .join(broadcast(bPrev.select(col("prev"), col("miss_bits").as("b_miss"))), Seq("prev"), "left_outer")
+      .crossJoin(broadcast(bV.select(col("v").as("b_v")))) // one row: base vocab size
+      .withColumn("st", coalesce(col("t_bits"), col("t_miss"), floorLog2(col("t_v"))))
+      .withColumn("sb", coalesce(col("b_bits"), col("b_miss"), floorLog2(col("b_v"))))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_bigrams"),
+        sum(col("st")).as("target_bits"),
+        sum(col("sb")).as("base_bits"),
+        // div truncates toward zero in Spark AND DuckDB (`//`), so the
+        // sign-carrying mean is engine-exact with no floor-div shim
+        expr("((sum(sb) - sum(st)) * 1000) div count(1)").as("dsir_milli"))
+  }
+
+  /** Per-source CALIBRATED quality gate: keep each source's top
+    * `QualityCalibratedTopPct`% by quality score, not a single global
+    * cutoff — a fixed threshold applied across domains keeps almost
+    * everything from clean sources and almost nothing from noisy ones,
+    * skewing the mixture; calibrating per source decouples "how much of
+    * each domain" (the mixture policy) from "which docs within it" (this
+    * gate). Scores are floored to integer milli ([[qualityScore]] is
+    * 6-dp-rounded, so `floor(q*1000)` is bit-identical across engines);
+    * the per-source threshold is the k-th-largest score with
+    * k = ceil(n_src · pct/100), i.e. `keep` admits AT LEAST the top
+    * pct% (score ties at the boundary all pass — deterministic, no
+    * tie-break lottery).
+    *
+    * Scale shape: NO per-source sort of docs. q_milli has ≤ 1001
+    * distinct values, so the threshold comes from a (source, q_milli)
+    * histogram — corpus-scale input aggregates map-side to ≤ 1001
+    * rows/source, the cumulative window runs over that bounded table,
+    * and the one-row-per-source threshold broadcasts back. */
+  val QualityCalibratedTopPct = 25
+
+  def qualityCalibrated(documents: DataFrame): DataFrame = {
+    val scored = documents.select(
+      col("doc_id"), col("source"),
+      floor(qualityScore(col("text")) * 1000).cast("long").as("q_milli"))
+    val hist = scored.groupBy(col("source"), col("q_milli")).agg(count(lit(1)).as("n"))
+    val cumW = Window.partitionBy(col("source"))
+      .orderBy(col("q_milli").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val srcW = Window.partitionBy(col("source"))
+    val thresholds = hist
+      .withColumn("cum", sum(col("n")).over(cumW))
+      .withColumn("n_src", sum(col("n")).over(srcW))
+      .filter(col("cum") >= expr(s"(n_src * $QualityCalibratedTopPct + 99) div 100"))
+      .groupBy(col("source")).agg(max(col("q_milli")).as("src_threshold_milli"))
+    scored.join(broadcast(thresholds), "source")
+      .withColumn("keep", col("q_milli") >= col("src_threshold_milli"))
+      .select(col("doc_id"), col("source"), col("q_milli"),
+        col("src_threshold_milli"), col("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Vocabulary growth curve (Heaps' law) at doc-bucket granularity:
+    * cumulative distinct tokens and cumulative token occurrences after
+    * each block of [[VocabGrowthBucket]] docs in doc_id order — the
+    * corpus analytic that says whether a source is still contributing
+    * new vocabulary or re-treading old text (a flattening curve is the
+    * data-driven "this domain is mined out" signal when deciding how
+    * much more of a source to crawl).
+    *
+    * No distinct-over-window anywhere: a token's contribution to the
+    * cumulative vocabulary is fully determined by its FIRST occurrence,
+    * so `min(doc_id) per token` (a vocabulary-bounded hash aggregate)
+    * converts the cumulative-distinct problem into a cumulative SUM of
+    * per-bucket first-occurrence counts. The only window runs over the
+    * bucket aggregate — n_docs/[[VocabGrowthBucket]] rows, a bounded
+    * single-partition frame that is deliberate, not a scale leak. */
+  val VocabGrowthBucket = 50
+
+  def vocabGrowth(documents: DataFrame): DataFrame = {
+    val tk = documents
+      .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val b = s"div $VocabGrowthBucket"
+    val occ = tk.groupBy(expr(s"doc_id $b").as("bucket"))
+      .agg(count(lit(1)).as("n_occ"))
+    val firsts = tk.groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(expr(s"first_doc $b").as("bucket"))
+      .agg(count(lit(1)).as("n_new"))
+    val docs = documents.groupBy(expr(s"doc_id $b").as("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+    val cumW = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .join(occ, Seq("bucket"), "left_outer")
+      .join(firsts, Seq("bucket"), "left_outer")
+      .withColumn("cum_tokens", sum(coalesce(col("n_occ"), lit(0L))).over(cumW).cast("long"))
+      .withColumn("cum_vocab", sum(coalesce(col("n_new"), lit(0L))).over(cumW).cast("long"))
+      .select(col("bucket"), col("n_docs"), col("cum_tokens"), col("cum_vocab"))
+      .orderBy("bucket")
+  }
+
   /** Corpus roll-up per (lang, source): doc counts and size totals —
     * the partition-level bookkeeping view of a training-data pipeline. */
   def corpusSummary(documents: DataFrame): DataFrame =

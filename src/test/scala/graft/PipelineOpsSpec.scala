@@ -487,6 +487,76 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got("s1") === ((2L, 2L, 0L)))
   }
 
+  test("dsirWeights ranks target-domain-like docs above off-domain docs") {
+    // target domain: feline sentences; base pool: felines + finance.
+    // A held-out feline doc must out-weight a held-out finance doc —
+    // that separation IS the DSIR selection signal.
+    val target = Seq(
+      (100L, "the cat sat on the mat", "t"),
+      (101L, "the cat ate the fish", "t"),
+      (102L, "a cat sat on a rug", "t")
+    ).toDF("doc_id", "text", "source")
+    val pool = Seq(
+      (0L, "the cat sat on the rug", "p"),    // target-like
+      (1L, "market rates rose again today", "p") // off-domain
+    ).toDF("doc_id", "text", "source")
+    val base = pool.unionByName(target)
+    val got = TextAnalysis.dsirWeights(pool, target, base).collect()
+      .map { case Row(id: Long, n: Long, tb: Long, bb: Long, w: Long) => id -> ((n, tb, bb, w)) }
+      .toMap
+    assert(got(0L)._4 > got(1L)._4,
+      s"feline doc should out-weight finance doc: $got")
+    // off-domain doc: every bigram unseen by the target LM, so its
+    // target surprisal can only exceed its base surprisal → weight < 0
+    assert(got(1L)._4 < 0L)
+  }
+
+  test("qualityCalibrated admits at least the top pct per source with boundary ties") {
+    val docs = Tables.documents(spark, Sf0001)
+    val got = TextAnalysis.qualityCalibrated(docs).collect()
+    val bySrc = got.groupBy(_.getString(1))
+    for ((src, rows) <- bySrc) {
+      val n = rows.length
+      val k = (n * TextAnalysis.QualityCalibratedTopPct + 99) / 100
+      val thr = rows.head.getLong(3)
+      val kept = rows.filter(_.getBoolean(4))
+      assert(kept.length >= k, s"$src kept ${kept.length} < k=$k")
+      // threshold is the k-th largest score: fewer than k docs STRICTLY above it
+      assert(rows.count(_.getLong(2) > thr) < k, s"$src threshold too low")
+      // keep == score >= threshold, for every doc
+      assert(rows.forall(r => r.getBoolean(4) === (r.getLong(2) >= thr)))
+    }
+  }
+
+  test("vocabGrowth is monotone and lands exactly on the corpus vocabulary") {
+    val docs = Tables.documents(spark, Sf0001)
+    val got = TextAnalysis.vocabGrowth(docs).collect()
+    val vocab = docs
+      .select(explode(split(TextFunctions.normText(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .agg(countDistinct(col("tok"))).head.getLong(0)
+    val tot = docs
+      .select(explode(split(TextFunctions.normText(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0).count()
+    assert(got.last.getLong(3) === vocab, "final cum_vocab must equal distinct tokens")
+    assert(got.last.getLong(2) === tot, "final cum_tokens must equal total occurrences")
+    val vs = got.map(_.getLong(3)).toSeq
+    assert(vs === vs.sorted, "cum_vocab must be nondecreasing")
+  }
+
+  test("shingleNovelty: verbatim copies score 0, unique text scores 1000") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon", "s0"),
+      (1L, "alpha beta gamma delta epsilon", "s0"), // exact copy of 0
+      (2L, "one two three four five six", "s1")     // fully novel
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.shingleNovelty(docs).collect()
+      .map { case Row(id: Long, n: Long, sh: Long, nov: Long) => id -> ((n, sh, nov)) }.toMap
+    assert(got(0L) === ((3L, 3L, 0L)))   // 3 shingles, all shared with doc 1
+    assert(got(1L) === ((3L, 3L, 0L)))
+    assert(got(2L) === ((4L, 0L, 1000L)))
+  }
+
   test("normStats reports exact rounded min/max norms per sign bucket") {
     val vecs = Seq(
       (0L, Array(3f, 4f) ++ Array.fill(6)(0f)),   // norm 5, bucket bits 1,1 → 3

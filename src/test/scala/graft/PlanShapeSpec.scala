@@ -85,6 +85,8 @@ class PlanShapeSpec extends SparkSpec {
       "token_rarity_against" -> "1-row reference-total broadcast",
       "lm_bigram_surprisal" -> "1-row vocabulary-size broadcast",
       "lm_surprisal_against" -> "1-row vocabulary-size broadcast",
+      "dsir_weights" -> "two 1-row vocabulary-size broadcasts (target + base LM)",
+      "dsir_sample" -> "two 1-row vocabulary-size broadcasts (target + base LM)",
       "order_value_percentiles" -> "20 percentile targets broadcast",
       "order_value_percentiles_approx" -> "20 percentile targets broadcast",
       "order_value_percentiles_approx_check" ->
