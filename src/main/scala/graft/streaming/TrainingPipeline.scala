@@ -111,6 +111,16 @@ object TrainingPipeline {
     * (< 2 tokens) ride through (the quality gate owns degenerate docs),
     * and the model relations are broadcast static sides — no stream
     * state. */
+  /** With `dsirGate = Some((targetLmName, baseLmName, minDsirMilli))`,
+    * each batch is DSIR-scored ([[graft.operators.TextAnalysis.dsirWeightsAgainst]])
+    * against TWO persisted bigram LMs — a target-domain model and a
+    * raw-pool baseline — and docs whose importance weight (milli-bits
+    * per bigram of base-minus-target surprisal) falls below
+    * `minDsirMilli` are dropped: the rarity and perplexity gates ask "is
+    * this fluent text", this one asks "is it the KIND of text we want
+    * more of". Same contracts as the other two gates: pre-redaction
+    * text is scored, docs with < 2 tokens ride through to the quality
+    * gate, both models are broadcast static sides — no stream state. */
   /** With `compactEvery = Some(n)` (requires `maintainIndexName`), the
     * sink runs [[graft.operators.Dedup.compactDedupIndex]] on the
     * maintained index after every n-th micro-batch's append — the
@@ -143,6 +153,7 @@ object TrainingPipeline {
             maintainIndexName: Option[String] = None,
             rarityGate: Option[(String, Long)] = None,
             lmGate: Option[(String, Long)] = None,
+            dsirGate: Option[(String, String, Long)] = None,
             compactEvery: Option[Int] = None): StreamingQuery = {
     require(compactEvery.isEmpty || maintainIndexName.isDefined,
       "compactEvery compacts the maintained index — set maintainIndexName too")
@@ -187,7 +198,7 @@ object TrainingPipeline {
               .filter(col("mean_prob_ppm").isNull || col("mean_prob_ppm") >= minMeanPpm)
               .drop("mean_prob_ppm")
           }
-          val admitted = lmGate.fold(rarityOk) { case (lmName, maxMilliBits) =>
+          val lmOk = lmGate.fold(rarityOk) { case (lmName, maxMilliBits) =>
             val (bgT, prevT, metaT) = TextAnalysis.loadBigramLm(batch.sparkSession, lmName)
             val scores = TextAnalysis.bigramSurprisalAgainst(original, bgT, prevT, metaT)
               .select(col("doc_id"), col("bits_per_bigram_milli"))
@@ -197,6 +208,16 @@ object TrainingPipeline {
               .filter(col("bits_per_bigram_milli").isNull ||
                 col("bits_per_bigram_milli") <= maxMilliBits)
               .drop("bits_per_bigram_milli")
+          }
+          val admitted = dsirGate.fold(lmOk) { case (tName, bName, minDsirMilli) =>
+            val scores = TextAnalysis.dsirWeightsAgainst(original,
+              TextAnalysis.loadBigramLm(batch.sparkSession, tName),
+              TextAnalysis.loadBigramLm(batch.sparkSession, bName))
+              .select(col("doc_id"), col("dsir_milli"))
+            // same LEFT-join ride-through for docs with nothing to score
+            lmOk.join(scores, Seq("doc_id"), "left_outer")
+              .filter(col("dsir_milli").isNull || col("dsir_milli") >= minDsirMilli)
+              .drop("dsir_milli")
           }
           graft.sources.FileFormats.writeTrainingShards(
             admitted, s"$outDir/batch_id=$batchId", budget)

@@ -737,6 +737,51 @@ class StreamingSpec extends SparkSpec {
       "the token-salad doc must fail the LM gate while the fluent doc passes every gate")
   }
 
+  test("TrainingPipeline DSIR gate keeps target-domain docs the fluency gates can't distinguish") {
+    import graft.operators.TextAnalysis
+    import graft.streaming.TrainingPipeline
+    // two EQUALLY fluent domains — a perplexity gate can't separate
+    // them; only the importance weight (target-vs-base surprisal
+    // difference) says which one the pipeline wants MORE of
+    val feline = "the cat sat on the mat and the cat ate the fish"
+    val finance = "the bank set the rate and the fund held the bond"
+    val targetRef = Seq.tabulate(10)(i => (i.toLong, feline, "t")).toDF("doc_id", "text", "source")
+    val baseRef = Seq.tabulate(10)(i => (i.toLong, if (i % 2 == 0) feline else finance, "b"))
+      .toDF("doc_id", "text", "source")
+    TextAnalysis.saveBigramLm(targetRef, "dsir_t")
+    TextAnalysis.saveBigramLm(baseRef, "dsir_b")
+    // batch-side separation check, then gate at the midpoint — the spec
+    // pins the two domains apart, not a magic constant
+    val w = TextAnalysis.dsirWeightsAgainst(
+      Seq((1L, feline, "s1"), (2L, finance, "s1")).toDF("doc_id", "text", "source"),
+      TextAnalysis.loadBigramLm(spark, "dsir_t"),
+      TextAnalysis.loadBigramLm(spark, "dsir_b")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dsir_milli")).toMap
+    assert(w(1L) > w(2L), s"feline doc must out-weight finance doc (got $w)")
+    val thr = (w(1L) + w(2L)) / 2
+    val inDir = java.nio.file.Files.createTempDirectory("graft-dsir-in").toString
+    val cpDir = java.nio.file.Files.createTempDirectory("graft-dsir-cp").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-dsir-out").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(inDir, "in.jsonl"),
+      Seq(
+        s"""{"doc_id": 1, "text": "$feline", "source": "s1", "ts_sec": $w0}""",
+        s"""{"doc_id": 2, "text": "$finance", "source": "s1", "ts_sec": ${w0 + 1}}"""
+      ).mkString("", "\n", "\n"))
+    val docs = spark.readStream
+      .schema("doc_id BIGINT, text STRING, source STRING, ts_sec BIGINT")
+      .json(inDir)
+      .select(col("doc_id"), col("text"), col("source"),
+        timestamp_seconds(col("ts_sec")).as("ts"))
+    val emptyIndex = Seq.empty[Tuple1[String]].toDF("fp")
+    TrainingPipeline.start(docs, emptyIndex, outDir, cpDir,
+      dsirGate = Some(("dsir_t", "dsir_b", thr))).awaitTermination()
+    val admitted = new java.io.File(outDir).listFiles().filter(_.isDirectory).toSeq
+      .flatMap(d => try spark.read.parquet(d.getPath).collect() catch { case _: Throwable => Nil })
+      .map(_.getAs[Long]("doc_id"))
+    assert(admitted === Seq(1L),
+      "the off-domain doc must fail the DSIR gate while the target-domain doc is admitted")
+  }
+
   test("batch and streaming agree on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val events = Tables.events(spark, Sf0001)
