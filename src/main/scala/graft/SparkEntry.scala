@@ -121,6 +121,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "cross_source_dup_matrix" -> ((s, d) => Dedup.crossSourceDupMatrix(Tables.documents(s, d))),
+    // quality-ranked canonical per near-dup family (keep the cleanest
+    // copy, not the first-ingested one)
+    "dedup_keep_best" -> ((s, d) => Dedup.keepBestPerCluster(Tables.documents(s, d))),
+    // bloom first-stage acceptance gate: exact counts + machine-checked
+    // no-false-negative / fp-rate booleans (bound-gate oracle pattern)
+    "dedup_bloom_check" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.bloomCheck(docs.filter("doc_id % 2 = 1"), docs.filter("doc_id % 2 = 0"))
+    }),
     "minhash_band_stats" -> ((s, d) => Dedup.minhashBandStats(Tables.documents(s, d))),
     "simhash_band_stats" -> ((s, d) => Dedup.simhashBandStats(Tables.documents(s, d))),
     "benchmark_contamination" -> ((s, d) => Dedup.benchmarkContamination(Tables.documents(s, d))),
@@ -165,6 +174,12 @@ object SparkEntry {
     // row_number) so no source ever lands whole on one reducer
     "source_cap_sample" -> ((s, d) => TextAnalysis.sourceCap(Tables.documents(s, d))),
     "train_test_split" -> ((s, d) => TextAnalysis.trainTestSplit(Tables.documents(s, d))),
+    // cluster-keyed holdout: near-dup families never straddle the
+    // train/test fence (the naive per-doc hash leaks near-dups across it)
+    "leakage_safe_split" -> ((s, d) => TextAnalysis.leakageSafeSplit(Tables.documents(s, d))),
+    // fixed-token-window chunking with stride — the doc → context-window
+    // training-row transform; emits chunk fingerprints for chunk-level dedup
+    "chunk_documents" -> ((s, d) => TextAnalysis.chunkDocuments(Tables.documents(s, d))),
     "pack_shards" -> ((s, d) => TextAnalysis.packShards(Tables.documents(s, d))),
     // deterministic hash-keyed training-order shuffle (epoch-salted)
     "train_order_shuffle" -> ((s, d) => TextAnalysis.trainOrderShuffle(Tables.documents(s, d))),
@@ -425,6 +440,64 @@ object SparkEntry {
        |SELECT doc_id, CAST(min(lbl) AS BIGINT) AS cluster_rep
        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Mirrors TextAnalysis.leakageSafeSplit: the recursive-CTE components
+    * give each doc its cluster rep; the split bucket is the same salted
+    * 4-nibble md5 arithmetic as the trainTestSplit oracle, keyed by
+    * coalesce(rep, doc_id). */
+  private def leakageSafeSplitOracle: String = {
+    def nib(m: String, i: Int) = s"(strpos('0123456789abcdef', substr($m, $i, 1)) - 1)"
+    def hb(m: String) = s"(${nib(m, 1)}*4096 + ${nib(m, 2)}*256 + ${nib(m, 3)}*16 + ${nib(m, 4)}) % 100"
+    s"""WITH RECURSIVE pairs AS ($minhashOracle),
+       |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(rdoc, lbl) AS (
+       |  SELECT DISTINCT s, s FROM edges
+       |  UNION
+       |  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.rdoc),
+       |mem AS (SELECT rdoc AS doc_id, min(lbl) AS rep FROM reach GROUP BY rdoc),
+       |k AS (SELECT d.doc_id, d.source, d.text, m.rep,
+       |        coalesce(m.rep, d.doc_id) AS skey
+       |      FROM documents d LEFT JOIN mem m ON d.doc_id = m.doc_id),
+       |h AS (SELECT source, text, rep,
+       |        md5('split:' || CAST(skey AS VARCHAR)) AS mh,
+       |        md5('split:' || CAST(doc_id AS VARCHAR)) AS mn FROM k),
+       |b AS (SELECT source, text, rep, ${hb("mh")} AS hb, ${hb("mn")} AS nb FROM h),
+       |a AS (SELECT source, text, rep,
+       |        CASE WHEN hb < ${TextAnalysis.TestPct} THEN 'test'
+       |             WHEN hb < ${TextAnalysis.TestPct + TextAnalysis.ValidPct} THEN 'valid'
+       |             ELSE 'train' END AS split,
+       |        CASE WHEN nb < ${TextAnalysis.TestPct} THEN 'test'
+       |             WHEN nb < ${TextAnalysis.TestPct + TextAnalysis.ValidPct} THEN 'valid'
+       |             ELSE 'train' END AS naive_split FROM b)
+       |SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS total_tokens,
+       |  CAST(sum(CASE WHEN rep IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered,
+       |  CAST(sum(CASE WHEN rep IS NOT NULL AND split != naive_split THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+       |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Mirrors Dedup.keepBestPerCluster: components → per-family
+    * quality-ranked row_number (same rounded-double quality expression
+    * as the curation oracle, ties by doc_id). */
+  private def dedupKeepBestOracle: String =
+    s"""WITH RECURSIVE pairs AS ($minhashOracle),
+       |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(rdoc, lbl) AS (
+       |  SELECT DISTINCT s, s FROM edges
+       |  UNION
+       |  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.rdoc),
+       |mem AS (SELECT rdoc AS doc_id, min(lbl) AS rep FROM reach GROUP BY rdoc),
+       |sc AS (SELECT m.rep AS cluster_rep, d.doc_id, $QualityScoreSql AS q
+       |       FROM mem m JOIN documents d ON m.doc_id = d.doc_id),
+       |rw AS (SELECT cluster_rep, doc_id, q,
+       |        row_number() OVER (PARTITION BY cluster_rep ORDER BY q DESC, doc_id) AS rk,
+       |        count(*) OVER (PARTITION BY cluster_rep) AS nm FROM sc)
+       |SELECT CAST(cluster_rep AS BIGINT) AS cluster_rep,
+       |  CAST(doc_id AS BIGINT) AS kept_doc, q AS kept_quality,
+       |  CAST(nm AS BIGINT) AS n_members
+       |FROM rw WHERE rk = 1 ORDER BY cluster_rep""".stripMargin
+
   private def ngramJaccardOracle: String =
     s"""WITH $ShingleCte,
        |shr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_g AS na, b.n_g AS nb, count(*) AS shared
@@ -632,6 +705,36 @@ object SparkEntry {
        |  CAST(min(doc_id) AS BIGINT) AS first_doc,
        |  CAST(max(doc_id) AS BIGINT) AS last_doc
        |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** Mirrors TextAnalysis.chunkDocuments: same \S+ tokenizer, same
+    * width/stride window arithmetic (DuckDB list_slice end is inclusive;
+    * Spark slice takes a length — i·stride+width ≡ start+width−1+1). */
+  private def chunkDocumentsOracle: String = {
+    val (w, st) = (TextAnalysis.ChunkWidth, TextAnalysis.ChunkStride)
+    s"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents),
+       |nn AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+       |c AS (SELECT doc_id, toks, n,
+       |        unnest(generate_series(0, (n - 1) // $st)) AS i FROM nn),
+       |sl AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       |        list_slice(toks, i * $st + 1, i * $st + $w) AS ct FROM c)
+       |SELECT doc_id, chunk_id, CAST(len(ct) AS BIGINT) AS n_chunk_tokens,
+       |  md5(array_to_string(ct, ' ')) AS chunk_fp
+       |FROM sl ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
+  /** Mirrors Dedup.bloomCheck's exact side; the two booleans are pinned
+    * TRUE — the bloom acceptance bounds the Spark side must meet (the
+    * same bound-gate oracle pattern as the HLL/KLL _check queries). */
+  private def bloomCheckOracle: String =
+    s"""WITH f AS (SELECT doc_id,
+       |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp FROM documents),
+       |exf AS (SELECT DISTINCT fp FROM f WHERE doc_id % 2 = 0),
+       |nw AS (SELECT doc_id, fp IN (SELECT fp FROM exf) AS is_dup FROM f WHERE doc_id % 2 = 1)
+       |SELECT CAST(count(*) AS BIGINT) AS n_new,
+       |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_exact,
+       |  CAST(sum(CASE WHEN is_dup THEN 0 ELSE 1 END) AS BIGINT) AS n_clean,
+       |  TRUE AS no_false_negatives, TRUE AS fp_rate_ok
+       |FROM nw""".stripMargin
 
   private def dedupRateBySourceOracle: String =
     """WITH f AS (SELECT source,
@@ -1272,6 +1375,10 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "corpus_sample_stratified" -> stratifiedSampleOracle,
     "train_test_split" -> trainTestSplitOracle,
+    "leakage_safe_split" -> leakageSafeSplitOracle,
+    "chunk_documents" -> chunkDocumentsOracle,
+    "dedup_keep_best" -> dedupKeepBestOracle,
+    "dedup_bloom_check" -> bloomCheckOracle,
     "pack_shards" -> packShardsOracle,
     // the md5 hex string is identical across engines; the bucket is its
     // 2-char prefix and positions rank (key, doc_id) within the bucket

@@ -12,16 +12,30 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright (PARQUET_TYPE_ILLEGAL). Read it as a raw
-    * nanos long (legacy nanosAsLong), then integer-divide to micros —
-    * `DIV 1000`, NOT double division, which would lose precision on
-    * ~1.7e18 nanosecond epochs — and expose a proper TimestampType `ts`. */
+  /** `events.ts` has shipped in two physical forms across testdata
+    * generations, so the loader adapts by the SCHEMA IT READS, not by
+    * assumption — every downstream operator sees one logical contract:
+    * `ts` as session-zone TimestampType (all entrypoints pin the session
+    * to UTC).
+    *
+    *  - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it
+    *    (PARQUET_TYPE_ILLEGAL) unless read as a raw nanos long (legacy
+    *    nanosAsLong), then integer-divided to micros — `DIV 1000`, NOT
+    *    double division, which loses precision on ~1.7e18 ns epochs.
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+    *    TIMESTAMP_NTZ; cast to TimestampType — under the UTC session the
+    *    wall-clock reading IS the instant, bit-identical to the nanos
+    *    path on the same data. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val df = load(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "orders")

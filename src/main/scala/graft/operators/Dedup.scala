@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.functions.TextFunctions.normText
+import graft.functions.TextFunctions.{normText, qualityScore}
 
 /** Deduplication operators for a large-scale training-data pipeline:
   * exact, MinHash+LSH, SimHash, n-gram Jaccard, edit-distance, and
@@ -929,6 +929,123 @@ object Dedup {
       .join(edges.select(col("hi").as("doc_id"), col("lo").as("rep")), Seq("doc_id"), "left_outer")
       .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
       .orderBy("doc_id")
+  }
+
+  /** Quality-ranked canonical selection per near-dup cluster — the
+    * keep-policy upgrade over min-doc_id: within each near-dup family
+    * ([[dedupClusters]] components) keep the member with the HIGHEST
+    * [[TextFunctions.qualityScore]] (ties broken by lowest doc_id, so
+    * the choice is total and engine-portable). Min-id keeps whichever
+    * copy happened to be ingested first; a curation pass wants the
+    * cleanest copy — the boilerplate-wrapped or truncated variants are
+    * the ones to drop. Emits one row per multi-member family: the
+    * representative, the kept doc, its quality, and the family size.
+    *
+    * Scale: the window partitions by cluster_rep, so partition width is
+    * the near-dup family size (bounded by the LSH candidate cap upstream,
+    * never corpus-shaped); the join against the cluster map is the same
+    * doc_id equi-join as [[dedupClusters]]'s consumers. Quality is a
+    * scan-side column — no extra pass over the text. */
+  def keepBestPerCluster(documents: DataFrame): DataFrame = {
+    val members = dedupClusters(documents)
+      .select(col("doc_id"), col("cluster_rep"))
+    val scored = documents
+      .select(col("doc_id"), qualityScore(col("text")).as("q"))
+      .join(members, Seq("doc_id"))
+    val byBest = Window.partitionBy(col("cluster_rep"))
+      .orderBy(col("q").desc, col("doc_id").asc)
+    val family = Window.partitionBy(col("cluster_rep"))
+    scored
+      .withColumn("rk", row_number().over(byBest))
+      .withColumn("n_members", count(lit(1)).over(family))
+      .filter(col("rk") === 1)
+      .select(col("cluster_rep"), col("doc_id").as("kept_doc"),
+        col("q").as("kept_quality"), col("n_members").cast("long").as("n_members"))
+      .orderBy("cluster_rep")
+  }
+
+  /** Bloom-filter first-stage for incremental exact dedup, with its
+    * acceptance check. The persisted fp-table anti-join
+    * ([[incrementalDedup]]) prices every new doc at one bucketed-join
+    * probe; a Bloom filter over the index's fingerprints prices it at a
+    * map-side bit probe — the right first stage when the batch is small
+    * and the index is remote: definite-clean docs (bloom miss)
+    * short-circuit without touching the index at all, and only bloom
+    * HITS
+    * (true dups + the fp-rate's false positives) proceed to the exact
+    * join. No false negatives by construction (Bloom never misses an
+    * inserted element), so the composition is result-identical to the
+    * plain anti-join — DedupSpec pins that equality.
+    *
+    * Sizing: bits ≈ −n·ln(fpp)/ln(2)² — 1e9 fingerprints at 1% fpp is
+    * ≈1.2 GB, the broadcast ceiling; beyond that, shard the filter by
+    * fp prefix and probe the matching shard (same plan, partitioned
+    * artifact), or raise fpp — every false positive only costs one
+    * probe of the exact path, never a wrong answer.
+    *
+    * [[bloomCheck]] is the oracle-checkable acceptance surface (the same
+    * bound-gate pattern as the HLL/KLL sketch checks): one row with the
+    * exact dup/clean counts plus two machine-checked booleans —
+    * `no_false_negatives` (every exact dup was a bloom hit; MUST be
+    * true) and `fp_rate_ok` (observed false-positive count ≤ 3× the
+    * configured fpp over the clean population, with a small-count
+    * floor). The DuckDB oracle recomputes the exact counts and pins both
+    * booleans TRUE, so a broken filter breaks the hash. The builder's
+    * two driver actions (fp count + filter build) produce a model-sized
+    * artifact — bits, not corpus. */
+  val BloomFpp = 0.01
+
+  def bloomFingerprintFilter(existing: DataFrame): org.apache.spark.util.sketch.BloomFilter = {
+    val exFp = existing.select(fingerprintCol(col("text")).as("fp"))
+    exFp.stat.bloomFilter("fp", math.max(exFp.count(), 1L), BloomFpp)
+  }
+
+  private def fingerprintCol(text: Column): Column = md5(normText(text))
+
+  def bloomCheck(newDocs: DataFrame, existing: DataFrame): DataFrame = {
+    val spark = newDocs.sparkSession
+    val bf = spark.sparkContext.broadcast(bloomFingerprintFilter(existing))
+    val bloomHit = udf((fp: String) => bf.value.mightContainString(fp))
+    val exFps = existing.select(fingerprintCol(col("text")).as("fp")).distinct()
+    val probed = newDocs
+      .select(col("doc_id"), fingerprintCol(col("text")).as("fp"))
+      .withColumn("bloom_hit", bloomHit(col("fp")))
+      .join(exFps.withColumn("is_dup", lit(true)), Seq("fp"), "left_outer")
+      .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
+    probed
+      .agg(
+        count(lit(1)).as("n_new"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_exact"),
+        sum(when(!col("is_dup"), 1L).otherwise(0L)).as("n_clean"),
+        sum(when(col("is_dup") && !col("bloom_hit"), 1L).otherwise(0L)).as("missed"),
+        sum(when(!col("is_dup") && col("bloom_hit"), 1L).otherwise(0L)).as("false_pos"))
+      .select(
+        col("n_new").cast("long").as("n_new"),
+        col("n_dup_exact").cast("long").as("n_dup_exact"),
+        col("n_clean").cast("long").as("n_clean"),
+        (col("missed") === 0L).as("no_false_negatives"),
+        // 3× the configured fpp, integer arithmetic, floored at 20 false
+        // positives so tiny clean populations can't flake the gate
+        (col("false_pos") * 100 <= greatest(lit(2000L), col("n_clean") * 3))
+          .as("fp_rate_ok"))
+  }
+
+  /** The composition [[bloomCheck]] certifies: definite-clean docs skip
+    * the index entirely; bloom hits go through the exact anti-join.
+    * Result-identical to `newDocs` anti-joined against the index fps
+    * (spec-pinned), cheaper whenever the miss rate is high — the steady
+    * state of a crawl frontier, where most arrivals are novel. */
+  def bloomedExactDedup(newDocs: DataFrame, existing: DataFrame): DataFrame = {
+    val spark = newDocs.sparkSession
+    val bf = spark.sparkContext.broadcast(bloomFingerprintFilter(existing))
+    val bloomHit = udf((fp: String) => bf.value.mightContainString(fp))
+    val probed = newDocs.withColumn("fp", fingerprintCol(col("text")))
+      .withColumn("bloom_hit", bloomHit(col("fp")))
+    val definiteClean = probed.filter(!col("bloom_hit"))
+    val candidates = probed.filter(col("bloom_hit"))
+      .join(existing.select(fingerprintCol(col("text")).as("fp")),
+        Seq("fp"), "left_anti")
+    definiteClean.unionByName(candidates).drop("fp", "bloom_hit")
   }
 
   /** Sign-LSH banding for the embedding near-dup: `EmbBands` bands of

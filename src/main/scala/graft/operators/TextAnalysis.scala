@@ -376,6 +376,19 @@ object TextAnalysis {
   val TestPct = 10
   val ValidPct = 10
 
+  /** Salted md5 hash bucket in [0, 100) over an arbitrary key column —
+    * the one split-assignment primitive both [[splitAssign]] (keyed by
+    * doc_id) and [[leakageSafeSplit]] (keyed by near-dup cluster rep)
+    * share, so the two splits agree wherever leakage lets them. */
+  private[graft] def splitBucket(key: Column): Column =
+    conv(substring(md5(concat_ws(":", lit("split"), key)), 1, 4), 16, 10)
+      .cast("long") % 100
+
+  private[graft] def splitOf(bucket: Column): Column =
+    when(bucket < TestPct, lit("test"))
+      .when(bucket < TestPct + ValidPct, lit("valid"))
+      .otherwise(lit("train"))
+
   /** Deterministic train/valid/test assignment — the holdout-discipline
     * operator of a training-data pipeline: each doc's split is an md5 hash
     * bucket of a salted doc_id, so the assignment is reproducible across
@@ -386,13 +399,8 @@ object TextAnalysis {
     * bias. Pure map: pushes to the scan, no shuffle, any scale. */
   def splitAssign(documents: DataFrame): DataFrame =
     documents
-      .withColumn("hb",
-        conv(substring(md5(concat_ws(":", lit("split"), col("doc_id"))), 1, 4), 16, 10)
-          .cast("long") % 100)
-      .withColumn("split",
-        when(col("hb") < TestPct, lit("test"))
-          .when(col("hb") < TestPct + ValidPct, lit("valid"))
-          .otherwise(lit("train")))
+      .withColumn("hb", splitBucket(col("doc_id")))
+      .withColumn("split", splitOf(col("hb")))
 
   /** Per-(split, source) roll-up of [[splitAssign]]: doc and token volumes
     * per holdout cell — the table a pipeline checks before training to
@@ -406,6 +414,96 @@ object TextAnalysis {
       .select(col("split"), col("source"),
         col("n_docs").cast("long").as("n_docs"), col("total_tokens"))
       .orderBy("split", "source")
+
+  /** Leakage-safe holdout: [[splitAssign]] hashes each doc independently,
+    * so two NEAR-DUPLICATE docs can land on opposite sides of the
+    * train/test fence — the eval set then scores memorization, not
+    * generalization (the classic train-test contamination failure that
+    * benchmark decontamination papers warn about, here applied to the
+    * corpus's own holdout). This variant keys the hash bucket by the
+    * doc's near-dup CLUSTER REPRESENTATIVE ([[Dedup.dedupClusters]] —
+    * MinHash pair graph → large-star/small-star components), so an entire
+    * near-dup family always shares one split; singleton docs key by their
+    * own doc_id, which makes this split IDENTICAL to [[splitAssign]]'s
+    * everywhere leakage permits (same salt, same buckets — only clustered
+    * docs can move).
+    *
+    * Output is the per-(split, source) audit roll-up: doc/token volumes
+    * plus `n_clustered` (docs that belong to any near-dup family) and
+    * `n_moved` (clustered docs whose naive per-doc split differs from
+    * their family's split — the volume of holdout leakage the naive
+    * assignment would have shipped).
+    *
+    * Scale: the cluster map is |paired docs| rows of two longs — orders
+    * of magnitude smaller than the corpus (near-dup families are sparse);
+    * the join is an equi-join on doc_id that AQE broadcasts while the map
+    * fits and shuffles 16-byte keys beyond that. The hash/bucket/roll-up
+    * is the same scan-shaped arithmetic as [[trainTestSplit]]. */
+  def leakageSafeSplit(documents: DataFrame): DataFrame = {
+    val members = Dedup.dedupClusters(documents)
+      .select(col("doc_id"), col("cluster_rep"))
+    documents
+      .select(col("doc_id"), col("source"), col("text"))
+      .join(members, Seq("doc_id"), "left_outer")
+      .withColumn("split", splitOf(splitBucket(coalesce(col("cluster_rep"), col("doc_id")))))
+      .withColumn("naive_split", splitOf(splitBucket(col("doc_id"))))
+      .groupBy(col("split"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text"))).cast("long").as("total_tokens"),
+        sum(when(col("cluster_rep").isNotNull, 1L).otherwise(0L)).as("n_clustered"),
+        sum(when(col("cluster_rep").isNotNull && col("split") =!= col("naive_split"), 1L)
+          .otherwise(0L)).as("n_moved"))
+      .select(col("split"), col("source"),
+        col("n_docs").cast("long").as("n_docs"), col("total_tokens"),
+        col("n_clustered").cast("long").as("n_clustered"),
+        col("n_moved").cast("long").as("n_moved"))
+      .orderBy("split", "source")
+  }
+
+  /** Context-window chunking for [[chunkDocuments]]: window width and
+    * stride in whitespace tokens (width > stride ⇒ adjacent chunks
+    * overlap by width − stride tokens, the standard training-prep shape
+    * so no span is ever split across a window boundary unseen). Shared
+    * with the oracle SQL generator so both engines cut identically. */
+  val ChunkWidth  = 64
+  val ChunkStride = 48
+
+  /** Fixed-token-window chunking with stride — the operator that turns
+    * variable-length documents into model-context-sized training rows
+    * (every LLM data pipeline runs this between curation and shard
+    * packing). Chunk i of a doc covers tokens [i·stride, i·stride+width)
+    * of the doc's \S+ token sequence (same tokenizer as
+    * [[TextFunctions.tokenCount]]); chunks start while i·stride < n, so
+    * the tail chunk may be short but no token is dropped. Emits the chunk
+    * fingerprint (md5 of the space-joined window) rather than the window
+    * text — chunk-level exact dedup composes directly ([[Dedup.exact]]
+    * over the fingerprints finds cross-doc recycled windows).
+    *
+    * Scale: pure per-row explode — tokenize, `sequence` over the chunk
+    * count, `slice` per chunk — all codegen'd builtins inside one
+    * whole-stage-codegen span, no shuffle (the orderBy is this query's
+    * oracle-hash determinism, not the operator's). Output rows ≈
+    * corpus_tokens / stride, the same order as the shard-packing input it
+    * feeds. */
+  def chunkDocuments(documents: DataFrame,
+                     width: Int = ChunkWidth,
+                     stride: Int = ChunkStride): DataFrame =
+    documents
+      .select(col("doc_id"),
+        regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .withColumn("chunk_id",
+        explode(sequence(lit(0), floor((col("n") - 1) / lit(stride)).cast("int"))))
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        size(slice(col("toks"), col("chunk_id") * stride + 1, lit(width)))
+          .cast("long").as("n_chunk_tokens"),
+        md5(array_join(slice(col("toks"), col("chunk_id") * stride + 1, lit(width)), " "))
+          .as("chunk_fp"))
+      .orderBy("doc_id", "chunk_id")
 
   /** Documents per doc-range block for [[packShards]]: bounds every
     * packing window partition, so no task ever buffers more than this many

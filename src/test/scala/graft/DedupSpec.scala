@@ -460,4 +460,64 @@ class DedupSpec extends SparkSpec {
     assert(empty.count() === 0L)
     assert(empty.columns.toSeq === Seq("vec_id", "dup_of", "cell", "cos_sim"))
   }
+
+  test("keepBestPerCluster keeps the max-quality member of every family (ties → min doc_id)") {
+    val docs = Tables.documents(spark, Sf0001)
+    val fams = docs.join(Dedup.dedupClusters(docs), Seq("doc_id"))
+      .select(col("cluster_rep"), col("doc_id"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(fams.nonEmpty) // the sf corpus plants near-dups; a dry fixture would vacuously pass
+    val best = fams.groupBy(_._1).map { case (rep, ms) =>
+      rep -> ms.maxBy(m => (m._3, -m._2))._2 // highest q; tie broken toward LOWER doc_id
+    }
+    val sizes = fams.groupBy(_._1).map { case (rep, ms) => rep -> ms.length.toLong }
+    val got = Dedup.keepBestPerCluster(docs).collect()
+      .map { case Row(rep: Long, kept: Long, _: Double, n: Long) => (rep, kept, n) }
+    assert(got.map(_._1).toSet === best.keySet)
+    got.foreach { case (rep, kept, n) =>
+      assert(kept === best(rep), s"family $rep kept $kept, brute force says ${best(rep)}")
+      assert(n === sizes(rep))
+    }
+  }
+
+  test("bloomedExactDedup is result-identical to the plain fingerprint anti-join") {
+    // sf corpus for volume (bloom sized over hundreds of fps) + planted
+    // cross-side dups so the gate provably has something to remove: odd
+    // ids 9001/9003 duplicate even-side texts (one via case/whitespace)
+    val docs = Tables.documents(spark, Sf0001)
+    val evenTexts = docs.filter("doc_id % 2 = 0").select("doc_id", "text", "source")
+    val t0 = evenTexts.orderBy("doc_id").limit(2).collect().map(_.getString(1))
+    val planted = Seq(
+      (9001L, t0(0), "s0"), (9003L, "  " + t0(1).toUpperCase + " ", "s0")
+    ).toDF("doc_id", "text", "source")
+    val nw = docs.filter("doc_id % 2 = 1").select("doc_id", "text", "source")
+      .unionByName(planted)
+    val ex = evenTexts
+    val viaBloom = Dedup.bloomedExactDedup(nw, ex)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val direct = nw
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+      .join(ex.select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp")).distinct(),
+        Seq("fp"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(viaBloom.toSeq === direct.toSeq)
+    assert(!viaBloom.contains(9001L) && !viaBloom.contains(9003L)) // the gate bites
+  }
+
+  test("bloomCheck: exact counts add up and both acceptance booleans hold") {
+    val docs = Tables.documents(spark, Sf0001)
+    val ex = docs.filter("doc_id % 2 = 0").select("doc_id", "text", "source")
+    val dupTexts = ex.orderBy("doc_id").limit(3).collect().map(_.getString(1))
+    val nw = docs.filter("doc_id % 2 = 1").select("doc_id", "text", "source")
+      .unionByName(dupTexts.zipWithIndex
+        .map { case (t, i) => (9100L + i, t, "s0") }.toSeq.toDF("doc_id", "text", "source"))
+    val r = Dedup.bloomCheck(nw, ex).collect().head
+    assert(r.getAs[Long]("n_new") === nw.count())
+    assert(r.getAs[Long]("n_new") ===
+      r.getAs[Long]("n_dup_exact") + r.getAs[Long]("n_clean"))
+    assert(r.getAs[Long]("n_dup_exact") >= 3L) // the planted dups are seen
+    assert(r.getAs[Boolean]("no_false_negatives"))
+    assert(r.getAs[Boolean]("fp_rate_ok"))
+  }
 }

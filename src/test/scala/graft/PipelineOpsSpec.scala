@@ -568,4 +568,58 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(255L) === ((2L, 5.0, 10.0))) // zeros count as >= 0 sign bits
     assert(got(254L) === ((1L, 2.2361, 2.2361)))
   }
+
+  test("chunkDocuments: window starts/sizes follow width+stride; fp is md5 of the window") {
+    val toks150 = (1 to 150).map(i => s"t$i")
+    val docs = Seq(
+      (0L, toks150.mkString(" "), "s0"),
+      (1L, "one two three", "s0"),  // shorter than one window → a single short chunk
+      (2L, "", "s0"),               // empty → no chunks
+      (3L, "   \t  ", "s0")         // whitespace-only → no chunks
+    ).toDF("doc_id", "text", "source")
+    val chunks = TextAnalysis.chunkDocuments(docs).collect()
+      .map { case Row(d: Long, c: Long, n: Long, fp: String) => (d, c, n, fp) }
+    val byDoc = chunks.groupBy(_._1)
+    assert(!byDoc.contains(2L) && !byDoc.contains(3L))
+    assert(byDoc(1L).map(x => (x._2, x._3)).toSeq === Seq((0L, 3L)))
+    // 150 tokens, stride 48, width 64 → starts 0/48/96/144, sizes 64/64/54/6;
+    // consecutive windows overlap by width − stride = 16 and no token is dropped
+    assert(byDoc(0L).sortBy(_._2).map(x => (x._2, x._3)).toSeq ===
+      Seq((0L, 64L), (1L, 64L), (2L, 54L), (3L, 6L)))
+    val w1 = toks150.slice(48, 112).mkString(" ")
+    val fp1 = java.security.MessageDigest.getInstance("MD5")
+      .digest(w1.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(byDoc(0L).find(_._2 == 1L).get._4 === fp1)
+  }
+
+  test("leakageSafeSplit: planted families move atomically to their rep's split") {
+    // 6 planted exact-dup pairs with disjoint vocabularies: each pair is
+    // one near-dup family {p·100, p·100+1}, rep = p·100
+    val docs = (0 until 6).flatMap { p =>
+      val txt = (1 to 12).map(i => s"w${p}x$i").mkString(" ")
+      Seq((p * 100L, txt, "s0"), (p * 100L + 1L, txt, "s0"))
+    }.toDF("doc_id", "text", "source")
+    Dedup.clearSessionState() // fixture corpus — don't let sf cluster maps collide
+    val roll = TextAnalysis.leakageSafeSplit(docs).collect()
+      .map { case Row(sp: String, _: String, n: Long, _: Long, cl: Long, mv: Long) =>
+        (sp, n, cl, mv) }
+    // the brute-force ground truth, recomputed with plain JVM md5
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(4), 16) % 100
+    }
+    def splitOf(b: Long) = if (b < TextAnalysis.TestPct) "test"
+      else if (b < TextAnalysis.TestPct + TextAnalysis.ValidPct) "valid" else "train"
+    // every member takes its REP's split; moved = members whose naive split differs
+    val expSplits = (0 until 6).flatMap { p =>
+      Seq(splitOf(bucket(p * 100L)), splitOf(bucket(p * 100L))) }
+    val expMoved = (0 until 6).map { p =>
+      if (splitOf(bucket(p * 100L + 1L)) != splitOf(bucket(p * 100L))) 1L else 0L }.sum
+    assert(roll.map(_._3).sum === 12L) // all docs are clustered in this fixture
+    assert(roll.map(_._4).sum === expMoved)
+    val expCounts = expSplits.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    roll.foreach { case (sp, n, _, _) => assert(n === expCounts.getOrElse(sp, -1L)) }
+    Dedup.clearSessionState() // leave no fixture-keyed cluster map behind
+  }
 }
