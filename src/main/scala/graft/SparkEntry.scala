@@ -147,6 +147,11 @@ object SparkEntry {
     // quantizer ann_ivf_topk searches with (same (corpus, nCells) model
     // key, so the oracle inlines one shared centroid table)
     "ivf_cell_stats" -> ((s, d) => Similarity.cellStats(Tables.embeddings(s, d))),
+    // IVF-PQ: coarse-cell probing + product-quantized ADC scoring +
+    // exact re-rank of the top-PqRefine candidates (32x memory compression)
+    "ann_ivfpq_topk" -> ((s, d) => Similarity.pqTopK(Tables.embeddings(s, d))),
+    // PQ codebook occupancy: dead-centroid / drift monitor per subspace
+    "pq_code_stats" -> ((s, d) => Similarity.pqCodeStats(Tables.embeddings(s, d))),
     "ann_bucket_stats" -> ((s, d) => Similarity.bucketStats(Tables.embeddings(s, d))),
     "embedding_norm_stats" -> ((s, d) => Similarity.normStats(Tables.embeddings(s, d))),
     // ---- text analysis ----
@@ -969,6 +974,103 @@ object SparkEntry {
       "dedup_semantic" -> semanticSql)
   }
 
+  /** ann_ivfpq_topk / pq_code_stats oracles, generated AFTER the queries
+    * have run (same post-run contract as [[annIvfOracleEntry]]): the
+    * session's coarse quantizer AND the 8×16×8 PQ codebooks are inlined,
+    * and the SQL replicates encoding (per-subspace argmin squared-L2,
+    * ties to the lowest code), the per-query ADC tables, the ordered-sum
+    * ADC score, the top-[[Similarity.PqRefine]] refine cut, and the
+    * exact-cosine re-rank bit-for-bit. Every floating-point sum is an
+    * ordered list_sum (never a SQL aggregate sum), so the accumulation
+    * order matches the codegen'd left-to-right chains. */
+  private def annPqOracleEntry: Map[String, String] = {
+    import graft.operators.Similarity.{PqSubspaces, PqSubDim, PqRefine}
+    val model = graft.operators.Similarity.lastQuantizer
+    val books = graft.operators.Similarity.lastPqBooks
+    if (model.isEmpty || books.isEmpty) return Map.empty
+    val dim = PqSubspaces * PqSubDim
+    val cells = model.indices.mkString("[", ", ", "]")
+    val cents = model
+      .map(_.map(f => s"'${f.toDouble}'::DOUBLE").mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+    val flat = for (m <- books.indices; j <- books(m).indices) yield (m, j, books(m)(j))
+    val ms = flat.map(_._1).mkString("[", ", ", "]")
+    val codes = flat.map(_._2).mkString("[", ", ", "]")
+    val subs = flat
+      .map(_._3.map(f => s"'${f.toDouble}'::DOUBLE").mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+    def dotEC(e: String, c: String) =
+      s"list_sum(list_transform(range($dim), i -> $e[i+1]::DOUBLE * $c[i+1]))"
+    def dotEE(e: String) =
+      s"list_sum(list_transform(range($dim), i -> $e[i+1]::DOUBLE * $e[i+1]::DOUBLE))"
+    def dotCC(c: String) =
+      s"list_sum(list_transform(range($dim), i -> $c[i+1] * $c[i+1]))"
+    val sqDiff = s"(e.embedding[p.m*$PqSubDim+d+1]::DOUBLE - p.sub[d+1])"
+    val shared =
+      s"""cents AS (SELECT unnest($cells) AS cell, unnest($cents) AS centroid),
+         |pq AS (SELECT unnest($ms) AS m, unnest($codes) AS code, unnest($subs) AS sub),
+         |emb AS (SELECT vec_id, embedding FROM embeddings WHERE len(embedding) = $dim),
+         |codesd AS (SELECT e.vec_id, p.m, p.code,
+         |    list_sum(list_transform(range($PqSubDim), d -> $sqDiff * $sqDiff)) AS dist
+         |  FROM emb e CROSS JOIN pq p),
+         |ecode AS (SELECT vec_id, m, code FROM (
+         |    SELECT vec_id, m, code,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS drk FROM codesd)
+         |  WHERE drk = 1)""".stripMargin
+    val sql =
+      s"""WITH $shared,
+         |asgs AS (SELECT e.vec_id, e.embedding, c.cell,
+         |    ${dotEC("e.embedding", "c.centroid")} / sqrt(${dotEE("e.embedding")} * ${dotCC("c.centroid")}) AS cs
+         |  FROM emb e CROSS JOIN cents c),
+         |asg AS (SELECT vec_id, embedding, cell FROM (
+         |    SELECT vec_id, embedding, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS ark FROM asgs)
+         |  WHERE ark = 1),
+         |prs AS (SELECT q.vec_id AS query_id, q.embedding AS qe, c.cell,
+         |    ${dotEC("q.embedding", "c.centroid")} / sqrt(${dotEE("q.embedding")} * ${dotCC("c.centroid")}) AS cd
+         |  FROM emb q CROSS JOIN cents c WHERE q.vec_id < 5),
+         |probes AS (SELECT query_id, qe, cell FROM (
+         |    SELECT query_id, qe, cell,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cd DESC, cell) AS prk FROM prs)
+         |  WHERE prk <= 2),
+         |qs AS (SELECT DISTINCT query_id, qe FROM probes),
+         |qtab AS (SELECT q.query_id, p.m, p.code,
+         |    list_sum(list_transform(range($PqSubDim), d -> q.qe[p.m*$PqSubDim+d+1]::DOUBLE * p.sub[d+1])) AS dot,
+         |    list_sum(list_transform(range($PqSubDim), d -> p.sub[d+1] * p.sub[d+1])) AS nsq
+         |  FROM qs q CROSS JOIN pq p),
+         |cand AS (SELECT p.query_id, a.vec_id
+         |  FROM probes p JOIN asg a ON a.cell = p.cell AND a.vec_id != p.query_id),
+         |adc AS (SELECT c.query_id, c.vec_id,
+         |    list_sum(list(t.dot ORDER BY t.m)) AS adcdot,
+         |    list_sum(list(t.nsq ORDER BY t.m)) AS adcn
+         |  FROM cand c JOIN ecode ec ON ec.vec_id = c.vec_id
+         |    JOIN qtab t ON t.query_id = c.query_id AND t.m = ec.m AND t.code = ec.code
+         |  GROUP BY 1, 2),
+         |ref AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY
+         |        CASE WHEN adcn > 0 THEN adcdot / sqrt(adcn) ELSE -2 END DESC, vec_id) AS rrk
+         |    FROM adc)
+         |  WHERE rrk <= $PqRefine),
+         |sx AS (SELECT r.query_id, r.vec_id AS neighbor_id,
+         |    list_sum(list_transform(range($dim), i -> q.qe[i+1]::DOUBLE * a.embedding[i+1]::DOUBLE)) AS dp,
+         |    ${dotEE("q.qe")} AS nq, ${dotEE("a.embedding")} AS nn
+         |  FROM ref r JOIN emb a ON a.vec_id = r.vec_id JOIN qs q ON q.query_id = r.query_id),
+         |rx AS (SELECT query_id, neighbor_id, dp / sqrt(nq * nn) AS cs,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dp / sqrt(nq * nn) DESC, neighbor_id) AS rank
+         |  FROM sx)
+         |SELECT query_id, neighbor_id, rank, round(cs, 4) AS cos_sim
+         |FROM rx WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    val statsSql =
+      s"""WITH $shared,
+         |g AS (SELECT CAST(m AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code,
+         |    CAST(count(*) AS BIGINT) AS n FROM ecode GROUP BY 1, 2),
+         |t AS (SELECT subspace, CAST(sum(n) AS BIGINT) AS total FROM g GROUP BY 1)
+         |SELECT g.subspace, g.code, g.n, CAST((g.n * 1000000) // t.total AS BIGINT) AS share_ppm
+         |FROM g JOIN t USING (subspace) ORDER BY 1, 2""".stripMargin
+    Map("ann_ivfpq_topk" -> sql, "pq_code_stats" -> statsSql)
+  }
+
   /** quality_classifier oracle, generated AFTER the query has run (same
     * post-run contract as [[annIvfOracleEntry]]): the fitted logistic
     * coefficients + intercept are inlined as '…'::DOUBLE literals, and
@@ -1542,5 +1644,5 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "image_meta_stub" -> imageMetaOracle,
     "media_feature_ann" -> mediaFeatureAnnOracle,
-  ) ++ annIvfOracleEntry ++ qualityModelOracleEntry
+  ) ++ annIvfOracleEntry ++ annPqOracleEntry ++ qualityModelOracleEntry
 }

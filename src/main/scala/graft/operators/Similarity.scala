@@ -259,6 +259,9 @@ object Similarity {
     ivfModelCache.clear()
     trainedKeys = Set.empty
     lastTrained = Array.empty
+    pqModelCache.clear()
+    pqTrainedKeys = Set.empty
+    lastPqTrained = Array.empty
   }
 
   /** The quantizer the session's IVF query searched with. Verify runs
@@ -520,6 +523,232 @@ object Similarity {
       .withColumn("cos_sim_raw", CosineSimilarity.cosineFast(col("qe"), col("embedding")))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim_raw"))
     topKPerQuery(scored, k)
+  }
+
+  // ------------------------------------------------------------------
+  // Product quantization (IVF-PQ): the memory side of billion-vector ANN
+  // ------------------------------------------------------------------
+
+  /** PQ geometry: `PqSubspaces` subvectors of `PqSubDim` dims each (8×8
+    * over the 64-dim embeddings), `PqCodes` centroids per subspace — one
+    * byte-sized code per subspace, so a vector compresses 64×4 B →
+    * `PqSubspaces` B (32×). At 100 TB of embeddings this is the
+    * difference between an index that fits in cluster memory and one
+    * that lives on disk: IVF prunes which vectors a query LOOKS AT,
+    * PQ shrinks what looking at a vector COSTS (a scan of 8-byte code
+    * rows, not 256-byte float rows; the full-precision vectors are only
+    * touched to re-rank the top `PqRefine` ADC candidates). */
+  val PqSubspaces = 8
+  val PqSubDim = 8
+  val PqCodes = 16
+
+  /** Exact re-ranks per query: the PQ quality dial. ADC ranks by a
+    * LOSSY score, so the refine cut must be generously wider than k —
+    * at 16-point codebooks over near-isotropic synthetic vectors the
+    * ADC ordering is noisy enough that an 8-wide cut measurably lost
+    * true top-3 neighbors (recall@3 0.53 on the sf corpus); 32 (≈10×k,
+    * the conventional IVF-PQ re-rank ratio) restores it while still
+    * touching a bounded full-precision row set. */
+  val PqRefine = 32
+
+  /** Trained PQ codebooks keyed by canonicalized corpus plan —
+    * `[subspace][code][dim]`, a 8×16×8-float model. Same caching/oracle
+    * discipline as the coarse quantizer ([[ivfModelCache]] /
+    * [[lastQuantizer]]): plan-object keys, and the oracle slot degrades
+    * to empty the moment two distinct corpora have trained books. */
+  private val pqModelCache =
+    TrieMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Array[Array[Array[Float]]]]()
+  @volatile private var lastPqTrained: Array[Array[Array[Float]]] = Array.empty
+  @volatile private var pqTrainedKeys: Set[Any] = Set.empty
+  def lastPqBooks: Array[Array[Array[Float]]] =
+    if (pqTrainedKeys.size > 1) Array.empty else lastPqTrained
+
+  /** Per-subspace Euclidean k-means on the driver over the same bounded
+    * deterministic sample as [[trainQuantizer]] (strided init, fixed
+    * iterations, sequential accumulation — a model-sized fit, not a
+    * corpus job). Euclidean, not spherical: PQ approximates the DOT
+    * CONTRIBUTION of each subvector, and squared-L2 reconstruction error
+    * is the standard (and here sufficient) codebook objective. */
+  private def trainPqBooks(embeddings: DataFrame): Array[Array[Array[Float]]] = {
+    val dim = PqSubspaces * PqSubDim
+    val sample: Array[Array[Double]] = embeddings
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull && size(col("embedding")) === dim)
+      .orderBy(col("vec_id")).limit(IvfTrainSample)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    if (sample.isEmpty) return Array.empty
+    val n = sample.length
+    val k = math.min(PqCodes, n)
+    Array.tabulate(PqSubspaces) { m =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, m * PqSubDim, (m + 1) * PqSubDim))
+      var cents = Array.tabulate(k)(i => sub(((i.toLong * n) / k).toInt).clone())
+      def nearest(v: Array[Double]): Int = {
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < cents.length) {
+          var d = 0.0; var j = 0
+          while (j < PqSubDim) { val t = v(j) - cents(c)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+      for (_ <- 0 until 10) {
+        val sums = Array.fill(k, PqSubDim)(0.0)
+        val counts = Array.fill(k)(0L)
+        sub.foreach { v =>
+          val c = nearest(v)
+          var j = 0; while (j < PqSubDim) { sums(c)(j) += v(j); j += 1 }
+          counts(c) += 1
+        }
+        cents = Array.tabulate(k) { c =>
+          if (counts(c) == 0) cents(c)
+          else Array.tabulate(PqSubDim)(j => sums(c)(j) / counts(c))
+        }
+      }
+      cents.map(_.map(_.toFloat))
+    }
+  }
+
+  def pqBooksFor(embeddings: DataFrame): Array[Array[Array[Float]]] = {
+    val planKey = embeddings.queryExecution.analyzed.canonicalized
+    val m = pqModelCache.getOrElseUpdate(planKey, trainPqBooks(embeddings))
+    if (m.nonEmpty) synchronized { pqTrainedKeys += planKey; lastPqTrained = m }
+    m
+  }
+
+  /** Subspace `m`'s code for the `embedding` column: argmin squared-L2
+    * over the broadcast sub-centroids, entirely inside whole-stage
+    * codegen (array of fused distance expressions + array_min /
+    * array_position — the same trick as [[withCell]]'s argmax; ties
+    * break to the LOWEST code, matching the oracle's row_number). */
+  private def pqCodeCol(books: Array[Array[Array[Float]]], m: Int): Column = {
+    val dists = array(books(m).indices.map { j =>
+      (0 until PqSubDim).map { d =>
+        val diff = element_at(col("embedding"), m * PqSubDim + d + 1).cast("double") -
+          lit(books(m)(j)(d).toDouble)
+        diff * diff
+      }.reduce(_ + _)
+    }: _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Subspace `m`'s ADC table for the `qe` (query embedding) column:
+    * dot(q_m, c_{m,j}) for every code j, as an array the scoring join
+    * indexes by the candidate's stored code. Left-to-right double
+    * accumulation, mirrored exactly by the oracle's ordered list_sum. */
+  private def pqAdcTable(books: Array[Array[Array[Float]]], m: Int): Column =
+    array(books(m).indices.map { j =>
+      (0 until PqSubDim).map { d =>
+        element_at(col("qe"), m * PqSubDim + d + 1).cast("double") *
+          lit(books(m)(j)(d).toDouble)
+      }.reduce(_ + _)
+    }: _*)
+
+  /** Subspace `m`'s reconstructed-norm table: ‖c_{m,j}‖² per code, a
+    * pure double literal array (no per-row arithmetic at all). Dividing
+    * the ADC dot by sqrt(Σ_m ‖c_m[code_m]‖²) ranks candidates by
+    * APPROXIMATE COSINE instead of approximate dot — without it,
+    * large-norm vectors crowd the refine cut and true high-cosine
+    * neighbors with modest norms fall out (measured on the sf corpus:
+    * two of five queries lost their entire exact top-3). The query's own
+    * norm is constant per query, so it cannot change the ranking and is
+    * left out. */
+  private def pqNormTable(books: Array[Array[Array[Float]]], m: Int): Column =
+    array(books(m).indices.map { j =>
+      lit((0 until PqSubDim).map { d =>
+        val v = books(m)(j)(d).toDouble; v * v
+      }.reduce(_ + _))
+    }: _*)
+
+  /** IVF-PQ ANN: coarse-quantizer cell probing (identical to
+    * [[ivfTopK]] — SAME memoized quantizer, so adding PQ to a session
+    * never degrades the IVF oracle) + product-quantized asymmetric
+    * scoring + exact re-rank of the top [[PqRefine]] ADC candidates.
+    * The approximate score of candidate x for query q is
+    * Σ_m dot(q_m, codebook_m[code_m(x)]) — an 8-entry table lookup per
+    * subspace instead of a 64-dim float scan, computed here with
+    * element_at over the broadcast per-query ADC tables (all codegen'd
+    * builtins, no UDF). Refine then scores ONLY `refine` candidates per
+    * query with the exact fused cosine, so full-precision vectors leave
+    * storage for a bounded row set. Both stages use the salted two-stage
+    * top-k, so no window ever spans a whole cell's candidates in one
+    * partition. Deterministic end to end (codes, tables, and tie-breaks
+    * are pure arithmetic) — the DuckDB oracle inlines quantizer AND
+    * codebooks and replicates encoding, ADC, refine, and re-rank
+    * bit-for-bit. Recall vs exact brute force is property-tested in
+    * OperatorSpec, not assumed. */
+  def pqTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 3,
+             nCells: Int = 16, nProbe: Int = 2, refine: Int = PqRefine): DataFrame = {
+    val dim = PqSubspaces * PqSubDim
+    val model = quantizerFor(embeddings, nCells)
+    val books = pqBooksFor(embeddings)
+    if (model.isEmpty || books.isEmpty) {
+      import org.apache.spark.sql.types._
+      return embeddings.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(
+          StructField("query_id", LongType), StructField("neighbor_id", LongType),
+          StructField("rank", LongType), StructField("cos_sim", DoubleType))))
+    }
+    // full-dim vectors only: a short/degenerate vector has no meaningful
+    // PQ code (the oracle applies the identical len filter)
+    val full = embeddings.filter(size(col("embedding")) === dim)
+    val coded = withCell(full, model)
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        array((0 until PqSubspaces).map(m => pqCodeCol(books, m)): _*).as("codes"))
+    val queries = full.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val probed = probedCells(queries, model, nProbe)
+    val qTabs = probed.select(
+      col("query_id") +: col("qe") +: col("cell") +:
+        ((0 until PqSubspaces).map(m => pqAdcTable(books, m).as(s"t$m")) ++
+          (0 until PqSubspaces).map(m => pqNormTable(books, m).as(s"nt$m"))): _*)
+    val adcDot = (0 until PqSubspaces).map(m =>
+      element_at(col(s"t$m"), element_at(col("codes"), m + 1) + 1)).reduce(_ + _)
+    val adcNorm = (0 until PqSubspaces).map(m =>
+      element_at(col(s"nt$m"), element_at(col("codes"), m + 1) + 1)).reduce(_ + _)
+    val wLocal = Window
+      .partitionBy(col("query_id"), pmod(crc32(col("vec_id").cast("string")), lit(64)))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val wGlobal = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val refined = coded.join(broadcast(qTabs), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      // approximate COSINE: all-zero reconstructions rank last (-2, the
+      // same sentinel the quantizer's cosArg uses), never divide by zero
+      .withColumn("adc",
+        when(adcNorm > 0, adcDot / sqrt(adcNorm)).otherwise(lit(-2.0)))
+      .withColumn("lrk", row_number().over(wLocal)).filter(col("lrk") <= refine)
+      .withColumn("ark", row_number().over(wGlobal)).filter(col("ark") <= refine)
+      .withColumn("cos_sim_raw", CosineSimilarity.cosineFast(col("qe"), col("embedding")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim_raw"))
+    topKPerQuery(refined, k)
+  }
+
+  /** Per-(subspace, code) occupancy of the PQ codebooks over a corpus —
+    * the PQ mirror of [[cellStats]]: a code whose share collapses to
+    * zero (dead centroid) or balloons (distribution drift since
+    * training) is the re-train signal for that subspace's book. One
+    * encode map pass, 8×16-bounded output. */
+  def pqCodeStats(embeddings: DataFrame): DataFrame = {
+    val dim = PqSubspaces * PqSubDim
+    val books = pqBooksFor(embeddings)
+    if (books.isEmpty) {
+      import org.apache.spark.sql.types._
+      return embeddings.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("subspace", LongType), StructField("code", LongType),
+          StructField("n", LongType), StructField("share_ppm", LongType))))
+    }
+    embeddings.filter(size(col("embedding")) === dim)
+      .select(posexplode(array((0 until PqSubspaces).map(m => pqCodeCol(books, m)): _*))
+        .as(Seq("subspace", "code")))
+      .groupBy(col("subspace").cast("long").as("subspace"), col("code").cast("long").as("code"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy(col("subspace"))))
+      .select(col("subspace"), col("code"), col("n").cast("long").as("n"),
+        expr("(n * 1000000) div total").as("share_ppm"))
+      .orderBy("subspace", "code")
   }
 
   /** Per-bucket norm statistics: vector count plus min/max L2 norm per

@@ -92,6 +92,7 @@ class PlanShapeSpec extends SparkSpec {
       "order_value_percentiles_approx_check" ->
         "percentile targets broadcast (3 instances of the bounded percentile machinery)",
       "ann_ivf_topk" -> "nCells=16 centroid table broadcast",
+      "ann_ivfpq_topk" -> "nCells=16 centroid table broadcast (probe stage; ADC tables ride the same bounded query set)",
       "bm25_search" -> "1-row corpus-totals broadcast (N, sum dl)",
       "ann_bruteforce_topk" -> "nQueries=5 query set broadcast (brute force scans corpus once)",
       "ann_bruteforce_sql" -> "nQueries=5 query set broadcast (brute force scans corpus once)",
