@@ -725,6 +725,113 @@ object Similarity {
     topKPerQuery(refined, k)
   }
 
+  /** Materialize the PQ index LAYOUT: quantizer + codebooks as model
+    * artifacts, and the corpus cell-PARTITIONED with its PQ codes stored
+    * NEXT TO the full-precision vectors in one parquet table. Parquet is
+    * columnar, so the two access patterns each read only their bytes:
+    * the ADC scoring scan projects (vec_id, codes) — ~9 bytes of row
+    * instead of 256+ (the 32× compression realized as scanned bytes, not
+    * just as a number in a docstring; plan-asserted in OperatorSpec) —
+    * and the refine fetch projects (vec_id, embedding) for ONLY the
+    * bounded refine cut's rows inside probed cells. Same cell-tree
+    * mechanics as [[saveIvfIndex]], so [[compactIvfIndex]] compacts this
+    * layout unchanged (schema-agnostic: it rewrites whole cells). */
+  def savePqIndex(embeddings: DataFrame, path: String, nCells: Int = 16): Unit = {
+    val dim = PqSubspaces * PqSubDim
+    val model = quantizerFor(embeddings, nCells)
+    val books = pqBooksFor(embeddings)
+    saveQuantizer(embeddings, s"$path/quantizer", nCells)
+    savePqBooks(embeddings.sparkSession, books, s"$path/books")
+    withCell(embeddings.filter(size(col("embedding")) === dim), model)
+      .select(col("vec_id"), col("embedding"),
+        array((0 until PqSubspaces).map(m => pqCodeCol(books, m)): _*).as("codes"),
+        col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  def savePqBooks(spark: org.apache.spark.sql.SparkSession,
+                  books: Array[Array[Array[Float]]], path: String): Unit = {
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (b, m) =>
+      b.zipWithIndex.map { case (c, j) => (m, j, c.toSeq) }
+    }.toSeq.toDF("subspace", "code", "sub")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadPqBooks(spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Array[Float]]] = {
+    val rows = spark.read.parquet(path).orderBy("subspace", "code").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toArray).toArray
+  }
+
+  /** Ingestion-time growth of the persisted PQ layout: encode the batch
+    * with the index's OWN frozen quantizer AND codebooks (retraining
+    * either would invalidate every stored code/cell — the same geometry
+    * contract as [[appendToIvfIndex]]) and append into the cell tree.
+    * Distribution drift shows up in [[pqCodeStats]]-style occupancy, and
+    * re-indexing is an explicit decision, never an implicit retrain. */
+  def appendToPqIndex(newVectors: DataFrame, path: String): Unit = {
+    val dim = PqSubspaces * PqSubDim
+    val spark = newVectors.sparkSession
+    val model = loadQuantizer(spark, s"$path/quantizer")
+    val books = loadPqBooks(spark, s"$path/books")
+    withCell(newVectors.filter(size(col("embedding")) === dim), model)
+      .select(col("vec_id"), col("embedding"),
+        array((0 until PqSubspaces).map(m => pqCodeCol(books, m)): _*).as("codes"),
+        col("cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** IVF-PQ search against the PERSISTED layout ([[savePqIndex]]):
+    * probed-cell partition pruning (static isin filter, like
+    * [[ivfSearchIndexed]]) + stored-code ADC scoring on a scan that
+    * projects NO embedding bytes + exact re-rank that fetches
+    * full-precision vectors only for the refine cut. `queries` needs
+    * (query_id, embedding). Result-identical to [[pqTopK]] over the same
+    * corpus and models (spec-pinned). */
+  def pqSearchIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                      queries: DataFrame, k: Int = 3, nProbe: Int = 2,
+                      refine: Int = PqRefine): DataFrame = {
+    val model = loadQuantizer(spark, s"$path/quantizer")
+    val books = loadPqBooks(spark, s"$path/books")
+    val corpus = spark.read.parquet(s"$path/cells")
+    val q = queries.select(col("query_id"), col("embedding").as("qe"))
+    val probed = probedCells(q, model, nProbe)
+    val cellsToRead = probed.select(col("cell")).distinct().collect().map(_.getInt(0)).sorted
+    val pruned = corpus.filter(col("cell").isin(cellsToRead.map(Integer.valueOf): _*))
+    val qTabs = probed.select(
+      col("query_id") +: col("qe") +: col("cell") +:
+        ((0 until PqSubspaces).map(m => pqAdcTable(books, m).as(s"t$m")) ++
+          (0 until PqSubspaces).map(m => pqNormTable(books, m).as(s"nt$m"))): _*)
+    val adcDot = (0 until PqSubspaces).map(m =>
+      element_at(col(s"t$m"), element_at(col("codes"), m + 1) + 1)).reduce(_ + _)
+    val adcNorm = (0 until PqSubspaces).map(m =>
+      element_at(col(s"nt$m"), element_at(col("codes"), m + 1) + 1)).reduce(_ + _)
+    val wLocal = Window
+      .partitionBy(col("query_id"), pmod(crc32(col("vec_id").cast("string")), lit(64)))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val wGlobal = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    // ADC stage: codes only — the scan this plan pays for the whole cell
+    val cut = pruned.select(col("vec_id"), col("codes"), col("cell"))
+      .join(broadcast(qTabs), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc",
+        when(adcNorm > 0, adcDot / sqrt(adcNorm)).otherwise(lit(-2.0)))
+      .withColumn("lrk", row_number().over(wLocal)).filter(col("lrk") <= refine)
+      .withColumn("ark", row_number().over(wGlobal)).filter(col("ark") <= refine)
+      .select(col("query_id"), col("qe"), col("vec_id"))
+    // refine fetch: full vectors for the bounded cut only (broadcast the
+    // cut, scan stays pruned to probed cells)
+    val refined = pruned.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cut), Seq("vec_id"))
+      .withColumn("cos_sim_raw", CosineSimilarity.cosineFast(col("qe"), col("embedding")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim_raw"))
+    topKPerQuery(refined, k)
+  }
+
   /** Per-(subspace, code) occupancy of the PQ codebooks over a corpus —
     * the PQ mirror of [[cellStats]]: a code whose share collapses to
     * zero (dead centroid) or balloons (distribution drift since

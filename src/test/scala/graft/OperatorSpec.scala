@@ -209,6 +209,51 @@ class OperatorSpec extends SparkSpec {
       s"integer-floor shares must sum to just under 1e6 ppm, got $ppm")
   }
 
+  test("PQ index layout: pruned, codes-only ADC search equals in-memory IVF-PQ") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-idx").toString
+    Similarity.savePqIndex(emb, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val viaIndex = Similarity.pqSearchIndexed(spark, dir, queries)
+    assert(viaIndex.collect().toSeq === Similarity.pqTopK(emb).collect().toSeq,
+      "search over the persisted PQ layout must equal the in-memory result")
+    val planStr = viaIndex.queryExecution.executedPlan.toString
+    assert(planStr.matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*\\].*"),
+      s"cells scans must carry a cell partition filter:\n$planStr")
+    // the ADC scan is the one that touches every row of the probed
+    // cells — it must project codes WITHOUT embedding bytes (the 32×
+    // read saving the layout exists for); the embedding scan only feeds
+    // the broadcast-joined refine cut
+    assert(planStr.contains("ReadSchema: struct<vec_id:bigint,codes:array<int>>"),
+      s"ADC scan must read codes only, no embedding column:\n$planStr")
+  }
+
+  test("PQ index append: a grown tree searches like one built at once; compaction folds replays") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val atOnce = java.nio.file.Files.createTempDirectory("graft-pq-once").toString
+    Similarity.savePqIndex(emb, atOnce)
+    // grown: quantizer AND codebooks frozen from the full corpus first,
+    // batches encoded with the index's own artifacts (geometry contract)
+    val grown = java.nio.file.Files.createTempDirectory("graft-pq-grown").toString
+    Similarity.saveQuantizer(emb, s"$grown/quantizer")
+    Similarity.savePqBooks(spark, Similarity.pqBooksFor(emb), s"$grown/books")
+    Similarity.appendToPqIndex(emb.filter(col("vec_id") % 2 === 0), grown)
+    Similarity.appendToPqIndex(emb.filter(col("vec_id") % 2 === 1), grown)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val clean = Similarity.pqSearchIndexed(spark, grown, queries).collect().toSeq
+    assert(clean === Similarity.pqSearchIndexed(spark, atOnce, queries).collect().toSeq,
+      "a PQ index built by appends must search identically to one built at once")
+    // replayed append corrupts top-k; the shared cell-tree compaction is
+    // the repair (schema-agnostic: it rewrites whole cells, codes included)
+    Similarity.appendToPqIndex(emb.filter(col("vec_id") % 2 === 1), grown)
+    assert(Similarity.pqSearchIndexed(spark, grown, queries).collect().toSeq !== clean)
+    Similarity.compactIvfIndex(spark, grown)
+    assert(Similarity.pqSearchIndexed(spark, grown, queries).collect().toSeq === clean,
+      "compaction must fold replay duplicates and restore the clean answer")
+  }
+
   test("ann_ivfpq_topk: returned scores are exact, and PQ recall tracks the exact IVF top-3") {
     val emb = Tables.embeddings(spark, Sf0001)
     // re-ranked scores must BE brute-force scores (the refine stage is exact)
