@@ -182,6 +182,17 @@ object SparkEntry {
     // cluster-keyed holdout: near-dup families never straddle the
     // train/test fence (the naive per-doc hash leaks near-dups across it)
     "leakage_safe_split" -> ((s, d) => TextAnalysis.leakageSafeSplit(Tables.documents(s, d))),
+    // snapshot-versioning audit: per-source added/removed/changed/unchanged
+    // between two simulated corpus snapshots (old = id%3!=0; new = id%5!=0
+    // with id%7==0 docs content-bumped)
+    "corpus_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.corpusDiff(
+        docs.filter("doc_id % 3 != 0"),
+        docs.filter("doc_id % 5 != 0").withColumn("text",
+          org.apache.spark.sql.functions.expr(
+            "CASE WHEN doc_id % 7 = 0 THEN concat(text, ' v2') ELSE text END")))
+    }),
     // fixed-token-window chunking with stride — the doc → context-window
     // training-row transform; emits chunk fingerprints for chunk-level dedup
     "chunk_documents" -> ((s, d) => TextAnalysis.chunkDocuments(Tables.documents(s, d))),
@@ -710,6 +721,28 @@ object SparkEntry {
        |  CAST(min(doc_id) AS BIGINT) AS first_doc,
        |  CAST(max(doc_id) AS BIGINT) AS last_doc
        |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** Mirrors TextAnalysis.corpusDiff over the simulated snapshots:
+    * presence decides added/removed, IS NOT DISTINCT FROM is the
+    * null-safe twin of Spark's <=> fp comparison. */
+  private def corpusDiffOracle: String =
+    s"""WITH o AS (SELECT doc_id, source,
+       |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS ofp, TRUE AS in_old
+       |  FROM documents WHERE doc_id % 3 != 0),
+       |n AS (SELECT doc_id, source,
+       |    md5(regexp_replace(trim(lower(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END)),
+       |        '\\s+', ' ', 'g')) AS nfp, TRUE AS in_new
+       |  FROM documents WHERE doc_id % 5 != 0),
+       |j AS (SELECT coalesce(n.source, o.source) AS source, o.ofp, n.nfp, o.in_old, n.in_new
+       |      FROM o FULL OUTER JOIN n USING (doc_id))
+       |SELECT source,
+       |  CAST(sum(CASE WHEN in_old IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       |  CAST(sum(CASE WHEN in_new IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |  CAST(sum(CASE WHEN in_old IS NOT NULL AND in_new IS NOT NULL
+       |       AND NOT (ofp IS NOT DISTINCT FROM nfp) THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       |  CAST(sum(CASE WHEN in_old IS NOT NULL AND in_new IS NOT NULL
+       |       AND (ofp IS NOT DISTINCT FROM nfp) THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Mirrors TextAnalysis.chunkDocuments: same \S+ tokenizer, same
     * width/stride window arithmetic (DuckDB list_slice end is inclusive;
@@ -1478,6 +1511,7 @@ object SparkEntry {
     "corpus_sample_stratified" -> stratifiedSampleOracle,
     "train_test_split" -> trainTestSplitOracle,
     "leakage_safe_split" -> leakageSafeSplitOracle,
+    "corpus_diff" -> corpusDiffOracle,
     "chunk_documents" -> chunkDocumentsOracle,
     "dedup_keep_best" -> dedupKeepBestOracle,
     "dedup_bloom_check" -> bloomCheckOracle,

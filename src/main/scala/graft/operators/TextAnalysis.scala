@@ -505,6 +505,41 @@ object TextAnalysis {
           .as("chunk_fp"))
       .orderBy("doc_id", "chunk_id")
 
+  /** Snapshot diff — the dataset-versioning audit between two corpus
+    * snapshots: per source, how many docs were ADDED (doc_id new),
+    * REMOVED (doc_id gone), CHANGED (same doc_id, different content
+    * fingerprint), and UNCHANGED. The table a pipeline prints before
+    * retraining on a refreshed crawl: an unexpected removal or change
+    * volume is a upstream-feed regression, not training signal.
+    *
+    * Scale: one full-outer equi-join on doc_id carrying 16-byte md5
+    * fingerprints — text never shuffles; the roll-up is a bounded
+    * per-source aggregate. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    // presence flags, not fp-nullness, decide added/removed — a null-text
+    // doc has a null fingerprint but is still PRESENT in its snapshot;
+    // change detection is the null-safe fp comparison for the same reason
+    val o = oldDocs.select(col("doc_id"), col("source").as("osrc"),
+      fingerprint(col("text")).as("ofp"), lit(true).as("in_old"))
+    val n = newDocs.select(col("doc_id"), col("source").as("nsrc"),
+      fingerprint(col("text")).as("nfp"), lit(true).as("in_new"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .groupBy(coalesce(col("nsrc"), col("osrc")).as("source"))
+      .agg(
+        sum(when(col("in_old").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("in_new").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("in_old").isNotNull && col("in_new").isNotNull &&
+          !(col("ofp") <=> col("nfp")), 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("in_old").isNotNull && col("in_new").isNotNull &&
+          (col("ofp") <=> col("nfp")), 1L).otherwise(0L)).as("n_unchanged"))
+      .select(col("source"),
+        col("n_added").cast("long").as("n_added"),
+        col("n_removed").cast("long").as("n_removed"),
+        col("n_changed").cast("long").as("n_changed"),
+        col("n_unchanged").cast("long").as("n_unchanged"))
+      .orderBy("source")
+  }
+
   /** Documents per doc-range block for [[packShards]]: bounds every
     * packing window partition, so no task ever buffers more than this many
     * rows regardless of corpus size. */

@@ -592,6 +592,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(byDoc(0L).find(_._2 == 1L).get._4 === fp1)
   }
 
+  test("corpusDiff: planted add/remove/change transitions; null text is present, not removed") {
+    val oldSnap = Seq(
+      (1L, "alpha", "s0"), (2L, "beta", "s0"), (3L, "gamma", "s0"),
+      (4L, null.asInstanceOf[String], "s0")
+    ).toDF("doc_id", "text", "source")
+    val newSnap = Seq(
+      (2L, "beta", "s0"),                      // unchanged
+      (3L, "gamma edited", "s0"),              // changed
+      (4L, null.asInstanceOf[String], "s0"),   // null in both: unchanged (null-safe fp compare)
+      (5L, "delta", "s0")                      // added; doc 1 removed
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.corpusDiff(oldSnap, newSnap).collect()
+    assert(got.length === 1)
+    val Row(src: String, add: Long, rem: Long, chg: Long, same: Long) = got.head
+    assert(src === "s0")
+    assert((add, rem, chg, same) === ((1L, 1L, 1L, 2L)))
+  }
+
   test("leakageSafeSplit: planted families move atomically to their rep's split") {
     // 6 planted exact-dup pairs with disjoint vocabularies: each pair is
     // one near-dup family {p·100, p·100+1}, rep = p·100
