@@ -616,21 +616,14 @@ object Similarity {
     m
   }
 
-  /** Subspace `m`'s code for the `embedding` column: argmin squared-L2
-    * over the broadcast sub-centroids, entirely inside whole-stage
-    * codegen (array of fused distance expressions + array_min /
-    * array_position — the same trick as [[withCell]]'s argmax; ties
-    * break to the LOWEST code, matching the oracle's row_number). */
-  private def pqCodeCol(books: Array[Array[Array[Float]]], m: Int): Column = {
-    val dists = array(books(m).indices.map { j =>
-      (0 until PqSubDim).map { d =>
-        val diff = element_at(col("embedding"), m * PqSubDim + d + 1).cast("double") -
-          lit(books(m)(j)(d).toDouble)
-        diff * diff
-      }.reduce(_ + _)
-    }: _*)
-    (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
+  /** `array<int>` of per-subspace codes for the `embedding` column —
+    * the native [[graft.plans.PqEncode]] expression (argmin squared-L2,
+    * ties to the LOWEST code, matching the oracle's row_number). The
+    * pure-builtin array/array_min/array_position formulation this
+    * replaced expanded to ~1024 expression leaves per row and measured
+    * 21 s where the IVF sibling runs 2 s — see PqEncode's scaladoc. */
+  private def pqCodesCol(books: Array[Array[Array[Float]]]): Column =
+    graft.plans.PqEncode.codes(col("embedding"), books)
 
   /** Subspace `m`'s ADC table for the `qe` (query embedding) column:
     * dot(q_m, c_{m,j}) for every code j, as an array the scoring join
@@ -695,7 +688,7 @@ object Similarity {
     val full = embeddings.filter(size(col("embedding")) === dim)
     val coded = withCell(full, model)
       .select(col("vec_id"), col("embedding"), col("cell"),
-        array((0 until PqSubspaces).map(m => pqCodeCol(books, m)): _*).as("codes"))
+        pqCodesCol(books).as("codes"))
     val queries = full.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val probed = probedCells(queries, model, nProbe)
@@ -744,7 +737,7 @@ object Similarity {
     savePqBooks(embeddings.sparkSession, books, s"$path/books")
     withCell(embeddings.filter(size(col("embedding")) === dim), model)
       .select(col("vec_id"), col("embedding"),
-        array((0 until PqSubspaces).map(m => pqCodeCol(books, m)): _*).as("codes"),
+        pqCodesCol(books).as("codes"),
         col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
@@ -778,7 +771,7 @@ object Similarity {
     val books = loadPqBooks(spark, s"$path/books")
     withCell(newVectors.filter(size(col("embedding")) === dim), model)
       .select(col("vec_id"), col("embedding"),
-        array((0 until PqSubspaces).map(m => pqCodeCol(books, m)): _*).as("codes"),
+        pqCodesCol(books).as("codes"),
         col("cell"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("cell").parquet(s"$path/cells")
@@ -848,7 +841,7 @@ object Similarity {
           StructField("n", LongType), StructField("share_ppm", LongType))))
     }
     embeddings.filter(size(col("embedding")) === dim)
-      .select(posexplode(array((0 until PqSubspaces).map(m => pqCodeCol(books, m)): _*))
+      .select(posexplode(pqCodesCol(books))
         .as(Seq("subspace", "code")))
       .groupBy(col("subspace").cast("long").as("subspace"), col("code").cast("long").as("code"))
       .agg(count(lit(1)).as("n"))
