@@ -996,7 +996,10 @@ object Dedup {
   val BloomFpp = 0.01
 
   def bloomFingerprintFilter(existing: DataFrame): org.apache.spark.util.sketch.BloomFilter = {
+    // null-text docs have no fingerprint: nothing to insert (and nothing
+    // a probe could ever match) — filter them out of the build
     val exFp = existing.select(fingerprintCol(col("text")).as("fp"))
+      .filter(col("fp").isNotNull)
     exFp.stat.bloomFilter("fp", math.max(exFp.count(), 1L), BloomFpp)
   }
 
@@ -1005,7 +1008,9 @@ object Dedup {
   def bloomCheck(newDocs: DataFrame, existing: DataFrame): DataFrame = {
     val spark = newDocs.sparkSession
     val bf = spark.sparkContext.broadcast(bloomFingerprintFilter(existing))
-    val bloomHit = udf((fp: String) => bf.value.mightContainString(fp))
+    // null-safe: a null-text doc has a null fingerprint — it cannot match
+    // anything in the index, so it probes as a miss instead of NPEing
+    val bloomHit = udf((fp: String) => fp != null && bf.value.mightContainString(fp))
     val exFps = existing.select(fingerprintCol(col("text")).as("fp")).distinct()
     val probed = newDocs
       .select(col("doc_id"), fingerprintCol(col("text")).as("fp"))
@@ -1038,7 +1043,9 @@ object Dedup {
   def bloomedExactDedup(newDocs: DataFrame, existing: DataFrame): DataFrame = {
     val spark = newDocs.sparkSession
     val bf = spark.sparkContext.broadcast(bloomFingerprintFilter(existing))
-    val bloomHit = udf((fp: String) => bf.value.mightContainString(fp))
+    // null-safe: a null-text doc has a null fingerprint — it cannot match
+    // anything in the index, so it probes as a miss instead of NPEing
+    val bloomHit = udf((fp: String) => fp != null && bf.value.mightContainString(fp))
     val probed = newDocs.withColumn("fp", fingerprintCol(col("text")))
       .withColumn("bloom_hit", bloomHit(col("fp")))
     val definiteClean = probed.filter(!col("bloom_hit"))

@@ -279,6 +279,23 @@ class DedupSpec extends SparkSpec {
       Seq((9L, null.asInstanceOf[String], "s1")).toDF("doc_id", "text", "source"),
       messy.filter("text IS NOT NULL")).collect().map(_.getLong(0))
     assert(admitted.toSeq === Seq(9L))
+    // bloom path, same contract: null fps probe as misses (never NPE),
+    // nulls on the existing side stay out of the filter build, and the
+    // exact-dup batch doc is still caught
+    val bloomBatch = Seq(
+      (9L, null.asInstanceOf[String], "s1"), (10L, base, "s1")
+    ).toDF("doc_id", "text", "source")
+    val bloomAdmitted = Dedup.bloomedExactDedup(bloomBatch, messy)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bloomAdmitted === Set(9L), "null-fp admitted, exact dup dropped")
+    val chk = Dedup.bloomCheck(bloomBatch, messy).collect().head
+    assert(chk.getAs[Long]("n_new") === 2L && chk.getAs[Long]("n_dup_exact") === 1L)
+    assert(chk.getAs[Boolean]("no_false_negatives") && chk.getAs[Boolean]("fp_rate_ok"))
+    // keep-best: families come only from shingled docs; null/junk rows
+    // never join a family and never crash the quality ranking
+    val kept = Dedup.keepBestPerCluster(messy).collect()
+      .map { case Row(rep: Long, k: Long, _: Double, n: Long) => (rep, k, n) }
+    assert(kept.toSeq === Seq((3L, 3L, 2L)), "the base/BASE family keeps one doc")
   }
 
   test("appendToDedupIndex: the index grows with admitted batches") {

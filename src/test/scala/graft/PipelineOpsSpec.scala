@@ -575,12 +575,13 @@ class PipelineOpsSpec extends SparkSpec {
       (0L, toks150.mkString(" "), "s0"),
       (1L, "one two three", "s0"),  // shorter than one window → a single short chunk
       (2L, "", "s0"),               // empty → no chunks
-      (3L, "   \t  ", "s0")         // whitespace-only → no chunks
+      (3L, "   \t  ", "s0"),        // whitespace-only → no chunks
+      (4L, null.asInstanceOf[String], "s0") // null → no chunks, no crash
     ).toDF("doc_id", "text", "source")
     val chunks = TextAnalysis.chunkDocuments(docs).collect()
       .map { case Row(d: Long, c: Long, n: Long, fp: String) => (d, c, n, fp) }
     val byDoc = chunks.groupBy(_._1)
-    assert(!byDoc.contains(2L) && !byDoc.contains(3L))
+    assert(!byDoc.contains(2L) && !byDoc.contains(3L) && !byDoc.contains(4L))
     assert(byDoc(1L).map(x => (x._2, x._3)).toSeq === Seq((0L, 3L)))
     // 150 tokens, stride 48, width 64 → starts 0/48/96/144, sizes 64/64/54/6;
     // consecutive windows overlap by width − stride = 16 and no token is dropped
