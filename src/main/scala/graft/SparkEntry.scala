@@ -182,6 +182,12 @@ object SparkEntry {
     // cluster-keyed holdout: near-dup families never straddle the
     // train/test fence (the naive per-doc hash leaks near-dups across it)
     "leakage_safe_split" -> ((s, d) => TextAnalysis.leakageSafeSplit(Tables.documents(s, d))),
+    // hashing-trick TF vectors: text → fixed-dim count vector, no
+    // vocabulary artifact; the bridge from documents into the ANN family
+    "doc_vector_hash" -> ((s, d) => TextAnalysis.hashedTfCounts(Tables.documents(s, d))),
+    // lexical ANN: cosine top-k over the hashed-TF vectors (integer-exact
+    // cross-engine cosine — see lexicalAnn's scaladoc)
+    "doc_lexical_ann" -> ((s, d) => TextAnalysis.lexicalAnn(Tables.documents(s, d))),
     // snapshot-versioning audit: per-source added/removed/changed/unchanged
     // between two simulated corpus snapshots (old = id%3!=0; new = id%5!=0
     // with id%7==0 docs content-bumped)
@@ -721,6 +727,51 @@ object SparkEntry {
        |  CAST(min(doc_id) AS BIGINT) AS first_doc,
        |  CAST(max(doc_id) AS BIGINT) AS last_doc
        |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** Shared hashed-TF sparse-count CTE chain (mirrors
+    * TextAnalysis.hashedTfCounts: same normalization, same 4-nibble md5
+    * bucket mod HashVecDim). */
+  private def hashedTfCte: String = {
+    def nib(i: Int) = s"(strpos('0123456789abcdef', substr(hm, $i, 1)) - 1)"
+    s"""hnorm AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t FROM documents),
+       |htok AS (SELECT doc_id, md5(tk) AS hm FROM
+       |  (SELECT doc_id, unnest(string_split(t, ' ')) AS tk FROM hnorm) WHERE length(tk) > 0),
+       |hc AS (SELECT doc_id,
+       |    CAST((${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)}) % ${TextAnalysis.HashVecDim} AS BIGINT) AS bucket,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM htok GROUP BY 1, 2)""".stripMargin
+  }
+
+  private def docVectorHashOracle: String =
+    s"""WITH $hashedTfCte
+       |SELECT doc_id, bucket, cnt FROM hc ORDER BY doc_id, bucket""".stripMargin
+
+  /** Mirrors TextAnalysis.lexicalAnn: cosine over integer count vectors.
+    * Integer dot/norm sums are order-independent (exact ≤ 2^53), so
+    * plain SQL aggregates match the codegen'd left-to-right double
+    * cosine bit-for-bit; the pair list is DENSE over docs that have any
+    * tokens (a zero-overlap pair scores 0.0, same as the dense-array
+    * Spark side). */
+  private def docLexicalAnnOracle: String =
+    s"""WITH $hashedTfCte,
+       |dd AS (SELECT DISTINCT doc_id FROM hc),
+       |nn AS (SELECT doc_id, CAST(sum(cnt * cnt) AS BIGINT) AS n2 FROM hc GROUP BY 1),
+       |prs AS (SELECT q.doc_id AS query_id, d.doc_id AS neighbor_id
+       |  FROM dd q JOIN dd d ON d.doc_id != q.doc_id WHERE q.doc_id < 5),
+       |dp AS (SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
+       |    CAST(sum(a.cnt * b.cnt) AS BIGINT) AS dp
+       |  FROM hc a JOIN hc b ON a.bucket = b.bucket AND b.doc_id != a.doc_id
+       |  WHERE a.doc_id < 5 GROUP BY 1, 2),
+       |sc AS (SELECT p.query_id, p.neighbor_id,
+       |    CAST(coalesce(dp.dp, 0) AS DOUBLE) / sqrt(CAST(qa.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cs
+       |  FROM prs p
+       |  LEFT JOIN dp ON dp.query_id = p.query_id AND dp.neighbor_id = p.neighbor_id
+       |  JOIN nn qa ON qa.doc_id = p.query_id JOIN nn nb ON nb.doc_id = p.neighbor_id),
+       |rk AS (SELECT query_id, neighbor_id, cs,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rank
+       |  FROM sc)
+       |SELECT query_id, neighbor_id, rank, round(cs, 4) AS cos_sim
+       |FROM rk WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
   /** Mirrors TextAnalysis.corpusDiff over the simulated snapshots:
     * presence decides added/removed, IS NOT DISTINCT FROM is the
@@ -1512,6 +1563,8 @@ object SparkEntry {
     "train_test_split" -> trainTestSplitOracle,
     "leakage_safe_split" -> leakageSafeSplitOracle,
     "corpus_diff" -> corpusDiffOracle,
+    "doc_vector_hash" -> docVectorHashOracle,
+    "doc_lexical_ann" -> docLexicalAnnOracle,
     "chunk_documents" -> chunkDocumentsOracle,
     "dedup_keep_best" -> dedupKeepBestOracle,
     "dedup_bloom_check" -> bloomCheckOracle,

@@ -505,6 +505,55 @@ object TextAnalysis {
           .as("chunk_fp"))
       .orderBy("doc_id", "chunk_id")
 
+  /** Hashed-TF vector dimension for [[hashedTfCounts]]/[[lexicalAnn]] —
+    * the hashing-trick dimension (collisions disclosed, same stance as
+    * QualityModel.FeatureDim). */
+  val HashVecDim = 64
+
+  /** Feature-hashed term-frequency rows: (doc_id, bucket, cnt) where
+    * bucket = first-4-md5-nibbles(token) mod [[HashVecDim]] — the
+    * engine-portable hashing trick that turns TEXT into a fixed-dim
+    * count vector with no vocabulary artifact at all. This is the bridge
+    * from the documents table into the whole vector family: lexical ANN
+    * ([[lexicalAnn]]), and at scale the IVF/PQ layouts, apply to text
+    * corpora without an external embedding model. Sparse output (only
+    * non-zero buckets), scalar columns — scan + one integer-keyed
+    * aggregate, text never shuffles. Token-less (null/empty) docs have
+    * no rows by contract. */
+  def hashedTfCounts(documents: DataFrame, dim: Int = HashVecDim): DataFrame =
+    documents
+      .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("doc_id"),
+        (conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long") % dim).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), col("bucket"), col("cnt").cast("long").as("cnt"))
+      .orderBy("doc_id", "bucket")
+
+  /** Lexical ANN: cosine top-k over the hashed-TF count vectors —
+    * similar-document retrieval with zero model dependencies (the
+    * classic hashing-trick/TF baseline). Densifies the sparse counts to
+    * `array<double>` and reuses [[Similarity.bruteForceTopK]] unchanged
+    * (broadcast query set, salted two-stage top-k, one corpus scan).
+    *
+    * Oracle-exactness note: every vector component is an integer COUNT,
+    * so dot products and norms are integer-exact in both engines no
+    * matter the accumulation order (doubles represent ≤2^53 integers
+    * exactly) — the DuckDB oracle can use plain SQL sums over the sparse
+    * rows plus one final double divide/sqrt, and still match the
+    * codegen'd cosine bit-for-bit. */
+  def lexicalAnn(documents: DataFrame, nQueries: Int = 5, k: Int = 3,
+                 dim: Int = HashVecDim): DataFrame = {
+    val vecs = hashedTfCounts(documents, dim)
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("cnt")))).as("m"))
+      .select(col("doc_id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("m"), i.cast("long")), lit(0L)).cast("double"))
+          .as("embedding"))
+    Similarity.bruteForceTopK(vecs, nQueries, k)
+  }
+
   /** Snapshot diff — the dataset-versioning audit between two corpus
     * snapshots: per source, how many docs were ADDED (doc_id new),
     * REMOVED (doc_id gone), CHANGED (same doc_id, different content

@@ -593,6 +593,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(byDoc(0L).find(_._2 == 1L).get._4 === fp1)
   }
 
+  test("hashedTfCounts + lexicalAnn: a verbatim copy ranks first at cosine 1.0") {
+    val docs = Seq(
+      (0L, "spark shuffles the hashed tokens into buckets", "s0"),
+      (1L, "a completely different sentence about nothing shared", "s0"),
+      (2L, "spark shuffles the hashed tokens into buckets", "s0"), // copy of 0
+      (3L, "spark shuffles some hashed tokens", "s0"),             // partial overlap
+      (4L, "", "s0"), (5L, null.asInstanceOf[String], "s0")        // token-less: no vector
+    ).toDF("doc_id", "text", "source")
+    val counts = TextAnalysis.hashedTfCounts(docs).collect()
+      .map { case Row(d: Long, b: Long, c: Long) => (d, b, c) }
+    assert(!counts.exists(r => r._1 == 4L || r._1 == 5L), "token-less docs have no rows")
+    assert(counts.filter(_._1 == 0L).toSet === counts.filter(_._1 == 2L)
+      .map(r => (0L, r._2, r._3)).toSet, "verbatim copies hash identically")
+    val ann = TextAnalysis.lexicalAnn(docs).collect()
+      .map { case Row(q: Long, n: Long, rk: Long, cs: Double) => (q, rk) -> ((n, cs)) }.toMap
+    assert(ann((0L, 1L)) === ((2L, 1.0)), "the copy is doc 0's top neighbor at cos 1.0")
+    assert(ann((2L, 1L)) === ((0L, 1.0)))
+    assert(ann((0L, 2L))._1 === 3L, "the partial overlap ranks second")
+  }
+
   test("corpusDiff: planted add/remove/change transitions; null text is present, not removed") {
     val oldSnap = Seq(
       (1L, "alpha", "s0"), (2L, "beta", "s0"), (3L, "gamma", "s0"),

@@ -96,7 +96,8 @@ class PlanShapeSpec extends SparkSpec {
       "bm25_search" -> "1-row corpus-totals broadcast (N, sum dl)",
       "ann_bruteforce_topk" -> "nQueries=5 query set broadcast (brute force scans corpus once)",
       "ann_bruteforce_sql" -> "nQueries=5 query set broadcast (brute force scans corpus once)",
-      "media_feature_ann" -> "nQueries=5 query set broadcast (brute force scans corpus once)")
+      "media_feature_ann" -> "nQueries=5 query set broadcast (brute force scans corpus once)",
+      "doc_lexical_ann" -> "nQueries=5 query set broadcast (brute force scans corpus once)")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, Sf0001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
