@@ -79,6 +79,10 @@ object SparkEntry {
     "latest_order_per_customer" -> ((s, d) => Relational.latestOrderPerCustomer(Tables.orders(s, d))),
     "order_value_histogram" -> ((s, d) => Relational.orderValueHistogram(Tables.orders(s, d))),
     "events_pivot" -> ((s, d) => Relational.eventsPivot(Tables.events(s, d))),
+    // ordered-funnel conversion over first-occurrence step times
+    "event_funnel" -> ((s, d) => Relational.eventFunnel(Tables.events(s, d))),
+    // weekly first-activity cohorts × distinct-active-week offsets
+    "user_retention_cohorts" -> ((s, d) => Relational.retentionCohorts(Tables.events(s, d))),
     "user_sessions" -> ((s, d) => Sessionize.userSessions(Tables.events(s, d))),
     "asof_join_orders" -> ((s, d) => Sessionize.asofJoinOrders(Tables.events(s, d), Tables.orders(s, d))),
     "salted_event_segment_stats" -> ((s, d) =>
@@ -728,6 +732,34 @@ object SparkEntry {
        |  CAST(max(doc_id) AS BIGINT) AS last_doc
        |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  /** Mirrors Relational.eventFunnel over FunnelSteps, generated from the
+    * same step list: first-occurrence pivot, reached-step predicates
+    * (presence + non-decreasing order), integer-ppm conversion. */
+  private def eventFunnelOracle: String = {
+    val steps = Relational.FunnelSteps
+    val mins = steps.zipWithIndex.map { case (s, i) =>
+      s"min(CASE WHEN event_type = '$s' THEN ts END) AS t$i" }.mkString(",\n    ")
+    def reach(i: Int) =
+      ((0 to i).map(j => s"t$j IS NOT NULL") ++ (1 to i).map(j => s"t${j - 1} <= t$j"))
+        .mkString(" AND ")
+    val rs = steps.indices.map(i =>
+      s"CAST(sum(CASE WHEN ${reach(i)} THEN 1 ELSE 0 END) AS BIGINT) AS r$i").mkString(",\n    ")
+    val vals = steps.zipWithIndex.map { case (s, i) => s"(${i + 1}, '$s')" }.mkString(", ")
+    val pick = "CASE step " +
+      steps.indices.map(i => s"WHEN ${i + 1} THEN r$i").mkString(" ") + " END"
+    s"""WITH f AS (SELECT user_id,
+       |    $mins
+       |  FROM events GROUP BY 1),
+       |r AS (SELECT
+       |    $rs
+       |  FROM f),
+       |s AS (SELECT * FROM (VALUES $vals) v(step, step_name))
+       |SELECT CAST(step AS BIGINT) AS step, step_name,
+       |  $pick AS n_users,
+       |  CAST(($pick * 1000000) // greatest(r0, 1) AS BIGINT) AS conv_ppm
+       |FROM s, r ORDER BY step""".stripMargin
+  }
+
   /** Shared hashed-TF sparse-count CTE chain (mirrors
     * TextAnalysis.hashedTfCounts: same normalization, same 4-nibble md5
     * bucket mod HashVecDim). */
@@ -1337,6 +1369,18 @@ object SparkEntry {
         |  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
         |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "event_funnel" -> eventFunnelOracle,
+    "user_retention_cohorts" ->
+      """WITH w AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1),
+        |cells AS (SELECT CAST(epoch(cohort_week) AS BIGINT) AS cohort_epoch,
+        |    CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT) AS week_offset,
+        |    CAST(count(*) AS BIGINT) AS n_users
+        |  FROM w JOIN c USING (user_id) GROUP BY 1, 2),
+        |sz AS (SELECT cohort_epoch, n_users AS cohort_size FROM cells WHERE week_offset = 0)
+        |SELECT cohort_epoch, week_offset, n_users,
+        |  CAST((n_users * 1000000) // cohort_size AS BIGINT) AS retention_ppm
+        |FROM cells JOIN sz USING (cohort_epoch) ORDER BY 1, 2""".stripMargin,
     "user_sessions" ->
       """WITH o AS (SELECT user_id, event_id, ts,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events),

@@ -185,6 +185,75 @@ object Relational {
       .na.fill(0L, EventTypes)
       .orderBy("day")
 
+  /** Ordered funnel steps for [[eventFunnel]] (shared with the oracle
+    * generator so both engines walk the identical funnel). */
+  val FunnelSteps: Seq[String] = Seq("signup", "view", "click", "purchase")
+
+  /** Ordered-funnel conversion: per funnel step, how many users reached
+    * it — where "reached step i" means the user's FIRST occurrence of
+    * every step ≤ i exists and is in non-decreasing time order (the
+    * classic product-analytics funnel over an event stream; ties allowed
+    * since distinct event types can share a timestamp). One shuffle on
+    * user_id into a pivot of first-occurrence times, then a
+    * steps-bounded roll-up — at any scale the heavy relation is
+    * (users × steps), never raw events. `conv_ppm` is integer ppm of
+    * step 1's population. */
+  def eventFunnel(events: DataFrame, steps: Seq[String] = FunnelSteps): DataFrame = {
+    val firsts = events
+      .filter(col("event_type").isin(steps: _*))
+      .groupBy(col("user_id"))
+      .pivot("event_type", steps)
+      .agg(min(col("ts")))
+    val reached = steps.indices.map { i =>
+      // all first-times through step i present and ordered
+      val ord = (1 to i).map(j => col(steps(j - 1)) <= col(steps(j)))
+      val present = (0 to i).map(j => col(steps(j)).isNotNull)
+      (present ++ ord).reduce(_ && _)
+    }
+    val agg = firsts.agg(
+      count(lit(1)).as("n0"),
+      reached.zipWithIndex.map { case (c, i) =>
+        sum(when(c, 1L).otherwise(0L)).as(s"r$i") }: _*)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepRows = steps.zipWithIndex
+      .map { case (s, i) => (i + 1L, s) }.toDF("step", "step_name")
+    stepRows.crossJoin(broadcast(agg))
+      .select(col("step"), col("step_name"),
+        steps.indices.map(i =>
+          when(col("step") === (i + 1L), col(s"r$i"))).reduce(coalesce(_, _)).as("n_users"),
+        greatest(col("r0"), lit(1L)).as("base"))
+      .select(col("step"), col("step_name"),
+        col("n_users").cast("long").as("n_users"),
+        expr("(n_users * 1000000) div base").as("conv_ppm"))
+      .orderBy("step")
+  }
+
+  /** Weekly retention cohorts: users grouped by their first-activity
+    * week, tracked by distinct-active weeks since — THE
+    * stickiness/engagement view over an event stream. `retention_ppm`
+    * is each cell's share of its cohort's size (offset 0 always holds
+    * the whole cohort — a user's first event is in the cohort week by
+    * definition). Shuffles carry (user_id, week) pairs — events
+    * deduplicate map-side to one row per user-week before the joins;
+    * week keys travel as epoch seconds for cross-engine stability. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val weeks = events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week")).distinct()
+    val cohorts = weeks.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    val cells = weeks.join(cohorts, "user_id")
+      .groupBy(unix_timestamp(col("cohort_week")).as("cohort_epoch"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val sizes = cells.filter(col("week_offset") === 0L)
+      .select(col("cohort_epoch"), col("n_users").as("cohort_size"))
+    cells.join(sizes, "cohort_epoch")
+      .select(col("cohort_epoch"), col("week_offset"),
+        col("n_users").cast("long").as("n_users"),
+        expr("(n_users * 1000000) div cohort_size").as("retention_ppm"))
+      .orderBy("cohort_epoch", "week_offset")
+  }
+
   /** Scalar string-function surface: parse the numeric id out of
     * `Customer#000000042`, normalize case, build a display label — all
     * codegen'd column expressions, verified against the same functions in

@@ -209,6 +209,44 @@ class OperatorSpec extends SparkSpec {
       s"integer-floor shares must sum to just under 1e6 ppm, got $ppm")
   }
 
+  test("eventFunnel: a step counts only when present AND in first-occurrence order") {
+    def ev(u: Long, t: String, hour: Int) =
+      (u, t, java.sql.Timestamp.valueOf(f"2024-01-01 $hour%02d:00:00"))
+    val events = Seq(
+      ev(1, "signup", 0), ev(1, "view", 1), ev(1, "click", 2), ev(1, "purchase", 3),
+      ev(2, "signup", 0), ev(2, "view", 1),
+      ev(3, "view", 0), ev(3, "signup", 1), // out of order: view precedes signup
+      ev(4, "click", 5), // no signup at all: reaches nothing
+      ev(1, "error", 4) // non-step types are ignored
+    ).toDF("user_id", "event_type", "ts")
+    val got = Relational.eventFunnel(events).collect()
+      .map { case Row(s: Long, n: String, u: Long, p: Long) => (s, n, u, p) }
+    assert(got.toSeq === Seq(
+      (1L, "signup", 3L, 1000000L),
+      (2L, "view", 2L, 666666L),
+      (3L, "click", 1L, 333333L),
+      (4L, "purchase", 1L, 333333L)))
+  }
+
+  test("retentionCohorts: cohort = first-active week, cells share of cohort size") {
+    def ev(u: Long, day: String) =
+      (u, "view", java.sql.Timestamp.valueOf(s"2024-01-$day 12:00:00"))
+    // weeks (Mondays): w0=01-01, w1=01-08, w2=01-15, w3=01-22
+    val events = Seq(
+      ev(1, "01"), ev(1, "09"), ev(1, "23"),  // cohort w0, offsets 0,1,3
+      ev(2, "03"),                            // cohort w0, offset 0 only
+      ev(3, "10"), ev(3, "16")                // cohort w1, offsets 0,1
+    ).toDF("user_id", "event_type", "ts")
+    val w0 = java.time.LocalDate.parse("2024-01-01")
+      .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    val w1 = w0 + 7 * 86400L
+    val got = Relational.retentionCohorts(events).collect()
+      .map { case Row(c: Long, o: Long, n: Long, p: Long) => (c, o, n, p) }
+    assert(got.toSeq === Seq(
+      (w0, 0L, 2L, 1000000L), (w0, 1L, 1L, 500000L), (w0, 3L, 1L, 500000L),
+      (w1, 0L, 1L, 1000000L), (w1, 1L, 1L, 1000000L)))
+  }
+
   test("PQ index layout: pruned, codes-only ADC search equals in-memory IVF-PQ") {
     val emb = Tables.embeddings(spark, Sf0001)
     val dir = java.nio.file.Files.createTempDirectory("graft-pq-idx").toString

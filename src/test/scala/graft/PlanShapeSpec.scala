@@ -94,6 +94,7 @@ class PlanShapeSpec extends SparkSpec {
       "ann_ivf_topk" -> "nCells=16 centroid table broadcast",
       "ann_ivfpq_topk" -> "nCells=16 centroid table broadcast (probe stage; ADC tables ride the same bounded query set)",
       "bm25_search" -> "1-row corpus-totals broadcast (N, sum dl)",
+      "event_funnel" -> "4-row step table × 1-row reached-counts aggregate",
       "ann_bruteforce_topk" -> "nQueries=5 query set broadcast (brute force scans corpus once)",
       "ann_bruteforce_sql" -> "nQueries=5 query set broadcast (brute force scans corpus once)",
       "media_feature_ann" -> "nQueries=5 query set broadcast (brute force scans corpus once)",
