@@ -743,7 +743,8 @@ object SparkEntry {
       ((0 to i).map(j => s"t$j IS NOT NULL") ++ (1 to i).map(j => s"t${j - 1} <= t$j"))
         .mkString(" AND ")
     val rs = steps.indices.map(i =>
-      s"CAST(sum(CASE WHEN ${reach(i)} THEN 1 ELSE 0 END) AS BIGINT) AS r$i").mkString(",\n    ")
+      s"CAST(coalesce(sum(CASE WHEN ${reach(i)} THEN 1 ELSE 0 END), 0) AS BIGINT) AS r$i")
+      .mkString(",\n    ")
     val vals = steps.zipWithIndex.map { case (s, i) => s"(${i + 1}, '$s')" }.mkString(", ")
     val pick = "CASE step " +
       steps.indices.map(i => s"WHEN ${i + 1} THEN r$i").mkString(" ") + " END"

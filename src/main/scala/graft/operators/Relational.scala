@@ -210,10 +210,12 @@ object Relational {
       val present = (0 to i).map(j => col(steps(j)).isNotNull)
       (present ++ ord).reduce(_ && _)
     }
+    // coalesce: sum over ZERO users is SQL-null — an empty stream should
+    // report an honest 0-user funnel, not a null one (oracle mirrors)
     val agg = firsts.agg(
       count(lit(1)).as("n0"),
       reached.zipWithIndex.map { case (c, i) =>
-        sum(when(c, 1L).otherwise(0L)).as(s"r$i") }: _*)
+        coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L)).as(s"r$i") }: _*)
     val spark = events.sparkSession
     import spark.implicits._
     val stepRows = steps.zipWithIndex

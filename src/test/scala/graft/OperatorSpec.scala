@@ -228,6 +228,14 @@ class OperatorSpec extends SparkSpec {
       (4L, "purchase", 1L, 333333L)))
   }
 
+  test("eventFunnel: an empty stream reports an honest 0-user funnel, not nulls") {
+    val empty = Seq.empty[(Long, String, java.sql.Timestamp)]
+      .toDF("user_id", "event_type", "ts")
+    val got = Relational.eventFunnel(empty).collect()
+      .map { case Row(s: Long, _: String, u: Long, p: Long) => (s, u, p) }
+    assert(got.toSeq === (1L to 4L).map(s => (s, 0L, 0L)))
+  }
+
   test("retentionCohorts: cohort = first-active week, cells share of cohort size") {
     def ev(u: Long, day: String) =
       (u, "view", java.sql.Timestamp.valueOf(s"2024-01-$day 12:00:00"))
