@@ -26,6 +26,14 @@ object SparkEntry {
     * so the two cannot drift (see the registry comment for why 0.4). */
   private val SemanticGateThreshold = 0.4
 
+  /** Scratch location for doc_lexical_ann_pq's persisted index — a
+    * deterministic per-sfDir path under the JVM temp dir (savePqIndex
+    * overwrites, so repeated runs reuse the same tree). The index build
+    * is part of the registered query on purpose: the composition under
+    * test is build-then-search, and its bench time should price both. */
+  private def lexPqIndexPath(sfDir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_lexpq_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference-parity family (events): SURVEY.md §2 S1-S3/O1-O7 ----
@@ -192,6 +200,12 @@ object SparkEntry {
     // lexical ANN: cosine top-k over the hashed-TF vectors (integer-exact
     // cross-engine cosine — see lexicalAnn's scaladoc)
     "doc_lexical_ann" -> ((s, d) => TextAnalysis.lexicalAnn(Tables.documents(s, d))),
+    // the INDEXED form: hashed-TF vectors persisted through the cell-
+    // partitioned PQ layout, searched via the partition-pruned codes-only
+    // ADC path — the end-to-end 100 TB text-ANN composition (oracle
+    // inlines the doclex slot's quantizer + codebooks post-run)
+    "doc_lexical_ann_pq" -> ((s, d) =>
+      TextAnalysis.lexicalAnnPq(Tables.documents(s, d), lexPqIndexPath(d))),
     // snapshot-versioning audit: per-source added/removed/changed/unchanged
     // between two simulated corpus snapshots (old = id%3!=0; new = id%5!=0
     // with id%7==0 docs content-bumped)
@@ -1101,11 +1115,53 @@ object SparkEntry {
     * ordered list_sum (never a SQL aggregate sum), so the accumulation
     * order matches the codegen'd left-to-right chains. */
   private def annPqOracleEntry: Map[String, String] = {
-    import graft.operators.Similarity.{PqSubspaces, PqSubDim, PqRefine}
+    import graft.operators.Similarity.{PqSubspaces, PqSubDim}
     val model = graft.operators.Similarity.lastQuantizer
     val books = graft.operators.Similarity.lastPqBooks
     if (model.isEmpty || books.isEmpty) return Map.empty
     val dim = PqSubspaces * PqSubDim
+    val embCte = s"emb AS (SELECT vec_id, embedding FROM embeddings WHERE len(embedding) = $dim)"
+    val shared = pqSharedCtes(model, books, embCte)
+    val statsSql =
+      s"""WITH $shared,
+         |g AS (SELECT CAST(m AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code,
+         |    CAST(count(*) AS BIGINT) AS n FROM ecode GROUP BY 1, 2),
+         |t AS (SELECT subspace, CAST(sum(n) AS BIGINT) AS total FROM g GROUP BY 1)
+         |SELECT g.subspace, g.code, g.n, CAST((g.n * 1000000) // t.total AS BIGINT) AS share_ppm
+         |FROM g JOIN t USING (subspace) ORDER BY 1, 2""".stripMargin
+    Map("ann_ivfpq_topk" -> pqSearchOracleSql(model, books, embCte),
+      "pq_code_stats" -> statsSql)
+  }
+
+  /** doc_lexical_ann_pq oracle (post-run contract, doclex slot): the
+    * hashed-TF dense vectors rebuilt in SQL (sparse counts left-joined
+    * onto the full 0..dim-1 bucket range — integer counts are exact in
+    * both engines' doubles), then the identical IVF-PQ pipeline as
+    * ann_ivfpq_topk against the doclex slot's quantizer + codebooks. */
+  private def lexPqOracleEntry: Map[String, String] = {
+    val model = graft.operators.Similarity.slotQuantizer(TextAnalysis.LexicalSlot)
+    val books = graft.operators.Similarity.slotPqBooks(TextAnalysis.LexicalSlot)
+    if (model.isEmpty || books.isEmpty) return Map.empty
+    val dim = TextAnalysis.HashVecDim
+    val embCte =
+      s"""$hashedTfCte,
+         |hdd AS (SELECT DISTINCT doc_id FROM hc),
+         |hdense AS (SELECT hdd.doc_id, r.i AS bucket, CAST(coalesce(hc.cnt, 0) AS DOUBLE) AS v
+         |  FROM hdd CROSS JOIN range($dim) r(i)
+         |  LEFT JOIN hc ON hc.doc_id = hdd.doc_id AND hc.bucket = r.i),
+         |emb AS (SELECT doc_id AS vec_id, list(v ORDER BY bucket) AS embedding
+         |  FROM hdense GROUP BY doc_id)""".stripMargin
+    Map("doc_lexical_ann_pq" -> pqSearchOracleSql(model, books, embCte))
+  }
+
+  /** The shared IVF-PQ oracle CTE chain over an arbitrary `emb(vec_id,
+    * embedding)` corpus definition: inlined centroids + codebooks, then
+    * per-(vector, subspace) argmin-L2 codes (ties to the lowest code,
+    * mirroring PqEncode's strict-< keep). */
+  private def pqSharedCtes(model: Array[Array[Float]],
+                           books: Array[Array[Array[Float]]],
+                           embCte: String): String = {
+    import graft.operators.Similarity.{PqSubDim}
     val cells = model.indices.mkString("[", ", ", "]")
     val cents = model
       .map(_.map(f => s"'${f.toDouble}'::DOUBLE").mkString("[", ", ", "]"))
@@ -1116,24 +1172,35 @@ object SparkEntry {
     val subs = flat
       .map(_._3.map(f => s"'${f.toDouble}'::DOUBLE").mkString("[", ", ", "]"))
       .mkString("[", ", ", "]")
+    val sqDiff = s"(e.embedding[p.m*$PqSubDim+d+1]::DOUBLE - p.sub[d+1])"
+    s"""cents AS (SELECT unnest($cells) AS cell, unnest($cents) AS centroid),
+       |pq AS (SELECT unnest($ms) AS m, unnest($codes) AS code, unnest($subs) AS sub),
+       |$embCte,
+       |codesd AS (SELECT e.vec_id, p.m, p.code,
+       |    list_sum(list_transform(range($PqSubDim), d -> $sqDiff * $sqDiff)) AS dist
+       |  FROM emb e CROSS JOIN pq p),
+       |ecode AS (SELECT vec_id, m, code FROM (
+       |    SELECT vec_id, m, code,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS drk FROM codesd)
+       |  WHERE drk = 1)""".stripMargin
+  }
+
+  /** The full IVF-PQ search oracle over [[pqSharedCtes]]'s chain:
+    * assignment, probing, per-query ADC tables, cosine-normalized ADC
+    * ranking, top-PqRefine refine cut, exact re-rank — every float sum an
+    * ordered list_sum mirroring the codegen'd left-to-right chains. */
+  private def pqSearchOracleSql(model: Array[Array[Float]],
+                                books: Array[Array[Array[Float]]],
+                                embCte: String): String = {
+    import graft.operators.Similarity.{PqSubspaces, PqSubDim, PqRefine}
+    val dim = PqSubspaces * PqSubDim
+    val shared = pqSharedCtes(model, books, embCte)
     def dotEC(e: String, c: String) =
       s"list_sum(list_transform(range($dim), i -> $e[i+1]::DOUBLE * $c[i+1]))"
     def dotEE(e: String) =
       s"list_sum(list_transform(range($dim), i -> $e[i+1]::DOUBLE * $e[i+1]::DOUBLE))"
     def dotCC(c: String) =
       s"list_sum(list_transform(range($dim), i -> $c[i+1] * $c[i+1]))"
-    val sqDiff = s"(e.embedding[p.m*$PqSubDim+d+1]::DOUBLE - p.sub[d+1])"
-    val shared =
-      s"""cents AS (SELECT unnest($cells) AS cell, unnest($cents) AS centroid),
-         |pq AS (SELECT unnest($ms) AS m, unnest($codes) AS code, unnest($subs) AS sub),
-         |emb AS (SELECT vec_id, embedding FROM embeddings WHERE len(embedding) = $dim),
-         |codesd AS (SELECT e.vec_id, p.m, p.code,
-         |    list_sum(list_transform(range($PqSubDim), d -> $sqDiff * $sqDiff)) AS dist
-         |  FROM emb e CROSS JOIN pq p),
-         |ecode AS (SELECT vec_id, m, code FROM (
-         |    SELECT vec_id, m, code,
-         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS drk FROM codesd)
-         |  WHERE drk = 1)""".stripMargin
     val sql =
       s"""WITH $shared,
          |asgs AS (SELECT e.vec_id, e.embedding, c.cell,
@@ -1178,14 +1245,7 @@ object SparkEntry {
          |  FROM sx)
          |SELECT query_id, neighbor_id, rank, round(cs, 4) AS cos_sim
          |FROM rx WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
-    val statsSql =
-      s"""WITH $shared,
-         |g AS (SELECT CAST(m AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code,
-         |    CAST(count(*) AS BIGINT) AS n FROM ecode GROUP BY 1, 2),
-         |t AS (SELECT subspace, CAST(sum(n) AS BIGINT) AS total FROM g GROUP BY 1)
-         |SELECT g.subspace, g.code, g.n, CAST((g.n * 1000000) // t.total AS BIGINT) AS share_ppm
-         |FROM g JOIN t USING (subspace) ORDER BY 1, 2""".stripMargin
-    Map("ann_ivfpq_topk" -> sql, "pq_code_stats" -> statsSql)
+    sql
   }
 
   /** quality_classifier oracle, generated AFTER the query has run (same
@@ -1776,5 +1836,5 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "image_meta_stub" -> imageMetaOracle,
     "media_feature_ann" -> mediaFeatureAnnOracle,
-  ) ++ annIvfOracleEntry ++ annPqOracleEntry ++ qualityModelOracleEntry
+  ) ++ annIvfOracleEntry ++ annPqOracleEntry ++ lexPqOracleEntry ++ qualityModelOracleEntry
 }

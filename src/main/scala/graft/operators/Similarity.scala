@@ -247,43 +247,58 @@ object Similarity {
     cents.map(_.map(_.toFloat))
   }
 
-  /** Drop the memoized quantizers AND the last-quantizer oracle slot
+  /** Drop the memoized quantizers AND the oracle model slots
     * (benchmark hygiene — see [[graft.operators.Dedup.clearSessionState]]).
-    * Resetting `trainedKeys`/`lastTrained` lets a cleared session
-    * re-establish a single-model state and regain the full IVF oracle —
+    * Resetting the slot maps lets a cleared session re-establish a
+    * single-model state per slot and regain the full IVF oracle —
     * previously two trainings ever in a session degraded [[lastQuantizer]]
     * permanently, even across a full clear and retrain. Verify never
     * clears mid-run, so oracle generation still reads exactly the model
     * its queries searched with. */
   def clearSessionState(): Unit = synchronized {
     ivfModelCache.clear()
-    trainedKeys = Set.empty
-    lastTrained = Array.empty
+    quantSlots.clear()
     pqModelCache.clear()
-    pqTrainedKeys = Set.empty
-    lastPqTrained = Array.empty
+    pqSlots.clear()
   }
 
-  /** The quantizer the session's IVF query searched with. Verify runs
-    * every query BEFORE dumping oracle SQL, so by the time SparkEntry's
-    * ann_ivf_topk oracle generator reads this, it holds exactly the
-    * centroid table the query searched with — letting the DuckDB oracle
-    * inline the model and replicate assignment + probing bit-for-bit.
-    * Guarded against the two ways a single mutable slot could lie:
-    * empty-corpus training never overwrites a real model, and once TWO
-    * distinct (corpus, nCells) quantizers have been trained the slot
-    * reports empty — the oracle then degrades to the rows-only check
-    * instead of silently verifying against the wrong centroids. */
-  @volatile private var lastTrained: Array[Array[Float]] = Array.empty
-  @volatile private var trainedKeys: Set[Any] = Set.empty
-  def lastQuantizer: Array[Array[Float]] =
-    if (trainedKeys.size > 1) Array.empty else lastTrained
+  /** Oracle model slots, NAMED per corpus family: the quantizer (and PQ
+    * books below) that a given slot's queries searched with this session.
+    * Verify runs every query BEFORE dumping oracle SQL, so by the time
+    * SparkEntry's oracle generators read a slot, it holds exactly the
+    * model its queries searched with — letting the DuckDB oracle inline
+    * the model and replicate assignment + probing bit-for-bit. Slots are
+    * named so DISTINCT corpus families (the embeddings table vs the
+    * hashed-TF document vectors) each keep a usable oracle — a single
+    * global slot degraded to empty the moment a second corpus trained.
+    * Within one slot the old guards hold: empty-corpus training never
+    * overwrites a real model, and two distinct (corpus, nCells) keys in
+    * the SAME slot report empty — the oracle then degrades to the
+    * rows-only check instead of silently verifying against the wrong
+    * centroids. */
+  val DefaultSlot = "embeddings"
+  private val quantSlots =
+    TrieMap[String, (Set[Any], Array[Array[Float]])]()
+  private val pqSlots =
+    TrieMap[String, (Set[Any], Array[Array[Array[Float]]])]()
 
-  /** Train (or reuse the memoized) coarse quantizer for a corpus. */
-  def quantizerFor(embeddings: DataFrame, nCells: Int = 16): Array[Array[Float]] = {
+  def slotQuantizer(slot: String): Array[Array[Float]] =
+    quantSlots.get(slot) match {
+      case Some((keys, m)) if keys.size == 1 => m
+      case _ => Array.empty
+    }
+  def lastQuantizer: Array[Array[Float]] = slotQuantizer(DefaultSlot)
+
+  /** Train (or reuse the memoized) coarse quantizer for a corpus,
+    * recording it in the named oracle slot. */
+  def quantizerFor(embeddings: DataFrame, nCells: Int = 16,
+                   slot: String = DefaultSlot): Array[Array[Float]] = {
     val planKey = embeddings.queryExecution.analyzed.canonicalized
     val m = ivfModelCache.getOrElseUpdate((planKey, nCells), trainQuantizer(embeddings, nCells))
-    if (m.nonEmpty) synchronized { trainedKeys += ((planKey, nCells)); lastTrained = m }
+    if (m.nonEmpty) synchronized {
+      val keys = quantSlots.get(slot).map(_._1).getOrElse(Set.empty[Any])
+      quantSlots(slot) = (keys + ((planKey, nCells)), m)
+    }
     m
   }
 
@@ -292,8 +307,9 @@ object Similarity {
     * snapshot and shipped with the index; search jobs load it instead of
     * retraining. Deterministic round-trip: cells keep their index and
     * floats travel as exact float32. */
-  def saveQuantizer(embeddings: DataFrame, path: String, nCells: Int = 16): Unit = {
-    val model = quantizerFor(embeddings, nCells)
+  def saveQuantizer(embeddings: DataFrame, path: String, nCells: Int = 16,
+                    slot: String = DefaultSlot): Unit = {
+    val model = quantizerFor(embeddings, nCells, slot)
     val spark = embeddings.sparkSession
     import spark.implicits._
     model.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -390,9 +406,10 @@ object Similarity {
     * just of the rows — at 100 TB the difference between scanning the
     * corpus per query batch and scanning a few percent of it. Write cost
     * is one assignment map pass + one shuffle-free partitioned write. */
-  def saveIvfIndex(embeddings: DataFrame, path: String, nCells: Int = 16): Unit = {
-    val model = quantizerFor(embeddings, nCells)
-    saveQuantizer(embeddings, s"$path/quantizer", nCells)
+  def saveIvfIndex(embeddings: DataFrame, path: String, nCells: Int = 16,
+                   slot: String = DefaultSlot): Unit = {
+    val model = quantizerFor(embeddings, nCells, slot)
+    saveQuantizer(embeddings, s"$path/quantizer", nCells, slot)
     assignCells(embeddings, model)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
@@ -554,14 +571,16 @@ object Similarity {
   /** Trained PQ codebooks keyed by canonicalized corpus plan —
     * `[subspace][code][dim]`, a 8×16×8-float model. Same caching/oracle
     * discipline as the coarse quantizer ([[ivfModelCache]] /
-    * [[lastQuantizer]]): plan-object keys, and the oracle slot degrades
-    * to empty the moment two distinct corpora have trained books. */
+    * [[quantSlots]]): plan-object keys, named oracle slots, and a slot
+    * degrades to empty the moment two distinct corpora train into it. */
   private val pqModelCache =
     TrieMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Array[Array[Array[Float]]]]()
-  @volatile private var lastPqTrained: Array[Array[Array[Float]]] = Array.empty
-  @volatile private var pqTrainedKeys: Set[Any] = Set.empty
-  def lastPqBooks: Array[Array[Array[Float]]] =
-    if (pqTrainedKeys.size > 1) Array.empty else lastPqTrained
+  def slotPqBooks(slot: String): Array[Array[Array[Float]]] =
+    pqSlots.get(slot) match {
+      case Some((keys, m)) if keys.size == 1 => m
+      case _ => Array.empty
+    }
+  def lastPqBooks: Array[Array[Array[Float]]] = slotPqBooks(DefaultSlot)
 
   /** Per-subspace Euclidean k-means on the driver over the same bounded
     * deterministic sample as [[trainQuantizer]] (strided init, fixed
@@ -609,10 +628,14 @@ object Similarity {
     }
   }
 
-  def pqBooksFor(embeddings: DataFrame): Array[Array[Array[Float]]] = {
+  def pqBooksFor(embeddings: DataFrame,
+                 slot: String = DefaultSlot): Array[Array[Array[Float]]] = {
     val planKey = embeddings.queryExecution.analyzed.canonicalized
     val m = pqModelCache.getOrElseUpdate(planKey, trainPqBooks(embeddings))
-    if (m.nonEmpty) synchronized { pqTrainedKeys += planKey; lastPqTrained = m }
+    if (m.nonEmpty) synchronized {
+      val keys = pqSlots.get(slot).map(_._1).getOrElse(Set.empty[Any])
+      pqSlots(slot) = (keys + planKey, m)
+    }
     m
   }
 
@@ -729,11 +752,12 @@ object Similarity {
     * bounded refine cut's rows inside probed cells. Same cell-tree
     * mechanics as [[saveIvfIndex]], so [[compactIvfIndex]] compacts this
     * layout unchanged (schema-agnostic: it rewrites whole cells). */
-  def savePqIndex(embeddings: DataFrame, path: String, nCells: Int = 16): Unit = {
+  def savePqIndex(embeddings: DataFrame, path: String, nCells: Int = 16,
+                  slot: String = DefaultSlot): Unit = {
     val dim = PqSubspaces * PqSubDim
-    val model = quantizerFor(embeddings, nCells)
-    val books = pqBooksFor(embeddings)
-    saveQuantizer(embeddings, s"$path/quantizer", nCells)
+    val model = quantizerFor(embeddings, nCells, slot)
+    val books = pqBooksFor(embeddings, slot)
+    saveQuantizer(embeddings, s"$path/quantizer", nCells, slot)
     savePqBooks(embeddings.sparkSession, books, s"$path/books")
     withCell(embeddings.filter(size(col("embedding")) === dim), model)
       .select(col("vec_id"), col("embedding"),

@@ -543,15 +543,49 @@ object TextAnalysis {
     * rows plus one final double divide/sqrt, and still match the
     * codegen'd cosine bit-for-bit. */
   def lexicalAnn(documents: DataFrame, nQueries: Int = 5, k: Int = 3,
-                 dim: Int = HashVecDim): DataFrame = {
-    val vecs = hashedTfCounts(documents, dim)
+                 dim: Int = HashVecDim): DataFrame =
+    Similarity.bruteForceTopK(lexicalVectors(documents, dim), nQueries, k)
+
+  /** The hashed-TF counts densified to `(vec_id, embedding)` — the exact
+    * input shape of the [[Similarity]] family, so documents flow into ANY
+    * of its paths (brute force here, the persisted IVF/PQ layouts in
+    * [[lexicalAnnPq]]) unchanged. `float` elements on purpose: counts are
+    * small integers (exact in float32 up to 2^24), and float is the
+    * vector family's storage type, so the persisted index layouts hold
+    * text-derived and model-embedding vectors identically. */
+  def lexicalVectors(documents: DataFrame, dim: Int = HashVecDim): DataFrame =
+    hashedTfCounts(documents, dim)
       .groupBy(col("doc_id"))
       .agg(map_from_entries(collect_list(struct(col("bucket"), col("cnt")))).as("m"))
       .select(col("doc_id").as("vec_id"),
         transform(sequence(lit(0), lit(dim - 1)),
-          i => coalesce(element_at(col("m"), i.cast("long")), lit(0L)).cast("double"))
+          i => coalesce(element_at(col("m"), i.cast("long")), lit(0L)).cast("float"))
           .as("embedding"))
-    Similarity.bruteForceTopK(vecs, nQueries, k)
+
+  /** The oracle-model slot [[lexicalAnnPq]] trains into — named so the
+    * document-vector quantizer/books never degrade the embeddings
+    * table's own IVF/PQ oracle slots (see [[Similarity.slotQuantizer]]). */
+  val LexicalSlot = "doclex"
+
+  /** Lexical ANN through the PERSISTED IVF-PQ index — the composition a
+    * 100 TB text corpus actually runs: text → hashed-TF vectors
+    * ([[lexicalVectors]], no vocabulary or embedding model) → cell-
+    * partitioned PQ layout on storage ([[Similarity.savePqIndex]]) →
+    * partition-pruned codes-only ADC search with exact re-rank
+    * ([[Similarity.pqSearchIndexed]]). The index build is the once-per-
+    * snapshot cost (one scan + partitioned write); every search after it
+    * reads nProbe/nCells of the bytes and scans 8-byte code rows, not
+    * 256-byte vectors. Deterministic end to end — the DuckDB oracle
+    * inlines the slot's quantizer + codebooks and replicates the dense
+    * vectors, encoding, ADC, refine, and re-rank bit-for-bit (the
+    * [[HashVecDim]] = 64 geometry matches the PQ 8×8 layout exactly). */
+  def lexicalAnnPq(documents: DataFrame, indexPath: String,
+                   nQueries: Int = 5, k: Int = 3): DataFrame = {
+    val vecs = lexicalVectors(documents)
+    Similarity.savePqIndex(vecs, indexPath, slot = LexicalSlot)
+    Similarity.pqSearchIndexed(documents.sparkSession, indexPath,
+      vecs.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding")), k)
   }
 
   /** Snapshot diff — the dataset-versioning audit between two corpus

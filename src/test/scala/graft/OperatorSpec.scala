@@ -300,6 +300,34 @@ class OperatorSpec extends SparkSpec {
       "compaction must fold replay duplicates and restore the clean answer")
   }
 
+  test("doc_lexical_ann_pq: text vectors through the persisted PQ layout — pruned, codes-only, exact vs in-memory") {
+    // pqTopK below trains the doc-vector models into the DEFAULT slot —
+    // a second model key there (by design) trips the ambiguity guard, so
+    // clear at the end like the semanticDedup test does
+    try lexicalAnnPqBody()
+    finally graft.operators.Similarity.clearSessionState()
+  }
+
+  private def lexicalAnnPqBody(): Unit = {
+    val docs = Tables.documents(spark, Sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lexpq").toString
+    val viaIndex = graft.operators.TextAnalysis.lexicalAnnPq(docs, dir)
+    // the same plan guarantees as the embeddings-table PQ layout carry
+    // over to the text composition: probed-cell partition pruning, and an
+    // ADC scan that projects codes WITHOUT the (here 256-byte) vector
+    val planStr = viaIndex.queryExecution.executedPlan.toString
+    assert(planStr.matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*\\].*"),
+      s"lexical PQ cells scans must carry a cell partition filter:\n$planStr")
+    assert(planStr.contains("ReadSchema: struct<vec_id:bigint,codes:array<int>>"),
+      s"lexical ADC scan must read codes only, no embedding column:\n$planStr")
+    // end-to-end equality: the persisted composition answers exactly like
+    // the in-memory IVF-PQ over the same derived vectors (same models —
+    // the plan-keyed caches make pqTopK reuse the composition's fit)
+    val vecs = graft.operators.TextAnalysis.lexicalVectors(docs)
+    assert(viaIndex.collect().toSeq === Similarity.pqTopK(vecs).collect().toSeq,
+      "lexicalAnnPq must equal in-memory pqTopK over the hashed-TF vectors")
+  }
+
   test("ann_ivfpq_topk: returned scores are exact, and PQ recall tracks the exact IVF top-3") {
     val emb = Tables.embeddings(spark, Sf0001)
     // re-ranked scores must BE brute-force scores (the refine stage is exact)

@@ -93,6 +93,7 @@ class PlanShapeSpec extends SparkSpec {
         "percentile targets broadcast (3 instances of the bounded percentile machinery)",
       "ann_ivf_topk" -> "nCells=16 centroid table broadcast",
       "ann_ivfpq_topk" -> "nCells=16 centroid table broadcast (probe stage; ADC tables ride the same bounded query set)",
+      "doc_lexical_ann_pq" -> "nCells=16 centroid table broadcast (probe stage; ADC tables + refine cut ride the bounded query set)",
       "bm25_search" -> "1-row corpus-totals broadcast (N, sum dl)",
       "event_funnel" -> "4-row step table × 1-row reached-counts aggregate",
       "ann_bruteforce_topk" -> "nQueries=5 query set broadcast (brute force scans corpus once)",
