@@ -89,6 +89,9 @@ object SparkEntry {
     "events_pivot" -> ((s, d) => Relational.eventsPivot(Tables.events(s, d))),
     // ordered-funnel conversion over first-occurrence step times
     "event_funnel" -> ((s, d) => Relational.eventFunnel(Tables.events(s, d))),
+    // the TIME-BOUNDED funnel: each transition must land within
+    // FunnelHorizonSec of the previous step's completion
+    "event_funnel_windowed" -> ((s, d) => Relational.eventFunnelWindowed(Tables.events(s, d))),
     // weekly first-activity cohorts × distinct-active-week offsets
     "user_retention_cohorts" -> ((s, d) => Relational.retentionCohorts(Tables.events(s, d))),
     "user_sessions" -> ((s, d) => Sessionize.userSessions(Tables.events(s, d))),
@@ -773,6 +776,40 @@ object SparkEntry {
        |  $pick AS n_users,
        |  CAST(($pick * 1000000) // greatest(r0, 1) AS BIGINT) AS conv_ppm
        |FROM s, r ORDER BY step""".stripMargin
+  }
+
+  /** Mirrors Relational.eventFunnelWindowed, generated from the same
+    * step list + horizon constant: chained greedy earliest-completion
+    * CTEs (step i's earliest event inside (t_{i-1}, t_{i-1}+horizon]),
+    * one count per stage, integer-ppm conversion. Timestamps travel as
+    * whole epoch seconds in BOTH engines (unix_timestamp floors;
+    * date_trunc('second') + epoch matches it), so the window comparisons
+    * are integer-exact. */
+  private def eventFunnelWindowedOracle: String = {
+    val steps = Relational.FunnelSteps
+    val h = Relational.FunnelHorizonSec
+    val c0 =
+      s"c0 AS (SELECT user_id, min(tsec) AS t FROM e WHERE event_type = '${steps.head}' GROUP BY 1)"
+    val cis = (1 until steps.length).map { i =>
+      s"""c$i AS (SELECT e.user_id, min(e.tsec) AS t FROM e
+         |  JOIN c${i - 1} p ON e.user_id = p.user_id
+         |  WHERE e.event_type = '${steps(i)}' AND e.tsec >= p.t AND e.tsec <= p.t + $h
+         |  GROUP BY 1)""".stripMargin
+    }
+    val counts = steps.indices.map(i =>
+      s"SELECT ${i + 1} AS step, (SELECT count(*) FROM c$i) AS n_users").mkString(" UNION ALL ")
+    val vals = steps.zipWithIndex.map { case (s, i) => s"(${i + 1}, '$s')" }.mkString(", ")
+    s"""WITH e AS (SELECT user_id, event_type,
+       |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS tsec FROM events),
+       |$c0,
+       |${cis.mkString(",\n")},
+       |u AS ($counts),
+       |s AS (SELECT * FROM (VALUES $vals) v(step, step_name)),
+       |b AS (SELECT greatest(max(CASE WHEN step = 1 THEN n_users END), 1) AS base FROM u)
+       |SELECT CAST(s.step AS BIGINT) AS step, s.step_name,
+       |  CAST(u.n_users AS BIGINT) AS n_users,
+       |  CAST((u.n_users * 1000000) // b.base AS BIGINT) AS conv_ppm
+       |FROM s JOIN u ON u.step = s.step, b ORDER BY step""".stripMargin
   }
 
   /** Shared hashed-TF sparse-count CTE chain (mirrors
@@ -1667,6 +1704,7 @@ object SparkEntry {
     "corpus_sample_stratified" -> stratifiedSampleOracle,
     "train_test_split" -> trainTestSplitOracle,
     "leakage_safe_split" -> leakageSafeSplitOracle,
+    "event_funnel_windowed" -> eventFunnelWindowedOracle,
     "corpus_diff" -> corpusDiffOracle,
     "doc_vector_hash" -> docVectorHashOracle,
     "doc_lexical_ann" -> docLexicalAnnOracle,

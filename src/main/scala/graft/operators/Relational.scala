@@ -231,6 +231,81 @@ object Relational {
       .orderBy("step")
   }
 
+  /** Per-transition horizon for [[eventFunnelWindowed]], in seconds —
+    * shared with the oracle generator so both engines bound the funnel
+    * identically (the same parameter-lock contract as
+    * [[FunnelSteps]] / Dedup's gramLen/maxDf). One day: on this event
+    * stream (sparse per-user activity over ~a week) a 1-hour horizon
+    * zeroes every stage past `view`, while a day leaves all four stages
+    * populated AND meaningfully below the unbounded form — the regime
+    * where the correctness gate actually exercises the window logic. */
+  val FunnelHorizonSec = 86400L
+
+  /** TIME-BOUNDED ordered funnel — the standard product-analytics form:
+    * step i+1 counts only when it happens within `horizonSec` of the
+    * user's step-i completion time. [[eventFunnel]]'s unbounded
+    * first-occurrence form silently overstates conversion on long event
+    * histories (a purchase a month after the click still "converts");
+    * this form expires each transition.
+    *
+    * Semantics: greedy earliest-completion — t_0 is the user's first
+    * step-0 event, and t_{i+1} is the user's EARLIEST step-(i+1) event
+    * inside (t_i, t_i + horizon] (ties allowed at t_i, matching
+    * [[eventFunnel]]'s non-decreasing contract). Greedy-earliest is the
+    * funnel convention (and what a per-user sequential scan computes);
+    * it is deliberately not the maximal-window matching — a user who
+    * could only convert by SKIPPING their first step-i event does not
+    * count, and the oracle replicates exactly that.
+    *
+    * Scale shape: one shuffle on user_id per TRANSITION (steps-bounded,
+    * never data-bounded) — each stage equi-joins the step's events
+    * against the shrinking per-user completion-time relation and
+    * re-aggregates to one row per user; the heavy relation is always
+    * (users × 1), never raw events paired with themselves. The final
+    * roll-up unions `steps` one-row aggregates — the unpartitioned
+    * window below runs over ≤ steps rows, bounded by construction. */
+  def eventFunnelWindowed(events: DataFrame, steps: Seq[String] = FunnelSteps,
+                          horizonSec: Long = FunnelHorizonSec): DataFrame = {
+    val e = events
+      .filter(col("event_type").isin(steps: _*))
+      .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("tsec"))
+    // per-user completion time of each successive step, within horizon
+    val completions: Seq[DataFrame] =
+      steps.indices.foldLeft(Vector.empty[DataFrame]) { (acc, i) =>
+        val cur =
+          if (i == 0)
+            e.filter(col("event_type") === steps.head)
+              .groupBy(col("user_id")).agg(min(col("tsec")).as("t"))
+          else
+            e.filter(col("event_type") === steps(i))
+              .join(acc.last.select(col("user_id"), col("t").as("prev_t")), Seq("user_id"))
+              .filter(col("tsec") >= col("prev_t") &&
+                col("tsec") <= col("prev_t") + lit(horizonSec))
+              .groupBy(col("user_id")).agg(min(col("tsec")).as("t"))
+        acc :+ cur
+      }
+    // coalesce: an empty population must report an honest 0, not null
+    // (same contract as eventFunnel)
+    val counted = completions.zipWithIndex.map { case (c, i) =>
+      c.agg(coalesce(count(lit(1)), lit(0L)).cast("long").as("n_users"))
+        .withColumn("step", lit(i + 1L))
+    }.reduce(_.unionByName(_))
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepRows = steps.zipWithIndex
+      .map { case (s, i) => (i + 1L, s) }.toDF("step", "step_name")
+    // the unpartitioned window runs over the ≤ steps counted rows — a
+    // model-sized relation, bounded by construction
+    val base = greatest(max(when(col("step") === 1L, col("n_users")))
+      .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)), lit(1L))
+    counted.join(broadcast(stepRows), Seq("step"))
+      .withColumn("base", base)
+      .select(col("step"), col("step_name"),
+        col("n_users").cast("long").as("n_users"),
+        expr("(n_users * 1000000) div base").as("conv_ppm"))
+      .orderBy("step")
+  }
+
   /** Weekly retention cohorts: users grouped by their first-activity
     * week, tracked by distinct-active weeks since — THE
     * stickiness/engagement view over an event stream. `retention_ppm`

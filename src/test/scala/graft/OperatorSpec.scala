@@ -236,6 +236,41 @@ class OperatorSpec extends SparkSpec {
     assert(got.toSeq === (1L to 4L).map(s => (s, 0L, 0L)))
   }
 
+  test("eventFunnelWindowed: transitions expire past the horizon; chain is greedy-earliest") {
+    def ev(u: Long, t: String, hm: String) =
+      (u, t, java.sql.Timestamp.valueOf(s"2024-01-01 $hm:00"))
+    val events = Seq(
+      // u1: full chain until purchase misses its window (click 01:15 →
+      // purchase 02:20 is 65 min > the 60-min horizon)
+      ev(1, "signup", "00:00"), ev(1, "view", "00:30"),
+      ev(1, "click", "01:15"), ev(1, "purchase", "02:20"),
+      // u2: view arrives 2 h after signup — transition expired
+      ev(2, "signup", "00:00"), ev(2, "view", "02:00"),
+      // u3: a view BEFORE signup doesn't count; the one after does
+      ev(3, "view", "00:00"), ev(3, "signup", "01:00"), ev(3, "view", "01:30"),
+      // u5: greedy-earliest — t1 pins to the 00:10 view, so the 01:40
+      // click (90 min later) misses even though the 01:30 view would
+      // have allowed it; the operator never re-matches a later step-i
+      ev(5, "signup", "00:00"), ev(5, "view", "00:10"),
+      ev(5, "view", "01:30"), ev(5, "click", "01:40")
+    ).toDF("user_id", "event_type", "ts")
+    val got = Relational.eventFunnelWindowed(events, horizonSec = 3600L).collect()
+      .map { case Row(s: Long, n: String, u: Long, p: Long) => (s, n, u, p) }
+    assert(got.toSeq === Seq(
+      (1L, "signup", 4L, 1000000L),
+      (2L, "view", 3L, 750000L),
+      (3L, "click", 1L, 250000L),
+      (4L, "purchase", 0L, 0L)))
+  }
+
+  test("eventFunnelWindowed: an empty stream reports an honest 0-user funnel") {
+    val empty = Seq.empty[(Long, String, java.sql.Timestamp)]
+      .toDF("user_id", "event_type", "ts")
+    val got = Relational.eventFunnelWindowed(empty).collect()
+      .map { case Row(s: Long, _: String, u: Long, p: Long) => (s, u, p) }
+    assert(got.toSeq === (1L to 4L).map(s => (s, 0L, 0L)))
+  }
+
   test("retentionCohorts: cohort = first-active week, cells share of cohort size") {
     def ev(u: Long, day: String) =
       (u, "view", java.sql.Timestamp.valueOf(s"2024-01-$day 12:00:00"))
