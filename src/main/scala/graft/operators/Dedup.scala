@@ -350,7 +350,12 @@ object Dedup {
     * [[Similarity.saveQuantizer]], applied to the dedup state. */
   def saveDedupIndex(existing: DataFrame, name: String, buckets: Int = 8): Unit = {
     import graft.sources.FileFormats.writeBucketed
-    writeBucketed(existing.select(md5(normText(col("text"))).as("fp")).distinct(),
+    // fp rows carry doc_id (one row per doc, not one per distinct fp):
+    // the anti-join consumers only read the fp column — multiplicity is
+    // invisible to them — but doc_id is what lets [[applyCorpusDiff]]
+    // remove exactly one document's fingerprint while an identical-text
+    // SURVIVOR's row keeps blocking that content
+    writeBucketed(existing.select(md5(normText(col("text"))).as("fp"), col("doc_id")).distinct(),
       s"${name}_fp", "fp", buckets)
     writeBucketed(bandTable(existing), s"${name}_bands", "band_key", buckets)
     writeBucketed(shingleArrays(existing).select(col("doc_id"), col("n_g"), col("gs")),
@@ -399,7 +404,8 @@ object Dedup {
     def app(df: DataFrame, table: String, key: String): Unit =
       df.write.mode(org.apache.spark.sql.SaveMode.Append)
         .bucketBy(bucketsOf(table), key).sortBy(key).saveAsTable(table)
-    app(admitted.select(md5(normText(col("text"))).as("fp")).distinct(), s"${name}_fp", "fp")
+    app(admitted.select(md5(normText(col("text"))).as("fp"), col("doc_id")).distinct(),
+      s"${name}_fp", "fp")
     app(bandTable(admitted), s"${name}_bands", "band_key")
     app(shingleArrays(admitted).select(col("doc_id"), col("n_g"), col("gs")),
       s"${name}_shingles", "doc_id")
@@ -460,10 +466,14 @@ object Dedup {
     * whenever per-bucket file counts pass the warehouse's small-file
     * threshold ([[TrainingPipeline]]'s maintained index after N
     * micro-batches is the canonical caller). */
-  def compactDedupIndex(spark: org.apache.spark.sql.SparkSession, name: String): Unit = {
+  /** The staged in-place rewrite all three index tables share (see
+    * [[compactDedupIndex]] for why it is staged-then-overwrite rather
+    * than a rename swap): `canon` is the per-table canonicalization the
+    * caller wants folded into the rewrite. */
+  private def rewriteIndexTables(spark: org.apache.spark.sql.SparkSession, name: String,
+                                 canon: String => DataFrame => DataFrame): Unit = {
     val catalog = spark.sessionState.catalog
-    def compactOne(suffix: String, key: String,
-                   canon: DataFrame => DataFrame): Unit = {
+    def rewriteOne(suffix: String, key: String): Unit = {
       val t = name + suffix
       try spark.catalog.refreshTable(t)
       catch { case _: org.apache.spark.sql.AnalysisException => () }
@@ -471,18 +481,64 @@ object Dedup {
         .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
         .bucketSpec.map(_.numBuckets).getOrElse(8)
       val staged = s"${t}__compact"
-      graft.sources.FileFormats.writeBucketed(canon(spark.table(t)), staged, key, buckets)
+      graft.sources.FileFormats.writeBucketed(canon(suffix)(spark.table(t)), staged, key, buckets)
       graft.sources.FileFormats.writeBucketed(spark.table(staged), t, key, buckets)
       spark.sql(s"DROP TABLE `$staged`")
       spark.catalog.refreshTable(t)
     }
-    compactOne("_fp", "fp", _.distinct())
-    compactOne("_bands", "band_key", _.distinct())
-    compactOne("_shingles", "doc_id", _.dropDuplicates("doc_id"))
+    rewriteOne("_fp", "fp")
+    rewriteOne("_bands", "band_key")
+    rewriteOne("_shingles", "doc_id")
     // same cross-session visibility contract as the append path: a
-    // compaction run from a foreachBatch clone must not leave the parent
+    // rewrite run from a foreachBatch clone must not leave the parent
     // session's listing cache serving the pre-rewrite files
     refreshIndexAcrossSessions(spark, name)
+  }
+
+  /** Replay-fold canonicalization per table: `fp`/`bands` dedupe whole
+    * rows, `shingles` by doc_id (replay rows are identical, so any
+    * survivor is the right one). */
+  private def indexCanon(suffix: String): DataFrame => DataFrame = suffix match {
+    case "_shingles" => _.dropDuplicates("doc_id")
+    case _ => _.distinct()
+  }
+
+  def compactDedupIndex(spark: org.apache.spark.sql.SparkSession, name: String): Unit =
+    rewriteIndexTables(spark, name, indexCanon)
+
+  /** DELTA-MERGE a corpus diff into the persisted index — the maintenance
+    * operation [[corpusDiff]]-style snapshot audits imply but appends
+    * alone can't deliver: REMOVED docs' fingerprints/bands/shingles must
+    * leave the index (a takedown obligation at 100 TB — an appended-only
+    * index blocks re-ingestion of content the corpus no longer contains
+    * and keeps matching against deleted text forever), and CHANGED docs
+    * must be re-sketched under their new content.
+    *
+    * `removed` needs (doc_id); `changed` needs (doc_id, text, source) with
+    * the NEW content. Mechanics: one staged rewrite of the three tables
+    * (the [[compactDedupIndex]] machinery with the doc_id anti-join folded
+    * into the same pass as the replay-dedupe canon — removal costs no
+    * extra job over a compaction), then a standard
+    * [[appendToDedupIndex]] of the changed docs' new sketches. All three
+    * tables carry doc_id, so removal is an exact per-document operation:
+    * an identical-text SURVIVOR keeps its own fp row and continues to
+    * block that content — which is what makes
+    * N-append + M-remove + compact ≡ fresh-save over the remaining corpus
+    * hold EXACTLY (spec-pinned in DedupSpec, including the shared-text
+    * case). Shuffle shape: the anti-join keys are doc_ids against a
+    * diff-sized relation; corpus text is never re-read or re-shingled. */
+  def applyCorpusDiff(spark: org.apache.spark.sql.SparkSession, name: String,
+                      removed: DataFrame, changed: DataFrame): Unit = {
+    val gone = removed.select(col("doc_id"))
+      .union(changed.select(col("doc_id"))).distinct().localCheckpoint()
+    rewriteIndexTables(spark, name,
+      suffix => df => {
+        // the equi-join hoists doc_id to the front — re-select the
+        // table's own column order so the rewrite never changes schema
+        val cols = df.columns.map(col)
+        indexCanon(suffix)(df).join(gone, Seq("doc_id"), "left_anti").select(cols: _*)
+      })
+    appendToDedupIndex(changed, name)
   }
 
   /** SimHash geometry: a 64-bit signature banded as 4 × 16-bit for

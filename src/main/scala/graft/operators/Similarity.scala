@@ -448,21 +448,48 @@ object Similarity {
     * search is trusted — compaction is the repair step, not just the
     * byte reclaim (spec-pinned in OperatorSpec). The quantizer artifact
     * is NOT touched: compaction reorganizes bytes, never geometry. */
-  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    rewriteCellTree(spark, path, identity)
+
+  /** DELTA-MERGE removals into a persisted cell tree ([[saveIvfIndex]] /
+    * [[savePqIndex]] — schema-agnostic like the compaction it rides):
+    * drop every row whose vec_id appears in `removed` and rewrite the
+    * tree. The vector half of [[Dedup.applyCorpusDiff]]'s contract — a
+    * removed document's vectors must stop being returnable by ANY search
+    * the moment the diff lands, not linger until a re-index. CHANGED
+    * vectors are remove + [[appendToIvfIndex]]/[[appendToPqIndex]] of the
+    * new rows (the frozen-geometry contract means a changed vector is
+    * just a remove plus an ordinary append). Cost: one cell-tree rewrite
+    * — identical to a compaction, whose replay-fold it also performs
+    * (rows are anti-joined against a diff-sized relation, never paired).
+    * The quantizer/codebook artifacts are untouched: removal changes
+    * occupancy, never geometry. */
+  def removeFromIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                         removed: DataFrame): Unit = {
+    val gone = removed.select(col("vec_id")).distinct().localCheckpoint()
+    rewriteCellTree(spark, path, _.join(gone, Seq("vec_id"), "left_anti"))
+  }
+
+  /** The staged rewrite-and-swap [[compactIvfIndex]] and
+    * [[removeFromIvfIndex]] share: dedupe replayed appends, apply the
+    * caller's transform, rewrite one file per cell, then swap via two
+    * filesystem renames so a crash mid-rewrite leaves the live tree
+    * untouched. */
+  private def rewriteCellTree(spark: org.apache.spark.sql.SparkSession, path: String,
+                              canon: DataFrame => DataFrame): Unit = {
     val live = new org.apache.hadoop.fs.Path(s"$path/cells")
     val staged = new org.apache.hadoop.fs.Path(s"$path/cells__compact")
     val old = new org.apache.hadoop.fs.Path(s"$path/cells__old")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    spark.read.parquet(live.toString)
-      .dropDuplicates("vec_id")
+    canon(spark.read.parquet(live.toString).dropDuplicates("vec_id"))
       .repartition(col("cell"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cell").parquet(staged.toString)
     fs.delete(old, true)
-    if (!fs.rename(live, old)) sys.error(s"compactIvfIndex: could not stage out $live")
+    if (!fs.rename(live, old)) sys.error(s"rewriteCellTree: could not stage out $live")
     if (!fs.rename(staged, live)) {
-      fs.rename(old, live) // roll back: the un-compacted tree is still valid
-      sys.error(s"compactIvfIndex: could not swap in $staged")
+      fs.rename(old, live) // roll back: the un-rewritten tree is still valid
+      sys.error(s"rewriteCellTree: could not swap in $staged")
     }
     fs.delete(old, true)
     // drop any session-cached file listing for the live path: the shared

@@ -361,6 +361,48 @@ class DedupSpec extends SparkSpec {
       "post-compaction appends must keep maintaining the index")
   }
 
+  test("applyCorpusDiff: removals re-admit, shared-text survivors still block, diff+compact ≡ fresh-save") {
+    def words(tag: String, i: Int) = (0 to 40).map(j => s"$tag${i}w$j").mkString(" ")
+    val shared = (0 to 40).map(j => s"shared$j").mkString(" ")
+    val existing = ((0 to 7).map(i => (i.toLong, words("e", i), "se")) ++
+      Seq((8L, shared, "se"), (9L, shared, "se"))) // 8 and 9: identical text
+      .toDF("doc_id", "text", "source")
+    Dedup.saveDedupIndex(existing, "dix_diff")
+    val batch = (100 to 104).map(i => (i.toLong, words("f", i), "sf"))
+      .toDF("doc_id", "text", "source")
+    Dedup.appendToDedupIndex(batch, "dix_diff")
+    // the diff: docs 2 and 8 removed; doc 3's content replaced
+    val removed = Seq(2L, 8L).toDF("doc_id")
+    val changed = Seq((3L, words("n", 3), "se")).toDF("doc_id", "text", "source")
+    Dedup.applyCorpusDiff(spark, "dix_diff", removed, changed)
+    Dedup.compactDedupIndex(spark, "dix_diff")
+    // fresh-save reference: the remaining corpus indexed in one shot
+    val remaining = existing.filter("doc_id NOT IN (2, 3, 8)")
+      .union(changed).union(batch)
+    Dedup.saveDedupIndex(remaining, "dix_diff_fresh")
+    val probe = Seq(
+      (9101L, words("e", 2), "sp"),          // removed doc's exact text → re-admitted
+      (9102L, shared, "sp"),                 // doc 9 survives with this text → still blocked
+      (9103L, words("e", 3), "sp"),          // changed doc's OLD text → admitted
+      (9104L, words("n", 3), "sp"),          // changed doc's NEW text → blocked
+      (9105L, words("e", 2) + " tailQ", "sp"), // near-dup of a REMOVED doc → admitted
+      (9106L, words("f", 102) + " tailQ", "sp") // near-dup of a kept appended doc → blocked
+    ).toDF("doc_id", "text", "source")
+    def admitted(ix: String): Set[Long] =
+      Dedup.incrementalDedup(probe, Dedup.loadDedupIndex(spark, ix))
+        .collect().map(_.getLong(0)).toSet
+    assert(admitted("dix_diff") === Set(9101L, 9103L, 9105L),
+      "removals must re-admit, survivors and changed content must block")
+    assert(admitted("dix_diff") === admitted("dix_diff_fresh"),
+      "a diff-merged index must dedup exactly like a fresh-save of the remaining corpus")
+    // exact fp-table equality with the fresh-save (doc_id-carrying rows
+    // make removal per-document, so the two sets must coincide)
+    def fpRows(ix: String) = spark.table(s"${ix}_fp").collect()
+      .map(r => (r.getAs[String]("fp"), r.getAs[Long]("doc_id"))).toSet
+    assert(fpRows("dix_diff") === fpRows("dix_diff_fresh"),
+      "diff+compact must leave exactly the fresh-save fingerprint rows")
+  }
+
   test("clearSessionState unpersists the shingle cache (CacheManager empty after clear)") {
     spark.catalog.clearCache() // normalize: drop anything earlier suites cached
     Dedup.shingleArraysCached(fixture).count()

@@ -198,6 +198,36 @@ class OperatorSpec extends SparkSpec {
       s"cell-stats scan must be partition-column-only:\n$monitorPlan")
   }
 
+  test("removeFromIvfIndex: removed vectors never return; remove+append equals a fresh remainder tree") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-rm").toString
+    Similarity.saveIvfIndex(emb, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val before = Similarity.ivfSearchIndexed(spark, dir, queries).collect()
+    // take every neighbor the searches currently return as the takedown set
+    val gone = before.map(_.getLong(1)).toSet
+    assert(gone.nonEmpty)
+    import spark.implicits._
+    Similarity.removeFromIvfIndex(spark, dir, gone.toSeq.toDF("vec_id"))
+    val after = Similarity.ivfSearchIndexed(spark, dir, queries).collect()
+    assert(after.nonEmpty, "searches must still answer from the remaining tree")
+    assert(after.map(_.getLong(1)).toSet.intersect(gone) === Set.empty,
+      "a removed vector must never be returned by any search")
+    // remainder tree built fresh under the SAME frozen quantizer answers
+    // identically, and holds exactly the same (vec_id, cell) rows
+    val fresh = java.nio.file.Files.createTempDirectory("graft-ivf-rm-fresh").toString
+    Similarity.saveQuantizer(emb, s"$fresh/quantizer")
+    Similarity.appendToIvfIndex(
+      emb.filter(!col("vec_id").isin(gone.toSeq.map(java.lang.Long.valueOf): _*)), fresh)
+    assert(Similarity.ivfSearchIndexed(spark, fresh, queries).collect().toSeq === after.toSeq,
+      "remove-then-search must equal a fresh-save of the remaining corpus")
+    def rows(p: String) = spark.read.parquet(s"$p/cells")
+      .select(col("vec_id"), col("cell")).collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(rows(dir) === rows(fresh),
+      "the rewritten cell tree must hold exactly the remainder's rows")
+  }
+
   test("ivf_cell_stats: shares sum to ~1e6 ppm and counts cover the corpus") {
     val emb = Tables.embeddings(spark, Sf0001)
     val stats = Similarity.cellStats(emb).collect()
