@@ -115,6 +115,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     // verbatim-passage overlap (exact-substring dedup, positional grams)
     "dedup_substring" -> ((s, d) => Dedup.substringDup(Tables.documents(s, d))),
+    // hot-gram disclosure monitor for dedup_substring's df cut
+    "substring_gram_stats" -> ((s, d) => Dedup.substringGramStats(Tables.documents(s, d))),
     "dedup_levenshtein" -> ((s, d) => Dedup.levenshteinPrefix(Tables.documents(s, d))),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
     // SemDeDup: cluster-scoped semantic dedup sharing the session IVF
@@ -776,6 +778,26 @@ object SparkEntry {
        |  $pick AS n_users,
        |  CAST(($pick * 1000000) // greatest(r0, 1) AS BIGINT) AS conv_ppm
        |FROM s, r ORDER BY step""".stripMargin
+  }
+
+  /** Mirrors Dedup.substringGramStats, generated from the operator's own
+    * geometry constants (gramLen/maxDf stay parameter-locked): same
+    * positional md5 grams as the dedup_substring oracle, per-gram
+    * distinct-doc df, top-k shared grams with the dropped flag, 1-row
+    * dropped-total joined onto every row. */
+  private def substringGramStatsOracle: String = {
+    val gl = Dedup.SubstringGramLen
+    val maxDf = Dedup.SubstringMaxDf
+    s"""WITH norm AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t FROM documents),
+       |tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm),
+       |grams AS (SELECT doc_id, md5(array_to_string(toks[i:i+${gl - 1}], ' ')) AS g
+       |  FROM tk, unnest(generate_series(1, len(toks) - ${gl - 1})) AS u(i)
+       |  WHERE len(toks) >= $gl),
+       |dfs AS (SELECT g, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM grams GROUP BY 1),
+       |drp AS (SELECT CAST(coalesce(sum(CASE WHEN df > $maxDf THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dropped_grams FROM dfs),
+       |top AS (SELECT g, df FROM dfs WHERE df > 1 ORDER BY df DESC, g LIMIT 20)
+       |SELECT g, df, df > $maxDf AS dropped, n_dropped_grams
+       |FROM top, drp ORDER BY df DESC, g""".stripMargin
   }
 
   /** Mirrors Relational.eventFunnelWindowed, generated from the same
@@ -1705,6 +1727,7 @@ object SparkEntry {
     "train_test_split" -> trainTestSplitOracle,
     "leakage_safe_split" -> leakageSafeSplitOracle,
     "event_funnel_windowed" -> eventFunnelWindowedOracle,
+    "substring_gram_stats" -> substringGramStatsOracle,
     "corpus_diff" -> corpusDiffOracle,
     "doc_vector_hash" -> docVectorHashOracle,
     "doc_lexical_ann" -> docLexicalAnnOracle,

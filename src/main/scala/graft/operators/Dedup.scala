@@ -55,6 +55,7 @@ object Dedup {
   def clearSessionState(): Unit = {
     pairCache.clear()
     clusterCache.clear()
+    bloomCache.clear()
     synchronized {
       tracked.values.foreach(df => try df.unpersist(blocking = false) catch { case _: Throwable => () })
       tracked.clear()
@@ -720,16 +721,29 @@ object Dedup {
     * overlap stays below any whole-doc threshold. Fully deterministic:
     * md5 grams, integer spans; the DuckDB oracle replicates the gram
     * construction bit-for-bit. */
-  def substringDup(documents: DataFrame, gramLen: Int = 8,
-                   minRunGrams: Int = 5, maxDf: Int = 1000): DataFrame = {
-    val toks = documents
+  /** [[substringDup]]'s geometry, promoted to shared constants so the
+    * operator, its [[substringGramStats]] monitor, and the oracle
+    * generators stay parameter-locked. */
+  val SubstringGramLen = 8
+  val SubstringMinRun = 5
+  val SubstringMaxDf = 1000
+
+  /** (doc_id, pos, g): md5 digests of the `gramLen`-token grams at every
+    * position — one codegen'd transform over the token array; text
+    * leaves the scan only as 16-byte digests + positions. Shared by
+    * [[substringDup]] and its hot-gram monitor. */
+  private def positionalGrams(documents: DataFrame, gramLen: Int): DataFrame =
+    documents
       .select(col("doc_id"), split(normText(col("text")), " ").as("toks"))
       .filter(size(col("toks")) >= gramLen)
-    val grams = toks
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(1, size(toks) - ${gramLen - 1})," +
           s" i -> md5(array_join(slice(toks, i, $gramLen), ' ')))")).as(Seq("pos0", "g")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("g"))
+
+  def substringDup(documents: DataFrame, gramLen: Int = SubstringGramLen,
+                   minRunGrams: Int = SubstringMinRun, maxDf: Int = SubstringMaxDf): DataFrame = {
+    val grams = positionalGrams(documents, gramLen)
     val rare = grams.groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") <= maxDf)
@@ -747,6 +761,33 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(max(col("span") + lit(gramLen - 1)).cast("long").as("overlap_tokens"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Hot-gram monitor for [[substringDup]]'s `maxDf` cut — the disclosure
+    * twin of [[simhashBandStats]]: the df cap bounds per-gram pair volume
+    * (a gram at the cap contributes ~df²/2 hits), and ΣdF² over the hot
+    * grams is the operator's real cost envelope, so the monitor reports
+    * the top shared grams by document frequency with a `dropped` flag
+    * (past the cap — excluded from pairing, the disclosed recall cut)
+    * plus the corpus-wide dropped-gram count on every row. A ballooning
+    * top df or dropped count means template/boilerplate growth — the
+    * signal to tighten normalization or lower the cap BEFORE the pair
+    * stage degrades. One gram-df aggregate + a k-bounded top-k + a 1-row
+    * broadcast total: scan-shaped, no pair join anywhere. */
+  def substringGramStats(documents: DataFrame, gramLen: Int = SubstringGramLen,
+                         maxDf: Int = SubstringMaxDf, k: Int = 20): DataFrame = {
+    val dfs = positionalGrams(documents, gramLen)
+      .groupBy(col("g")).agg(countDistinct(col("doc_id")).as("df"))
+    // coalesce: an empty/gram-less corpus reports an honest 0, not null
+    val droppedTotal = dfs.agg(
+      coalesce(sum(when(col("df") > maxDf, 1L).otherwise(0L)), lit(0L)).as("n_dropped_grams"))
+    dfs.filter(col("df") > 1)
+      .orderBy(col("df").desc, col("g")).limit(k)
+      .crossJoin(broadcast(droppedTotal))
+      .select(col("g"), col("df").cast("long").as("df"),
+        (col("df") > maxDf).as("dropped"),
+        col("n_dropped_grams").cast("long").as("n_dropped_grams"))
+      .orderBy(col("df").desc, col("g"))
   }
 
   /** Edit-distance near-dup: Levenshtein over normalized `prefixLen`-char
@@ -1051,13 +1092,23 @@ object Dedup {
     * artifact — bits, not corpus. */
   val BloomFpp = 0.01
 
-  def bloomFingerprintFilter(existing: DataFrame): org.apache.spark.util.sketch.BloomFilter = {
-    // null-text docs have no fingerprint: nothing to insert (and nothing
-    // a probe could ever match) — filter them out of the build
-    val exFp = existing.select(fingerprintCol(col("text")).as("fp"))
-      .filter(col("fp").isNotNull)
-    exFp.stat.bloomFilter("fp", math.max(exFp.count(), 1L), BloomFpp)
-  }
+  /** Built filters keyed by canonicalized existing-corpus plan — the same
+    * memoization discipline as the quantizer/cluster caches: running
+    * [[bloomCheck]] alongside [[bloomedExactDedup]] over the same corpus
+    * builds the filter ONCE (one count job + one build job), not once per
+    * DataFrame construction. Cleared by [[clearSessionState]]. */
+  private val bloomCache = scala.collection.concurrent.TrieMap[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+    org.apache.spark.util.sketch.BloomFilter]()
+
+  def bloomFingerprintFilter(existing: DataFrame): org.apache.spark.util.sketch.BloomFilter =
+    bloomCache.getOrElseUpdate(existing.queryExecution.analyzed.canonicalized, {
+      // null-text docs have no fingerprint: nothing to insert (and nothing
+      // a probe could ever match) — filter them out of the build
+      val exFp = existing.select(fingerprintCol(col("text")).as("fp"))
+        .filter(col("fp").isNotNull)
+      exFp.stat.bloomFilter("fp", math.max(exFp.count(), 1L), BloomFpp)
+    })
 
   private def fingerprintCol(text: Column): Column = md5(normText(text))
 
@@ -1085,9 +1136,13 @@ object Dedup {
         col("n_dup_exact").cast("long").as("n_dup_exact"),
         col("n_clean").cast("long").as("n_clean"),
         (col("missed") === 0L).as("no_false_negatives"),
-        // 3× the configured fpp, integer arithmetic, floored at 20 false
-        // positives so tiny clean populations can't flake the gate
-        (col("false_pos") * 100 <= greatest(lit(2000L), col("n_clean") * 3))
+        // 3× the configured fpp, integer arithmetic (the bound is DERIVED
+        // from BloomFpp so retuning the filter retunes the gate with it:
+        // false_pos/n_clean <= 3·fpp, cross-multiplied through a ppm
+        // scale), floored at 20 false positives so tiny clean populations
+        // can't flake the gate
+        (col("false_pos") * 1000000L <=
+          greatest(lit(20L * 1000000L), col("n_clean") * math.round(3 * BloomFpp * 1000000L)))
           .as("fp_rate_ok"))
   }
 

@@ -63,8 +63,17 @@ object PqEncode {
     * (Java-friendly signature, like [[WordShingles.compute]]). */
   def compute(emb: ArrayData, books: Array[Double],
               subspaces: Int, subDim: Int, nCodes: Int): ArrayData = {
-    if (emb.numElements() < subspaces * subDim)
+    val dim = subspaces * subDim
+    if (emb.numElements() < dim)
       return new GenericArrayData(Array.empty[Any])
+    // a full-length array can still carry null ELEMENTS (callers filter on
+    // length only): encode to the same empty-on-malformed sentinel as the
+    // short-vector case rather than reading nulls as garbage/0.0
+    var p = 0
+    while (p < dim) {
+      if (emb.isNullAt(p)) return new GenericArrayData(Array.empty[Any])
+      p += 1
+    }
     val out = new Array[Any](subspaces)
     var m = 0
     while (m < subspaces) {

@@ -26,7 +26,24 @@ object SchemaDoctor {
   val Tables: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  val BaselinePath = "tools/schemas.txt"
+  /** Baseline location, anchored to the PROJECT ROOT rather than the JVM
+    * working directory: a forked test JVM or a runMain launched from
+    * elsewhere would otherwise report "missing baseline" instead of
+    * comparing. Resolution order: explicit `-Dgraft.repo.root`, else walk
+    * up from the cwd to the first directory containing `build.sbt` (the
+    * sbt project root), else the cwd-relative path as before. */
+  def baselinePath(): java.nio.file.Path = {
+    val rel = Paths.get("tools", "schemas.txt")
+    sys.props.get("graft.repo.root") match {
+      case Some(root) => Paths.get(root).resolve(rel)
+      case None =>
+        Iterator.iterate(Paths.get("").toAbsolutePath)(_.getParent)
+          .takeWhile(_ != null)
+          .find(p => Files.exists(p.resolve("build.sbt")))
+          .map(_.resolve(rel))
+          .getOrElse(rel)
+    }
+  }
 
   /** One canonical line per table: `<table>: <schema.sql form>` read with
     * the same legacy-nanos escape hatch `Tables.events` needs (without it
@@ -40,7 +57,7 @@ object SchemaDoctor {
   }
 
   def baseline(): Option[String] = {
-    val p = Paths.get(BaselinePath)
+    val p = baselinePath()
     if (Files.exists(p)) Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
     else None
   }
@@ -73,17 +90,17 @@ object SchemaDoctor {
     spark.sparkContext.setLogLevel("WARN")
     val actual = snapshot(spark, sfDir)
     if (write) {
-      Files.write(Paths.get(BaselinePath), actual.getBytes(StandardCharsets.UTF_8))
-      println(s"[schema-doctor] baseline written to $BaselinePath")
+      Files.write(baselinePath(), actual.getBytes(StandardCharsets.UTF_8))
+      println(s"[schema-doctor] baseline written to ${baselinePath()}")
     } else baseline() match {
       case None =>
-        println(s"[schema-doctor] no baseline at $BaselinePath — run with --write first")
+        println(s"[schema-doctor] no baseline at ${baselinePath()} — run with --write first")
         sys.exit(2)
       case Some(exp) =>
         val d = diff(exp, actual)
         if (d.isEmpty) println("[schema-doctor] schemas match the baseline")
         else {
-          println(s"[schema-doctor] TESTDATA SCHEMA DRIFT against $BaselinePath:\n$d")
+          println(s"[schema-doctor] TESTDATA SCHEMA DRIFT against ${baselinePath()}:\n$d")
           println("[schema-doctor] adapt the graft.Tables loader for the changed table(s), " +
             "then re-baseline with --write")
           sys.exit(1)

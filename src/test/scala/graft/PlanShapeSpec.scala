@@ -95,6 +95,7 @@ class PlanShapeSpec extends SparkSpec {
       "ann_ivfpq_topk" -> "nCells=16 centroid table broadcast (probe stage; ADC tables ride the same bounded query set)",
       "doc_lexical_ann_pq" -> "nCells=16 centroid table broadcast (probe stage; ADC tables + refine cut ride the bounded query set)",
       "bm25_search" -> "1-row corpus-totals broadcast (N, sum dl)",
+      "substring_gram_stats" -> "1-row dropped-gram-total broadcast onto a k-bounded top-k",
       "event_funnel" -> "4-row step table × 1-row reached-counts aggregate",
       "ann_bruteforce_topk" -> "nQueries=5 query set broadcast (brute force scans corpus once)",
       "ann_bruteforce_sql" -> "nQueries=5 query set broadcast (brute force scans corpus once)",

@@ -11,7 +11,7 @@ class SchemaDoctorSpec extends SparkSpec {
 
   test("raw testdata parquet schemas match the committed baseline (tools/schemas.txt)") {
     val base = SchemaDoctor.baseline()
-    assert(base.nonEmpty, s"missing ${SchemaDoctor.BaselinePath}; run " +
+    assert(base.nonEmpty, s"missing ${SchemaDoctor.baselinePath()}; run " +
       "`runMain graft.tools.SchemaDoctor /root/testdata/sf0.001 --write` to create it")
     val drift = SchemaDoctor.diff(base.get, SchemaDoctor.snapshot(spark, Sf0001))
     assert(drift.isEmpty,
