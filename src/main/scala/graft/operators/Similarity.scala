@@ -675,33 +675,88 @@ object Similarity {
   private def pqCodesCol(books: Array[Array[Array[Float]]]): Column =
     graft.plans.PqEncode.codes(col("embedding"), books)
 
-  /** Subspace `m`'s ADC table for the `qe` (query embedding) column:
-    * dot(q_m, c_{m,j}) for every code j, as an array the scoring join
-    * indexes by the candidate's stored code. Left-to-right double
-    * accumulation, mirrored exactly by the oracle's ordered list_sum. */
-  private def pqAdcTable(books: Array[Array[Array[Float]]], m: Int): Column =
-    array(books(m).indices.map { j =>
-      (0 until PqSubDim).map { d =>
-        element_at(col("qe"), m * PqSubDim + d + 1).cast("double") *
-          lit(books(m)(j)(d).toDouble)
-      }.reduce(_ + _)
-    }: _*)
+  /** Probe cells + ADC/norm lookup tables for a BOUNDED query set,
+    * computed on the DRIVER — the query-side twin of the
+    * [[graft.plans.PqEncode]] lesson. The per-query ADC tables are
+    * model-derived lookup values (8 subspaces × 16 codes × 8-term dot
+    * chains); expressed as Column arithmetic they expand to a ~2k-node
+    * expression forest whose Janino compile dominated the whole search
+    * (pqSearchIndexed measured 6.5 s on a 5000-row index — nearly all
+    * fixed plan cost, none of it data). The query set is broadcast-sized
+    * by contract (it rides a broadcast join either way), so collecting
+    * it and building the tables host-side — exactly where FAISS computes
+    * ADC tables — replaces the forest AND the probe-window job with
+    * (nQueries × nCells) floating-point ops.
+    *
+    * Numeric contract unchanged: every sum below is the same strict
+    * left-to-right double chain as the Column expressions it replaces
+    * (and as the oracle's ordered list_sum); probing replicates
+    * [[CosineSimilarity]]'s single-pass accumulator and the
+    * `ORDER BY cd DESC, cell` tie-break (Double.compare — NaN greatest,
+    * like both engines; −0.0 normalized). Degenerate query rows (null /
+    * wrong-dim vectors) are DROPPED — the same stance the corpus side
+    * takes with its full-dim filter.
+    *
+    * Returns the (query_id, qe, cell, t, nt) relation to broadcast-join
+    * on `cell`, plus the sorted probed-cell list for partition pruning
+    * (no extra distinct-collect job). */
+  private def pqQueryTables(spark: org.apache.spark.sql.SparkSession,
+                            queries: DataFrame,
+                            model: Array[Array[Float]],
+                            books: Array[Array[Array[Float]]],
+                            nProbe: Int): (DataFrame, Array[Int]) = {
+    import org.apache.spark.sql.types._
+    val dim = PqSubspaces * PqSubDim
+    val qRows = queries.collect()
+      .filter(r => !r.isNullAt(1) && r.getSeq[Float](1) != null)
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .filter(_._2.length == dim)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      // CosineSimilarity.nullSafeEval's exact loop
+      val n = math.min(a.length, b.length)
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dp += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dp / math.sqrt(na * nb)
+    }
+    val nt: Seq[Seq[Double]] = books.toSeq.map(_.toSeq.map(c =>
+      (0 until PqSubDim).map { d => val v = c(d).toDouble; v * v }.reduce(_ + _)))
+    val rows = qRows.flatMap { case (qid, qe) =>
+      val cds = model.map { c => val cd = cos(qe, c); if (cd == 0.0) 0.0 else cd }
+      val probes = model.indices.toArray.sortWith { (a, b) =>
+        val cmp = java.lang.Double.compare(cds(a), cds(b))
+        if (cmp != 0) cmp > 0 else a < b
+      }.take(nProbe)
+      val t: Seq[Seq[Double]] = books.indices.map(m => books(m).indices.map(j =>
+        (0 until PqSubDim).map(d =>
+          qe(m * PqSubDim + d).toDouble * books(m)(j)(d).toDouble).reduce(_ + _)))
+      probes.map(c => org.apache.spark.sql.Row(qid, qe.toSeq, c, t, nt))
+    }
+    val schema = StructType(Seq(
+      StructField("query_id", LongType),
+      StructField("qe", ArrayType(FloatType)),
+      StructField("cell", IntegerType),
+      StructField("t", ArrayType(ArrayType(DoubleType))),
+      StructField("nt", ArrayType(ArrayType(DoubleType)))))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+    (df, rows.map(_.getInt(2)).distinct.sorted)
+  }
 
-  /** Subspace `m`'s reconstructed-norm table: ‖c_{m,j}‖² per code, a
-    * pure double literal array (no per-row arithmetic at all). Dividing
-    * the ADC dot by sqrt(Σ_m ‖c_m[code_m]‖²) ranks candidates by
-    * APPROXIMATE COSINE instead of approximate dot — without it,
-    * large-norm vectors crowd the refine cut and true high-cosine
-    * neighbors with modest norms fall out (measured on the sf corpus:
-    * two of five queries lost their entire exact top-3). The query's own
-    * norm is constant per query, so it cannot change the ranking and is
-    * left out. */
-  private def pqNormTable(books: Array[Array[Array[Float]]], m: Int): Column =
-    array(books(m).indices.map { j =>
-      lit((0 until PqSubDim).map { d =>
-        val v = books(m)(j)(d).toDouble; v * v
-      }.reduce(_ + _))
-    }: _*)
+  /** ADC approximate-cosine columns over a [[pqQueryTables]] join: the
+    * candidate's stored code indexes each subspace's table — two
+    * element_at lookups per subspace, left-to-right sum (the bit-exact
+    * successor of the inline table expressions). */
+  private def adcDotCol: Column =
+    (0 until PqSubspaces).map(m =>
+      element_at(element_at(col("t"), m + 1), element_at(col("codes"), m + 1) + 1))
+      .reduce(_ + _)
+  private def adcNormCol: Column =
+    (0 until PqSubspaces).map(m =>
+      element_at(element_at(col("nt"), m + 1), element_at(col("codes"), m + 1) + 1))
+      .reduce(_ + _)
 
   /** IVF-PQ ANN: coarse-quantizer cell probing (identical to
     * [[ivfTopK]] — SAME memoized quantizer, so adding PQ to a session
@@ -741,15 +796,7 @@ object Similarity {
         pqCodesCol(books).as("codes"))
     val queries = full.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val probed = probedCells(queries, model, nProbe)
-    val qTabs = probed.select(
-      col("query_id") +: col("qe") +: col("cell") +:
-        ((0 until PqSubspaces).map(m => pqAdcTable(books, m).as(s"t$m")) ++
-          (0 until PqSubspaces).map(m => pqNormTable(books, m).as(s"nt$m"))): _*)
-    val adcDot = (0 until PqSubspaces).map(m =>
-      element_at(col(s"t$m"), element_at(col("codes"), m + 1) + 1)).reduce(_ + _)
-    val adcNorm = (0 until PqSubspaces).map(m =>
-      element_at(col(s"nt$m"), element_at(col("codes"), m + 1) + 1)).reduce(_ + _)
+    val (qTabs, _) = pqQueryTables(embeddings.sparkSession, queries, model, books, nProbe)
     val wLocal = Window
       .partitionBy(col("query_id"), pmod(crc32(col("vec_id").cast("string")), lit(64)))
       .orderBy(col("adc").desc, col("vec_id"))
@@ -760,7 +807,7 @@ object Similarity {
       // approximate COSINE: all-zero reconstructions rank last (-2, the
       // same sentinel the quantizer's cosArg uses), never divide by zero
       .withColumn("adc",
-        when(adcNorm > 0, adcDot / sqrt(adcNorm)).otherwise(lit(-2.0)))
+        when(adcNormCol > 0, adcDotCol / sqrt(adcNormCol)).otherwise(lit(-2.0)))
       .withColumn("lrk", row_number().over(wLocal)).filter(col("lrk") <= refine)
       .withColumn("ark", row_number().over(wGlobal)).filter(col("ark") <= refine)
       .withColumn("cos_sim_raw", CosineSimilarity.cosineFast(col("qe"), col("embedding")))
@@ -842,17 +889,8 @@ object Similarity {
     val books = loadPqBooks(spark, s"$path/books")
     val corpus = spark.read.parquet(s"$path/cells")
     val q = queries.select(col("query_id"), col("embedding").as("qe"))
-    val probed = probedCells(q, model, nProbe)
-    val cellsToRead = probed.select(col("cell")).distinct().collect().map(_.getInt(0)).sorted
+    val (qTabs, cellsToRead) = pqQueryTables(spark, q, model, books, nProbe)
     val pruned = corpus.filter(col("cell").isin(cellsToRead.map(Integer.valueOf): _*))
-    val qTabs = probed.select(
-      col("query_id") +: col("qe") +: col("cell") +:
-        ((0 until PqSubspaces).map(m => pqAdcTable(books, m).as(s"t$m")) ++
-          (0 until PqSubspaces).map(m => pqNormTable(books, m).as(s"nt$m"))): _*)
-    val adcDot = (0 until PqSubspaces).map(m =>
-      element_at(col(s"t$m"), element_at(col("codes"), m + 1) + 1)).reduce(_ + _)
-    val adcNorm = (0 until PqSubspaces).map(m =>
-      element_at(col(s"nt$m"), element_at(col("codes"), m + 1) + 1)).reduce(_ + _)
     val wLocal = Window
       .partitionBy(col("query_id"), pmod(crc32(col("vec_id").cast("string")), lit(64)))
       .orderBy(col("adc").desc, col("vec_id"))
@@ -863,7 +901,7 @@ object Similarity {
       .join(broadcast(qTabs), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adc",
-        when(adcNorm > 0, adcDot / sqrt(adcNorm)).otherwise(lit(-2.0)))
+        when(adcNormCol > 0, adcDotCol / sqrt(adcNormCol)).otherwise(lit(-2.0)))
       .withColumn("lrk", row_number().over(wLocal)).filter(col("lrk") <= refine)
       .withColumn("ark", row_number().over(wGlobal)).filter(col("ark") <= refine)
       .select(col("query_id"), col("qe"), col("vec_id"))
