@@ -137,6 +137,29 @@ object SparkEntry {
       Dedup.incrementalDedup(docs.filter("doc_id % 2 = 1"), docs.filter("doc_id % 2 = 0"))
         .orderBy("doc_id")
     }),
+    // the DELTA-MERGE path end-to-end: persist the even-id corpus's
+    // index, apply a corpus diff (every 6th even id removed, every 10th
+    // content-bumped), then dedup the odd-id batch against the MERGED
+    // index — the oracle recomputes the same semantics over the
+    // post-diff corpus, so removal/change propagation is hash-gated
+    // cross-engine, not just spec-pinned
+    "incremental_dedup_after_diff" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, expr}
+      val docs = Tables.documents(s, d)
+      val existing = docs.filter("doc_id % 2 = 0")
+      // a previous session (other SF dir, same warehouse) may have left
+      // this index's managed locations behind — rebuild from scratch
+      Dedup.dropDedupIndex(s, "dix_diffq")
+      Dedup.saveDedupIndex(existing, "dix_diffq")
+      Dedup.applyCorpusDiff(s, "dix_diffq",
+        removed = existing.filter("doc_id % 6 = 0").select(col("doc_id")),
+        // %6 != 0: a doc can't be both removed and changed — removal wins
+        // (the oracle's post-diff corpus excludes removed ids entirely)
+        changed = existing.filter("doc_id % 10 = 4 AND doc_id % 6 != 0")
+          .withColumn("text", expr("concat(text, ' v2')")))
+      Dedup.incrementalDedup(docs.filter("doc_id % 2 = 1"),
+        Dedup.loadDedupIndex(s, "dix_diffq")).orderBy("doc_id")
+    }),
     "cross_source_dup_matrix" -> ((s, d) => Dedup.crossSourceDupMatrix(Tables.documents(s, d))),
     // quality-ranked canonical per near-dup family (keep the cleanest
     // copy, not the first-ingested one)
@@ -330,13 +353,24 @@ object SparkEntry {
     * verified at Jaccard >= 1/2. Band keys are computed over the shared
     * shingle CTE and restricted by side — identical to per-side band
     * tables because every key is per-doc. */
-  private def incrementalDedupOracle: String = {
+  private def incrementalDedupOracle: String =
+    incrementalDedupOracleOver("", "documents")
+
+  /** The incremental-dedup oracle core over an arbitrary corpus
+    * relation `docsRel(doc_id, source, text)` (optionally defined by a
+    * leading `docsCte`): odd doc_ids are the new batch, even doc_ids the
+    * existing corpus — exact fingerprint anti-join, then new-side ×
+    * existing-side band collisions verified at Jaccard >= 1/2. Band keys
+    * are computed over the shared shingle CTE and restricted by side —
+    * identical to per-side band tables because every key is per-doc. */
+  private def incrementalDedupOracleOver(docsCte: String, docsRel: String): String = {
     val sigCols = (0 until Dedup.MinhashSeeds)
       .map(i => s"min(md5('$i:' || g)) AS h$i").mkString(", ")
     val bandKeys = (0 until Dedup.MinhashBands)
       .map(b => s"md5(h${2 * b} || h${2 * b + 1})").mkString("[", ", ", "]")
     val bandIdxs = (0 until Dedup.MinhashBands).mkString("[", ", ", "]")
-    s"""WITH $ShingleCte,
+    val lead = if (docsCte.isEmpty) "" else docsCte + ",\n"
+    s"""WITH $lead${ShingleCte.replace("FROM documents", s"FROM $docsRel")},
        |fp AS (SELECT doc_id, md5(t) AS fp FROM norm),
        |newok AS (SELECT doc_id FROM fp WHERE doc_id % 2 = 1
        |  AND fp NOT IN (SELECT fp FROM fp WHERE doc_id % 2 = 0)),
@@ -349,10 +383,25 @@ object SparkEntry {
        |  JOIN ex ta ON doc_a = ta.doc_id JOIN ex tb ON doc_b = tb.doc_id AND ta.g = tb.g
        |  GROUP BY 1, 2, 3, 4),
        |neardup AS (SELECT DISTINCT doc_a FROM shr WHERE shared * 3 >= na + nb)
-       |SELECT d.doc_id, d.source FROM documents d
+       |SELECT d.doc_id, d.source FROM $docsRel d
        |WHERE d.doc_id IN (SELECT doc_id FROM newok)
        |  AND d.doc_id NOT IN (SELECT doc_a FROM neardup)
        |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Mirrors the incremental_dedup_after_diff registration: the
+    * remaining corpus after the diff (removed evens gone, changed evens
+    * re-fingerprinted under their new text) IS a corpus relation, and
+    * the oracle runs the standard incremental logic over it — so the
+    * persisted-index delta-merge path is checked end-to-end against
+    * fresh-corpus semantics (the equivalence [[Dedup.applyCorpusDiff]]'s
+    * spec pins, here enforced cross-engine per round). */
+  private def incrementalDedupAfterDiffOracle: String = {
+    val docs2 =
+      """docs2 AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 2 = 0 AND doc_id % 10 = 4 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE NOT (doc_id % 2 = 0 AND doc_id % 6 = 0))""".stripMargin
+    incrementalDedupOracleOver(docs2, "docs2")
   }
 
   private def benchmarkContaminationOracle: String =
@@ -1728,6 +1777,7 @@ object SparkEntry {
     "leakage_safe_split" -> leakageSafeSplitOracle,
     "event_funnel_windowed" -> eventFunnelWindowedOracle,
     "substring_gram_stats" -> substringGramStatsOracle,
+    "incremental_dedup_after_diff" -> incrementalDedupAfterDiffOracle,
     "corpus_diff" -> corpusDiffOracle,
     "doc_vector_hash" -> docVectorHashOracle,
     "doc_lexical_ann" -> docLexicalAnnOracle,

@@ -363,6 +363,26 @@ object Dedup {
       s"${name}_shingles", "doc_id", buckets)
   }
 
+  /** Drop a persisted index completely — catalog entries AND any
+    * orphaned managed-table locations a PREVIOUS session left under the
+    * same warehouse dir (a fresh in-memory catalog doesn't know the
+    * table, but `saveAsTable` still refuses to reuse its leftover
+    * location). The lifecycle complement of [[saveDedupIndex]]; callers
+    * that rebuild an index from scratch in a new session run this
+    * first. */
+  def dropDedupIndex(spark: org.apache.spark.sql.SparkSession, name: String): Unit =
+    for (s <- Seq("_fp", "_bands", "_shingles")) {
+      val t = name + s
+      try spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      catch { case _: Throwable => () }
+      try {
+        val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+        val loc = new org.apache.hadoop.fs.Path(wh, t.toLowerCase(java.util.Locale.ROOT))
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(loc, true)
+      } catch { case _: Throwable => () }
+    }
+
   def loadDedupIndex(spark: org.apache.spark.sql.SparkSession, name: String): DedupIndex = {
     // refresh-on-read: appends may have landed from OTHER sessions (a
     // streaming foreachBatch runs under a cloned session) and table
