@@ -187,6 +187,23 @@ object SparkEntry {
     // quantizer ann_ivf_topk searches with (same (corpus, nCells) model
     // key, so the oracle inlines one shared centroid table)
     "ivf_cell_stats" -> ((s, d) => Similarity.cellStats(Tables.embeddings(s, d))),
+    // vector-side delta-merge end-to-end: persist the IVF layout, remove
+    // every 7th-congruent vector from the cell tree, search the pruned
+    // index — the oracle runs the identical search restricted to the
+    // post-diff corpus, so removal is hash-gated (a removed vector can
+    // never surface). Shares ann_ivf_topk's quantizer key, so the
+    // inlined-model oracle family stays unambiguous.
+    "ann_ivf_after_remove" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfrm_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      Similarity.saveIvfIndex(emb, path)
+      Similarity.removeFromIvfIndex(s, path,
+        emb.filter("vec_id % 7 = 4").select(col("vec_id")))
+      Similarity.ivfSearchIndexed(s, path,
+        emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding")))
+    }),
     // IVF-PQ: coarse-cell probing + product-quantized ADC scoring +
     // exact re-rank of the top-PqRefine candidates (32x memory compression)
     "ann_ivfpq_topk" -> ((s, d) => Similarity.pqTopK(Tables.embeddings(s, d))),
@@ -1138,7 +1155,10 @@ object SparkEntry {
       s"list_sum(list_transform(range(64), i -> $e[i+1]::DOUBLE * $e[i+1]::DOUBLE))"
     def dotCC(c: String) =
       s"list_sum(list_transform(range(64), i -> $c[i+1] * $c[i+1]))"
-    val sql =
+    // parameterized over an extra candidate predicate so the
+    // delta-merge variant (ann_ivf_after_remove: removed vec_ids must
+    // never surface) shares the identical search arithmetic
+    def searchSql(extraCand: String) =
       s"""WITH cents AS (SELECT unnest($cells) AS cell, unnest($cents) AS centroid),
          |asgs AS (SELECT e.vec_id, e.embedding, c.cell,
          |    ${dotEC("e.embedding", "c.centroid")} / sqrt(${dotEE("e.embedding")} * ${dotCC("c.centroid")}) AS cs
@@ -1158,12 +1178,13 @@ object SparkEntry {
          |    ${dotEC("p.qe", "a.embedding") /* both float lists: cast both sides */
             .replace("a.embedding[i+1]", "a.embedding[i+1]::DOUBLE")} AS dp,
          |    ${dotEE("p.qe")} AS nq, ${dotEE("a.embedding")} AS nn
-         |  FROM probes p JOIN asg a ON a.cell = p.cell AND a.vec_id != p.query_id),
+         |  FROM probes p JOIN asg a ON a.cell = p.cell AND a.vec_id != p.query_id$extraCand),
          |r AS (SELECT query_id, neighbor_id, dp / sqrt(nq * nn) AS cs,
          |    row_number() OVER (PARTITION BY query_id ORDER BY dp / sqrt(nq * nn) DESC, neighbor_id) AS rank
          |  FROM s)
          |SELECT query_id, neighbor_id, rank, round(cs, 4) AS cos_sim
          |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    val sql = searchSql("")
     // ivf_cell_stats shares the inlined quantizer: the same asgs/asg
     // argmax-assignment CTEs (ties break to the lowest cell, mirroring
     // array_position-on-max), rolled up to per-cell counts and an
@@ -1210,7 +1231,11 @@ object SparkEntry {
          |SELECT vec_id, dup_of, CAST(cell AS BIGINT) AS cell, round(cos, 4) AS cos_sim
          |FROM f WHERE rk = 1 ORDER BY vec_id""".stripMargin
     Map("ann_ivf_topk" -> sql, "ivf_cell_stats" -> cellStatsSql,
-      "dedup_semantic" -> semanticSql)
+      "dedup_semantic" -> semanticSql,
+      // the persisted-tree removal variant: identical search arithmetic,
+      // candidates restricted to the post-diff corpus (removal must make
+      // a vector UNRETURNABLE — hash-gated, not just spec-pinned)
+      "ann_ivf_after_remove" -> searchSql(" AND a.vec_id % 7 != 4"))
   }
 
   /** ann_ivfpq_topk / pq_code_stats oracles, generated AFTER the queries

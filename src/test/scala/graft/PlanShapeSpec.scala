@@ -92,6 +92,7 @@ class PlanShapeSpec extends SparkSpec {
       "order_value_percentiles_approx_check" ->
         "percentile targets broadcast (3 instances of the bounded percentile machinery)",
       "ann_ivf_topk" -> "nCells=16 centroid table broadcast",
+      "ann_ivf_after_remove" -> "nCells=16 centroid table broadcast (persisted-tree probe stage)",
       "ann_ivfpq_topk" -> "nCells=16 centroid table broadcast (probe stage; ADC tables ride the same bounded query set)",
       "doc_lexical_ann_pq" -> "nCells=16 centroid table broadcast (probe stage; ADC tables + refine cut ride the bounded query set)",
       "bm25_search" -> "1-row corpus-totals broadcast (N, sum dl)",
