@@ -265,6 +265,9 @@ object SparkEntry {
     // fixed-token-window chunking with stride — the doc → context-window
     // training-row transform; emits chunk fingerprints for chunk-level dedup
     "chunk_documents" -> ((s, d) => TextAnalysis.chunkDocuments(Tables.documents(s, d))),
+    // the composition those fingerprints exist for: context windows
+    // recycled across documents (chunk-level exact dedup)
+    "dedup_chunks" -> ((s, d) => TextAnalysis.chunkDedup(Tables.documents(s, d))),
     "pack_shards" -> ((s, d) => TextAnalysis.packShards(Tables.documents(s, d))),
     // deterministic hash-keyed training-order shuffle (epoch-salted)
     "train_order_shuffle" -> ((s, d) => TextAnalysis.trainOrderShuffle(Tables.documents(s, d))),
@@ -981,6 +984,25 @@ object SparkEntry {
        |SELECT doc_id, chunk_id, CAST(len(ct) AS BIGINT) AS n_chunk_tokens,
        |  md5(array_to_string(ct, ' ')) AS chunk_fp
        |FROM sl ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
+  /** Mirrors TextAnalysis.chunkDedup over the chunkDocumentsOracle CTE
+    * chain: per-fingerprint distinct-doc / occurrence counts, shared
+    * fingerprints only, lowest doc as witness. */
+  private def dedupChunksOracle: String = {
+    val (w, st) = (TextAnalysis.ChunkWidth, TextAnalysis.ChunkStride)
+    s"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents),
+       |nn AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+       |c AS (SELECT doc_id, toks, n,
+       |        unnest(generate_series(0, (n - 1) // $st)) AS i FROM nn),
+       |sl AS (SELECT doc_id, md5(array_to_string(list_slice(toks, i * $st + 1, i * $st + $w), ' ')) AS chunk_fp
+       |  FROM c),
+       |g AS (SELECT chunk_fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |        CAST(count(*) AS BIGINT) AS n_occurrences,
+       |        CAST(min(doc_id) AS BIGINT) AS first_doc
+       |  FROM sl GROUP BY 1)
+       |SELECT chunk_fp, n_docs, n_occurrences, first_doc
+       |FROM g WHERE n_docs > 1 ORDER BY chunk_fp""".stripMargin
   }
 
   /** Mirrors Dedup.bloomCheck's exact side; the two booleans are pinned
@@ -1807,6 +1829,7 @@ object SparkEntry {
     "doc_vector_hash" -> docVectorHashOracle,
     "doc_lexical_ann" -> docLexicalAnnOracle,
     "chunk_documents" -> chunkDocumentsOracle,
+    "dedup_chunks" -> dedupChunksOracle,
     "dedup_keep_best" -> dedupKeepBestOracle,
     "dedup_bloom_check" -> bloomCheckOracle,
     "pack_shards" -> packShardsOracle,

@@ -505,6 +505,30 @@ object TextAnalysis {
           .as("chunk_fp"))
       .orderBy("doc_id", "chunk_id")
 
+  /** Chunk-level exact dedup — the composition [[chunkDocuments]]'s
+    * fingerprints exist for: context windows recycled ACROSS documents
+    * (quote chains, boilerplate, licence blocks re-flowed into otherwise
+    * distinct docs — visible at window grain even when whole-doc
+    * fingerprints all differ). One row per fingerprint shared by more
+    * than one distinct doc: distinct-doc count, total occurrences
+    * (within-doc repeats included), and the lowest carrying doc as the
+    * canonical witness. Scale shape: the chunk explode is scan-side
+    * ([[chunkDocuments]] — its oracle-ordering sort is eliminated under
+    * this aggregate), then one 16-byte-keyed two-phase aggregate — the
+    * exact-dedup class, text never shuffles. */
+  def chunkDedup(documents: DataFrame, width: Int = ChunkWidth,
+                 stride: Int = ChunkStride): DataFrame =
+    chunkDocuments(documents, width, stride)
+      .groupBy(col("chunk_fp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") > 1)
+      .select(col("chunk_fp"), col("n_docs").cast("long").as("n_docs"),
+        col("n_occurrences").cast("long").as("n_occurrences"),
+        col("first_doc").cast("long").as("first_doc"))
+      .orderBy("chunk_fp")
+
   /** Hashed-TF vector dimension for [[hashedTfCounts]]/[[lexicalAnn]] —
     * the hashing-trick dimension (collisions disclosed, same stance as
     * QualityModel.FeatureDim). */

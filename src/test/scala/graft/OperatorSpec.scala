@@ -363,6 +363,14 @@ class OperatorSpec extends SparkSpec {
     Similarity.compactIvfIndex(spark, grown)
     assert(Similarity.pqSearchIndexed(spark, grown, queries).collect().toSeq === clean,
       "compaction must fold replay duplicates and restore the clean answer")
+    // the delta-merge works on the PQ layout unchanged (the cell-tree
+    // rewrite is schema-agnostic): take down every neighbor the current
+    // searches return and none may surface again
+    val gone = clean.map(_.getLong(1)).toSet
+    Similarity.removeFromIvfIndex(spark, grown, gone.toSeq.toDF("vec_id"))
+    val after = Similarity.pqSearchIndexed(spark, grown, queries).collect()
+    assert(after.nonEmpty && after.map(_.getLong(1)).toSet.intersect(gone) === Set.empty,
+      "a removed vector must never be returned by a PQ search")
   }
 
   test("doc_lexical_ann_pq: text vectors through the persisted PQ layout — pruned, codes-only, exact vs in-memory") {
