@@ -92,6 +92,9 @@ object SparkEntry {
     // the TIME-BOUNDED funnel: each transition must land within
     // FunnelHorizonSec of the previous step's completion
     "event_funnel_windowed" -> ((s, d) => Relational.eventFunnelWindowed(Tables.events(s, d))),
+    // the SESSIONIZED funnel: conversion must complete within one
+    // 30-min-gap session (strictest of the three funnel semantics)
+    "event_funnel_sessionized" -> ((s, d) => Relational.eventFunnelSessionized(Tables.events(s, d))),
     // weekly first-activity cohorts × distinct-active-week offsets
     "user_retention_cohorts" -> ((s, d) => Relational.retentionCohorts(Tables.events(s, d))),
     "user_sessions" -> ((s, d) => Sessionize.userSessions(Tables.events(s, d))),
@@ -901,6 +904,52 @@ object SparkEntry {
        |  CAST(u.n_users AS BIGINT) AS n_users,
        |  CAST((u.n_users * 1000000) // b.base AS BIGINT) AS conv_ppm
        |FROM s JOIN u ON u.step = s.step, b ORDER BY step""".stripMargin
+  }
+
+  /** Mirrors Relational.eventFunnelSessionized, generated from the same
+    * step list + gap constant: lag/gap cumulative-sum session ids,
+    * per-(user, session) first-occurrence funnel, per-user any-session
+    * max, integer-ppm roll-up — all integer epoch-second arithmetic. */
+  private def eventFunnelSessionizedOracle: String = {
+    val steps = Relational.FunnelSteps
+    val gap = Relational.FunnelSessionGapSec
+    val quoted = steps.map(s => s"'$s'").mkString(", ")
+    val mins = steps.map(st =>
+      s"min(CASE WHEN event_type = '$st' THEN tsec END) AS t_$st").mkString(",\n    ")
+    def reach(i: Int) =
+      ((0 to i).map(j => s"t_${steps(j)} IS NOT NULL") ++
+        (1 to i).map(j => s"t_${steps(j - 1)} <= t_${steps(j)}")).mkString(" AND ")
+    val rs = steps.indices.map(i =>
+      s"max(CASE WHEN ${reach(i)} THEN 1 ELSE 0 END) AS r$i").mkString(",\n    ")
+    val sums = steps.indices.map(i =>
+      s"CAST(coalesce(sum(r$i), 0) AS BIGINT) AS r$i").mkString(",\n    ")
+    val vals = steps.zipWithIndex.map { case (s, i) => s"(${i + 1}, '$s')" }.mkString(", ")
+    val pick = "CASE step " +
+      steps.indices.map(i => s"WHEN ${i + 1} THEN r$i").mkString(" ") + " END"
+    s"""WITH e AS (SELECT user_id, event_type,
+       |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS tsec
+       |  FROM events WHERE event_type IN ($quoted)),
+       |lg AS (SELECT user_id, event_type, tsec,
+       |    lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec) AS prev FROM e),
+       |ns AS (SELECT user_id, event_type, tsec,
+       |    CASE WHEN prev IS NULL OR tsec - prev > $gap THEN 1 ELSE 0 END AS new_s FROM lg),
+       |sid AS (SELECT user_id, event_type, tsec,
+       |    sum(new_s) OVER (PARTITION BY user_id ORDER BY tsec
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM ns),
+       |f AS (SELECT user_id, sid,
+       |    $mins
+       |  FROM sid GROUP BY 1, 2),
+       |pu AS (SELECT user_id,
+       |    $rs
+       |  FROM f GROUP BY 1),
+       |r AS (SELECT
+       |    $sums
+       |  FROM pu),
+       |s AS (SELECT * FROM (VALUES $vals) v(step, step_name))
+       |SELECT CAST(step AS BIGINT) AS step, step_name,
+       |  $pick AS n_users,
+       |  CAST(($pick * 1000000) // greatest(r0, 1) AS BIGINT) AS conv_ppm
+       |FROM s, r ORDER BY step""".stripMargin
   }
 
   /** Shared hashed-TF sparse-count CTE chain (mirrors
@@ -1823,6 +1872,7 @@ object SparkEntry {
     "train_test_split" -> trainTestSplitOracle,
     "leakage_safe_split" -> leakageSafeSplitOracle,
     "event_funnel_windowed" -> eventFunnelWindowedOracle,
+    "event_funnel_sessionized" -> eventFunnelSessionizedOracle,
     "substring_gram_stats" -> substringGramStatsOracle,
     "incremental_dedup_after_diff" -> incrementalDedupAfterDiffOracle,
     "corpus_diff" -> corpusDiffOracle,

@@ -306,6 +306,74 @@ object Relational {
       .orderBy("step")
   }
 
+  /** Session gap for [[eventFunnelSessionized]], in seconds — the same
+    * 30-minute inactivity gap as [[Sessionize.userSessions]], shared
+    * with the oracle generator. */
+  val FunnelSessionGapSec = 1800L
+
+  /** SESSIONIZED ordered funnel — the third funnel semantics (after
+    * all-time [[eventFunnel]] and horizon-bounded
+    * [[eventFunnelWindowed]]): a user reaches step i iff SOME single
+    * session (30-min inactivity gap) contains first-occurrences of
+    * steps 0..i in non-decreasing order. The strictest product form —
+    * conversion must happen within one visit.
+    *
+    * Sessionization is the lag/gap cumulative-sum form (not
+    * `session_window`) because every piece is engine-portable integer
+    * arithmetic the DuckDB oracle replicates exactly; tie rows (equal
+    * epoch seconds) land in the same session regardless of intra-tie
+    * order, and first-occurrence mins are order-independent, so the
+    * result is partitioning-stable.
+    *
+    * Shuffle shape: ONE exchange on user_id serves everything — the
+    * session-id window partitions by user, and the (user, session) /
+    * per-user aggregates cluster on supersets of user_id so no further
+    * exchange is required; per-user window width is the user's own
+    * event count (the [[Sessionize.asofJoinOrders]] class). The final
+    * roll-up is steps-bounded. */
+  def eventFunnelSessionized(events: DataFrame, steps: Seq[String] = FunnelSteps,
+                             gapSec: Long = FunnelSessionGapSec): DataFrame = {
+    val e = events
+      .filter(col("event_type").isin(steps: _*))
+      .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("tsec"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("tsec"))
+    val sess = e
+      .withColumn("prev", lag(col("tsec"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("tsec") - col("prev") > gapSec, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val minCols = steps.map(st =>
+      min(when(col("event_type") === st, col("tsec"))).as(s"t_$st"))
+    val firsts = sess.groupBy(col("user_id"), col("sid"))
+      .agg(minCols.head, minCols.tail: _*)
+    val reached = steps.indices.map { i =>
+      val present = (0 to i).map(j => col(s"t_${steps(j)}").isNotNull)
+      val ord = (1 to i).map(j => col(s"t_${steps(j - 1)}") <= col(s"t_${steps(j)}"))
+      (present ++ ord).reduce(_ && _)
+    }
+    val rCols = reached.zipWithIndex.map { case (c, i) =>
+      max(when(c, 1L).otherwise(0L)).as(s"r$i") }
+    val perUser = firsts.groupBy(col("user_id")).agg(rCols.head, rCols.tail: _*)
+    val agg = perUser.agg(
+      coalesce(sum(col("r0")), lit(0L)).as("r0"),
+      steps.indices.tail.map(i =>
+        coalesce(sum(col(s"r$i")), lit(0L)).as(s"r$i")): _*)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepRows = steps.zipWithIndex
+      .map { case (s, i) => (i + 1L, s) }.toDF("step", "step_name")
+    stepRows.crossJoin(broadcast(agg))
+      .select(col("step"), col("step_name"),
+        steps.indices.map(i =>
+          when(col("step") === (i + 1L), col(s"r$i"))).reduce(coalesce(_, _)).as("n_users"),
+        greatest(col("r0"), lit(1L)).as("base"))
+      .select(col("step"), col("step_name"),
+        col("n_users").cast("long").as("n_users"),
+        expr("(n_users * 1000000) div base").as("conv_ppm"))
+      .orderBy("step")
+  }
+
   /** Weekly retention cohorts: users grouped by their first-activity
     * week, tracked by distinct-active weeks since — THE
     * stickiness/engagement view over an event stream. `retention_ppm`

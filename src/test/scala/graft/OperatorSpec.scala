@@ -293,6 +293,31 @@ class OperatorSpec extends SparkSpec {
       (4L, "purchase", 0L, 0L)))
   }
 
+  test("eventFunnelSessionized: conversion counts only within one inactivity session; best session wins") {
+    def ev(u: Long, t: String, hm: String) =
+      (u, t, java.sql.Timestamp.valueOf(s"2024-01-01 $hm:00"))
+    val events = Seq(
+      // u1: full funnel inside one session
+      ev(1, "signup", "00:00"), ev(1, "view", "00:10"),
+      ev(1, "click", "00:20"), ev(1, "purchase", "00:30"),
+      // u2: the view lands 2 h later — a NEW session with no signup
+      ev(2, "signup", "00:00"), ev(2, "view", "02:00"),
+      // u3: session 1 reaches view; session 2 (after a 2.5 h gap)
+      // reaches click — the user's best session counts
+      ev(3, "signup", "00:00"), ev(3, "view", "00:10"),
+      ev(3, "signup", "03:00"), ev(3, "view", "03:10"), ev(3, "click", "03:20"),
+      // u4: never signs up
+      ev(4, "click", "01:00")
+    ).toDF("user_id", "event_type", "ts")
+    val got = Relational.eventFunnelSessionized(events).collect()
+      .map { case Row(s: Long, n: String, u: Long, p: Long) => (s, n, u, p) }
+    assert(got.toSeq === Seq(
+      (1L, "signup", 3L, 1000000L),
+      (2L, "view", 2L, 666666L),
+      (3L, "click", 2L, 666666L),
+      (4L, "purchase", 1L, 333333L)))
+  }
+
   test("eventFunnelWindowed: an empty stream reports an honest 0-user funnel") {
     val empty = Seq.empty[(Long, String, java.sql.Timestamp)]
       .toDF("user_id", "event_type", "ts")
