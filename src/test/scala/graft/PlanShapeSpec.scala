@@ -98,6 +98,7 @@ class PlanShapeSpec extends SparkSpec {
       "bm25_search" -> "1-row corpus-totals broadcast (N, sum dl)",
       "substring_gram_stats" -> "1-row dropped-gram-total broadcast onto a k-bounded top-k",
       "event_funnel" -> "4-row step table × 1-row reached-counts aggregate",
+      "event_funnel_sessionized" -> "4-row step table × 1-row reached-counts aggregate",
       "ann_bruteforce_topk" -> "nQueries=5 query set broadcast (brute force scans corpus once)",
       "ann_bruteforce_sql" -> "nQueries=5 query set broadcast (brute force scans corpus once)",
       "media_feature_ann" -> "nQueries=5 query set broadcast (brute force scans corpus once)",
