@@ -224,6 +224,9 @@ object SparkEntry {
     "quality_classifier" -> ((s, d) =>
       QualityModel.trainedQualityScores(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
+    // winnowing: rolling-hash (Karp-Rabin) k-gram fingerprints with
+    // window-min selection — the LOCAL fingerprint family (MOSS-style)
+    "doc_winnow_fingerprint" -> ((s, d) => TextAnalysis.winnowFingerprints(Tables.documents(s, d))),
     "corpus_summary" -> ((s, d) => TextAnalysis.corpusSummary(Tables.documents(s, d))),
     "corpus_sample_stratified" -> ((s, d) => TextAnalysis.stratifiedSample(Tables.documents(s, d))),
     // α=0.5 temperature mixture (downsample-only; integer-exact after
@@ -950,6 +953,40 @@ object SparkEntry {
        |  $pick AS n_users,
        |  CAST(($pick * 1000000) // greatest(r0, 1) AS BIGINT) AS conv_ppm
        |FROM s, r ORDER BY step""".stripMargin
+  }
+
+  /** Mirrors TextAnalysis.winnowFingerprints, generated from the shared
+    * winnowing constants: token ints from the first 8 md5 nibbles, the
+    * identical Karp-Rabin mod chain (every intermediate < 2^52 — exact
+    * in both engines' int64), window minima with leftmost tie-break
+    * (array_position ↔ list_position, both first-match), XOR/min/max
+    * folds over the distinct selections. */
+  private def winnowFingerprintOracle: String = {
+    import TextAnalysis.{WinnowK, WinnowW, WinnowB, WinnowM}
+    val nibVal = (1 to 8).map { i =>
+      val scale = math.pow(16, 8 - i).toLong
+      s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1) * $scale"
+    }.mkString(" + ")
+    val chain = (1 until WinnowK).foldLeft(s"ti[i] % $WinnowM") {
+      (acc, j) => s"(($acc) * $WinnowB + ti[i + $j]) % $WinnowM"
+    }
+    val win = s"h[j:j+${WinnowW - 1}]"
+    val scale = 2147483648L // the pos·2^31 + fp packing (see winnowSelections)
+    s"""WITH norm AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t FROM documents),
+       |tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm),
+       |tk2 AS (SELECT doc_id, toks FROM tk WHERE len(toks) >= ${WinnowK + WinnowW - 1}),
+       |ti AS (SELECT doc_id, list_transform(list_transform(toks, x -> md5(x)),
+       |    m -> CAST($nibVal AS BIGINT)) AS ti FROM tk2),
+       |h AS (SELECT doc_id, list_transform(range(1, len(ti) - ${WinnowK - 2}), i -> $chain) AS h FROM ti),
+       |sel AS (SELECT doc_id, len(h) AS n_kgrams,
+       |    list_distinct(list_transform(range(1, len(h) - ${WinnowW - 2}), j ->
+       |      (j - 1 + list_position($win, list_min($win))) * $scale + list_min($win))) AS sel
+       |  FROM h),
+       |u AS (SELECT doc_id, n_kgrams, unnest(sel) % $scale AS fp FROM sel)
+       |SELECT doc_id, CAST(n_kgrams AS BIGINT) AS n_kgrams, CAST(count(*) AS BIGINT) AS n_fps,
+       |  CAST(bit_xor(fp) AS BIGINT) AS fp_xor,
+       |  CAST(min(fp) AS BIGINT) AS fp_min, CAST(max(fp) AS BIGINT) AS fp_max
+       |FROM u GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
   }
 
   /** Shared hashed-TF sparse-count CTE chain (mirrors
@@ -1880,6 +1917,7 @@ object SparkEntry {
     "doc_lexical_ann" -> docLexicalAnnOracle,
     "chunk_documents" -> chunkDocumentsOracle,
     "dedup_chunks" -> dedupChunksOracle,
+    "doc_winnow_fingerprint" -> winnowFingerprintOracle,
     "dedup_keep_best" -> dedupKeepBestOracle,
     "dedup_bloom_check" -> bloomCheckOracle,
     "pack_shards" -> packShardsOracle,

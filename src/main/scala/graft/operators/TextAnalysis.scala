@@ -505,6 +505,87 @@ object TextAnalysis {
           .as("chunk_fp"))
       .orderBy("doc_id", "chunk_id")
 
+  /** Winnowing geometry ([[winnowFingerprints]]): token k-grams hashed
+    * with an integer Karp–Rabin chain (base/modulus chosen so every
+    * intermediate stays < 2^52 — exact in int64 AND in the oracle's
+    * arithmetic), minima selected over windows of `WinnowW` consecutive
+    * hashes. Shared with the oracle generator. */
+  val WinnowK = 4
+  val WinnowW = 4
+  val WinnowB = 1000003L
+  val WinnowM = 2147483647L
+
+  /** ROLLING-HASH document fingerprinting — winnowing (Schleimer,
+    * Wilkerson & Aiken, SIGMOD'03, public literature): hash every
+    * k-token gram with a Karp–Rabin-style integer chain, then select
+    * the minimum hash in each window of `w` consecutive gram hashes
+    * (leftmost minimum on ties), and keep the distinct (position, hash)
+    * selections as the document's fingerprint set. The local-selection
+    * property is what whole-doc md5 ([[fingerprints]]) can't give:
+    * ANY shared token run of length ≥ w + k − 1 guarantees at least one
+    * shared selected hash VALUE between two documents (spec-pinned on a
+    * planted-run fixture), at ~n/w fingerprints per doc instead of n
+    * gram hashes — the MOSS-style local similarity index, density
+    * tunable by w.
+    *
+    * Emits one bounded summary row per doc — gram count, selection
+    * count, and the XOR / min / max folds of the selected hashes (XOR
+    * is order-independent, so the row is partitioning-stable and
+    * engine-exact); docs shorter than w + k − 1 tokens have no full
+    * selection window and emit no row by contract. Scale: pure per-row
+    * array arithmetic inside the scan (token ints → hash chain →
+    * window minima), no shuffle beyond the final per-doc projection —
+    * text never leaves the scan un-hashed. */
+  def winnowFingerprints(documents: DataFrame, k: Int = WinnowK,
+                         w: Int = WinnowW): DataFrame =
+    winnowSelections(documents, k, w)
+      .select(col("doc_id"),
+        size(col("h")).cast("long").as("n_kgrams"),
+        size(col("sel")).cast("long").as("n_fps"),
+        expr(s"aggregate(sel, 0L, (a, x) -> a ^ (x % $WinnowPosScale))").as("fp_xor"),
+        expr(s"array_min(transform(sel, x -> x % $WinnowPosScale))").as("fp_min"),
+        expr(s"array_max(transform(sel, x -> x % $WinnowPosScale))").as("fp_max"))
+      .orderBy("doc_id")
+
+  /** The exploded (doc_id, pos, fp) fingerprint relation — the
+    * join-able form for MOSS-style local matching (two docs sharing a
+    * fingerprint VALUE share a k-gram somewhere; the winnowing theorem's
+    * guarantee is spec-pinned over this relation). */
+  def winnowFingerprintRows(documents: DataFrame, k: Int = WinnowK,
+                            w: Int = WinnowW): DataFrame =
+    winnowSelections(documents, k, w)
+      .select(col("doc_id"), explode(col("sel")).as("s"))
+      .select(col("doc_id"),
+        expr(s"s div $WinnowPosScale").as("pos"),
+        expr(s"s % $WinnowPosScale").as("fp"))
+
+  /** Selections travel as ONE int64 — pos · 2^31 + fp (fp < WinnowM <
+    * 2^31, pos bounded by doc length, the product far under 2^63):
+    * structs would be the natural shape, but DuckDB's list_distinct
+    * can't dedupe struct lists, and a packed integer dedupes and
+    * decodes identically in both engines. */
+  private val WinnowPosScale = 2147483648L
+
+  private def winnowSelections(documents: DataFrame, k: Int, w: Int): DataFrame = {
+    val (b, m) = (WinnowB, WinnowM)
+    // Karp-Rabin chain over the k token-ints at gram position i
+    val chain = (1 until k).foldLeft(s"element_at(ti, i) % $m") {
+      (acc, j) => s"(($acc) * $b + element_at(ti, i + $j)) % $m"
+    }
+    documents
+      .select(col("doc_id"), split(normText(col("text")), " ").as("toks"))
+      .filter(size(col("toks")) >= k + w - 1)
+      // token → 32-bit int via the first 8 md5 nibbles (the same
+      // engine-portable trick as the hashing-TF bucket)
+      .withColumn("ti",
+        expr("transform(toks, t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT))"))
+      .withColumn("h", expr(s"transform(sequence(1, size(ti) - ${k - 1}), i -> $chain)"))
+      .withColumn("sel", expr(
+        s"""array_distinct(transform(sequence(1, size(h) - ${w - 1}), j ->
+           |  (j - 1 + array_position(slice(h, j, $w), array_min(slice(h, j, $w)))) * $WinnowPosScale
+           |    + array_min(slice(h, j, $w))))""".stripMargin))
+  }
+
   /** Chunk-level exact dedup — the composition [[chunkDocuments]]'s
     * fingerprints exist for: context windows recycled ACROSS documents
     * (quote chains, boilerplate, licence blocks re-flowed into otherwise

@@ -13,6 +13,29 @@ class PipelineOpsSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("winnowing: any shared run of >= w+k-1 tokens shares a selected fingerprint value") {
+    // the winnowing theorem (Schleimer et al.): a 7-token run (= w+k-1)
+    // contains w consecutive k-gram hashes, so one selection window lies
+    // fully inside it and both docs select ITS minimum — same value,
+    // whatever surrounds the run
+    val run = (0 until 7).map(i => s"run$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta $run tail1 tail2", "s0"),
+      (2L, s"zeta eta theta $run omega psi chi phi", "s0"),
+      (3L, (0 until 20).map(i => s"other$i").mkString(" "), "s0")
+    ).toDF("doc_id", "text", "source")
+    val rows = TextAnalysis.winnowFingerprintRows(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    def fps(d: Long) = rows.filter(_._1 == d).map(_._2).toSet
+    assert(fps(1L).intersect(fps(2L)).nonEmpty,
+      "shared >= w+k-1 run must yield a shared fingerprint value")
+    assert(fps(1L).intersect(fps(3L)).isEmpty && fps(2L).intersect(fps(3L)).isEmpty,
+      "token-disjoint docs must share no fingerprints")
+    // a doc shorter than w+k-1 tokens has no full window: no row
+    val short = Seq((9L, "a b c d e f", "s0")).toDF("doc_id", "text", "source")
+    assert(TextAnalysis.winnowFingerprints(short).collect().isEmpty)
+  }
+
   test("piiRedact replaces every planted PII class and nothing else") {
     val df = Seq(
       (0L, "reach bob@example.com or 555-123-4567 via 192.168.0.1 ref 123456", "s0"),
