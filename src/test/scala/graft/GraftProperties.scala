@@ -45,6 +45,33 @@ object GraftProperties extends Properties("graft") {
     a == b && b == c
   }
 
+  // random funnel streams: (user, step-type index or noise, minute)
+  private val funnelGen: Gen[List[(Int, Int, Int)]] =
+    Gen.listOfN(50, Gen.zip(Gen.choose(0, 6), Gen.choose(0, 5), Gen.choose(0, 600)))
+
+  property("funnel semantics order: unbounded and sessionized never exceed the infinite-horizon chain") =
+    forAll(funnelGen) { evs =>
+      import graft.operators.Relational
+      val types = Relational.FunnelSteps ++ Seq("noise", "error")
+      val base = 1700000000L
+      val df = evs.map { case (u, t, m) => (u.toLong, types(t), base + m * 60L) }
+        .toDF("user_id", "event_type", "sec")
+        .selectExpr("user_id", "event_type", "CAST(sec AS TIMESTAMP) AS ts")
+      def counts(r: Array[Row]) = r.sortBy(_.getLong(0)).map(_.getLong(2)).toSeq
+      // THEOREMS (proved in the operators' scaladoc reasoning):
+      //  - unbounded reached ⇒ the greedy chain with an infinite horizon
+      //    reaches too (greedy picks t'_j <= t_j by induction);
+      //  - a sessionized conversion is itself a valid infinite-horizon
+      //    greedy witness. Neither holds vs a FINITE horizon, and
+      //    windowed vs unbounded are incomparable in general — only
+      //    these two orderings are laws.
+      val inf = counts(Relational.eventFunnelWindowed(df, horizonSec = Long.MaxValue / 4).collect())
+      val unb = counts(Relational.eventFunnel(df).collect())
+      val ses = counts(Relational.eventFunnelSessionized(df).collect())
+      unb.zip(inf).forall { case (u, i) => u <= i } &&
+        ses.zip(inf).forall { case (s, i) => s <= i }
+    }
+
   private val docsGen: Gen[List[String]] =
     Gen.listOfN(8, Gen.listOfN(12, Gen.oneOf("alpha", "beta", "Gamma", "DELTA", "eps"))
       .map(_.mkString(" ")))
