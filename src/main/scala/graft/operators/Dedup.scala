@@ -537,10 +537,11 @@ object Dedup {
     *
     * `removed` needs (doc_id); `changed` needs (doc_id, text, source) with
     * the NEW content. Mechanics: one staged rewrite of the three tables
-    * (the [[compactDedupIndex]] machinery with the doc_id anti-join folded
-    * into the same pass as the replay-dedupe canon — removal costs no
-    * extra job over a compaction), then a standard
-    * [[appendToDedupIndex]] of the changed docs' new sketches. All three
+    * (the [[compactDedupIndex]] machinery) with BOTH halves of the diff
+    * folded into the same pass — the doc_id anti-join drops
+    * removed/changed rows and the changed docs' NEW sketches are unioned
+    * into the staged write, so the whole merge costs exactly a
+    * compaction (no separate append pass). All three
     * tables carry doc_id, so removal is an exact per-document operation:
     * an identical-text SURVIVOR keeps its own fp row and continues to
     * block that content — which is what makes
@@ -550,16 +551,27 @@ object Dedup {
     * diff-sized relation; corpus text is never re-read or re-shingled. */
   def applyCorpusDiff(spark: org.apache.spark.sql.SparkSession, name: String,
                       removed: DataFrame, changed: DataFrame): Unit = {
+    // checkpoint the diff inputs: both are diff-sized, and pinning them
+    // guarantees the three table rewrites (and a caller whose diff
+    // derives from the index itself) all see one consistent snapshot
     val gone = removed.select(col("doc_id"))
       .union(changed.select(col("doc_id"))).distinct().localCheckpoint()
+    val changedC = changed.localCheckpoint()
     rewriteIndexTables(spark, name,
       suffix => df => {
         // the equi-join hoists doc_id to the front — re-select the
         // table's own column order so the rewrite never changes schema
         val cols = df.columns.map(col)
-        indexCanon(suffix)(df).join(gone, Seq("doc_id"), "left_anti").select(cols: _*)
+        val kept = indexCanon(suffix)(df)
+          .join(gone, Seq("doc_id"), "left_anti").select(cols: _*)
+        val fresh = suffix match {
+          case "_fp" =>
+            changedC.select(md5(normText(col("text"))).as("fp"), col("doc_id")).distinct()
+          case "_bands" => bandTable(changedC)
+          case _ => shingleArrays(changedC).select(col("doc_id"), col("n_g"), col("gs"))
+        }
+        kept.unionByName(fresh.select(cols: _*))
       })
-    appendToDedupIndex(changed, name)
   }
 
   /** SimHash geometry: a 64-bit signature banded as 4 × 16-bit for
