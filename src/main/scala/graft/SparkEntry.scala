@@ -87,6 +87,10 @@ object SparkEntry {
     "latest_order_per_customer" -> ((s, d) => Relational.latestOrderPerCustomer(Tables.orders(s, d))),
     "order_value_histogram" -> ((s, d) => Relational.orderValueHistogram(Tables.orders(s, d))),
     "events_pivot" -> ((s, d) => Relational.eventsPivot(Tables.events(s, d))),
+    // time-series resample: dense 15-min grid, zero-fill + LOCF
+    "events_resample_gapfill" -> ((s, d) => Relational.eventsResampleGapfill(Tables.events(s, d))),
+    // ANALYZE primitive: long-format per-column profile (nulls/NDV/min/max)
+    "table_column_stats" -> ((s, d) => Relational.tableColumnStats(Tables.orders(s, d))),
     // ordered-funnel conversion over first-occurrence step times
     "event_funnel" -> ((s, d) => Relational.eventFunnel(Tables.events(s, d))),
     // the TIME-BOUNDED funnel: each transition must land within
@@ -1663,6 +1667,60 @@ object SparkEntry {
     "order_value_histogram" ->
       """SELECT CAST(round(o_totalprice*100) AS BIGINT) // 50000 AS bucket, CAST(count(*) AS BIGINT) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_resample_gapfill" ->
+      """WITH e AS (SELECT event_type, u - u % 900 AS bucket_sec, value FROM
+        |    (SELECT event_type, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS u, value FROM events)),
+        |pb AS (SELECT event_type, bucket_sec, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(round(value*100)) AS BIGINT) AS value_cents FROM e GROUP BY 1, 2),
+        |span AS (SELECT min(bucket_sec) AS b0, max(bucket_sec) AS b1 FROM e),
+        |grid AS (SELECT unnest(generate_series(b0, b1, 900)) AS bucket_sec FROM span),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |dense AS (SELECT event_type, bucket_sec FROM grid CROSS JOIN types)
+        |SELECT d.event_type, d.bucket_sec,
+        |  COALESCE(pb.n, 0) AS n, COALESCE(pb.value_cents, 0) AS value_cents,
+        |  COALESCE(last_value(pb.value_cents IGNORE NULLS) OVER (
+        |      PARTITION BY d.event_type ORDER BY d.bucket_sec
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS locf_value_cents
+        |FROM dense d LEFT JOIN pb ON d.event_type = pb.event_type AND d.bucket_sec = pb.bucket_sec
+        |ORDER BY 1, 2""".stripMargin,
+    "table_column_stats" ->
+      """SELECT * FROM (
+        |  SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS ndv,
+        |    CAST(min(o_orderkey) AS BIGINT) AS min_num, CAST(max(o_orderkey) AS BIGINT) AS max_num,
+        |    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT o_custkey) AS BIGINT),
+        |    CAST(min(o_custkey) AS BIGINT), CAST(max(o_custkey) AS BIGINT),
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+        |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |    min(o_orderstatus), max(o_orderstatus) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT o_totalprice) AS BIGINT),
+        |    CAST(min(round(o_totalprice*100)) AS BIGINT), CAST(max(round(o_totalprice*100)) AS BIGINT),
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT o_orderdate) AS BIGINT),
+        |    CAST(epoch(min(o_orderdate)) AS BIGINT), CAST(epoch(max(o_orderdate)) AS BIGINT),
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+        |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |    min(o_orderpriority), max(o_orderpriority) FROM orders
+        |) ORDER BY col_name""".stripMargin,
     "events_pivot" ->
       """SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day,
         |  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,

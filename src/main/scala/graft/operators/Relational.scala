@@ -656,4 +656,93 @@ object Relational {
         col("c_mktsegment"),
         cents(col("o_totalprice")).cast("long").as("totalprice_cents"))
       .orderBy("o_orderkey")
+
+  /** Time-series resample + gap-fill over the event stream: fixed-width
+    * buckets per event_type, zero-filled where no events landed, plus a
+    * last-observation-carried-forward (LOCF) reading of the bucket's
+    * value sum — the dashboard/feature-engineering primitive a plain
+    * `groupBy` cannot produce, because buckets with no events simply
+    * don't exist in grouped output. (The reference's event-stream domain
+    * implies exactly this downsampling step before charting/alerting.)
+    *
+    * Scale shape: the per-bucket aggregate is an ordinary two-phase
+    * hash-agg keyed finer than the corpus. The dense grid derives from a
+    * ONE-ROW (min,max) aggregate exploded by `sequence`, so its size is
+    * bounded by the TIME DOMAIN (span/bucket × |event types|), never by
+    * the data — a year of 15-min buckets x 100 types is 3.5 M rows. The
+    * grid×types nested-loop join broadcasts the bounded type table, and
+    * the LOCF window partitions by type over the bounded grid. Bucketing
+    * is integer epoch arithmetic (`u - u % bucketSec`), immune to
+    * truncation-unit drift between engines. */
+  def eventsResampleGapfill(events: DataFrame, bucketSec: Long = 900L): DataFrame = {
+    val u = unix_timestamp(col("ts"))
+    val bucketed = events.select(
+      col("event_type"),
+      (u - u % lit(bucketSec)).as("bucket_sec"),
+      col("value"))
+    val perBucket = bucketed
+      .groupBy(col("event_type"), col("bucket_sec"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(cents(col("value"))).cast("long").as("value_cents"))
+    val span = bucketed.agg(min(col("bucket_sec")).as("b0"), max(col("bucket_sec")).as("b1"))
+    val grid = span.select(explode(sequence(col("b0"), col("b1"), lit(bucketSec))).as("bucket_sec"))
+    val types = events.select(col("event_type")).distinct()
+    val locf = Window.partitionBy(col("event_type")).orderBy(col("bucket_sec"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(broadcast(types))
+      .join(perBucket, Seq("event_type", "bucket_sec"), "left")
+      .select(
+        col("event_type"),
+        col("bucket_sec"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("value_cents"), lit(0L)).as("value_cents"),
+        coalesce(last(col("value_cents"), ignoreNulls = true).over(locf), lit(0L))
+          .as("locf_value_cents"))
+      .orderBy("event_type", "bucket_sec")
+  }
+
+  /** One-pass column profile of a table — the ANALYZE/statistics
+    * primitive a cost-based planner (and any data-quality gate) feeds
+    * on: per column, row count, null count, exact NDV, and min/max
+    * (integer-normalized for numerics/timestamps, raw for strings).
+    *
+    * Scale shape: a single scan; the multi-column `countDistinct`
+    * plans as Expand + two-phase hash-agg, so each column's keys
+    * dedup map-side and the shuffle is bounded by Σ per-column NDV,
+    * not row count. The Expand factor (one replica per profiled
+    * column) is the price of EXACT NDV in one pass — at 100 TB swap
+    * `countDistinct` for `approx_count_distinct` (HLL, no Expand)
+    * unless exactness is contractual; the plan is otherwise
+    * identical. Output is long-format (one row per column) so the
+    * profile is itself joinable/diffable as a table. */
+  def tableColumnStats(orders: DataFrame): DataFrame = {
+    def nNulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+    val one = orders.agg(
+      count(lit(1)).as("n_rows"),
+      nNulls("o_orderkey").as("nulls_okey"), countDistinct(col("o_orderkey")).as("ndv_okey"),
+      min(col("o_orderkey")).as("min_okey"), max(col("o_orderkey")).as("max_okey"),
+      nNulls("o_custkey").as("nulls_ckey"), countDistinct(col("o_custkey")).as("ndv_ckey"),
+      min(col("o_custkey")).as("min_ckey"), max(col("o_custkey")).as("max_ckey"),
+      nNulls("o_orderstatus").as("nulls_stat"), countDistinct(col("o_orderstatus")).as("ndv_stat"),
+      min(col("o_orderstatus")).as("min_stat"), max(col("o_orderstatus")).as("max_stat"),
+      nNulls("o_totalprice").as("nulls_price"), countDistinct(col("o_totalprice")).as("ndv_price"),
+      min(cents(col("o_totalprice"))).cast("long").as("min_price"),
+      max(cents(col("o_totalprice"))).cast("long").as("max_price"),
+      nNulls("o_orderdate").as("nulls_date"), countDistinct(col("o_orderdate")).as("ndv_date"),
+      min(unix_timestamp(col("o_orderdate"))).as("min_date"),
+      max(unix_timestamp(col("o_orderdate"))).as("max_date"),
+      nNulls("o_orderpriority").as("nulls_prio"), countDistinct(col("o_orderpriority")).as("ndv_prio"),
+      min(col("o_orderpriority")).as("min_prio"), max(col("o_orderpriority")).as("max_prio"))
+    one.selectExpr(
+      """stack(6,
+        |  'o_orderkey',      n_rows, nulls_okey,  ndv_okey,  min_okey,  max_okey,  CAST(NULL AS STRING), CAST(NULL AS STRING),
+        |  'o_custkey',       n_rows, nulls_ckey,  ndv_ckey,  min_ckey,  max_ckey,  CAST(NULL AS STRING), CAST(NULL AS STRING),
+        |  'o_orderstatus',   n_rows, nulls_stat,  ndv_stat,  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), min_stat, max_stat,
+        |  'o_totalprice',    n_rows, nulls_price, ndv_price, min_price, max_price, CAST(NULL AS STRING), CAST(NULL AS STRING),
+        |  'o_orderdate',     n_rows, nulls_date,  ndv_date,  min_date,  max_date,  CAST(NULL AS STRING), CAST(NULL AS STRING),
+        |  'o_orderpriority', n_rows, nulls_prio,  ndv_prio,  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), min_prio, max_prio
+        |) AS (col_name, n_rows, n_nulls, ndv, min_num, max_num, min_str, max_str)""".stripMargin)
+      .orderBy("col_name")
+  }
 }

@@ -326,6 +326,48 @@ class OperatorSpec extends SparkSpec {
     assert(got.toSeq === (1L to 4L).map(s => (s, 0L, 0L)))
   }
 
+  test("eventsResampleGapfill: missing buckets appear zero-filled and LOCF carries the last observation") {
+    val ev = Seq(
+      // type A: events in bucket 0 and bucket 2 of a 15-min grid — bucket 1 is a GAP
+      (1L, "2024-01-01 00:05:00", 10L, "a", 2.0),
+      (2L, "2024-01-01 00:40:00", 11L, "a", 5.0),
+      // type B: only bucket 1 — buckets 0 and 2 exist via the global grid
+      (3L, "2024-01-01 00:20:00", 12L, "b", 3.0))
+      .toDF("event_id", "s", "user_id", "event_type", "value")
+      .select(col("event_id"), col("s").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val out = Relational.eventsResampleGapfill(ev).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val b0 = out.keys.map(_._2).min
+    // dense grid: 3 buckets x 2 types, nothing missing
+    assert(out.size === 6)
+    // the gap bucket is materialized with zero count and LOCF of bucket 0's value
+    assert(out(("a", b0 + 900)) === ((0L, 0L, 200L)))
+    // observed buckets report their own sums; LOCF equals the current value there
+    assert(out(("a", b0)) === ((1L, 200L, 200L)))
+    assert(out(("a", b0 + 1800)) === ((1L, 500L, 500L)))
+    // a type with no observation yet LOCFs 0, then carries its first one forward
+    assert(out(("b", b0)) === ((0L, 0L, 0L)))
+    assert(out(("b", b0 + 900)) === ((1L, 300L, 300L)))
+    assert(out(("b", b0 + 1800)) === ((0L, 0L, 300L)))
+  }
+
+  test("tableColumnStats: one row per column with consistent bounds") {
+    val rows = Relational.tableColumnStats(Tables.orders(spark, Sf0001)).collect()
+    assert(rows.length === 6)
+    val n = rows.head.getLong(1)
+    for (r <- rows) {
+      assert(r.getLong(1) === n, "every row reports the same row count")
+      assert(r.getLong(2) === 0L, s"${r.getString(0)}: unexpected nulls in testdata")
+      assert(r.getLong(3) >= 1L && r.getLong(3) <= n, s"${r.getString(0)}: ndv out of range")
+      if (!r.isNullAt(4)) assert(r.getLong(4) <= r.getLong(5), s"${r.getString(0)}: min_num > max_num")
+      else assert(r.getString(6) <= r.getString(7), s"${r.getString(0)}: min_str > max_str")
+    }
+    // the key column is unique: ndv == row count
+    val okey = rows.find(_.getString(0) == "o_orderkey").get
+    assert(okey.getLong(3) === n)
+  }
+
   test("retentionCohorts: cohort = first-active week, cells share of cohort size") {
     def ev(u: Long, day: String) =
       (u, "view", java.sql.Timestamp.valueOf(s"2024-01-$day 12:00:00"))

@@ -97,6 +97,8 @@ class PlanShapeSpec extends SparkSpec {
       "doc_lexical_ann_pq" -> "nCells=16 centroid table broadcast (probe stage; ADC tables + refine cut ride the bounded query set)",
       "bm25_search" -> "1-row corpus-totals broadcast (N, sum dl)",
       "substring_gram_stats" -> "1-row dropped-gram-total broadcast onto a k-bounded top-k",
+      "events_resample_gapfill" ->
+        "time-domain-bounded minute grid × 5-row event-type table (both bounded by construction)",
       "event_funnel" -> "4-row step table × 1-row reached-counts aggregate",
       "event_funnel_sessionized" -> "4-row step table × 1-row reached-counts aggregate",
       "ann_bruteforce_topk" -> "nQueries=5 query set broadcast (brute force scans corpus once)",
