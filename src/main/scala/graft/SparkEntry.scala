@@ -59,6 +59,8 @@ object SparkEntry {
       Relational.customerOrderCounts(Tables.customer(s, d), Tables.orders(s, d))),
     "daily_revenue_range7d" -> ((s, d) => Relational.dailyRevenueRange7d(Tables.orders(s, d))),
     "top_tokens_per_source" -> ((s, d) => TextAnalysis.topTokensPerSource(Tables.documents(s, d))),
+    // Misra-Gries sketch proposes candidates, exact count verifies
+    "token_heavy_hitters" -> ((s, d) => TextAnalysis.tokenHeavyHitters(Tables.documents(s, d))),
     "uu_sliding_5m_1m" -> ((s, d) => UniqueUsers.slidingDistinct(Tables.events(s, d))),
     "events_filter_project" -> ((s, d) => UniqueUsers.filterProject(Tables.events(s, d))),
     "events_json_extract" -> ((s, d) => UniqueUsers.jsonExtractStats(Tables.events(s, d))),
@@ -1826,6 +1828,13 @@ object SparkEntry {
         |rnk AS (SELECT source, tok, n,
         |    row_number() OVER (PARTITION BY source ORDER BY n DESC, tok) AS rk FROM cnt)
         |SELECT source, tok, n, rk FROM rnk WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+    "token_heavy_hitters" ->
+      """WITH norm AS (SELECT regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t FROM documents),
+        |tok AS (SELECT unnest(string_split(t, ' ')) AS tok FROM norm WHERE t != ''),
+        |cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM tok WHERE tok != '' GROUP BY 1),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tok WHERE tok != '')
+        |SELECT tok, n, total FROM cnt CROSS JOIN tt
+        |WHERE n * 500 > total ORDER BY n DESC, tok""".stripMargin,
     "median_order_by_segment" ->
       """WITH j AS (SELECT c_mktsegment, o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS v
         |  FROM orders JOIN customer ON o_custkey = c_custkey),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.MisraGriesAggregator
 import graft.functions.TextFunctions._
 
 /** Text-analysis operators over the documents table: per-doc statistics,
@@ -129,6 +130,43 @@ object TextAnalysis {
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .orderBy("source", "rk")
+  }
+
+  /** Corpus heavy-hitter tokens: a mergeable Misra-Gries sketch proposes
+    * candidates under O(cap) memory per task, then ONE exact counting
+    * pass over just those candidates verifies — output is every token
+    * with frequency strictly above total/denom, with its exact count.
+    *
+    * Determinism: the sketch's surviving SET is partitioning-dependent,
+    * but the PODS'12 bound guarantees it contains every token above
+    * N/(cap+1) < N/denom, and the exact re-count filters the rest — so
+    * the final relation is bit-stable on any partitioning (the same
+    * sketch-proposes / exact-disposes composition as the Bloom dedup
+    * gate). Scale shape: the sketch pass is a typed partial aggregate
+    * (map-side MG summaries merged up, never a vocabulary shuffle); the
+    * verify pass semi-joins the ≤cap-row broadcast candidate list BEFORE
+    * its groupBy, so the exact shuffle carries only candidate tokens;
+    * the 1-row total rides the allowlisted broadcast-crossJoin shape.
+    * On this testdata the 31-token vocabulary never saturates the
+    * cap=1000 summary (no decrements fire); the decrement/merge-cut
+    * mechanics are pinned by GraftProperties on Zipf fixtures with
+    * vocab >> cap. */
+  def tokenHeavyHitters(documents: DataFrame, denom: Int = 500, cap: Int = 1000): DataFrame = {
+    val spark = documents.sparkSession
+    val toks = documents
+      .select(explode(split(normText(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val mg = udaf(new MisraGriesAggregator(cap))
+    val candidates = toks.agg(mg(col("tok")).as("cand")).head().getSeq[String](0)
+    val cand = spark.createDataFrame(candidates.map(Tuple1(_))).toDF("tok")
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks.join(broadcast(cand), Seq("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n") * denom > col("total"))
+      .select(col("tok"), col("n"), col("total"))
+      .orderBy(col("n").desc, col("tok"))
   }
 
   /** Gopher-style repetition signals per document: token volume, distinct

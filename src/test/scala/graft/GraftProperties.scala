@@ -231,4 +231,30 @@ object GraftProperties extends Properties("graft") {
       df.select(piiRedact($"t"), piiRedact(piiRedact($"t"))).head()
     once == twice && !once.contains("@example.com")
   }
+
+  // Zipf-ish stream over a vocabulary far above the sketch cap, chopped
+  // into arbitrary partitions — exercises BOTH saturation paths (the
+  // per-item decrement epoch and the merge's (cap+1)-th-largest cut),
+  // which the near-uniform 31-token testdata corpus never triggers.
+  private val mgStreamGen: Gen[(List[String], Int)] = for {
+    n <- Gen.choose(300, 1200)
+    toks <- Gen.listOfN(n, Gen.frequency(
+      40 -> Gen.const("hh1"), 25 -> Gen.const("hh2"),
+      35 -> Gen.choose(0, 199).map("t" + _)))
+    parts <- Gen.choose(1, 7)
+  } yield (toks, parts)
+
+  property("misra-gries containment: merged summary keeps every item above N/(cap+1)") =
+    forAll(mgStreamGen) { case (toks, parts) =>
+      val cap = 16
+      val agg = new graft.functions.MisraGriesAggregator(cap)
+      val buffers = toks.grouped(math.max(1, toks.size / parts))
+        .map(_.foldLeft(agg.zero)(agg.reduce)).toList
+      val merged = buffers.reduce(agg.merge)
+      val n = toks.size.toLong
+      val freq = toks.groupBy(identity).view.mapValues(_.size.toLong)
+      val mustKeep = freq.filter(_._2 > n / (cap + 1)).keySet
+      val kept = agg.finish(merged).toSet
+      merged.size <= cap && mustKeep.subsetOf(kept)
+    }
 }

@@ -13,6 +13,21 @@ class PipelineOpsSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("tokenHeavyHitters: sketch-propose/exact-verify finds exactly the above-threshold tokens under a saturated cap") {
+    // vocabulary (62 tokens) >> cap (8): the sketch MUST decrement, yet
+    // the composition still returns exactly the exact-count answer
+    val words =
+      Seq.fill(40)("alpha") ++ Seq.fill(30)("beta") ++
+        (0 until 30).map(i => "noise" + i) // 30 singletons
+    // one doc per word, shuffled deterministically so partitions interleave
+    val docs = new scala.util.Random(7).shuffle(words)
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val got = TextAnalysis.tokenHeavyHitters(docs, denom = 4, cap = 8).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // N=100; threshold freq*4 > 100 => freq > 25: alpha(40), beta(30)
+    assert(got.toSeq === Seq(("alpha", 40L, 100L), ("beta", 30L, 100L)))
+  }
+
   test("winnowing: any shared run of >= w+k-1 tokens shares a selected fingerprint value") {
     // the winnowing theorem (Schleimer et al.): a 7-token run (= w+k-1)
     // contains w consecutive k-gram hashes, so one selection window lies

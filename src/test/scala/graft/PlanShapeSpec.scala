@@ -82,6 +82,7 @@ class PlanShapeSpec extends SparkSpec {
       "mixture_weights" -> "1-row totals broadcast",
       "mixture_sample_temperature" -> "1-row totals broadcast (w_total, then m_total)",
       "text_token_rarity" -> "1-row corpus-token-total broadcast",
+      "token_heavy_hitters" -> "1-row token-total broadcast onto a cap-bounded candidate count",
       "token_rarity_against" -> "1-row reference-total broadcast",
       "lm_bigram_surprisal" -> "1-row vocabulary-size broadcast",
       "lm_surprisal_against" -> "1-row vocabulary-size broadcast",
