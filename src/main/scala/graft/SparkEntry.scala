@@ -109,6 +109,8 @@ object SparkEntry {
       Skew.saltedEventSegmentStats(Tables.events(s, d), Tables.customer(s, d))),
     "median_order_by_segment" -> ((s, d) =>
       Relational.medianOrderValueBySegment(Tables.orders(s, d), Tables.customer(s, d))),
+    // Z-order (Morton) locality audit: per-Z-bucket bounding boxes
+    "zorder_cluster_stats" -> ((s, d) => Layout.zorderClusterStats(Tables.orders(s, d))),
     "parts_above_brand_avg" -> ((s, d) => Relational.partsAboveBrandAverage(Tables.part(s, d))),
     "daily_revenue_running" -> ((s, d) => Relational.dailyRevenueRunning(Tables.orders(s, d))),
     "customer_name_parse" -> ((s, d) => Relational.customerNameParse(Tables.customer(s, d))),
@@ -1766,6 +1768,26 @@ object SparkEntry {
         |    last_value(orderkey IGNORE NULLS) OVER (PARTITION BY k ORDER BY t, tag, orderkey
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_orderkey FROM u)
         |SELECT event_id, k AS user_id, asof_orderkey FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin,
+    "zorder_cluster_stats" -> {
+      // the 32-term Morton interleave, generated to match Layout.zValue16
+      val zTerms = (0 until 16).map(i =>
+        s"(((a >> $i) & 1) << ${2 * i}) + (((b >> $i) & 1) << ${2 * i + 1})").mkString(" + ")
+      s"""WITH base AS (SELECT o_custkey AS ck,
+         |    CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day FROM orders),
+         |dom AS (SELECT min(ck) AS ck_lo, max(ck) AS ck_hi,
+         |    min(day) AS day_lo, max(day) AS day_hi FROM base),
+         |m AS (SELECT ck, day,
+         |    ((ck - ck_lo) * 65535) // greatest(ck_hi - ck_lo, 1) AS a,
+         |    ((day - day_lo) * 65535) // greatest(day_hi - day_lo, 1) AS b
+         |  FROM base CROSS JOIN dom),
+         |z AS (SELECT ck, day, ($zTerms) AS zv FROM m)
+         |SELECT CAST(zv >> 22 AS BIGINT) AS z_bucket, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(min(ck) AS BIGINT) AS ck_min, CAST(max(ck) AS BIGINT) AS ck_max,
+         |  CAST(max(ck) - min(ck) AS BIGINT) AS ck_span,
+         |  CAST(min(day) AS BIGINT) AS day_min, CAST(max(day) AS BIGINT) AS day_max,
+         |  CAST(max(day) - min(day) AS BIGINT) AS day_span
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "salted_event_segment_stats" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(round(value*100)) AS BIGINT) AS value_cents

@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -94,5 +95,68 @@ class FileFormatsSpec extends SparkSpec {
     val plan = back.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(source"), plan.take(500))
     assert(back.count() === docs.filter(col("source") === "src1").count())
+  }
+
+  test("Z-ordered write: per-file bounding boxes beat a single-column sort on the off-sort dimension") {
+    import graft.operators.Layout
+    val orders = Tables.orders(spark, Sf0001)
+    val day = (unix_timestamp(col("o_orderdate")) / lit(86400L)).cast("long")
+    val nFiles = 8
+
+    def perFileBoxes(dir: String): Seq[(Long, Long)] = {
+      val files = new java.io.File(dir).listFiles
+        .filter(f => f.getName.endsWith(".parquet")).map(_.toString).toSeq
+      assert(files.size > 1, s"expected multiple files in $dir")
+      files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(max(col("o_custkey")) - min(col("o_custkey")),
+            max((unix_timestamp(col("o_orderdate")) / lit(86400L)).cast("long")) -
+              min((unix_timestamp(col("o_orderdate")) / lit(86400L)).cast("long")))
+          .head()
+        (r.getLong(0), r.getLong(1))
+      }
+    }
+
+    val zDir = tmp("graft-zorder")
+    Layout.writeZOrdered(orders, col("o_custkey"), day, zDir, nFiles)
+    val linDir = tmp("graft-linear")
+    orders.repartitionByRange(nFiles, col("o_custkey"))
+      .sortWithinPartitions(col("o_custkey"))
+      .write.mode("overwrite").parquet(linDir)
+
+    // layout must not lose rows
+    assert(spark.read.parquet(zDir).count() === orders.count())
+
+    val zBoxes = perFileBoxes(zDir)
+    val linBoxes = perFileBoxes(linDir)
+    val Row(gCk: Long, gDay: Long) = orders
+      .agg(max(col("o_custkey")) - min(col("o_custkey")), max(day) - min(day)).head()
+    // single-column sort: every file still spans ~the whole day domain —
+    // a date predicate can prune NOTHING
+    assert(linBoxes.forall(_._2 > gDay / 2), s"linear layout unexpectedly clustered days: $linBoxes")
+    // Z-order: file boxes are sub-rectangles on BOTH dimensions — that's
+    // what makes predicates on either column skip files. Range
+    // boundaries are sample-based (not bit-aligned), so a boundary file
+    // may straddle a top-level split; assert the claim statistically:
+    // at least 3/4 of the files are compact on both dims.
+    val compact = zBoxes.count { case (ckSpan, daySpan) =>
+      ckSpan <= gCk * 3 / 4 && daySpan <= gDay * 3 / 4
+    }
+    assert(compact * 4 >= zBoxes.size * 3,
+      s"only $compact/${zBoxes.size} z boxes compact on both dims: $zBoxes vs global ($gCk x $gDay)")
+    // and a date-point predicate overlaps at most half the z files
+    val midDay = orders.agg((min(day) + (max(day) - min(day)) / 2).cast("long")).head().getLong(0)
+    val zFilesHit = {
+      val files = new java.io.File(zDir).listFiles
+        .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+      files.count { f =>
+        val r = spark.read.parquet(f)
+          .agg(min((unix_timestamp(col("o_orderdate")) / lit(86400L)).cast("long")),
+            max((unix_timestamp(col("o_orderdate")) / lit(86400L)).cast("long"))).head()
+        r.getLong(0) <= midDay && midDay <= r.getLong(1)
+      }
+    }
+    assert(zFilesHit * 2 <= zBoxes.size,
+      s"a mid-domain day hits $zFilesHit of ${zBoxes.size} z files — no pruning win")
   }
 }

@@ -83,6 +83,7 @@ class PlanShapeSpec extends SparkSpec {
       "mixture_sample_temperature" -> "1-row totals broadcast (w_total, then m_total)",
       "text_token_rarity" -> "1-row corpus-token-total broadcast",
       "token_heavy_hitters" -> "1-row token-total broadcast onto a cap-bounded candidate count",
+      "zorder_cluster_stats" -> "1-row domain min/max broadcast (16-bit normalization)",
       "token_rarity_against" -> "1-row reference-total broadcast",
       "lm_bigram_surprisal" -> "1-row vocabulary-size broadcast",
       "lm_surprisal_against" -> "1-row vocabulary-size broadcast",
