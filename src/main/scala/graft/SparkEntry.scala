@@ -301,6 +301,8 @@ object SparkEntry {
     }),
     // bigram-LM fluency filter (integer floor-log2 surprisal), self-scored
     "lm_bigram_surprisal" -> ((s, d) => TextAnalysis.bigramSurprisal(Tables.documents(s, d))),
+    // CCNet-style per-source head/middle/tail perplexity terciles
+    "perplexity_buckets" -> ((s, d) => TextAnalysis.perplexityBuckets(Tables.documents(s, d))),
     // deployable perplexity gate: odd docs scored under the even docs'
     // bigram LM (orderBy = oracle-hash determinism, operator unordered)
     "lm_surprisal_against" -> ((s, d) => {
@@ -2061,6 +2063,36 @@ object SparkEntry {
         |  CAST(sum(bits) AS BIGINT) AS total_bits,
         |  CAST((sum(bits) * 1000) // count(*) AS BIGINT) AS bits_per_bigram_milli
         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "perplexity_buckets" ->
+      """WITH norm AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t FROM documents),
+        |tl AS (SELECT doc_id, string_split(t, ' ') AS l FROM norm),
+        |bgq AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 1),
+        |    i -> l[i] || ' ' || l[i + 1])) AS bg FROM tl WHERE len(l) >= 2),
+        |c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM bgq GROUP BY 1),
+        |c1 AS (SELECT string_split(bg, ' ')[1] AS prev, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+        |vt AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+        |  FROM (SELECT unnest(string_split(t, ' ')) AS tok FROM norm) WHERE len(tok) > 0),
+        |lm AS (SELECT bg, CAST(length(bin((c1 + v) // (c2 + 1))) - 1 AS BIGINT) AS bits
+        |  FROM c2 JOIN c1 ON string_split(c2.bg, ' ')[1] = c1.prev, vt),
+        |sc AS (SELECT doc_id, bits FROM bgq JOIN lm USING (bg)),
+        |sco AS (SELECT sc.doc_id, d.source,
+        |    CAST((sum(bits) * 1000) // count(*) AS BIGINT) AS bpb
+        |  FROM sc JOIN documents d ON sc.doc_id = d.doc_id GROUP BY 1, 2),
+        |hist AS (SELECT source, bpb, CAST(count(*) AS BIGINT) AS n FROM sco GROUP BY 1, 2),
+        |marks AS (SELECT source, bpb,
+        |    sum(n) OVER (PARTITION BY source ORDER BY bpb
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(n) OVER (PARTITION BY source) AS n_src FROM hist),
+        |t1 AS (SELECT source, min(bpb) AS t1_milli FROM marks
+        |  WHERE cum >= (n_src + 2) // 3 GROUP BY 1),
+        |t2 AS (SELECT source, min(bpb) AS t2_milli FROM marks
+        |  WHERE cum >= (2 * n_src + 2) // 3 GROUP BY 1)
+        |SELECT sco.doc_id, sco.source, sco.bpb AS bits_per_bigram_milli,
+        |  t1_milli, t2_milli,
+        |  CASE WHEN bpb <= t1_milli THEN 'head'
+        |       WHEN bpb <= t2_milli THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM sco JOIN t1 USING (source) JOIN t2 USING (source)
+        |ORDER BY doc_id""".stripMargin,
     "lm_surprisal_against" ->
       """WITH norm AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t FROM documents),
         |tl AS (SELECT doc_id, string_split(t, ' ') AS l FROM norm),

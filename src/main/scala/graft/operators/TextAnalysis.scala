@@ -1126,6 +1126,53 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style perplexity partitioning (Wenzek et al., LREC 2020):
+    * per SOURCE, split documents into head/middle/tail thirds by their
+    * bits-per-bigram surprisal under the corpus's own bigram LM — the
+    * standard curation move that routes low-perplexity (most fluent)
+    * text to the head bucket and leaves the tail for inspection or
+    * exclusion, calibrated per source so one domain's baseline fluency
+    * doesn't crowd out another's.
+    *
+    * Integer-exact thresholds via the same bounded-histogram trick as
+    * [[qualityCalibrated]]: surprisal milli-bits have a small value
+    * DOMAIN, so the tercile cut derives from a (source, milli-bits)
+    * histogram (map-side partial agg), a cumulative window over that
+    * bounded table, and two one-row-per-source broadcast joins back —
+    * no per-source sort of documents anywhere. Docs with fewer than two
+    * tokens have no bigram surprisal and are excluded, matching the
+    * scorer. Tie semantics: bucket k is every doc at-or-below the
+    * smallest milli-bits value whose cumulative count reaches
+    * ceil(k·n/3), so ties never straddle a fence and the output is
+    * partitioning- and engine-stable. */
+  def perplexityBuckets(documents: DataFrame): DataFrame = {
+    val scored = bigramSurprisal(documents)
+      .join(documents.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("doc_id"), col("source"), col("bits_per_bigram_milli"))
+    val hist = scored.groupBy(col("source"), col("bits_per_bigram_milli").as("bpb"))
+      .agg(count(lit(1)).as("n"))
+    val cumW = Window.partitionBy(col("source")).orderBy(col("bpb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val srcW = Window.partitionBy(col("source"))
+    val marks = hist
+      .withColumn("cum", sum(col("n")).over(cumW))
+      .withColumn("n_src", sum(col("n")).over(srcW))
+    val t1 = marks.filter(col("cum") >= expr("(n_src + 2) div 3"))
+      .groupBy(col("source")).agg(min(col("bpb")).as("t1_milli"))
+    val t2 = marks.filter(col("cum") >= expr("(2 * n_src + 2) div 3"))
+      .groupBy(col("source")).agg(min(col("bpb")).as("t2_milli"))
+    scored
+      .join(broadcast(t1), "source")
+      .join(broadcast(t2), "source")
+      .withColumn("bucket",
+        when(col("bits_per_bigram_milli") <= col("t1_milli"), "head")
+          .when(col("bits_per_bigram_milli") <= col("t2_milli"), "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("source"), col("bits_per_bigram_milli"),
+        col("t1_milli"), col("t2_milli"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** Score docs against a REFERENCE bigram LM — the deployable
     * perplexity gate ([[tokenRarityAgainst]]'s context-aware sibling):
     * an ingestion batch is scored under the TRUSTED corpus's transition

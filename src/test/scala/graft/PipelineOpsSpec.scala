@@ -28,6 +28,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.toSeq === Seq(("alpha", 40L, 100L), ("beta", 30L, 100L)))
   }
 
+  test("perplexityBuckets: per-source terciles are ordered, cover the scored docs, and respect tie fences") {
+    val out = TextAnalysis.perplexityBuckets(Tables.documents(spark, Sf0001)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))
+    assert(out.nonEmpty)
+    for ((_, bySrc) <- out.groupBy(_._2)) {
+      val n = bySrc.length
+      val (t1, t2) = (bySrc.head._4, bySrc.head._5)
+      assert(t1 <= t2)
+      val head = bySrc.filter(_._6 == "head")
+      val middle = bySrc.filter(_._6 == "middle")
+      val tail = bySrc.filter(_._6 == "tail")
+      assert(head.length + middle.length + tail.length === n)
+      // cumulative coverage: head >= ceil(n/3), head+middle >= ceil(2n/3)
+      assert(head.length >= (n + 2) / 3)
+      assert(head.length + middle.length >= (2 * n + 2) / 3)
+      // bucket assignment is monotone in surprisal: no middle doc scores
+      // below a head doc's fence, no tail doc below the middle fence
+      assert(head.forall(_._3 <= t1))
+      assert(middle.forall(d => d._3 > t1 && d._3 <= t2))
+      assert(tail.forall(_._3 > t2))
+    }
+  }
+
   test("winnowing: any shared run of >= w+k-1 tokens shares a selected fingerprint value") {
     // the winnowing theorem (Schleimer et al.): a 7-token run (= w+k-1)
     // contains w consecutive k-gram hashes, so one selection window lies

@@ -86,6 +86,7 @@ class PlanShapeSpec extends SparkSpec {
       "zorder_cluster_stats" -> "1-row domain min/max broadcast (16-bit normalization)",
       "token_rarity_against" -> "1-row reference-total broadcast",
       "lm_bigram_surprisal" -> "1-row vocabulary-size broadcast",
+      "perplexity_buckets" -> "1-row vocabulary-size broadcast (rides the surprisal scorer)",
       "lm_surprisal_against" -> "1-row vocabulary-size broadcast",
       "dsir_weights" -> "two 1-row vocabulary-size broadcasts (target + base LM)",
       "dsir_sample" -> "two 1-row vocabulary-size broadcasts (target + base LM)",
