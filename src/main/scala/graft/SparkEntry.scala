@@ -107,6 +107,8 @@ object SparkEntry {
     "asof_join_orders" -> ((s, d) => Sessionize.asofJoinOrders(Tables.events(s, d), Tables.orders(s, d))),
     "salted_event_segment_stats" -> ((s, d) =>
       Skew.saltedEventSegmentStats(Tables.events(s, d), Tables.customer(s, d))),
+    // pre-shuffle diagnostic: top-k heaviest values of a prospective key
+    "join_key_skew_stats" -> ((s, d) => Skew.joinKeySkewStats(Tables.events(s, d), "user_id")),
     "median_order_by_segment" -> ((s, d) =>
       Relational.medianOrderValueBySegment(Tables.orders(s, d), Tables.customer(s, d))),
     // Z-order (Morton) locality audit: per-Z-bucket bounding boxes
@@ -1790,6 +1792,11 @@ object SparkEntry {
          |  CAST(max(day) - min(day) AS BIGINT) AS day_span
          |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    "join_key_skew_stats" ->
+      """WITH c AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM events)
+        |SELECT key, n, n_rows, CAST((n * 1000000) // n_rows AS BIGINT) AS share_ppm
+        |FROM c CROSS JOIN t ORDER BY n DESC, key LIMIT 20""".stripMargin,
     "salted_event_segment_stats" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(round(value*100)) AS BIGINT) AS value_cents

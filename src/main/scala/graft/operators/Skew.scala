@@ -31,4 +31,30 @@ object Skew {
         sum(round(col("value") * 100)).cast("long").as("value_cents"))
       .orderBy("c_mktsegment")
   }
+
+  /** Join-key skew audit — the diagnostic you run BEFORE picking a
+    * shuffle key, a salt factor, or trusting AQE's skew handling: the
+    * top-k heaviest values of a prospective key with each value's exact
+    * row count and integer-ppm share of the table. A key whose head
+    * share is a large multiple of 1/NDV is the one that lands a whole
+    * reducer's worth of rows on one task at 100 TB.
+    *
+    * Scale shape: one two-phase hash agg keyed by the candidate key
+    * (partial counts map-side, shuffle bounded by NDV), a k-bounded
+    * TakeOrdered, and the 1-row table total riding the allowlisted
+    * broadcast-crossJoin shape — the same bounded-monitor contract as
+    * `minhash_band_stats`/`substring_gram_stats`, generalized to any
+    * relational key. */
+  def joinKeySkewStats(df: DataFrame, key: String, k: Int = 20): DataFrame = {
+    val counts = df.groupBy(col(key).as("key")).agg(count(lit(1)).as("n"))
+    val top = counts
+      .orderBy(col("n").desc, col("key"))
+      .limit(k)
+    val total = df.agg(count(lit(1)).as("n_rows"))
+    top.crossJoin(broadcast(total))
+      .select(
+        col("key"), col("n"), col("n_rows"),
+        (col("n") * lit(1000000L) / col("n_rows")).cast("long").as("share_ppm"))
+      .orderBy(col("n").desc, col("key"))
+  }
 }
