@@ -702,38 +702,49 @@ object Relational {
       .orderBy("event_type", "bucket_sec")
   }
 
-  /** One-pass column profile of a table — the ANALYZE/statistics
-    * primitive a cost-based planner (and any data-quality gate) feeds
-    * on: per column, row count, null count, exact NDV, and min/max
+  /** Column profile of a table — the ANALYZE/statistics primitive a
+    * cost-based planner (and any data-quality gate) feeds on: per
+    * column, row count, null count, exact NDV, and min/max
     * (integer-normalized for numerics/timestamps, raw for strings).
     *
-    * Scale shape: a single scan; the multi-column `countDistinct`
-    * plans as Expand + two-phase hash-agg, so each column's keys
-    * dedup map-side and the shuffle is bounded by Σ per-column NDV,
-    * not row count. The Expand factor (one replica per profiled
-    * column) is the price of EXACT NDV in one pass — at 100 TB swap
-    * `countDistinct` for `approx_count_distinct` (HLL, no Expand)
-    * unless exactness is contractual; the plan is otherwise
-    * identical. Output is long-format (one row per column) so the
-    * profile is itself joinable/diffable as a table. */
+    * Scale shape, learned the measured way: a STRING min/max buffer is
+    * variable-width, which disqualifies HashAggregate and demoted the
+    * whole first-cut single aggregate to a SortAggregate over the
+    * 7×-Expanded relation (3.3 s at sf0.1 where every comparable agg
+    * runs sub-second). So the wide pass keeps only fixed-width buffers
+    * — null counts, exact NDVs, numeric min/max — and plans as Expand +
+    * two-phase HASH agg (per-column keys dedup map-side; shuffle
+    * bounded by Σ NDV); string extremes reduce over each string
+    * column's DISTINCT-value relation instead (hash agg on the string
+    * KEY, then a min/max over ndv-sized input — sort-aggregating 8 rows,
+    * not 700 k). The three one-row results meet in broadcast crossJoins.
+    * The Expand factor is the disclosed price of exact NDV; at 100 TB
+    * swap `countDistinct` for `approx_count_distinct` (HLL, no Expand)
+    * unless exactness is contractual. Output is long-format (one row
+    * per column) so the profile is itself joinable/diffable. */
   def tableColumnStats(orders: DataFrame): DataFrame = {
     def nNulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
-    val one = orders.agg(
+    def strExtremes(c: String, lo: String, hi: String) =
+      orders.select(col(c).as("v")).groupBy(col("v"))
+        .agg(count(lit(1)).as("cnt")).select(col("v"))
+        .agg(min(col("v")).as(lo), max(col("v")).as(hi))
+    val wide = orders.agg(
       count(lit(1)).as("n_rows"),
       nNulls("o_orderkey").as("nulls_okey"), countDistinct(col("o_orderkey")).as("ndv_okey"),
       min(col("o_orderkey")).as("min_okey"), max(col("o_orderkey")).as("max_okey"),
       nNulls("o_custkey").as("nulls_ckey"), countDistinct(col("o_custkey")).as("ndv_ckey"),
       min(col("o_custkey")).as("min_ckey"), max(col("o_custkey")).as("max_ckey"),
       nNulls("o_orderstatus").as("nulls_stat"), countDistinct(col("o_orderstatus")).as("ndv_stat"),
-      min(col("o_orderstatus")).as("min_stat"), max(col("o_orderstatus")).as("max_stat"),
       nNulls("o_totalprice").as("nulls_price"), countDistinct(col("o_totalprice")).as("ndv_price"),
       min(cents(col("o_totalprice"))).cast("long").as("min_price"),
       max(cents(col("o_totalprice"))).cast("long").as("max_price"),
       nNulls("o_orderdate").as("nulls_date"), countDistinct(col("o_orderdate")).as("ndv_date"),
       min(unix_timestamp(col("o_orderdate"))).as("min_date"),
       max(unix_timestamp(col("o_orderdate"))).as("max_date"),
-      nNulls("o_orderpriority").as("nulls_prio"), countDistinct(col("o_orderpriority")).as("ndv_prio"),
-      min(col("o_orderpriority")).as("min_prio"), max(col("o_orderpriority")).as("max_prio"))
+      nNulls("o_orderpriority").as("nulls_prio"), countDistinct(col("o_orderpriority")).as("ndv_prio"))
+    val one = wide
+      .crossJoin(broadcast(strExtremes("o_orderstatus", "min_stat", "max_stat")))
+      .crossJoin(broadcast(strExtremes("o_orderpriority", "min_prio", "max_prio")))
     one.selectExpr(
       """stack(6,
         |  'o_orderkey',      n_rows, nulls_okey,  ndv_okey,  min_okey,  max_okey,  CAST(NULL AS STRING), CAST(NULL AS STRING),

@@ -85,6 +85,7 @@ class PlanShapeSpec extends SparkSpec {
       "token_heavy_hitters" -> "1-row token-total broadcast onto a cap-bounded candidate count",
       "zorder_cluster_stats" -> "1-row domain min/max broadcast (16-bit normalization)",
       "join_key_skew_stats" -> "1-row table-total broadcast onto a k-bounded top-k",
+      "table_column_stats" -> "two 1-row string-extreme aggregates broadcast onto the 1-row wide profile",
       "token_rarity_against" -> "1-row reference-total broadcast",
       "lm_bigram_surprisal" -> "1-row vocabulary-size broadcast",
       "perplexity_buckets" -> "1-row vocabulary-size broadcast (rides the surprisal scorer)",
