@@ -782,6 +782,40 @@ class StreamingSpec extends SparkSpec {
       "the off-domain doc must fail the DSIR gate while the target-domain doc is admitted")
   }
 
+  test("trending tokens: bounded MG state still surfaces every above-bound token per window") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.TrendingTokens
+    val in = MemoryStream[(String, Long)]
+    val docs = in.toDF()
+      .select(col("_1").as("text"), timestamp_seconds(col("_2")).as("ts"))
+    // cap=8 but the window sees 100+ distinct tokens -> the per-window
+    // state MUST saturate and decrement, yet the hot tokens survive
+    val q = TrendingTokens.trendingTokens(docs, windowSec = 60, cap = 8).writeStream
+      .format("memory").queryName("trending").outputMode("append").start()
+    try {
+      // window w0: "breaking" in 40 of 100 docs, "news" in 30, plus 100+
+      // singleton noise tokens spread over the same window, split across
+      // two micro-batches so partial merges run too
+      val noise = (0 until 60).map(i => (s"noise$i unique$i", w0 + 5 + i % 50))
+      in.addData((0 until 40).map(i => ("breaking story", w0 + 1 + i % 55)) ++ noise.take(30): _*)
+      q.processAllAvailable()
+      in.addData((0 until 30).map(i => ("news update", w0 + 2 + i % 55)) ++ noise.drop(30): _*)
+      q.processAllAvailable()
+      // advance the watermark past w0+60 to finalize the window
+      in.addData(("flush", w0 + 300))
+      q.processAllAvailable()
+      val rows = spark.table("trending").collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val cands = rows(w0)
+      assert(cands.length <= 8, s"state exceeded the cap: $cands")
+      // n tokens in w0 ~ 40*2+30*2+60*2 = 260; bound n/(cap+1) ~ 29:
+      // "breaking"(40) and "news"(30) must be present; "story"(40) and
+      // "update"(30) ride the same guarantee
+      assert(cands.contains("breaking") && cands.contains("story"), s"hot tokens missing: $cands")
+      assert(cands.contains("news") && cands.contains("update"), s"hot tokens missing: $cands")
+    } finally q.stop()
+  }
+
   test("batch and streaming agree on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val events = Tables.events(spark, Sf0001)
