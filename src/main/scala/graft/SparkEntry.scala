@@ -44,6 +44,8 @@ object SparkEntry {
     // the sketch's BOUND GATE: exact anchor + 0/1 verdict, fully
     // oracle-checked (the estimate itself stays rows-only by design)
     "uu_per_minute_approx_check" -> ((s, d) => UniqueUsers.perMinuteApproxCheck(Tables.events(s, d))),
+    // Count-Min point-count sketch, bound-gated like the HLL check
+    "user_count_cms_check" -> ((s, d) => UniqueUsers.userCountCmsCheck(Tables.events(s, d))),
     "uu_per_minute_udaf" -> ((s, d) => UniqueUsers.perMinuteUdaf(Tables.events(s, d))),
     "uu_per_minute_sql" -> ((s, d) => GraftSql.uuPerMinuteSql(s, d)),
     "sales_grouping_sets" -> ((s, d) => GraftSql.salesGroupingSets(s, d)),
@@ -1569,6 +1571,10 @@ object SparkEntry {
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS uu_exact,
         |       CAST(1 AS BIGINT) AS within_bound
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "user_count_cms_check" ->
+      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1)
+        |SELECT user_id, n, CAST(1 AS BIGINT) AS never_under, CAST(1 AS BIGINT) AS within_bound
+        |FROM c ORDER BY n DESC, user_id LIMIT 20""".stripMargin,
     "uu_per_minute_udaf" ->
       """SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users

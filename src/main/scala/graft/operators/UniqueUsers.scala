@@ -94,6 +94,38 @@ object UniqueUsers {
       .orderBy("minute")
   }
 
+  /** Count-Min sketch point-count gate — completes the sketch family
+    * (HLL distinct / KLL percentile / MinHash-SimHash similarity /
+    * Bloom membership / Misra-Gries heavy hitters) with the mergeable
+    * POINT-COUNT summary: O(width×depth) state answering "how many
+    * events did key X have" for ANY key, the building block of
+    * per-entity rate limits and frequency features when the key space
+    * is too wide to materialize. Same machine-checked-bound contract as
+    * [[perMinuteApproxCheck]]: per top-k key (exact counts, which the
+    * DuckDB oracle recomputes independently) emit 0/1 verdicts that the
+    * sketch (a) never underestimates — a structural CMS guarantee — and
+    * (b) overshoots by at most ceil(eps·N); the oracle emits literal 1s
+    * so a bound violation hash-mismatches and the driver goes red. The
+    * estimates themselves are deliberately not columns (engine-specific,
+    * like the HLL estimate); the seeded sketch makes the verdicts
+    * deterministic. The probe is a driver-built-sketch UDF — the same
+    * adjudicated class as the Bloom probe (no public builtin expression
+    * surface exists for probing a driver-built CountMinSketch); the
+    * sketch build is a bounded model fit, not a corpus collect. */
+  def userCountCmsCheck(events: DataFrame, k: Int = 20,
+                        eps: Double = 0.0005, confidence: Double = 0.9999,
+                        seed: Int = 42): DataFrame = {
+    val cms = events.stat.countMinSketch(col("user_id"), eps, confidence, seed)
+    val bound = math.ceil(eps * cms.totalCount()).toLong
+    val est = udf((u: Long) => cms.estimateCount(u))
+    events.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id")).limit(k)
+      .select(col("user_id"), col("n"),
+        (est(col("user_id")) >= col("n")).cast("long").as("never_under"),
+        (est(col("user_id")) <= col("n") + lit(bound)).cast("long").as("within_bound"))
+      .orderBy(col("n").desc, col("user_id"))
+  }
+
   /** Reference-mechanism parity: the windowed distinct via a typed
     * Aggregator (set-union state, the reference's own algorithm — see
     * [[graft.functions.DistinctSetAggregator]]). Same result as perMinute. */

@@ -45,6 +45,18 @@ class UniqueUsersSpec extends SparkSpec {
     rows.foreach { case (m, e, _) => assert(e === exact(m)) }
   }
 
+  test("userCountCmsCheck: sketch never underestimates and honors the eps bound on top-k keys") {
+    val rows = UniqueUsers.userCountCmsCheck(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3 === 1L), "CMS structurally never underestimates")
+    assert(rows.forall(_._4 === 1L), "CMS estimate must stay within ceil(eps*N) of exact")
+    // the sketch is seeded: a second build yields identical verdicts
+    val again = UniqueUsers.userCountCmsCheck(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq === again.toSeq)
+  }
+
   test("sliding windows cover each event 5 times") {
     val rows = UniqueUsers.slidingDistinct(events).collect()
     val expectedWindows = raw.flatMap { case (sec, _) =>
