@@ -115,6 +115,10 @@ object SparkEntry {
       Relational.medianOrderValueBySegment(Tables.orders(s, d), Tables.customer(s, d))),
     // Z-order (Morton) locality audit: per-Z-bucket bounding boxes
     "zorder_cluster_stats" -> ((s, d) => Layout.zorderClusterStats(Tables.orders(s, d))),
+    // MERGE INTO semantics on plain parquet relations (CDC apply)
+    "orders_upsert_apply" -> ((s, d) => Relational.ordersUpsertApply(Tables.orders(s, d))),
+    // change log -> SCD2 interval dimension via per-key lead()
+    "scd2_orders" -> ((s, d) => Relational.scd2FromOrders(Tables.orders(s, d))),
     "parts_above_brand_avg" -> ((s, d) => Relational.partsAboveBrandAverage(Tables.part(s, d))),
     "daily_revenue_running" -> ((s, d) => Relational.dailyRevenueRunning(Tables.orders(s, d))),
     "customer_name_parse" -> ((s, d) => Relational.customerNameParse(Tables.customer(s, d))),
@@ -1778,6 +1782,26 @@ object SparkEntry {
         |    last_value(orderkey IGNORE NULLS) OVER (PARTITION BY k ORDER BY t, tag, orderkey
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_orderkey FROM u)
         |SELECT event_id, k AS user_id, asof_orderkey FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin,
+    "orders_upsert_apply" ->
+      """WITH upd AS (SELECT o_orderkey, o_orderstatus, o_totalprice + 1000 AS o_totalprice
+        |    FROM orders WHERE o_orderkey % 10 = 0),
+        |ins AS (SELECT o_orderkey + 100000000 AS o_orderkey, o_orderstatus, o_totalprice
+        |    FROM orders WHERE o_orderkey % 1000 = 1),
+        |delta AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+        |merged AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+        |  UNION ALL SELECT * FROM delta)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(round(o_totalprice*100)) AS BIGINT) AS total_cents
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    "scd2_orders" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS price_cents,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS valid_from_sec,
+        |  CAST(lead(epoch(o_orderdate)) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) - 1 AS BIGINT) AS valid_to_sec
+        |FROM orders ORDER BY o_custkey, valid_from_sec, o_orderkey""".stripMargin,
     "zorder_cluster_stats" -> {
       // the 32-term Morton interleave, generated to match Layout.zValue16
       val zTerms = (0 until 16).map(i =>

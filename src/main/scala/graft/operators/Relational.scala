@@ -657,6 +657,64 @@ object Relational {
         cents(col("o_totalprice")).cast("long").as("totalprice_cents"))
       .orderBy("o_orderkey")
 
+  /** MERGE/upsert semantics without a table format: apply a keyed
+    * update batch to a base table as anti-join(base, updates) ∪ updates
+    * — the CDC-apply primitive (matched rows replaced, unmatched
+    * inserted) that Delta/Iceberg spell MERGE INTO, expressed as the
+    * two-relation plan a plain-parquet lake runs. The update batch here
+    * is derived deterministically from the base so the operation is
+    * oracle-checkable: every orderkey divisible by 10 gets its price
+    * raised by $1000 (an update), and every orderkey ≡ 1 (mod 1000)
+    * spawns a shifted new order (an insert). Output is the per-status
+    * rollup of the merged table — row counts and exact cent sums — so
+    * both halves of the merge are visible in the checksum.
+    *
+    * Scale shape: one shuffle on the merge key for the anti-join (the
+    * semantically required exchange — at a deployment the base side is
+    * bucketed on the key and the exchange disappears), then a two-phase
+    * rollup. The staged-rewrite half of a real upsert (write the merged
+    * relation, swap) is the same machinery `compactDedupIndex` /
+    * `applyCorpusDiff` already exercise against persisted tables. */
+  def ordersUpsertApply(orders: DataFrame): DataFrame = {
+    val updates = orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    val inserts = orders.filter(col("o_orderkey") % 1000 === 1)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+    val delta = updates.unionByName(inserts)
+    val merged = orders.join(delta.select(col("o_orderkey").as("k")),
+        col("o_orderkey") === col("k"), "left_anti")
+      .unionByName(delta)
+    merged.groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(cents(col("o_totalprice"))).cast("long").as("total_cents"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** SCD2 build: turn a keyed change log into a slowly-changing
+    * dimension with [valid_from, valid_to) intervals — each customer's
+    * orders, ordered by date, become versioned rows where a version's
+    * validity ends the moment the next one begins (open-ended for the
+    * current version). The warehouse move that makes point-in-time
+    * joins (`fact.ts BETWEEN valid_from AND valid_to`) and the as-of
+    * join ([[Sessionize.asofJoinOrders]]) interchangeable.
+    *
+    * Scale shape: one window keyed by the dimension key (millions of
+    * small partitions, never a global sort) computing `lead`; the
+    * output order is a final TakeOrdered-free sort only because the
+    * oracle compares sorted — a deployment writes unsorted. */
+  def scd2FromOrders(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders.select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        cents(col("o_totalprice")).cast("long").as("price_cents"),
+        unix_timestamp(col("o_orderdate")).as("valid_from_sec"),
+        (lead(unix_timestamp(col("o_orderdate")), 1).over(w) - 1L).as("valid_to_sec"))
+      .orderBy("o_custkey", "valid_from_sec", "o_orderkey")
+  }
+
   /** Time-series resample + gap-fill over the event stream: fixed-width
     * buckets per event_type, zero-filled where no events landed, plus a
     * last-observation-carried-forward (LOCF) reading of the bucket's

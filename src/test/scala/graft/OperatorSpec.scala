@@ -326,6 +326,37 @@ class OperatorSpec extends SparkSpec {
     assert(got.toSeq === (1L to 4L).map(s => (s, 0L, 0L)))
   }
 
+  test("ordersUpsertApply: matched keys replaced once, inserts added, untouched rows preserved") {
+    val orders = Tables.orders(spark, Sf0001)
+    val base = orders.agg(count(lit(1)), sum(round(col("o_totalprice") * 100)).cast("long")).head()
+    val nUpd = orders.filter(col("o_orderkey") % 10 === 0).count()
+    val ins = orders.filter(col("o_orderkey") % 1000 === 1)
+      .agg(count(lit(1)), coalesce(sum(round(col("o_totalprice") * 100)), lit(0L)).cast("long")).head()
+    val got = Relational.ordersUpsertApply(orders).collect()
+    val (gotN, gotCents) = (got.map(_.getLong(1)).sum, got.map(_.getLong(2)).sum)
+    // row count: every update REPLACES (no growth), every insert adds
+    assert(gotN === base.getLong(0) + ins.getLong(0))
+    // checksum: +$1000 per updated row, plus the inserted rows' own sum
+    assert(gotCents === base.getLong(1) + nUpd * 100000L + ins.getLong(1))
+  }
+
+  test("scd2FromOrders: versions chain per customer — valid_to + 1 = next valid_from, current version open") {
+    val rows = Relational.scd2FromOrders(Tables.orders(spark, Sf0001)).collect()
+      .map(r => (r.getLong(0), r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(rows.length === Tables.orders(spark, Sf0001).count())
+    for ((_, versions) <- rows.groupBy(_._1)) {
+      val chain = versions.sortBy(v => (v._2, v._3.getOrElse(Long.MaxValue)))
+      // exactly one open-ended current version per key
+      assert(chain.count(_._3.isEmpty) === 1)
+      assert(chain.last._3.isEmpty)
+      // each closed version ends immediately before its successor starts
+      chain.sliding(2).foreach {
+        case Array((_, _, Some(to)), (_, from, _)) => assert(to + 1 === from)
+        case _ => ()
+      }
+    }
+  }
+
   test("eventsResampleGapfill: missing buckets appear zero-filled and LOCF carries the last observation") {
     val ev = Seq(
       // type A: events in bucket 0 and bucket 2 of a 15-min grid — bucket 1 is a GAP
