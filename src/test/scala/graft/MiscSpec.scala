@@ -26,6 +26,26 @@ class MiscSpec extends SparkSpec {
     }
   }
 
+  test("round-9 breadth operators survive empty inputs (empty result, never a crash)") {
+    import graft.operators.{Layout, Relational, Skew, TextAnalysis, UniqueUsers}
+    val noEvents = Tables.events(spark, Sf0001).filter(col("event_id") < 0)
+    val noDocs = Tables.documents(spark, Sf0001).filter(col("doc_id") < 0)
+    val noOrders = Tables.orders(spark, Sf0001).filter(col("o_orderkey") < 0)
+    assert(Relational.eventsResampleGapfill(noEvents).collect().isEmpty)
+    assert(Layout.zorderClusterStats(noOrders).collect().isEmpty)
+    assert(TextAnalysis.tokenHeavyHitters(noDocs).collect().isEmpty)
+    assert(TextAnalysis.perplexityBuckets(noDocs).collect().isEmpty)
+    assert(Skew.joinKeySkewStats(noEvents, "user_id").collect().isEmpty)
+    assert(UniqueUsers.userCountCmsCheck(noEvents).collect().isEmpty)
+    assert(Relational.scd2FromOrders(noOrders).collect().isEmpty)
+    assert(Relational.ordersUpsertApply(noOrders).collect().isEmpty)
+    // the profile of an empty table is still a 6-row profile — zeros and
+    // null extremes, not a crash
+    val prof = Relational.tableColumnStats(noOrders).collect()
+    assert(prof.length === 6)
+    assert(prof.forall(r => r.getLong(1) === 0L && r.getLong(3) === 0L))
+  }
+
   test("text functions handle empty / whitespace / punctuation-only input") {
     val df = Seq("", "   ", "!!!", "one", "a  b\tc\nd").toDF("text")
     val got = df.select(
