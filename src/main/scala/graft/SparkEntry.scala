@@ -46,6 +46,11 @@ object SparkEntry {
     "uu_per_minute_approx_check" -> ((s, d) => UniqueUsers.perMinuteApproxCheck(Tables.events(s, d))),
     // Count-Min point-count sketch, bound-gated like the HLL check
     "user_count_cms_check" -> ((s, d) => UniqueUsers.userCountCmsCheck(Tables.events(s, d))),
+    // mergeable DataSketches rollup: per-hour HLL sketches UNIONED to
+    // daily distincts (rows-only — estimate is engine-specific) + its
+    // oracle-gated bound check
+    "uu_daily_sketch_union" -> ((s, d) => UniqueUsers.dailySketchRollup(Tables.events(s, d))),
+    "uu_daily_sketch_check" -> ((s, d) => UniqueUsers.dailySketchCheck(Tables.events(s, d))),
     "uu_per_minute_udaf" -> ((s, d) => UniqueUsers.perMinuteUdaf(Tables.events(s, d))),
     "uu_per_minute_sql" -> ((s, d) => GraftSql.uuPerMinuteSql(s, d)),
     "sales_grouping_sets" -> ((s, d) => GraftSql.salesGroupingSets(s, d)),
@@ -106,7 +111,16 @@ object SparkEntry {
     // weekly first-activity cohorts × distinct-active-week offsets
     "user_retention_cohorts" -> ((s, d) => Relational.retentionCohorts(Tables.events(s, d))),
     "user_sessions" -> ((s, d) => Sessionize.userSessions(Tables.events(s, d))),
+    // sweep-line peak-concurrency per hour (two-phase prefix sum, no
+    // interval × timeline range join)
+    "session_concurrency" -> ((s, d) => Sessionize.sessionConcurrency(Tables.events(s, d))),
     "asof_join_orders" -> ((s, d) => Sessionize.asofJoinOrders(Tables.events(s, d), Tables.orders(s, d))),
+    // data-contract audit: one bounded report row per expectation
+    "data_expectations" -> ((s, d) => graft.operators.Audit.expectations(
+      Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
+      Tables.events(s, d), Tables.documents(s, d))),
+    // robust (median/MAD, integer-exact) hourly rate-spike detection
+    "event_rate_anomaly" -> ((s, d) => graft.operators.Audit.eventRateAnomaly(Tables.events(s, d))),
     "salted_event_segment_stats" -> ((s, d) =>
       Skew.saltedEventSegmentStats(Tables.events(s, d), Tables.customer(s, d))),
     // pre-shuffle diagnostic: top-k heaviest values of a prospective key
@@ -1579,6 +1593,13 @@ object SparkEntry {
       """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1)
         |SELECT user_id, n, CAST(1 AS BIGINT) AS never_under, CAST(1 AS BIGINT) AS within_bound
         |FROM c ORDER BY n DESC, user_id LIMIT 20""".stripMargin,
+    // uu_daily_sketch_union: DataSketches HLL estimates — rows-only by
+    // design; the bound is the oracle-checked gate below.
+    "uu_daily_sketch_check" ->
+      """SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS uu_exact,
+        |       CAST(1 AS BIGINT) AS within_bound
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "uu_per_minute_udaf" ->
       """SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users
@@ -1772,6 +1793,39 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(epoch(date_trunc('second', max(ts))) - epoch(date_trunc('second', min(ts))) AS BIGINT) AS duration_sec
         |FROM s GROUP BY user_id, sid ORDER BY 1, 2""".stripMargin,
+    // sessionization CTEs replicate the user_sessions oracle verbatim,
+    // then sweep: global running open-count ordered (t, starts-first,
+    // user) — identical total order to the Spark two-phase form, so the
+    // per-hour peak/carry columns are integer-exact cross-engine.
+    "session_concurrency" ->
+      """WITH o AS (SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events),
+        |f AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN prev IS NULL OR ts >= prev + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM o),
+        |s AS (SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f),
+        |sess AS (SELECT user_id,
+        |    CAST(epoch(date_trunc('second', min(ts))) AS BIGINT) AS start_sec,
+        |    CAST(epoch(date_trunc('second', max(ts))) AS BIGINT) AS end_sec
+        |  FROM s GROUP BY user_id, sid),
+        |d AS (SELECT start_sec AS t, 1 AS d, user_id FROM sess
+        |      UNION ALL SELECT end_sec AS t, -1 AS d, user_id FROM sess),
+        |r AS (SELECT t, d, user_id, t - (t % 3600) AS hour,
+        |    sum(d) OVER (ORDER BY t, d DESC, user_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM d),
+        |h AS (SELECT hour,
+        |    CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+        |    CAST(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ends,
+        |    CAST(max(run) AS BIGINT) AS max_run, sum(d) AS hd
+        |  FROM r GROUP BY 1),
+        |oo AS (SELECT hour, n_starts, n_ends, max_run,
+        |    CAST(coalesce(sum(hd) OVER (ORDER BY hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS open_at_start
+        |  FROM h)
+        |SELECT hour, n_starts, n_ends, open_at_start,
+        |  CAST(greatest(open_at_start, max_run) AS BIGINT) AS peak_concurrent
+        |FROM oo ORDER BY hour""".stripMargin,
     "asof_join_orders" ->
       """WITH ord AS (SELECT o_custkey AS k, CAST(epoch(o_orderdate) AS BIGINT) AS t, 0 AS tag,
         |    o_orderkey AS orderkey, NULL::BIGINT AS event_id FROM orders),
@@ -1827,6 +1881,45 @@ object SparkEntry {
         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM events)
         |SELECT key, n, n_rows, CAST((n * 1000000) // n_rows AS BIGINT) AS share_ppm
         |FROM c CROSS JOIN t ORDER BY n DESC, key LIMIT 20""".stripMargin,
+    "data_expectations" ->
+      """WITH u AS (
+        |  SELECT 'customer_pk_unique' AS check_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) AS n_bad FROM customer
+        |  UNION ALL
+        |  SELECT 'orders_custkey_fk', CAST(count(*) AS BIGINT),
+        |    CAST(count(CASE WHEN c_custkey IS NULL THEN 1 END) AS BIGINT)
+        |  FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) ON o_custkey = c_custkey
+        |  UNION ALL
+        |  SELECT 'lineitem_orderkey_fk', CAST(count(*) AS BIGINT),
+        |    CAST(count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS BIGINT)
+        |  FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) ON l_orderkey = o_orderkey
+        |  UNION ALL
+        |  SELECT 'orders_totalprice_positive', CAST(count(*) AS BIGINT),
+        |    CAST(count(CASE WHEN o_totalprice <= 0 THEN 1 END) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem_discount_range', CAST(count(*) AS BIGINT),
+        |    CAST(count(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'events_user_nonnull', CAST(count(*) AS BIGINT),
+        |    CAST(count(CASE WHEN user_id IS NULL THEN 1 END) AS BIGINT) FROM events
+        |  UNION ALL
+        |  SELECT 'documents_nchars_consistent', CAST(count(*) AS BIGINT),
+        |    CAST(count(CASE WHEN n_chars <> length(text) THEN 1 END) AS BIGINT) FROM documents)
+        |SELECT check_name, n_rows, n_bad,
+        |  CAST(CASE WHEN n_bad = 0 THEN 1 ELSE 0 END AS BIGINT) AS ok
+        |FROM u ORDER BY check_name""".stripMargin,
+    "event_rate_anomaly" ->
+      """WITH h AS (SELECT event_type,
+        |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(2 * median(n) AS BIGINT) AS med2 FROM h GROUP BY 1),
+        |d AS (SELECT h.event_type, hour, n, med2, abs(2 * n - med2) AS dev2
+        |  FROM h JOIN m ON h.event_type = m.event_type),
+        |md AS (SELECT event_type, CAST(2 * median(dev2) AS BIGINT) AS mad4 FROM d GROUP BY 1)
+        |SELECT d.event_type, hour, n, med2, mad4, CAST(dev2 AS BIGINT) AS dev2,
+        |  CAST(CASE WHEN 2 * dev2 > 3 * mad4 THEN 1 ELSE 0 END AS BIGINT) AS is_spike
+        |FROM d JOIN md ON d.event_type = md.event_type
+        |ORDER BY 1, 2""".stripMargin,
     "salted_event_segment_stats" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(round(value*100)) AS BIGINT) AS value_cents

@@ -60,4 +60,58 @@ object Sessionize {
       .select(col("event_id"), col("k").as("user_id"), col("asof_orderkey"))
       .orderBy("event_id")
   }
+
+  /** Peak concurrent sessions per hour — the SWEEP-LINE form of an
+    * interval-vs-timeline question ("how many sessions were open at
+    * once?"). The naive relational answer is an interval × time-grid
+    * range join whose output grows as (intervals × covered ticks) — a
+    * quadratic explosion at 100 TB. The sweep line instead reduces each
+    * session ([[userSessions]], so the interval derivation shares its
+    * already-oracle-proven semantics) to two delta rows (+1 at start,
+    * −1 at end, inclusive), and computes the running open-count with a
+    * TWO-PHASE prefix sum — the distributed-scan pattern:
+    *
+    *  1. per-hour partial: sum of deltas, start/end counts (two-phase
+    *     hash agg keyed by hour — shuffle bounded by the hour DOMAIN);
+    *  2. cross-hour carry: a running sum over the hour axis gives each
+    *     hour's `open_at_start` (window input = one row per hour —
+    *     bounded by the time domain, never by the data, same contract
+    *     as `daily_revenue_running`);
+    *  3. within-hour sweep: running sum over deltas partitioned BY HOUR
+    *     (each partition holds only that hour's endpoints) plus the
+    *     hour's carry; the hour's peak is `max(open_at_start, running)`
+    *     (the open-count holds `open_at_start` until the first delta).
+    *
+    * Ordering at equal timestamps is a total order (t, +1 before −1,
+    * user_id): starts sort before ends, so two sessions touching at one
+    * second count as concurrent — the same boundary-inclusive convention
+    * replicated in the oracle. All columns are integer-exact. */
+  def sessionConcurrency(events: DataFrame, gap: String = "30 minutes"): DataFrame = {
+    val s = userSessions(events, gap).select(
+      col("user_id"),
+      col("session_start_sec").as("start_sec"),
+      (col("session_start_sec") + col("duration_sec")).as("end_sec"))
+    val deltas = s.select(col("start_sec").as("t"), lit(1L).as("d"), col("user_id"))
+      .unionAll(s.select(col("end_sec").as("t"), lit(-1L).as("d"), col("user_id")))
+      .withColumn("hour", (col("t") - pmod(col("t"), lit(3600L))))
+    val perHour = deltas.groupBy("hour").agg(
+      sum(col("d")).as("hd"),
+      sum(when(col("d") > 0, 1L).otherwise(0L)).as("n_starts"),
+      sum(when(col("d") < 0, 1L).otherwise(0L)).as("n_ends"))
+    val carry = Window.orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perHour.withColumn(
+      "open_at_start", coalesce(sum(col("hd")).over(carry), lit(0L)))
+    val sweep = Window.partitionBy("hour")
+      .orderBy(col("t"), col("d").desc, col("user_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .join(offsets.select("hour", "open_at_start", "n_starts", "n_ends"), "hour")
+      .withColumn("run", col("open_at_start") + sum(col("d")).over(sweep))
+      .groupBy(col("hour"), col("open_at_start"), col("n_starts"), col("n_ends"))
+      .agg(max(col("run")).as("max_run"))
+      .select(col("hour"), col("n_starts"), col("n_ends"), col("open_at_start"),
+        greatest(col("max_run"), col("open_at_start")).as("peak_concurrent"))
+      .orderBy("hour")
+  }
 }

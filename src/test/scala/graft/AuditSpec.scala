@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Audit, UniqueUsers}
+
+/** Data-contract audit, robust rate-anomaly, and sketch-rollup behavior. */
+class AuditSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("expectations report the planted violations and nothing else") {
+    val customer = Seq((1L, "a"), (2L, "b"), (2L, "b2")) // dup pk
+      .toDF("c_custkey", "name")
+    val orders = Seq((10L, 1L, 5.0), (11L, 9L, 7.0), (12L, 2L, 0.0)) // orphan fk + nonpositive price
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val lineitem = Seq((10L, 0.05), (99L, 1.5)) // orphan fk + discount out of range
+      .toDF("l_orderkey", "l_discount")
+    val events = Seq(
+      (1L, Some(5L)), (2L, None) // null user
+    ).toDF("event_id", "user_id")
+    val documents = Seq(("d1", "abc", 3L), ("d2", "abcd", 3L)) // n_chars drift
+      .toDF("doc_id", "text", "n_chars")
+
+    val got = Audit.expectations(customer, orders, lineitem, events, documents)
+      .collect()
+      .map { case Row(c: String, n: Long, b: Long, ok: Long) => (c, n, b, ok) }
+      .toSeq
+    assert(got === Seq(
+      ("customer_pk_unique", 3L, 1L, 0L),
+      ("documents_nchars_consistent", 2L, 1L, 0L),
+      ("events_user_nonnull", 2L, 1L, 0L),
+      ("lineitem_discount_range", 2L, 1L, 0L),
+      ("lineitem_orderkey_fk", 2L, 1L, 0L),
+      ("orders_custkey_fk", 3L, 1L, 0L),
+      ("orders_totalprice_positive", 3L, 1L, 0L)))
+  }
+
+  test("rate anomaly flags the spike hour and only it; MAD is integer-exact") {
+    // type A: hourly counts 10,10,10,10,100 -> med2=20, devs 0×4 and 180
+    // -> mad4=0 (degenerate: any deviation flags) -> only the spike flags.
+    // type B: counts 5,7,9 -> med2=14, dev2 4,0,4 -> mad4=8; rule
+    // 2*dev2 > 3*mad4 = 24 -> none flag.
+    val rows =
+      (0 until 4).flatMap(h => (0 until 10).map(i => ("A", h, i))) ++
+        (0 until 100).map(i => ("A", 4, i)) ++
+        (0 until 5).map(i => ("B", 0, i)) ++
+        (0 until 7).map(i => ("B", 1, i)) ++
+        (0 until 9).map(i => ("B", 2, i))
+    val ev = rows.toDF("event_type", "h", "i")
+      .selectExpr("event_type",
+        "CAST('2024-01-01 00:00:00' AS TIMESTAMP) + make_interval(0,0,0,0,h,0,0) AS ts")
+    val got = Audit.eventRateAnomaly(ev).collect()
+      .map { case Row(t: String, h: Long, n: Long, m2: Long, m4: Long, d2: Long, s: Long) =>
+        (t, h, n, m2, m4, d2, s) }
+    val spikes = got.filter(_._7 == 1L).toSeq
+    assert(spikes.map(r => (r._1, r._3)) === Seq(("A", 100L)))
+    val b = got.filter(_._1 == "B").toSeq
+    assert(b.map(_._4).distinct === Seq(14L) && b.map(_._5).distinct === Seq(8L))
+    assert(b.map(_._6).sorted === Seq(0L, 4L, 4L))
+  }
+
+  test("hourly HLL sketches unioned to days stay within the gated bound") {
+    val ev = Tables.events(spark, Sf0001)
+    val bad = UniqueUsers.dailySketchCheck(ev)
+      .filter(col("within_bound") === 0L).count()
+    assert(bad === 0L)
+    // the union is over hours: n_hours per day must match the raw hour count
+    val hoursFromRollup = UniqueUsers.dailySketchRollup(ev)
+      .agg(sum("n_hours")).as[Long].head()
+    val rawHours = ev.select(date_trunc("hour", col("ts"))).distinct().count()
+    assert(hoursFromRollup === rawHours)
+  }
+}

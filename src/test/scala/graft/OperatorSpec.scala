@@ -40,6 +40,25 @@ class OperatorSpec extends SparkSpec {
       (20L, 1704067500L, 1L, 0L)))
   }
 
+  test("sweep-line concurrency: carry across hours, starts-before-ends at ties") {
+    val ev = Seq(
+      (1L, 10L, "2024-01-01 00:10:00"),
+      (2L, 10L, "2024-01-01 00:20:00"), // u10 session [00:10, 00:20]
+      (3L, 20L, "2024-01-01 00:15:00"), // u20 point session at 00:15
+      (4L, 30L, "2024-01-01 00:50:00"),
+      (5L, 30L, "2024-01-01 01:10:00"), // u30 session spans the hour boundary
+      (6L, 40L, "2024-01-01 01:05:00")  // u40 point session at 01:05
+    ).toDF("event_id", "user_id", "s")
+      .selectExpr("event_id", "user_id", "CAST(s AS TIMESTAMP) AS ts")
+    val got = Sessionize.sessionConcurrency(ev).collect()
+      .map { case Row(h: Long, st: Long, en: Long, open: Long, pk: Long) => (h, st, en, open, pk) }
+    assert(got.toSeq === Seq(
+      // hour 0: peak 2 (u10 open while u20's point session fires); u30 stays open
+      (1704067200L, 3L, 2L, 0L, 2L),
+      // hour 1: opens with u30 carried in, peak 2 when u40 fires inside it
+      (1704070800L, 1L, 2L, 1L, 2L)))
+  }
+
   test("as-of join picks latest at-or-before, ties to highest orderkey") {
     val orders = Seq(
       (100L, 1L, "2024-01-01 00:00:00", 10.0),
