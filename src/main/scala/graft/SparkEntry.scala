@@ -146,6 +146,9 @@ object SparkEntry {
     "dedup_minhash_sql" -> ((s, d) => GraftSql.dedupMinhashSql(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
+    // weighted lexical near-dup: inverted-index all-pairs TF-cosine,
+    // integer-exact (25·dot² >= 16·na2·nb2 for cos >= 0.8)
+    "dedup_sparse_cosine" -> ((s, d) => Dedup.sparseCosine(Tables.documents(s, d))),
     // verbatim-passage overlap (exact-substring dedup, positional grams)
     "dedup_substring" -> ((s, d) => Dedup.substringDup(Tables.documents(s, d))),
     // hot-gram disclosure monitor for dedup_substring's df cut
@@ -657,6 +660,23 @@ object SparkEntry {
        |  GROUP BY 1, 2, 3, 4)
        |SELECT doc_a, doc_b, (shared * 100) // (na + nb - shared) AS jaccard_pct
        |FROM shr WHERE shared * 2 >= na + nb - shared ORDER BY 1, 2""".stripMargin
+
+  private def sparseCosineOracle: String =
+    """WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+      |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |space AS (SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df
+      |  FROM tf JOIN dfreq ON tf.tok = dfreq.tok WHERE df <= 500),
+      |norms AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2 FROM space GROUP BY 1),
+      |idx AS (SELECT tok, doc_id, tf FROM space WHERE df >= 2),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+      |  FROM idx a JOIN idx b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, dot, na.n2 AS na2, nb.n2 AS nb2,
+      |  CAST((100 * dot * dot) // (na.n2 * nb.n2) AS BIGINT) AS cos2_pct
+      |FROM pairs JOIN norms na ON doc_a = na.doc_id JOIN norms nb ON doc_b = nb.doc_id
+      |WHERE 25 * dot * dot >= 16 * na.n2 * nb.n2
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   /** dot/norm fragments over 64-dim float lists, double-accumulated
     * left-to-right (matches VectorFunctions' fold order). */
@@ -2064,6 +2084,7 @@ object SparkEntry {
     "dedup_simhash" -> simhashOracle,
     "simhash_band_stats" -> simhashBandStatsOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    "dedup_sparse_cosine" -> sparseCosineOracle,
     // exact-substring overlap: identical positional-gram construction
     // (md5 of 8-token slices), aligned-offset runs, contiguity by
     // count==span, longest run per pair in tokens

@@ -725,6 +725,56 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Sparse TF-cosine near-dup pairs via a term-at-a-time INVERTED INDEX —
+    * the all-pairs-similarity shape of Bayardo et al., "Scaling Up All
+    * Pairs Similarity Search" (WWW'07, public literature): partial dot
+    * products are generated per TERM (an equi-join of each term's posting
+    * list against itself) and summed per pair, so no document pair is
+    * ever formed unless it shares at least one indexed term. Completes
+    * the similarity-mechanism family: set-Jaccard ([[ngramJaccard]]),
+    * sketched Jaccard (MinHash), Hamming (SimHash), edit distance
+    * (PassJoin), dense-embedding cosine — this is the WEIGHTED lexical
+    * form, exact where MinHash is probabilistic.
+    *
+    * Everything is INTEGER-exact cross-engine: vectors are raw unigram
+    * term frequencies (lowercased whitespace tokens), and the threshold
+    * cos >= 4/5 is evaluated as 25·dot² >= 16·‖a‖²·‖b‖² — no float ever
+    * materializes (`cos2_pct` = squared-cosine percent, integer).
+    *
+    * Scale: the vector SPACE is df-cut (df <= maxDf) — a term in
+    * thousands of docs is boilerplate that cannot push a pair over a 0.8
+    * cosine by itself but contributes O(df²) partials (the same
+    * disclosed-cut class as [[ngramJaccard]]; Σdf² over kept terms is
+    * the exact candidate bound, monitored the same way). df=1 terms stay
+    * IN the space (they weight the norms — exactness of the cosine over
+    * the cut space) but are dropped from the posting-list join, where
+    * they cannot match. The upgrade path at 10⁹ docs is Bayardo prefix
+    * filtering (index only each vector's heaviest terms); the df cut is
+    * the simpler guard with the same worst-case discipline. */
+  def sparseCosine(documents: DataFrame, maxDf: Int = 500): DataFrame = {
+    val tf = documents
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '\\\\S+', 0)")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val space = tf.join(df.filter(col("df") <= maxDf), "tok")
+    val norms = space.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
+    val idx = space.filter(col("df") >= 2)
+      .select(col("tok"), col("doc_id"), col("tf"))
+    val pairs = idx.as("a")
+      .join(idx.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+    pairs
+      .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("na2")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("nb2")), "doc_b")
+      .filter(lit(25L) * col("dot") * col("dot") >= lit(16L) * col("na2") * col("nb2"))
+      .select(col("doc_a"), col("doc_b"), col("dot"), col("na2"), col("nb2"),
+        expr("(100 * dot * dot) div (na2 * nb2)").cast("long").as("cos2_pct"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** EXACT-SUBSTRING overlap detection — the verbatim-duplication
     * operator of Lee et al., "Deduplicating Training Data Makes Language
     * Models Better" (ACL'22, public literature), re-shaped for Spark:

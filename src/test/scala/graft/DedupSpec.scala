@@ -78,6 +78,25 @@ class DedupSpec extends SparkSpec {
     assert(!blocked.contains((0L, 1L)))
   }
 
+  test("sparseCosine: integer 25·dot² >= 16·na2·nb2 gate, df=1 terms weight norms only") {
+    val docs = Seq(
+      (1L, "a a b"),     // tf {a:2,b:1}, n2=5
+      (2L, "a a b"),     // identical -> cos 1 with doc 1
+      (3L, "a c c c"),   // c is df=1: in the norm (n2=10), never in the index
+      (4L, "x"),         // df=1 only -> no pairs at all
+      (5L, "a b")        // vs doc 1: dot=3, cos²=9/10 -> pair at 0.8
+    ).toDF("doc_id", "text")
+    val got = Dedup.sparseCosine(docs).collect()
+      .map { case Row(a: Long, b: Long, d: Long, na: Long, nb: Long, p: Long) =>
+        (a, b, d, na, nb, p) }
+    assert(got.toSeq === Seq(
+      (1L, 2L, 5L, 5L, 5L, 100L),
+      (1L, 5L, 3L, 5L, 2L, 90L),
+      (2L, 5L, 3L, 5L, 2L, 90L)))
+    // the df cut drops a term from the SPACE entirely (norms shrink too)
+    assert(Dedup.sparseCosine(docs, maxDf = 1).count() === 0L)
+  }
+
   test("dedupClusters collapses transitive pairs to one representative") {
     // chain: d10~d11 and d11~d12 are near-dups, d10~d12 may or may not pair
     // directly — the cluster must still merge all three under rep 10
