@@ -115,6 +115,10 @@ object SparkEntry {
     // interval × timeline range join)
     "session_concurrency" -> ((s, d) => Sessionize.sessionConcurrency(Tables.events(s, d))),
     "asof_join_orders" -> ((s, d) => Sessionize.asofJoinOrders(Tables.events(s, d), Tables.orders(s, d))),
+    // Pregel-style iterative graph: integer-lattice PageRank over the
+    // customer-supplier trading graph (one dst-shuffle per superstep)
+    "graph_pagerank" -> ((s, d) =>
+      graft.operators.Graph.pagerank(Tables.orders(s, d), Tables.lineitem(s, d))),
     // data-contract audit: one bounded report row per expectation
     "data_expectations" -> ((s, d) => graft.operators.Audit.expectations(
       Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
@@ -660,6 +664,27 @@ object SparkEntry {
        |  GROUP BY 1, 2, 3, 4)
        |SELECT doc_a, doc_b, (shared * 100) // (na + nb - shared) AS jaccard_pct
        |FROM shr WHERE shared * 2 >= na + nb - shared ORDER BY 1, 2""".stripMargin
+
+  /** Integer-lattice PageRank replica: p1..pN chained CTEs, one per
+    * superstep — same floor-division transfer and damped re-base as
+    * [[graft.operators.Graph.pagerank]]. */
+  private def pagerankOracle(iters: Int = 5): String = {
+    val steps = (1 to iters).map { i =>
+      s"""p$i AS (SELECT dst AS node,
+         |    CAST(150000 + (85 * CAST(sum(pr // outdeg) AS BIGINT)) // 100 AS BIGINT) AS pr
+         |  FROM ed JOIN p${i - 1} ON ed.src = p${i - 1}.node GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS (SELECT c AS src, s AS dst FROM e0 UNION ALL SELECT s, c FROM e0),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+       |ed AS (SELECT e.src, e.dst, outdeg FROM e JOIN deg ON e.src = deg.src),
+       |p0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+       |$steps
+       |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       |  CAST(node // 2 AS BIGINT) AS entity_id, CAST(pr AS BIGINT) AS pr_milli
+       |FROM p$iters ORDER BY pr_milli DESC, kind, entity_id LIMIT 100""".stripMargin
+  }
 
   private def sparseCosineOracle: String =
     """WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents),
@@ -2085,6 +2110,7 @@ object SparkEntry {
     "simhash_band_stats" -> simhashBandStatsOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_sparse_cosine" -> sparseCosineOracle,
+    "graph_pagerank" -> pagerankOracle(),
     // exact-substring overlap: identical positional-gram construction
     // (md5 of 8-token slices), aligned-offset runs, contiguity by
     // count==span, longest run per pair in tokens

@@ -79,6 +79,22 @@ class OperatorSpec extends SparkSpec {
     assert(got === Map(1000L -> 102L, 1001L -> 100L, 1002L -> -1L, 1003L -> -1L))
   }
 
+  test("integer-lattice pagerank: hand-computed two-superstep scores") {
+    // graph: customer 1 trades with suppliers 1 and 2 (node ids 2,3,5).
+    // round 1: pr(c1)=150000+85%*(1e6+1e6)=1,850,000; pr(s*)=150000+85%*(1e6 div 2)=575,000
+    // round 2: pr(c1)=150000+85%*(575000*2)=1,127,500; pr(s*)=150000+85%*(1850000 div 2)=936,250
+    val orders = Seq((10L, 1L), (11L, 1L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((10L, 1L), (11L, 2L), (11L, 2L)) // dup edge must not double mass
+      .toDF("l_orderkey", "l_suppkey")
+    val got = graft.operators.Graph.pagerank(orders, lineitem, iters = 2, k = 10)
+      .collect()
+      .map { case Row(kind: String, id: Long, pr: Long) => (kind, id, pr) }
+    assert(got.toSeq === Seq(
+      ("customer", 1L, 1127500L),
+      ("supplier", 1L, 936250L),
+      ("supplier", 2L, 936250L)))
+  }
+
   test("latest-per-key keeps exactly one row per customer") {
     val orders = Tables.orders(spark, Sf0001)
     val got = Relational.latestOrderPerCustomer(orders)
