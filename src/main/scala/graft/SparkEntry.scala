@@ -51,6 +51,9 @@ object SparkEntry {
     // oracle-gated bound check
     "uu_daily_sketch_union" -> ((s, d) => UniqueUsers.dailySketchRollup(Tables.events(s, d))),
     "uu_daily_sketch_check" -> ((s, d) => UniqueUsers.dailySketchCheck(Tables.events(s, d))),
+    // sketch set algebra: pairwise audience intersection by
+    // inclusion-exclusion over stored per-type sketches, bound-gated
+    "audience_overlap_check" -> ((s, d) => UniqueUsers.audienceOverlapCheck(Tables.events(s, d))),
     "uu_per_minute_udaf" -> ((s, d) => UniqueUsers.perMinuteUdaf(Tables.events(s, d))),
     "uu_per_minute_sql" -> ((s, d) => GraftSql.uuPerMinuteSql(s, d)),
     "sales_grouping_sets" -> ((s, d) => GraftSql.salesGroupingSets(s, d)),
@@ -110,6 +113,8 @@ object SparkEntry {
     "event_funnel_sessionized" -> ((s, d) => Relational.eventFunnelSessionized(Tables.events(s, d))),
     // weekly first-activity cohorts × distinct-active-week offsets
     "user_retention_cohorts" -> ((s, d) => Relational.retentionCohorts(Tables.events(s, d))),
+    // Markov next-event matrix with integer-ppm row shares
+    "event_transition_matrix" -> ((s, d) => Relational.eventTransitionMatrix(Tables.events(s, d))),
     "user_sessions" -> ((s, d) => Sessionize.userSessions(Tables.events(s, d))),
     // sweep-line peak-concurrency per hour (two-phase prefix sum, no
     // interval × timeline range join)
@@ -1645,6 +1650,13 @@ object SparkEntry {
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS uu_exact,
         |       CAST(1 AS BIGINT) AS within_bound
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "audience_overlap_check" ->
+      """WITH d AS (SELECT DISTINCT event_type, user_id FROM events)
+        |SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |  CAST(count(*) AS BIGINT) AS inter_exact,
+        |  CAST(1 AS BIGINT) AS within_bound
+        |FROM d x JOIN d y ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "uu_per_minute_udaf" ->
       """SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users
@@ -1825,6 +1837,16 @@ object SparkEntry {
         |SELECT cohort_epoch, week_offset, n_users,
         |  CAST((n_users * 1000000) // cohort_size AS BIGINT) AS retention_ppm
         |FROM cells JOIN sz USING (cohort_epoch) ORDER BY 1, 2""".stripMargin,
+    "event_transition_matrix" ->
+      """WITH s AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM c GROUP BY 1)
+        |SELECT c.from_type, to_type, n,
+        |  CAST((n * 1000000) // n_from AS BIGINT) AS share_ppm
+        |FROM c JOIN t ON c.from_type = t.from_type ORDER BY 1, 2""".stripMargin,
     "user_sessions" ->
       """WITH o AS (SELECT user_id, event_id, ts,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events),

@@ -374,6 +374,33 @@ object Relational {
       .orderBy("step")
   }
 
+  /** Event-to-event TRANSITION MATRIX — the Markov-chain view of the
+    * event stream (which action follows which, with integer-ppm row
+    * shares), the companion to the funnel family: a funnel checks one
+    * prescribed path, this surfaces ALL observed paths. One `lead`
+    * window per user (input bounded per user, exactly the funnel's
+    * shuffle key) feeds a (from, to)-keyed two-phase agg — the output is
+    * bounded by |event_type|², never by the event count. The share
+    * denominator is transitions OUT of `from_type`, so each row of the
+    * matrix sums to ~1e6 ppm (floor division, disclosed). Ordering at
+    * equal timestamps is (ts, event_id) — the same deterministic
+    * tiebreak the funnel and sessionization use. */
+  def eventTransitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val steps = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val counts = steps
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_type").agg(sum(col("n")).as("n_from"))
+    counts.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(n * 1000000) div n_from").cast("long").as("share_ppm"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Weekly retention cohorts: users grouped by their first-activity
     * week, tracked by distinct-active weeks since — THE
     * stickiness/engagement view over an event stream. `retention_ppm`

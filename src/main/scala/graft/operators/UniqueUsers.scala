@@ -136,6 +136,49 @@ object UniqueUsers {
       .orderBy("day")
   }
 
+  /** Sketch SET ALGEBRA — audience overlap between event types by
+    * inclusion–exclusion over HLL sketches: |A∩B| ≈ est(A) + est(B) −
+    * est(A∪B), where the union estimate comes from the scalar
+    * `hll_union` of two PRE-AGGREGATED per-type sketches. This is the
+    * second half of what mergeable sketches buy at 100 TB (the first —
+    * rollup — is [[dailySketchRollup]]): every pairwise overlap among k
+    * audiences is answered from k stored sketches, versus k² exact
+    * set-intersection joins over raw events. The self-join here is
+    * k×k rows of sketch blobs — audience-count-bounded, never
+    * data-bounded.
+    *
+    * Same gate contract as [[perMinuteApproxCheck]]: the EXACT
+    * intersection (recomputed independently by the oracle via a
+    * (type, user)-distinct self-join) anchors a 0/1 verdict that the
+    * sketched estimate lands within max(20, 5% of |A|+|B|) — wide
+    * enough for three inclusion–exclusion error terms at lgK=12
+    * (~1.6% rsd each), tight enough that a broken union blows it. */
+  def audienceOverlapCheck(events: DataFrame, lgK: Int = 12): DataFrame = {
+    val perType = events.groupBy(col("event_type"))
+      .agg(expr(s"hll_sketch_agg(user_id, $lgK)").as("sk"),
+        countDistinct(col("user_id")).as("uu"))
+    val est = perType.as("a")
+      .join(perType.as("b"), col("a.event_type") < col("b.event_type"))
+      .select(
+        col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+        col("a.uu").as("uu_a"), col("b.uu").as("uu_b"),
+        (expr("hll_sketch_estimate(a.sk) + hll_sketch_estimate(b.sk)") -
+          expr("hll_sketch_estimate(hll_union(a.sk, b.sk))")).as("inter_est"))
+    val d = events.select(col("event_type"), col("user_id")).distinct()
+    val exact = d.as("x")
+      .join(d.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("inter_exact"))
+    est.join(exact, Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"),
+        col("inter_exact").cast("long").as("inter_exact"),
+        expr("abs(inter_est - inter_exact) <= greatest(20, (uu_a + uu_b) div 20)")
+          .cast("long").as("within_bound"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Count-Min sketch point-count gate — completes the sketch family
     * (HLL distinct / KLL percentile / MinHash-SimHash similarity /
     * Bloom membership / Misra-Gries heavy hitters) with the mergeable

@@ -61,6 +61,38 @@ class AuditSpec extends SparkSpec {
     assert(b.map(_._6).sorted === Seq(0L, 4L, 4L))
   }
 
+  test("transition matrix: lead ordering (ts, event_id), row shares sum to ~1e6 ppm") {
+    // user 1: A -> B -> A ; user 2: A -> B (same ts: event_id breaks the tie)
+    val ev = Seq(
+      (1L, 1L, "A", "2024-01-01 00:00:00"),
+      (2L, 1L, "B", "2024-01-01 00:01:00"),
+      (3L, 1L, "A", "2024-01-01 00:02:00"),
+      (4L, 2L, "A", "2024-01-01 00:00:00"),
+      (5L, 2L, "B", "2024-01-01 00:00:00")
+    ).toDF("event_id", "user_id", "event_type", "s")
+      .selectExpr("event_id", "user_id", "event_type", "CAST(s AS TIMESTAMP) AS ts")
+    val got = graft.operators.Relational.eventTransitionMatrix(ev).collect()
+      .map { case Row(f: String, t: String, n: Long, p: Long) => (f, t, n, p) }
+    assert(got.toSeq === Seq(
+      ("A", "B", 2L, 1000000L),
+      ("B", "A", 1L, 1000000L)))
+  }
+
+  test("audience overlap: exact anchors and sketch verdicts on known sets") {
+    // A users {1..10}, B users {6..15} -> |A∩B| = 5; C disjoint {100..104}
+    val ev = ((1 to 10).map(u => ("A", u.toLong)) ++
+      (6 to 15).map(u => ("B", u.toLong)) ++
+      (100 to 104).map(u => ("C", u.toLong)))
+      .toDF("event_type", "user_id")
+    val got = graft.operators.UniqueUsers.audienceOverlapCheck(ev).collect()
+      .map { case Row(a: String, b: String, n: Long, ok: Long) => ((a, b), (n, ok)) }
+      .toMap
+    assert(got(("A", "B")) === ((5L, 1L)))
+    // fully disjoint pairs never materialize an exact row (inner join) —
+    // the report covers overlapping pairs only, by construction
+    assert(!got.contains(("A", "C")) && !got.contains(("B", "C")))
+  }
+
   test("hourly HLL sketches unioned to days stay within the gated bound") {
     val ev = Tables.events(spark, Sf0001)
     val bad = UniqueUsers.dailySketchCheck(ev)
