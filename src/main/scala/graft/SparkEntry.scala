@@ -115,6 +115,8 @@ object SparkEntry {
     "user_retention_cohorts" -> ((s, d) => Relational.retentionCohorts(Tables.events(s, d))),
     // Markov next-event matrix with integer-ppm row shares
     "event_transition_matrix" -> ((s, d) => Relational.eventTransitionMatrix(Tables.events(s, d))),
+    // market-basket pair mining: same-order part pairs + integer lift
+    "part_cooccurrence" -> ((s, d) => Relational.partCooccurrence(Tables.lineitem(s, d))),
     "user_sessions" -> ((s, d) => Sessionize.userSessions(Tables.events(s, d))),
     // sweep-line peak-concurrency per hour (two-phase prefix sum, no
     // interval × timeline range join)
@@ -1847,6 +1849,19 @@ object SparkEntry {
         |SELECT c.from_type, to_type, n,
         |  CAST((n * 1000000) // n_from AS BIGINT) AS share_ppm
         |FROM c JOIN t ON c.from_type = t.from_type ORDER BY 1, 2""".stripMargin,
+    "part_cooccurrence" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM b),
+        |pp AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_part FROM b GROUP BY 1),
+        |pr AS (SELECT a.l_partkey AS part_a, bb.l_partkey AS part_b,
+        |    CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM b a JOIN b bb ON a.l_orderkey = bb.l_orderkey AND a.l_partkey < bb.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT part_a, part_b, n_pairs, pa.n_part AS n_a, pb.n_part AS n_b,
+        |  CAST((n_pairs * n_baskets * 1000000) // (pa.n_part * pb.n_part) AS BIGINT) AS lift_ppm
+        |FROM pr JOIN pp pa ON part_a = pa.l_partkey JOIN pp pb ON part_b = pb.l_partkey
+        |CROSS JOIN nb
+        |ORDER BY n_pairs DESC, part_a, part_b LIMIT 100""".stripMargin,
     "user_sessions" ->
       """WITH o AS (SELECT user_id, event_id, ts,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events),

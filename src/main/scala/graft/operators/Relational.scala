@@ -374,6 +374,40 @@ object Relational {
       .orderBy("step")
   }
 
+  /** Market-basket CO-OCCURRENCE mining — top part pairs bought in the
+    * same order, with integer-ppm LIFT against independence: the
+    * classic association-rule primitive (the support/lift half of
+    * Apriori) as one self-equi-join on the basket key. The quadratic
+    * fan-out is bounded per KEY, not per table: an order with m items
+    * emits C(m,2) pairs, and m is capped by basket mechanics (≤13 here,
+    * single digits in any order system) — the disclosed contrast to the
+    * document-side pair generators, where no such natural cap exists
+    * and the df-cut/banding guards do that job. Lift is
+    * floor((n_pair · n_baskets · 10⁶) / (n_a · n_b)) — exact integer,
+    * > 10⁶ means the pair co-occurs MORE than independent purchase
+    * would predict. Output is a TakeOrdered top-k, never a full sort. */
+  def partCooccurrence(lineitem: DataFrame, minSupport: Long = 2, k: Int = 100): DataFrame = {
+    val baskets = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nBaskets = baskets.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val perPart = baskets.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
+    val pairs = baskets.as("a")
+      .join(baskets.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .filter(col("n_pairs") >= minSupport)
+    pairs
+      .join(perPart.select(col("l_partkey").as("part_a"), col("n_part").as("n_a")), "part_a")
+      .join(perPart.select(col("l_partkey").as("part_b"), col("n_part").as("n_b")), "part_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("part_a"), col("part_b"), col("n_pairs"), col("n_a"), col("n_b"),
+        expr("(n_pairs * n_baskets * 1000000) div (n_a * n_b)").cast("long").as("lift_ppm"))
+      .orderBy(col("n_pairs").desc, col("part_a"), col("part_b"))
+      .limit(k)
+  }
+
   /** Event-to-event TRANSITION MATRIX — the Markov-chain view of the
     * event stream (which action follows which, with integer-ppm row
     * shares), the companion to the funnel family: a funnel checks one

@@ -79,6 +79,19 @@ class OperatorSpec extends SparkSpec {
     assert(got === Map(1000L -> 102L, 1001L -> 100L, 1002L -> -1L, 1003L -> -1L))
   }
 
+  test("part co-occurrence: support filter, integer lift, dup lines collapse") {
+    val li = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L), (2L, 20L), // dup (order,part) line must not double-count
+      (3L, 10L), (3L, 20L)
+    ).toDF("l_orderkey", "l_partkey")
+    val got = Relational.partCooccurrence(li).collect()
+      .map { case Row(a: Long, b: Long, n: Long, na: Long, nb: Long, l: Long) =>
+        (a, b, n, na, nb, l) }
+    // (10,20) in all 3 baskets: lift = 3*3*1e6/(3*3) = 1e6 (independence)
+    assert(got.toSeq === Seq((10L, 20L, 3L, 3L, 3L, 1000000L)))
+  }
+
   test("integer-lattice pagerank: hand-computed two-superstep scores") {
     // graph: customer 1 trades with suppliers 1 and 2 (node ids 2,3,5).
     // round 1: pr(c1)=150000+85%*(1e6+1e6)=1,850,000; pr(s*)=150000+85%*(1e6 div 2)=575,000
