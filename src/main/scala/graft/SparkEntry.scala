@@ -126,6 +126,9 @@ object SparkEntry {
     // customer-supplier trading graph (one dst-shuffle per superstep)
     "graph_pagerank" -> ((s, d) =>
       graft.operators.Graph.pagerank(Tables.orders(s, d), Tables.lineitem(s, d))),
+    // degree-ordered triangle census of the co-purchase graph
+    "graph_triangles" -> ((s, d) =>
+      graft.operators.Graph.triangleStats(Tables.lineitem(s, d))),
     // data-contract audit: one bounded report row per expectation
     "data_expectations" -> ((s, d) => graft.operators.Audit.expectations(
       Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
@@ -692,6 +695,31 @@ object SparkEntry {
        |  CAST(node // 2 AS BIGINT) AS entity_id, CAST(pr AS BIGINT) AS pr_milli
        |FROM p$iters ORDER BY pr_milli DESC, kind, entity_id LIMIT 100""".stripMargin
   }
+
+  /** Triangle-census replica: same degree-ordered orientation
+    * (pi = d·100000 + id), wedge enumeration among out-edges, closure
+    * against oriented edges. */
+  private def triangleOracle: String =
+    """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (SELECT a.l_partkey AS u, bb.l_partkey AS v
+      |  FROM b a JOIN b bb ON a.l_orderkey = bb.l_orderkey AND a.l_partkey < bb.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d
+      |  FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+      |pi AS (SELECT x, d * 100000 + x AS p FROM deg),
+      |o AS (SELECT CASE WHEN pu.p < pv.p THEN u ELSE v END AS s,
+      |             CASE WHEN pu.p < pv.p THEN v ELSE u END AS t,
+      |             greatest(pu.p, pv.p) AS pt
+      |  FROM e JOIN pi pu ON u = pu.x JOIN pi pv ON v = pv.x),
+      |w AS (SELECT a.t AS wv, b.t AS ww FROM o a JOIN o b ON a.s = b.s AND a.pt < b.pt),
+      |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      |  FROM w JOIN o ON wv = o.s AND ww = o.t),
+      |sums AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+      |    CAST(coalesce(sum(d) // 2, 0) AS BIGINT) AS n_edges,
+      |    CAST(coalesce(sum((d * (d - 1)) // 2), 0) AS BIGINT) AS n_wedges FROM deg)
+      |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+      |  CAST((3 * n_triangles * 1000000) // greatest(n_wedges, 1) AS BIGINT) AS clustering_ppm
+      |FROM sums CROSS JOIN tri""".stripMargin
 
   private def sparseCosineOracle: String =
     """WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents),
@@ -2148,6 +2176,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_sparse_cosine" -> sparseCosineOracle,
     "graph_pagerank" -> pagerankOracle(),
+    "graph_triangles" -> triangleOracle,
     // exact-substring overlap: identical positional-gram construction
     // (md5 of 8-token slices), aligned-offset runs, contiguity by
     // count==span, longest run per pair in tokens

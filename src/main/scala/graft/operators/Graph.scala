@@ -15,6 +15,63 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Triangle census of the co-purchase graph (parts adjacent when they
+    * co-occur in ≥ `minSupport` baskets), via DEGREE-ORDERED edge
+    * orientation — the trick that makes distributed triangle counting
+    * tractable: orient every edge from its lower-(degree, id) endpoint
+    * to the higher, enumerate wedges only among each node's OUT-edges,
+    * and close them against oriented edges. Each triangle is then
+    * counted exactly once (at its lowest-ranked vertex), and — the scale
+    * point — max out-degree after this orientation is O(√m) on ANY
+    * degree distribution, so the wedge join's fan-out is bounded even
+    * when a hub part touches everything (the naive neighbor join
+    * explodes as deg² on exactly those hubs).
+    *
+    * Output is ONE integer row: nodes/edges, unoriented wedge count
+    * Σ C(deg,2), triangles, and the global clustering coefficient as
+    * ppm (3·triangles·10⁶ div wedges) — all exact integers. */
+  def triangleStats(lineitem: DataFrame, minSupport: Long = 2): DataFrame = {
+    val baskets = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = baskets.as("a")
+      .join(baskets.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg(count(lit(1)).as("nb"))
+      .filter(col("nb") >= minSupport)
+      .select("u", "v")
+      .localCheckpoint()
+    val deg = edges.select(col("u").as("x")).unionAll(edges.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    // total order pi = d * 100000 + id (ids are bounded below the base;
+    // ties in degree break by id) — lower pi originates the edge
+    val pi = deg.select(col("x"), (col("d") * 100000L + col("x")).as("p"))
+    val oriented = edges
+      .join(pi.select(col("x").as("u"), col("p").as("pu")), "u")
+      .join(pi.select(col("x").as("v"), col("p").as("pv")), "v")
+      .select(
+        when(col("pu") < col("pv"), col("u")).otherwise(col("v")).as("s"),
+        when(col("pu") < col("pv"), col("v")).otherwise(col("u")).as("t"),
+        greatest(col("pu"), col("pv")).as("pt"))
+      .localCheckpoint()
+    val wedges = oriented.as("a")
+      .join(oriented.as("b"), col("a.s") === col("b.s") && col("a.pt") < col("b.pt"))
+      .select(col("a.t").as("wv"), col("b.t").as("ww"))
+    val triangles = wedges
+      .join(oriented.select(col("s"), col("t")),
+        col("wv") === col("s") && col("ww") === col("t"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val sums = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      expr("coalesce(sum(d) div 2, 0L)").as("n_edges"),
+      expr("coalesce(sum((d * (d - 1)) div 2), 0L)").as("n_wedges"))
+    sums.crossJoin(broadcast(triangles))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles").cast("long").as("n_triangles"),
+        expr("(3 * n_triangles * 1000000) div greatest(n_wedges, 1)")
+          .cast("long").as("clustering_ppm"))
+  }
+
   /** Integer-lattice PageRank over the customer–supplier graph (an edge
     * per DISTINCT (customer, supplier) trading pair from orders ⋈
     * lineitem, both directions, so the bipartite walk has no dangling

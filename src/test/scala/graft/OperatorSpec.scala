@@ -92,6 +92,21 @@ class OperatorSpec extends SparkSpec {
     assert(got.toSeq === Seq((10L, 20L, 3L, 3L, 3L, 1000000L)))
   }
 
+  test("triangle census: degree-ordered orientation counts each triangle once") {
+    // baskets 10,11: {1,2,3} twice -> all three edges at support 2 -> one
+    // triangle; baskets 12,13: {1,4} -> edge (1,4), no triangle.
+    // deg: 1->3, 2->2, 3->2, 4->1; wedges = C(3,2)+1+1+0 = 5
+    val li = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 1L), (11L, 2L), (11L, 3L),
+      (12L, 1L), (12L, 4L),
+      (13L, 1L), (13L, 4L)
+    ).toDF("l_orderkey", "l_partkey")
+    val got = graft.operators.Graph.triangleStats(li).collect()
+      .map { case Row(n: Long, e: Long, w: Long, t: Long, c: Long) => (n, e, w, t, c) }
+    assert(got.toSeq === Seq((4L, 4L, 5L, 1L, 600000L)))
+  }
+
   test("integer-lattice pagerank: hand-computed two-superstep scores") {
     // graph: customer 1 trades with suppliers 1 and 2 (node ids 2,3,5).
     // round 1: pr(c1)=150000+85%*(1e6+1e6)=1,850,000; pr(s*)=150000+85%*(1e6 div 2)=575,000

@@ -109,7 +109,11 @@ class PlanShapeSpec extends SparkSpec {
       "ann_bruteforce_topk" -> "nQueries=5 query set broadcast (brute force scans corpus once)",
       "ann_bruteforce_sql" -> "nQueries=5 query set broadcast (brute force scans corpus once)",
       "media_feature_ann" -> "nQueries=5 query set broadcast (brute force scans corpus once)",
-      "doc_lexical_ann" -> "nQueries=5 query set broadcast (brute force scans corpus once)")
+      "doc_lexical_ann" -> "nQueries=5 query set broadcast (brute force scans corpus once)",
+      "audience_overlap_check" ->
+        "per-type sketch aggregate self-joined (|event_type| rows of sketch blobs — audience-count-bounded, never data-bounded)",
+      "graph_triangles" -> "1-row triangle-count aggregate broadcast onto the 1-row degree sums",
+      "part_cooccurrence" -> "1-row basket-total broadcast onto a support-filtered top-k")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, Sf0001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
