@@ -72,6 +72,29 @@ object StreamingUniqueUsers {
         unix_timestamp(col("window.start")).as("window_start"),
         col("unique_users"))
 
+  /** Mergeable-sketch EMISSION — the online half of
+    * [[graft.operators.UniqueUsers.dailySketchRollup]]: each finalized
+    * window emits its DataSketches HLL sketch BLOB (not just the
+    * estimate), so the persisted per-window sketches answer any
+    * coarser-grain distinct question later (daily/weekly rollups,
+    * audience overlap via `hll_union`) WITHOUT re-reading raw events —
+    * the lake pattern where the stream maintains the fine-grain sketch
+    * tier and batch queries merge upward. Append mode after the
+    * watermark, constant O(2^lgK) state per window like the approx
+    * variant; the estimate column rides along for direct dashboards. */
+  def uniqueUsersPerWindowSketch(events: DataFrame,
+                                 windowLen: String = "1 minute",
+                                 watermark: String = "5 seconds",
+                                 lgK: Int = 12): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(expr(s"hll_sketch_agg(uid, $lgK)").as("sk"))
+      .select(
+        unix_timestamp(col("window.start")).as("window_start"),
+        col("sk"),
+        expr("hll_sketch_estimate(sk)").as("unique_users_est"))
+
   /** Ingestion-time stamp — the reference's ACTUAL time domain: it
     * deliberately windows on broker ingestion time, not the payload `ts`
     * (reference README.md:54-58, justified by its ≤5 s arrival bound).

@@ -58,6 +58,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed per-window HLL sketches union offline to the exact coarse distinct") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val sk = StreamingUniqueUsers.uniqueUsersPerWindowSketch(
+      StreamingUniqueUsers.parseEvents(in.toDF(), "value"))
+    val q = sk.writeStream.format("memory").queryName("uu_sketches")
+      .outputMode("append").start()
+    try {
+      // w0: users a,b (a twice); w0+60: users a,c — union over both = {a,b,c}
+      in.addData(jsonEvent("a", w0 + 1), jsonEvent("b", w0 + 2), jsonEvent("a", w0 + 10))
+      in.addData(jsonEvent("a", w0 + 61), jsonEvent("c", w0 + 62))
+      q.processAllAvailable()
+      in.addData(jsonEvent("zz", w0 + 400)) // advance watermark, finalize both
+      q.processAllAvailable()
+      val t = spark.table("uu_sketches").where(col("window_start") < w0 + 120)
+      // per-window estimates are exact at these cardinalities
+      val perWin = t.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(perWin === Map(w0 -> 2L, (w0 + 60L) -> 2L))
+      // THE point: the persisted blobs merge to the cross-window distinct
+      // without touching raw events (3, not 2+2)
+      val merged = t.agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))"))
+        .head().getLong(0)
+      assert(merged === 3L)
+    } finally q.stop()
+  }
+
   test("update mode (reference-faithful): windows re-emit as counts grow") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
