@@ -696,9 +696,9 @@ object SparkEntry {
        |FROM p$iters ORDER BY pr_milli DESC, kind, entity_id LIMIT 100""".stripMargin
   }
 
-  /** Triangle-census replica: same degree-ordered orientation
-    * (pi = d·100000 + id), wedge enumeration among out-edges, closure
-    * against oriented edges. */
+  /** Triangle-census replica: same lexicographic (degree, id)
+    * orientation, wedge enumeration among out-edges, closure against
+    * oriented edges. */
   private def triangleOracle: String =
     """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       |e AS (SELECT a.l_partkey AS u, bb.l_partkey AS v
@@ -706,12 +706,12 @@ object SparkEntry {
       |  GROUP BY 1, 2 HAVING count(*) >= 2),
       |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d
       |  FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
-      |pi AS (SELECT x, d * 100000 + x AS p FROM deg),
-      |o AS (SELECT CASE WHEN pu.p < pv.p THEN u ELSE v END AS s,
-      |             CASE WHEN pu.p < pv.p THEN v ELSE u END AS t,
-      |             greatest(pu.p, pv.p) AS pt
-      |  FROM e JOIN pi pu ON u = pu.x JOIN pi pv ON v = pv.x),
-      |w AS (SELECT a.t AS wv, b.t AS ww FROM o a JOIN o b ON a.s = b.s AND a.pt < b.pt),
+      |o AS (SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v) THEN u ELSE v END AS s,
+      |             CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v) THEN v ELSE u END AS t,
+      |             CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v) THEN dv.d ELSE du.d END AS dt
+      |  FROM e JOIN deg du ON u = du.x JOIN deg dv ON v = dv.x),
+      |w AS (SELECT a.t AS wv, b.t AS ww FROM o a JOIN o b ON a.s = b.s
+      |  AND ((a.dt < b.dt) OR (a.dt = b.dt AND a.t < b.t))),
       |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
       |  FROM w JOIN o ON wv = o.s AND ww = o.t),
       |sums AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,

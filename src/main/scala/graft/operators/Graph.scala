@@ -43,19 +43,24 @@ object Graph {
       .localCheckpoint()
     val deg = edges.select(col("u").as("x")).unionAll(edges.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("d"))
-    // total order pi = d * 100000 + id (ids are bounded below the base;
-    // ties in degree break by id) — lower pi originates the edge
-    val pi = deg.select(col("x"), (col("d") * 100000L + col("x")).as("p"))
+    // the total order is LEXICOGRAPHIC (degree, id) carried as two
+    // columns — never packed into one integer, which would silently
+    // collide once ids outgrow the packing base (the 100 TB landmine a
+    // d*BASE+id encoding plants). Lower (d, id) originates the edge.
+    val lower = (col("du") < col("dv")) ||
+      (col("du") === col("dv") && col("u") < col("v"))
     val oriented = edges
-      .join(pi.select(col("x").as("u"), col("p").as("pu")), "u")
-      .join(pi.select(col("x").as("v"), col("p").as("pv")), "v")
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
       .select(
-        when(col("pu") < col("pv"), col("u")).otherwise(col("v")).as("s"),
-        when(col("pu") < col("pv"), col("v")).otherwise(col("u")).as("t"),
-        greatest(col("pu"), col("pv")).as("pt"))
+        when(lower, col("u")).otherwise(col("v")).as("s"),
+        when(lower, col("v")).otherwise(col("u")).as("t"),
+        when(lower, col("dv")).otherwise(col("du")).as("dt"))
       .localCheckpoint()
+    val wedgeOrder = (col("a.dt") < col("b.dt")) ||
+      (col("a.dt") === col("b.dt") && col("a.t") < col("b.t"))
     val wedges = oriented.as("a")
-      .join(oriented.as("b"), col("a.s") === col("b.s") && col("a.pt") < col("b.pt"))
+      .join(oriented.as("b"), col("a.s") === col("b.s") && wedgeOrder)
       .select(col("a.t").as("wv"), col("b.t").as("ww"))
     val triangles = wedges
       .join(oriented.select(col("s"), col("t")),

@@ -385,7 +385,10 @@ object Relational {
     * and the df-cut/banding guards do that job. Lift is
     * floor((n_pair · n_baskets · 10⁶) / (n_a · n_b)) — exact integer,
     * > 10⁶ means the pair co-occurs MORE than independent purchase
-    * would predict. Output is a TakeOrdered top-k, never a full sort. */
+    * would predict. Output is a TakeOrdered top-k, never a full sort.
+    * Disclosed range bound: the int64 lift numerator is exact while
+    * n_pair · n_baskets < ~9·10¹² (any realistic basket corpus); beyond
+    * that, promote the numerator to DECIMAL(38,0) on both engines. */
   def partCooccurrence(lineitem: DataFrame, minSupport: Long = 2, k: Int = 100): DataFrame = {
     val baskets = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
     val nBaskets = baskets.select(col("l_orderkey")).distinct()
