@@ -750,7 +750,13 @@ object Dedup {
     * the cut space) but are dropped from the posting-list join, where
     * they cannot match. The upgrade path at 10⁹ docs is Bayardo prefix
     * filtering (index only each vector's heaviest terms); the df cut is
-    * the simpler guard with the same worst-case discipline. */
+    * the simpler guard with the same worst-case discipline.
+    *
+    * Disclosed range bound: the 25·dot² comparison is int64-exact while
+    * ‖a‖²·‖b‖² < ~3.7·10¹⁷ — comfortably true for documents up to tens
+    * of thousands of tokens; longer docs should flow through
+    * [[TextAnalysis.chunkDocuments]] first (which a training pipeline
+    * does anyway) or promote the gate to DECIMAL(38) on both engines. */
   def sparseCosine(documents: DataFrame, maxDf: Int = 500): DataFrame = {
     val tf = documents
       .select(col("doc_id"),

@@ -257,4 +257,38 @@ object GraftProperties extends Properties("graft") {
       val kept = agg.finish(merged).toSet
       merged.size <= cap && mustKeep.subsetOf(kept)
     }
+
+  // small random corpora over a tiny vocabulary so near-dup pairs exist
+  private val sparseDocGen: Gen[List[String]] = Gen.listOfN(8,
+    Gen.listOfN(12, Gen.frequency(
+      5 -> Gen.const("alpha"), 4 -> Gen.const("beta"), 3 -> Gen.const("gamma"),
+      2 -> Gen.const("delta"), 1 -> Gen.choose(0, 30).map("w" + _)))
+      .map(_.mkString(" ")))
+
+  property("sparseCosine == BigInt brute force over the df-cut space") =
+    forAll(sparseDocGen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Dedup.sparseCosine(docs, maxDf = 6).collect()
+        .map { case Row(a: Long, b: Long, d: Long, na: Long, nb: Long, p: Long) =>
+          (a, b) -> ((d, na, nb, p)) }.toMap
+      // reference: exact rational cosine over the same df-cut space
+      val tf = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> t.split("\\s+").filter(_.nonEmpty)
+          .groupBy(_.toLowerCase).view.mapValues(_.length.toLong).toMap }
+      val df = tf.flatMap(_._2.keys).groupBy(identity).view.mapValues(_.size).toMap
+      val space = tf.map { case (id, m) => id -> m.filter { case (k, _) => df(k) <= 6 } }.toMap
+      val exp = (for {
+        a <- space.keys; b <- space.keys if a < b
+        dot = space(a).keysIterator.filter(space(b).contains)
+          .map(k => BigInt(space(a)(k)) * space(b)(k)).sum
+        na2 = space(a).values.map(v => BigInt(v) * v).sum
+        nb2 = space(b).values.map(v => BigInt(v) * v).sum
+        // a pair exists only via a shared posting (dot > 0) — also what
+        // keeps the cos2_pct denominator nonzero
+        if dot > 0 && dot * dot * 25 >= na2 * nb2 * 16
+      } yield (a, b) -> ((dot.toLong, na2.toLong, nb2.toLong,
+        (dot * dot * 100 / (na2 * nb2)).toLong))).toMap
+      got == exp
+    }
 }
