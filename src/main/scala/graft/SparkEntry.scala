@@ -379,6 +379,14 @@ object SparkEntry {
     // integer-BM25 retrieval: the corpus-inspection / decontamination
     // lookup side of the pipeline
     "bm25_search" -> ((s, d) => Search.bm25TopK(Tables.documents(s, d))),
+    // the PERSISTED-index path end-to-end: build the postings/totals
+    // tables, search via bucket-pruned term lookup — hash-gated against
+    // the same from-scratch oracle (result identity by construction)
+    "bm25_search_indexed" -> ((s, d) => {
+      Search.dropSearchIndex(s, "srchq")
+      Search.saveSearchIndex(Tables.documents(s, d), "srchq")
+      Search.bm25Indexed(s, "srchq")
+    }),
     // ---- multimodal plumbing ----
     "media_bytes_stats" -> ((s, d) => Multimodal.bytesStats(Tables.documents(s, d))),
     "media_frame_sample" -> ((s, d) => Multimodal.frameSample(Tables.documents(s, d))),
@@ -2416,6 +2424,7 @@ object SparkEntry {
     "pii_scrub_stats" -> piiScrubOracle,
     "length_outlier_stats" -> lengthOutlierOracle,
     "bm25_search" -> bm25Oracle,
+    "bm25_search_indexed" -> bm25Oracle,
     "cross_source_dup_matrix" -> crossSourceDupOracle,
     "minhash_band_stats" -> minhashBandStatsOracle,
     "benchmark_contamination" -> benchmarkContaminationOracle,

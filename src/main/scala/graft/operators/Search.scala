@@ -49,47 +49,17 @@ object Search {
   def queryTerms(query: String): Seq[String] =
     query.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty).distinct.sorted
 
-  /** Top-k documents by integer BM25 against a whitespace-tokenized query.
-    * Returns (doc_id, score_ppm, n_terms) — n_terms = distinct query terms
-    * the doc matched (coordination count, useful for AND-ish filtering). */
-  def bm25TopK(documents: DataFrame, query: String = DefaultQuery,
-               k: Int = DefaultK): DataFrame = {
-    val spark = documents.sparkSession
-    import spark.implicits._
-    val qterms = broadcast(queryTerms(query).toDF("tok"))
-
-    // dl (per-doc token count) is a column expression on the scan — NOT a
-    // groupBy over the exploded tokens: normText collapses whitespace, so
-    // the \S+ run count IS the post-split token count
-    val docs = documents.select(
-      col("doc_id"), normText(col("text")).as("nt"),
-      tokenCount(col("text")).cast("long").as("dl"))
-
-    // 1-row corpus totals; avgdl kept in milli. Docs with NULL text have
-    // NULL dl: count(*) still counts them, sum skips them — both engines.
-    val stats = docs.agg(
-      count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-
-    // explode AFTER carrying dl, semi-join against the broadcast query
-    // terms BEFORE any shuffle: only query-term occurrences survive
-    val matched = docs
-      .select(col("doc_id"), col("dl"), explode(split(col("nt"), " ")).as("tok"))
-      .filter(length(col("tok")) > 0)
-      .join(qterms, "tok")
-
-    // the one shuffle: (doc_id, tok, dl) → tf, over matched rows only.
-    // dl rides in the grouping key (functionally dependent on doc_id).
-    val tf = matched.groupBy(col("doc_id"), col("tok"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
-    // document frequency per query term: <= |terms| rows, broadcast back.
-    // df derives from tf, not from a window over it: partition-by-tok
-    // would funnel every hit of a common term onto one reducer, while
-    // this groupBy partial-aggregates map-side. The shared tf subtree is
-    // NOT recomputed — AQE's ReuseExchange dedups the identical shuffle
-    // (verified on the executed plan: ReusedExchange, one corpus scan
-    // for the tf/df pair).
+  /** The shared scoring tail: (doc_id, tok, dl, tf) match rows + a 1-row
+    * (n_docs, sum_dl) totals relation → top-k integer-BM25. One
+    * definition serves the from-scratch and the indexed path, so the two
+    * are identical BY CONSTRUCTION (and spec-pinned equal). df derives
+    * from the match rows with a groupBy, not a window: partition-by-tok
+    * would funnel every hit of a common term onto one reducer, while the
+    * groupBy partial-aggregates map-side (the shared tf subtree dedups
+    * via AQE ReuseExchange — verified: one corpus scan for the tf/df
+    * pair in the from-scratch plan). */
+  private def scoreBm25(tf: DataFrame, stats: DataFrame, k: Int): DataFrame = {
     val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-
     tf.join(broadcast(dfT), "tok")
       .crossJoin(broadcast(stats)) // one row: N and sum(dl)
       .withColumn("avgdl_milli", expr("(sum_dl * 1000) div n_docs"))
@@ -104,5 +74,123 @@ object Search {
         count(lit(1)).cast("long").as("n_terms"))
       .orderBy(col("score_ppm").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** (doc_id, nt, dl) projection shared by search + index build. dl (the
+    * per-doc token count) is a column expression on the scan — NOT a
+    * groupBy over exploded tokens: normText collapses whitespace, so the
+    * \S+ run count IS the post-split token count. */
+  private def docsProjected(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"), normText(col("text")).as("nt"),
+      tokenCount(col("text")).cast("long").as("dl"))
+
+  private def explodedTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("dl"), explode(split(col("nt"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+
+  /** Top-k documents by integer BM25 against a whitespace-tokenized query.
+    * Returns (doc_id, score_ppm, n_terms) — n_terms = distinct query terms
+    * the doc matched (coordination count, useful for AND-ish filtering). */
+  def bm25TopK(documents: DataFrame, query: String = DefaultQuery,
+               k: Int = DefaultK): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val qterms = broadcast(queryTerms(query).toDF("tok"))
+    val docs = docsProjected(documents)
+    // 1-row corpus totals; avgdl kept in milli. Docs with NULL text have
+    // NULL dl: count(*) still counts them, sum skips them — both engines.
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // explode AFTER carrying dl, semi-join against the broadcast query
+    // terms BEFORE any shuffle: only query-term occurrences survive.
+    // the one shuffle: (doc_id, tok, dl) → tf, over matched rows only;
+    // dl rides in the grouping key (functionally dependent on doc_id).
+    val tf = explodedTokens(docs).join(qterms, "tok")
+      .groupBy(col("doc_id"), col("tok"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    scoreBm25(tf, stats, k)
+  }
+
+  /** PERSIST the inverted index — the search-family member of the index
+    * lifecycle (dedup fingerprints, IVF cells, PQ codes, now postings):
+    * a query should not re-tokenize 100 TB of text when the postings
+    * already exist.
+    *
+    *  - `<name>_postings` (tok, doc_id, dl, tf), bucketed AND sorted by
+    *    `tok`: a query-term IN-filter prunes to the matching BUCKETS
+    *    (SelectedBucketsCount — spec-asserted), so a 5-term query reads
+    *    ~5/buckets of the postings bytes without any shuffle.
+    *  - `<name>_totals`: one PARTIAL (n_docs, sum_dl) row PER
+    *    save/append — the mergeable-statistics trick (same shape as the
+    *    sketch tier): totals at query time are a sum over O(appends)
+    *    rows, so an append never rewrites global state.
+    *
+    * Append contract: one batch per document (the pipeline's dedup stage
+    * upstream guarantees it) — unlike the dedup index, a REPLAYED
+    * posting row would double tf/df, so this index rides exactly-once
+    * sinks (idempotent batchId-keyed foreachBatch), not at-least-once. */
+  def saveSearchIndex(documents: DataFrame, name: String, buckets: Int = 8): Unit = {
+    import graft.sources.FileFormats.writeBucketed
+    val docs = docsProjected(documents)
+    writeBucketed(
+      explodedTokens(docs).groupBy(col("tok"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("tf")),
+      s"${name}_postings", "tok", buckets)
+    docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${name}_totals")
+  }
+
+  /** Append a doc batch: postings append to the bucketed table (same
+    * layout), totals gain one more partial row. */
+  def appendToSearchIndex(documents: DataFrame, name: String): Unit = {
+    val spark = documents.sparkSession
+    val catalog = spark.sessionState.catalog
+    val nb = catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(s"${name}_postings"))
+      .bucketSpec.map(_.numBuckets).getOrElse(8)
+    val docs = docsProjected(documents)
+    explodedTokens(docs).groupBy(col("tok"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(nb, "tok").sortBy("tok").saveAsTable(s"${name}_postings")
+    docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append).saveAsTable(s"${name}_totals")
+    Seq(s"${name}_postings", s"${name}_totals")
+      .foreach(t => try spark.catalog.refreshTable(t) catch { case _: Throwable => () })
+  }
+
+  /** Drop the persisted search index (catalog + leftover managed
+    * locations — same lifecycle contract as `Dedup.dropDedupIndex`). */
+  def dropSearchIndex(spark: org.apache.spark.sql.SparkSession, name: String): Unit =
+    for (s <- Seq("_postings", "_totals")) {
+      val t = name + s
+      try spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      catch { case _: Throwable => () }
+      try {
+        val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+        val loc = new org.apache.hadoop.fs.Path(wh, t.toLowerCase(java.util.Locale.ROOT))
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(loc, true)
+      } catch { case _: Throwable => () }
+    }
+
+  /** Search the PERSISTED index: the query's term set becomes an
+    * IN-filter on the bucketed `tok` column (bucket pruning, no corpus
+    * re-tokenization), totals merge from the partial rows, and the
+    * SHARED scoring tail guarantees result identity with [[bm25TopK]]
+    * (spec-pinned, and the registered query is hash-gated against the
+    * from-scratch oracle). */
+  def bm25Indexed(spark: org.apache.spark.sql.SparkSession, name: String,
+                  query: String = DefaultQuery, k: Int = DefaultK): DataFrame = {
+    Seq(s"${name}_postings", s"${name}_totals")
+      .foreach(t => try spark.catalog.refreshTable(t) catch { case _: Throwable => () })
+    val terms = queryTerms(query)
+    val tf = spark.table(s"${name}_postings")
+      .filter(col("tok").isin(terms: _*))
+    val stats = spark.table(s"${name}_totals")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    scoreBm25(tf, stats, k)
   }
 }

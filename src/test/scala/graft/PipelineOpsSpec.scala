@@ -388,6 +388,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.map(_._2).toSeq === rows.map(_._2).sortBy(-_).toSeq, "descending score order")
   }
 
+  test("persisted BM25 index: indexed == from-scratch, append == fresh-save, buckets prune") {
+    val docs = Seq(
+      (1L, "spark stream window join extras words here", "s"),
+      (2L, "spark spark spark spark spark pad pad pad", "s"),
+      (3L, "spark " + ("pad " * 200), "s"),
+      (4L, "spark pad pad pad pad pad pad", "s"),
+      (5L, "nothing relevant at all", "s")
+    ).toDF("doc_id", "text", "source")
+    try {
+      Search.dropSearchIndex(spark, "srch_t")
+      Search.saveSearchIndex(docs, "srch_t")
+      val fromScratch = Search.bm25TopK(docs).collect().toSeq
+      val indexed = Search.bm25Indexed(spark, "srch_t").collect().toSeq
+      assert(indexed === fromScratch, "shared scoring tail: identical by construction")
+      // term IN-filter prunes to matching buckets of the postings table
+      val plan = Search.bm25Indexed(spark, "srch_t").queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"), "postings lookup must bucket-prune")
+      // append half the corpus later == saving it all at once
+      Search.dropSearchIndex(spark, "srch_t2")
+      Search.saveSearchIndex(docs.filter(col("doc_id") <= 2), "srch_t2")
+      Search.appendToSearchIndex(docs.filter(col("doc_id") > 2), "srch_t2")
+      val appended = Search.bm25Indexed(spark, "srch_t2").collect().toSeq
+      assert(appended === fromScratch, "append must merge totals and postings losslessly")
+    } finally {
+      Search.dropSearchIndex(spark, "srch_t")
+      Search.dropSearchIndex(spark, "srch_t2")
+    }
+  }
+
   test("tokenRarity: integer unigram probabilities and hapax counts") {
     val df = Seq(
       (0L, "common common common", "s0"),
