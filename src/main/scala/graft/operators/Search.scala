@@ -42,6 +42,12 @@ object Search {
   /** BM25 b (length normalization) in milli: 0.75. */
   val BMilli = 750L
 
+  /** Ledger id of the base (save/compact) segment — RESERVED below any
+    * streaming micro-batch id (those start at 0), so a maintained
+    * stream's very first batch can never collide with the base segment
+    * and be skipped as already-committed. */
+  val BaseSegment = -1L
+
   val DefaultQuery = "spark stream window join"
   val DefaultK = 10
 
@@ -126,39 +132,95 @@ object Search {
     *    sketch tier): totals at query time are a sum over O(appends)
     *    rows, so an append never rewrites global state.
     *
-    * Append contract: one batch per document (the pipeline's dedup stage
-    * upstream guarantees it) — unlike the dedup index, a REPLAYED
-    * posting row would double tf/df, so this index rides exactly-once
-    * sinks (idempotent batchId-keyed foreachBatch), not at-least-once. */
+    * Append contract — REPLAY-SAFE via a batch LEDGER, because unlike
+    * the dedup index a replayed posting row is NOT harmless (it doubles
+    * tf/df). Every row carries a `batch_id`; the totals table doubles as
+    * the COMMIT LEDGER (its partial row is written LAST per append). A
+    * re-delivered batch id is skipped outright; a crash between the
+    * postings append and the ledger write leaves ORPHAN postings that
+    * [[bm25Indexed]] makes invisible (it reads only ledgered batches)
+    * and [[compactSearchIndex]] physically folds out — the same
+    * duplicate-until-compacted REPAIR contract as the IVF append path. */
   def saveSearchIndex(documents: DataFrame, name: String, buckets: Int = 8): Unit = {
     import graft.sources.FileFormats.writeBucketed
     val docs = docsProjected(documents)
     writeBucketed(
       explodedTokens(docs).groupBy(col("tok"), col("doc_id"), col("dl"))
-        .agg(count(lit(1)).as("tf")),
+        .agg(count(lit(1)).as("tf")).withColumn("batch_id", lit(BaseSegment)),
       s"${name}_postings", "tok", buckets)
     docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .withColumn("batch_id", lit(BaseSegment))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(s"${name}_totals")
   }
 
-  /** Append a doc batch: postings append to the bucketed table (same
-    * layout), totals gain one more partial row. */
-  def appendToSearchIndex(documents: DataFrame, name: String): Unit = {
+  /** Committed batch ids — the ledger read both the search and the
+    * append-skip paths use. O(appends) rows. */
+  private def ledger(spark: org.apache.spark.sql.SparkSession, name: String): DataFrame = {
+    try spark.catalog.refreshTable(s"${name}_totals") catch { case _: Throwable => () }
+    spark.table(s"${name}_totals").select(col("batch_id")).distinct()
+  }
+
+  /** Append a doc batch under `batchId`: skipped entirely if that id is
+    * already ledgered (re-delivered micro-batch), otherwise postings
+    * first, ledger row LAST as the commit point. `batchId = None` takes
+    * max(ledger)+1 (an unkeyed manual append — still ledgered, just not
+    * replay-addressable). */
+  def appendToSearchIndex(documents: DataFrame, name: String,
+                          batchId: Option[Long] = None): Unit = {
     val spark = documents.sparkSession
+    val committed = ledger(spark, name).collect().map(_.getLong(0)).toSet
+    val id = batchId.getOrElse(if (committed.isEmpty) 1L else committed.max + 1L)
+    if (committed.contains(id)) return
     val catalog = spark.sessionState.catalog
     val nb = catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(s"${name}_postings"))
       .bucketSpec.map(_.numBuckets).getOrElse(8)
     val docs = docsProjected(documents)
     explodedTokens(docs).groupBy(col("tok"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")).withColumn("batch_id", lit(id))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .bucketBy(nb, "tok").sortBy("tok").saveAsTable(s"${name}_postings")
     docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .withColumn("batch_id", lit(id))
       .write.mode(org.apache.spark.sql.SaveMode.Append).saveAsTable(s"${name}_totals")
     Seq(s"${name}_postings", s"${name}_totals")
       .foreach(t => try spark.catalog.refreshTable(t) catch { case _: Throwable => () })
+  }
+
+  /** Fold the index back to fresh-save shape: only LEDGERED postings
+    * survive (crash-orphaned batches physically leave), everything lands
+    * as batch 0 with one merged totals row, and append-born small files
+    * are reclaimed — the staged-rewrite-then-swap machinery of the other
+    * index families. Result-identical before and after (spec-pinned). */
+  def compactSearchIndex(spark: org.apache.spark.sql.SparkSession, name: String): Unit = {
+    import graft.sources.FileFormats.writeBucketed
+    val catalog = spark.sessionState.catalog
+    val pt = s"${name}_postings"
+    val tt = s"${name}_totals"
+    Seq(pt, tt).foreach(t => try spark.catalog.refreshTable(t) catch { case _: Throwable => () })
+    val buckets = catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(pt))
+      .bucketSpec.map(_.numBuckets).getOrElse(8)
+    val led = ledger(spark, name)
+    val stagedP = s"${pt}__compact"
+    writeBucketed(
+      spark.table(pt).join(broadcast(led), "batch_id")
+        .select(col("tok"), col("doc_id"), col("dl"), col("tf"))
+        .withColumn("batch_id", lit(BaseSegment)),
+      stagedP, "tok", buckets)
+    writeBucketed(spark.table(stagedP), pt, "tok", buckets)
+    spark.sql(s"DROP TABLE `$stagedP`")
+    val stagedT = s"${tt}__compact"
+    spark.table(tt)
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("sum_dl")).cast("long").as("sum_dl"))
+      .withColumn("batch_id", lit(BaseSegment))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(stagedT)
+    spark.table(stagedT)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(tt)
+    spark.sql(s"DROP TABLE `$stagedT`")
+    Seq(pt, tt).foreach(t => try spark.catalog.refreshTable(t) catch { case _: Throwable => () })
   }
 
   /** Drop the persisted search index (catalog + leftover managed
@@ -187,8 +249,11 @@ object Search {
     Seq(s"${name}_postings", s"${name}_totals")
       .foreach(t => try spark.catalog.refreshTable(t) catch { case _: Throwable => () })
     val terms = queryTerms(query)
+    // only LEDGERED batches are visible — postings from a crashed append
+    // (orphans) stay dark until compaction folds them out
     val tf = spark.table(s"${name}_postings")
       .filter(col("tok").isin(terms: _*))
+      .join(broadcast(ledger(spark, name)), "batch_id")
     val stats = spark.table(s"${name}_totals")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
     scoreBm25(tf, stats, k)

@@ -151,6 +151,7 @@ object TrainingPipeline {
             budget: Long = graft.operators.TextAnalysis.PackBudgetTokens,
             watermark: String = "10 minutes", keepAt: Double = 0.5,
             maintainIndexName: Option[String] = None,
+            maintainSearchIndexName: Option[String] = None,
             rarityGate: Option[(String, Long)] = None,
             lmGate: Option[(String, Long)] = None,
             dsirGate: Option[(String, String, Long)] = None,
@@ -233,6 +234,18 @@ object TrainingPipeline {
             graft.operators.Dedup.appendToDedupIndex(forIndex, name)
             if (compactEvery.exists(n => (batchId + 1) % n == 0))
               graft.operators.Dedup.compactDedupIndex(batch.sparkSession, name)
+          }
+          // search-index maintenance indexes the EXPORTED (redacted)
+          // text — what the shards actually contain and what a corpus
+          // search should retrieve — the deliberate asymmetry with the
+          // dedup index above, which must hash the raw form future
+          // arrivals will hash. Keyed on batchId: the postings ledger
+          // skips a re-delivered batch, so the at-least-once foreachBatch
+          // replay cannot double tf/df (Search.appendToSearchIndex).
+          maintainSearchIndexName.foreach { name =>
+            graft.operators.Search.appendToSearchIndex(
+              admitted.select(col("doc_id"), col("text"), col("source")),
+              name, Some(batchId))
           }
         }
       }

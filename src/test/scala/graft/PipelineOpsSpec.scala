@@ -408,9 +408,29 @@ class PipelineOpsSpec extends SparkSpec {
       // append half the corpus later == saving it all at once
       Search.dropSearchIndex(spark, "srch_t2")
       Search.saveSearchIndex(docs.filter(col("doc_id") <= 2), "srch_t2")
-      Search.appendToSearchIndex(docs.filter(col("doc_id") > 2), "srch_t2")
+      Search.appendToSearchIndex(docs.filter(col("doc_id") > 2), "srch_t2", Some(7L))
       val appended = Search.bm25Indexed(spark, "srch_t2").collect().toSeq
       assert(appended === fromScratch, "append must merge totals and postings losslessly")
+      // REPLAY: re-delivering the same ledgered batch id is a no-op
+      Search.appendToSearchIndex(docs.filter(col("doc_id") > 2), "srch_t2", Some(7L))
+      assert(Search.bm25Indexed(spark, "srch_t2").collect().toSeq === fromScratch,
+        "a re-delivered batch id must not double tf/df")
+      // ORPHAN: postings landed but the crash beat the ledger row — the
+      // un-ledgered batch must stay invisible to search...
+      spark.table("srch_t2_postings").filter(col("batch_id") === 7L)
+        .withColumn("batch_id", lit(99L))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .bucketBy(8, "tok").sortBy("tok").saveAsTable("srch_t2_postings")
+      spark.catalog.refreshTable("srch_t2_postings")
+      assert(Search.bm25Indexed(spark, "srch_t2").collect().toSeq === fromScratch,
+        "orphaned postings from a crashed append must stay dark")
+      // ...and compaction physically folds it out (fresh-save shape)
+      Search.compactSearchIndex(spark, "srch_t2")
+      assert(Search.bm25Indexed(spark, "srch_t2").collect().toSeq === fromScratch,
+        "compaction must preserve results while dropping orphans")
+      assert(spark.table("srch_t2_postings")
+        .filter(col("batch_id") =!= Search.BaseSegment).count() === 0L,
+        "compaction folds every surviving row to the base segment")
     } finally {
       Search.dropSearchIndex(spark, "srch_t")
       Search.dropSearchIndex(spark, "srch_t2")

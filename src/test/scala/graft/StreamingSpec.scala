@@ -408,6 +408,52 @@ class StreamingSpec extends SparkSpec {
     assert(emissions.last._1 > emissions.head._1) // a genuinely later batch
   }
 
+  test("TrainingPipeline maintains the search index online; ledger survives replay") {
+    import graft.streaming.TrainingPipeline
+    import graft.operators.Search
+    val inDir = java.nio.file.Files.createTempDirectory("graft-si-in").toString
+    val cpDir = java.nio.file.Files.createTempDirectory("graft-si-cp").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-si-out").toString
+    val good1 = "the quick brown fox jumps over a lazy dog and then it runs " +
+      "to the barn where the farmer is reading mail from the postman today"
+    val good2 = "a second fine document in the english language with the usual " +
+      "collection of stopwords and a perfectly reasonable length for a test"
+    def docJson(id: Long, text: String, source: String, sec: Long): String =
+      s"""{"doc_id": $id, "text": "$text", "source": "$source", "ts_sec": $sec}"""
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, source STRING, ts_sec BIGINT")
+    val index = Seq(Tuple1("known doc")).toDF("text")
+      .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+    try {
+      Search.dropSearchIndex(spark, "srch_s")
+      // seed the index so the stream has something to append TO
+      Search.saveSearchIndex(
+        Seq((100L, "seed corpus entry about the farm", "s9")).toDF("doc_id", "text", "source"),
+        "srch_s")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(inDir, "f1.jsonl"),
+        Seq(docJson(1, good1, "s0", w0), docJson(2, good2, "s0", w0 + 1),
+          docJson(3, "!!! ??? ***", "s0", w0 + 2)).mkString("", "\n", "\n"))
+      val docs = spark.readStream.schema(schema).json(inDir)
+        .select(col("doc_id"), col("text"), col("source"),
+          timestamp_seconds(col("ts_sec")).as("ts"))
+      TrainingPipeline.start(docs, index, outDir, cpDir,
+        maintainSearchIndexName = Some("srch_s")).awaitTermination()
+      // the maintained index now answers searches over seed + admitted
+      // docs (the quality gate dropped the punctuation soup)
+      val hits = Search.bm25Indexed(spark, "srch_s", "farmer barn english", 10)
+        .collect().map(_.getLong(0)).toSet
+      assert(hits === Set(1L, 2L), "admitted docs must be searchable online")
+      // replay safety: re-appending the admitted batch under its ledgered
+      // batch id is a no-op (the foreachBatch replay shape)
+      val before = Search.bm25Indexed(spark, "srch_s", "farmer barn english", 10).collect().toSeq
+      val admitted = Seq((1L, good1, "s0"), (2L, good2, "s0")).toDF("doc_id", "text", "source")
+      val ledgered = spark.table("srch_s_totals").agg(max(col("batch_id"))).head().getLong(0)
+      Search.appendToSearchIndex(admitted, "srch_s", Some(ledgered))
+      assert(Search.bm25Indexed(spark, "srch_s", "farmer barn english", 10).collect().toSeq === before,
+        "a replayed micro-batch must not double tf/df")
+    } finally Search.dropSearchIndex(spark, "srch_s")
+  }
+
   test("end-to-end training pipeline: index dedup → curation → shard tree, restart-safe") {
     import graft.streaming.TrainingPipeline
     import graft.operators.TextAnalysis
