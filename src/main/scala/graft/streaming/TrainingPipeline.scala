@@ -156,11 +156,14 @@ object TrainingPipeline {
             lmGate: Option[(String, Long)] = None,
             dsirGate: Option[(String, String, Long)] = None,
             compactEvery: Option[Int] = None): StreamingQuery = {
-    require(compactEvery.isEmpty || maintainIndexName.isDefined,
-      "compactEvery compacts the maintained index — set maintainIndexName too")
-    // under a compaction cadence the plan may not pin the index relation
-    // (see the docstring above): stage 1 moves into the sink
-    val planIndex = if (compactEvery.isDefined) None else Some(fpIndex)
+    require(compactEvery.isEmpty || maintainIndexName.isDefined || maintainSearchIndexName.isDefined,
+      "compactEvery compacts the maintained index(es) — set maintainIndexName and/or maintainSearchIndexName")
+    // under a compaction cadence the plan may not pin the DEDUP index
+    // relation (see the docstring above): stage 1 moves into the sink.
+    // Search-index-only cadences don't trigger this — postings are never
+    // in the streaming plan, so the fp relation can stay plan-pinned.
+    val dedupCompacts = compactEvery.isDefined && maintainIndexName.isDefined
+    val planIndex = if (dedupCompacts) None else Some(fpIndex)
     transformsWithOriginal(docs, planIndex, watermark, keepAt).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -181,7 +184,7 @@ object TrainingPipeline {
           // resolved from the catalog HERE, each batch, on the clone
           // session whose caches append/compact refresh — never from the
           // query plan's pinned listing
-          val curated = if (compactEvery.isEmpty) batch.select("doc_id", "text", "source")
+          val curated = if (!dedupCompacts) batch.select("doc_id", "text", "source")
           else {
             val fresh = batch.sparkSession.table(s"${maintainIndexName.get}_fp")
             batch.select("doc_id", "text", "source").join(
@@ -246,6 +249,12 @@ object TrainingPipeline {
             graft.operators.Search.appendToSearchIndex(
               admitted.select(col("doc_id"), col("text"), col("source")),
               name, Some(batchId))
+            // the cadence compacts this index too: postings are never a
+            // static side of the streaming plan (reads happen outside the
+            // query), so the rewrite needs no per-batch anti-join fallback
+            // — it only reclaims append-born files and crash orphans
+            if (compactEvery.exists(n => (batchId + 1) % n == 0))
+              graft.operators.Search.compactSearchIndex(batch.sparkSession, name)
           }
         }
       }

@@ -436,15 +436,25 @@ class StreamingSpec extends SparkSpec {
       val docs = spark.readStream.schema(schema).json(inDir)
         .select(col("doc_id"), col("text"), col("source"),
           timestamp_seconds(col("ts_sec")).as("ts"))
+      // search-only cadence: the dedup fp relation stays plan-pinned
+      // (no per-batch anti-join fallback needed), while the postings
+      // index compacts in-sink after every batch
       TrainingPipeline.start(docs, index, outDir, cpDir,
-        maintainSearchIndexName = Some("srch_s")).awaitTermination()
+        maintainSearchIndexName = Some("srch_s"),
+        compactEvery = Some(1)).awaitTermination()
       // the maintained index now answers searches over seed + admitted
       // docs (the quality gate dropped the punctuation soup)
       val hits = Search.bm25Indexed(spark, "srch_s", "farmer barn english", 10)
         .collect().map(_.getLong(0)).toSet
       assert(hits === Set(1L, 2L), "admitted docs must be searchable online")
-      // replay safety: re-appending the admitted batch under its ledgered
-      // batch id is a no-op (the foreachBatch replay shape)
+      // the every-batch cadence compacted in-sink: everything folded to
+      // the base segment, append-born files reclaimed
+      assert(spark.table("srch_s_postings")
+        .filter(col("batch_id") =!= Search.BaseSegment).count() === 0L,
+        "in-sink compaction must fold the postings to the base segment")
+      // replay safety: re-appending under an already-ledgered id is a
+      // no-op (the foreachBatch replay shape; real-id replay is also
+      // pinned in PipelineOpsSpec)
       val before = Search.bm25Indexed(spark, "srch_s", "farmer barn english", 10).collect().toSeq
       val admitted = Seq((1L, good1, "s0"), (2L, good2, "s0")).toDF("doc_id", "text", "source")
       val ledgered = spark.table("srch_s_totals").agg(max(col("batch_id"))).head().getLong(0)
