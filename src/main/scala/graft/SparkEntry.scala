@@ -387,6 +387,15 @@ object SparkEntry {
       Search.saveSearchIndex(Tables.documents(s, d), "srchq")
       Search.bm25Indexed(s, "srchq")
     }),
+    // the TAKEDOWN gate: index the full corpus, remove every 3rd doc,
+    // search — hash-gated against fresh BM25 over the remaining corpus
+    "bm25_after_remove" -> ((s, d) => {
+      Search.dropSearchIndex(s, "srchr")
+      Search.saveSearchIndex(Tables.documents(s, d), "srchr")
+      Search.removeFromSearchIndex(s, "srchr",
+        Tables.documents(s, d).filter("doc_id % 3 = 0"))
+      Search.bm25Indexed(s, "srchr")
+    }),
     // ---- multimodal plumbing ----
     "media_bytes_stats" -> ((s, d) => Multimodal.bytesStats(Tables.documents(s, d))),
     "media_frame_sample" -> ((s, d) => Multimodal.frameSample(Tables.documents(s, d))),
@@ -782,7 +791,12 @@ object SparkEntry {
     * (idf_kilo / x_milli / denom_milli / part_ppm), same rational idf,
     * same tie-break — with the term list generated from the SAME
     * queryTerms() the operator uses, so query and oracle cannot drift. */
-  private def bm25Oracle: String = {
+  private def bm25Oracle: String = bm25OracleOver("documents")
+
+  /** BM25 oracle over an arbitrary corpus relation — the parameterized
+    * form the takedown gate reuses (post-removal index ≡ fresh BM25 over
+    * the remaining corpus). */
+  private def bm25OracleOver(corpus: String): String = {
     val terms = Search.queryTerms(Search.DefaultQuery)
       .map(t => s"'$t'").mkString("[", ", ", "]")
     val k1 = Search.K1Milli; val b = Search.BMilli
@@ -790,7 +804,7 @@ object SparkEntry {
        |d AS (SELECT doc_id,
        |    regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nt,
        |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS dl
-       |  FROM documents),
+       |  FROM $corpus),
        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
        |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
        |toks AS (SELECT doc_id, dl, unnest(string_split(nt, ' ')) AS tok FROM d),
@@ -2425,6 +2439,8 @@ object SparkEntry {
     "length_outlier_stats" -> lengthOutlierOracle,
     "bm25_search" -> bm25Oracle,
     "bm25_search_indexed" -> bm25Oracle,
+    "bm25_after_remove" ->
+      bm25OracleOver("(SELECT * FROM documents WHERE doc_id % 3 != 0)"),
     "cross_source_dup_matrix" -> crossSourceDupOracle,
     "minhash_band_stats" -> minhashBandStatsOracle,
     "benchmark_contamination" -> benchmarkContaminationOracle,

@@ -223,6 +223,71 @@ object Search {
     Seq(pt, tt).foreach(t => try spark.catalog.refreshTable(t) catch { case _: Throwable => () })
   }
 
+  /** TAKEDOWN delta-merge — the removal half of index maintenance, search
+    * edition (the dedup fp tables and IVF/PQ cell trees already have
+    * theirs): an append-only postings index keeps retrieving deleted
+    * content forever, which at 100 TB is a compliance bug, not a
+    * nuisance. `removed` needs (doc_id, text) — text because the TOTALS
+    * delta (n_docs, sum_dl) is recomputed from the same projection that
+    * built them, so remove ≡ fresh-save over the remaining corpus holds
+    * EXACTLY (spec-pinned and hash-gated cross-engine).
+    *
+    * Mechanics: one compaction-with-filter (the applyCorpusDiff shape) —
+    * the postings rewrite keeps ledgered ∧ not-removed rows folded to
+    * the base segment, and the totals table collapses to a single base
+    * row equal to old-totals − removed-delta. IDEMPOTENT for any doc
+    * that has at least one posting: the delta is computed over removed
+    * docs STILL PRESENT in the ledgered postings, so a replayed removal
+    * subtracts nothing. Disclosed corner: a token-LESS doc has no
+    * posting to witness its presence, so removing one adjusts n_docs on
+    * every call — don't replay removals of empty documents. */
+  def removeFromSearchIndex(spark: org.apache.spark.sql.SparkSession, name: String,
+                            removed: DataFrame): Unit = {
+    import graft.sources.FileFormats.writeBucketed
+    val catalog = spark.sessionState.catalog
+    val pt = s"${name}_postings"
+    val tt = s"${name}_totals"
+    Seq(pt, tt).foreach(t => try spark.catalog.refreshTable(t) catch { case _: Throwable => () })
+    val buckets = catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(pt))
+      .bucketSpec.map(_.numBuckets).getOrElse(8)
+    val led = ledger(spark, name)
+    val present = spark.table(pt).join(broadcast(led), "batch_id")
+      .select(col("doc_id")).distinct()
+    val toDrop = docsProjected(removed)
+      .join(present, "doc_id")
+      .select(col("doc_id"), col("dl")).localCheckpoint()
+    val emptyRemoved = docsProjected(removed)
+      .join(present, Seq("doc_id"), "left_anti")
+      .filter(col("dl").isNull || col("dl") === 0L)
+      .select(col("doc_id"), col("dl")).localCheckpoint()
+    val delta = toDrop.unionAll(emptyRemoved)
+      .agg(count(lit(1)).as("rm_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("rm_dl")).localCheckpoint()
+    val stagedP = s"${pt}__remove"
+    writeBucketed(
+      spark.table(pt).join(broadcast(led), "batch_id")
+        .join(toDrop.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("tok"), col("doc_id"), col("dl"), col("tf"))
+        .withColumn("batch_id", lit(BaseSegment)),
+      stagedP, "tok", buckets)
+    writeBucketed(spark.table(stagedP), pt, "tok", buckets)
+    spark.sql(s"DROP TABLE `$stagedP`")
+    val stagedT = s"${tt}__remove"
+    spark.table(tt)
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("sum_dl")).cast("long").as("sum_dl"))
+      .crossJoin(broadcast(delta))
+      .select((col("n_docs") - col("rm_docs")).as("n_docs"),
+        (col("sum_dl") - col("rm_dl")).as("sum_dl"))
+      .withColumn("batch_id", lit(BaseSegment))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(stagedT)
+    spark.table(stagedT)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(tt)
+    spark.sql(s"DROP TABLE `$stagedT`")
+    Seq(pt, tt).foreach(t => try spark.catalog.refreshTable(t) catch { case _: Throwable => () })
+  }
+
   /** Drop the persisted search index (catalog + leftover managed
     * locations — same lifecycle contract as `Dedup.dropDedupIndex`). */
   def dropSearchIndex(spark: org.apache.spark.sql.SparkSession, name: String): Unit =

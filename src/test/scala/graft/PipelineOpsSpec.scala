@@ -437,6 +437,33 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("search-index takedown: remove == fresh-save over the remainder, replay subtracts nothing") {
+    val docs = Seq(
+      (1L, "spark stream window join extras words here", "s"),
+      (2L, "spark spark spark spark spark pad pad pad", "s"),
+      (3L, "spark " + ("pad " * 200), "s"),
+      (4L, "spark pad pad pad pad pad pad", "s"),
+      (5L, "nothing relevant at all", "s")
+    ).toDF("doc_id", "text", "source")
+    val keep = docs.filter(col("doc_id") =!= 2L && col("doc_id") =!= 3L)
+    val gone = docs.filter(col("doc_id") === 2L || col("doc_id") === 3L)
+    try {
+      Search.dropSearchIndex(spark, "srch_rm")
+      Search.saveSearchIndex(docs, "srch_rm")
+      Search.removeFromSearchIndex(spark, "srch_rm", gone)
+      val after = Search.bm25Indexed(spark, "srch_rm").collect().toSeq
+      // exact equivalence with never having indexed the removed docs:
+      // scores shift too (idf/avgdl recomputed), not just membership
+      assert(after === Search.bm25TopK(keep).collect().toSeq,
+        "takedown must equal fresh BM25 over the remaining corpus")
+      assert(!after.map(_.getLong(0)).contains(2L) && !after.map(_.getLong(0)).contains(3L))
+      // replayed removal: presence guard subtracts nothing
+      Search.removeFromSearchIndex(spark, "srch_rm", gone)
+      assert(Search.bm25Indexed(spark, "srch_rm").collect().toSeq === after,
+        "a replayed removal must be a no-op for docs with postings")
+    } finally Search.dropSearchIndex(spark, "srch_rm")
+  }
+
   test("tokenRarity: integer unigram probabilities and hapax counts") {
     val df = Seq(
       (0L, "common common common", "s0"),

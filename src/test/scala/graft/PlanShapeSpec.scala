@@ -102,6 +102,7 @@ class PlanShapeSpec extends SparkSpec {
       "doc_lexical_ann_pq" -> "nCells=16 centroid table broadcast (probe stage; ADC tables + refine cut ride the bounded query set)",
       "bm25_search" -> "1-row corpus-totals broadcast (N, sum dl)",
       "bm25_search_indexed" -> "1-row merged-totals broadcast (N, sum dl from the partial rows)",
+      "bm25_after_remove" -> "1-row merged-totals broadcast (post-takedown partials)",
       "substring_gram_stats" -> "1-row dropped-gram-total broadcast onto a k-bounded top-k",
       "events_resample_gapfill" ->
         "time-domain-bounded minute grid × 5-row event-type table (both bounded by construction)",
