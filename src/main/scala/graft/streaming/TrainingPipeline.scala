@@ -152,12 +152,14 @@ object TrainingPipeline {
             watermark: String = "10 minutes", keepAt: Double = 0.5,
             maintainIndexName: Option[String] = None,
             maintainSearchIndexName: Option[String] = None,
+            maintainVectorIndexPath: Option[String] = None,
             rarityGate: Option[(String, Long)] = None,
             lmGate: Option[(String, Long)] = None,
             dsirGate: Option[(String, String, Long)] = None,
             compactEvery: Option[Int] = None): StreamingQuery = {
-    require(compactEvery.isEmpty || maintainIndexName.isDefined || maintainSearchIndexName.isDefined,
-      "compactEvery compacts the maintained index(es) — set maintainIndexName and/or maintainSearchIndexName")
+    require(compactEvery.isEmpty || maintainIndexName.isDefined ||
+      maintainSearchIndexName.isDefined || maintainVectorIndexPath.isDefined,
+      "compactEvery compacts the maintained index(es) — set at least one maintain*Index* option")
     // under a compaction cadence the plan may not pin the DEDUP index
     // relation (see the docstring above): stage 1 moves into the sink.
     // Search-index-only cadences don't trigger this — postings are never
@@ -255,6 +257,24 @@ object TrainingPipeline {
             // — it only reclaims append-born files and crash orphans
             if (compactEvery.exists(n => (batchId + 1) % n == 0))
               graft.operators.Search.compactSearchIndex(batch.sparkSession, name)
+          }
+          // vector-index maintenance: admitted docs become ANN-searchable
+          // online — hashed-TF lexical vectors (no model, no vocabulary)
+          // encoded with the index's FROZEN quantizer/codebooks and
+          // appended into the cell tree. Same redacted-text rule as the
+          // search index (what the corpus ships is what search returns).
+          // Replay contract is the PQ family's own duplicate-until-
+          // compacted (adjudicated on the batch append path): a replayed
+          // batch's duplicate rows can transiently occupy extra rank
+          // slots in a top-k tail until the cadence compaction's
+          // dropDuplicates(vec_id) folds them — run a cadence when
+          // replays are possible.
+          maintainVectorIndexPath.foreach { path =>
+            graft.operators.Similarity.appendToPqIndex(
+              graft.operators.TextAnalysis.lexicalVectors(
+                admitted.select(col("doc_id"), col("text"))), path)
+            if (compactEvery.exists(n => (batchId + 1) % n == 0))
+              graft.operators.Similarity.compactIvfIndex(batch.sparkSession, path)
           }
         }
       }

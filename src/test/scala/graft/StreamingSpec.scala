@@ -464,6 +464,55 @@ class StreamingSpec extends SparkSpec {
     } finally Search.dropSearchIndex(spark, "srch_s")
   }
 
+  test("TrainingPipeline maintains the lexical PQ index online: admitted docs become ANN-retrievable") {
+    import graft.streaming.TrainingPipeline
+    import graft.operators.{Similarity, TextAnalysis}
+    val inDir = java.nio.file.Files.createTempDirectory("graft-vi-in").toString
+    val cpDir = java.nio.file.Files.createTempDirectory("graft-vi-cp").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-vi-out").toString
+    val ixDir = java.nio.file.Files.createTempDirectory("graft-vi-ix").toString + "/pq"
+    // a seed corpus wide enough to train the frozen quantizer/codebooks
+    val seedTexts = (0 until 40).map { i =>
+      val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+      (100L + i, (0 until 12).map(j => words((i * 7 + j * 3) % words.length)).mkString(" "), "seed")
+    }
+    val seed = seedTexts.toDF("doc_id", "text", "source")
+    val good1 = "the quick brown fox jumps over a lazy dog and then it runs " +
+      "to the barn where the farmer is reading mail from the postman today"
+    def docJson(id: Long, text: String, source: String, sec: Long): String =
+      s"""{"doc_id": $id, "text": "$text", "source": "$source", "ts_sec": $sec}"""
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, source STRING, ts_sec BIGINT")
+    val index = Seq(Tuple1("known doc")).toDF("text")
+      .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+    try {
+      Similarity.savePqIndex(TextAnalysis.lexicalVectors(seed), ixDir, slot = "vi_test")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(inDir, "f1.jsonl"),
+        Seq(docJson(1, good1, "s0", w0)).mkString("", "\n", "\n"))
+      val docs = spark.readStream.schema(schema).json(inDir)
+        .select(col("doc_id"), col("text"), col("source"),
+          timestamp_seconds(col("ts_sec")).as("ts"))
+      TrainingPipeline.start(docs, index, outDir, cpDir,
+        maintainVectorIndexPath = Some(ixDir),
+        compactEvery = Some(1)).awaitTermination()
+      // search the maintained index with doc 1's own vector: the frozen
+      // geometry must return it as its own nearest neighbor... vec_id ==
+      // query_id rows are excluded by the search, so probe with a
+      // shifted query id carrying the same embedding
+      val probe = TextAnalysis.lexicalVectors(
+        Seq((999L, good1)).toDF("doc_id", "text"))
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val hits = Similarity.pqSearchIndexed(spark, ixDir, probe, k = 1)
+        .collect().map(_.getLong(1))
+      assert(hits.toSeq === Seq(1L),
+        "the admitted doc must be the nearest neighbor of its own vector")
+      // the cadence compacted: a second identical append folds away
+      val dupCheck = spark.read.parquet(s"$ixDir/cells")
+        .groupBy(col("vec_id")).count().filter(col("count") > 1).count()
+      assert(dupCheck === 0L, "cadence compaction must leave unique vec_ids")
+    } finally graft.operators.Similarity.clearSessionState()
+  }
+
   test("end-to-end training pipeline: index dedup → curation → shard tree, restart-safe") {
     import graft.streaming.TrainingPipeline
     import graft.operators.TextAnalysis
