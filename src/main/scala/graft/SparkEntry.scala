@@ -122,6 +122,13 @@ object SparkEntry {
     // interval × timeline range join)
     "session_concurrency" -> ((s, d) => Sessionize.sessionConcurrency(Tables.events(s, d))),
     "asof_join_orders" -> ((s, d) => Sessionize.asofJoinOrders(Tables.events(s, d), Tables.orders(s, d))),
+    // bucketized point-in-interval join: purchases within 1h after a
+    // click, same user — time-bucket expansion, never a theta join
+    "click_purchase_range_join" -> ((s, d) =>
+      Sessionize.clickPurchaseRangeJoin(Tables.events(s, d))),
+    // leakage-free trailing-window lag features per entity (RANGE frame)
+    "customer_trailing_features" -> ((s, d) =>
+      Relational.customerTrailingFeatures(Tables.orders(s, d))),
     // Pregel-style iterative graph: integer-lattice PageRank over the
     // customer-supplier trading graph (one dst-shuffle per superstep)
     "graph_pagerank" -> ((s, d) =>
@@ -147,6 +154,8 @@ object SparkEntry {
     "orders_upsert_apply" -> ((s, d) => Relational.ordersUpsertApply(Tables.orders(s, d))),
     // change log -> SCD2 interval dimension via per-key lead()
     "scd2_orders" -> ((s, d) => Relational.scd2FromOrders(Tables.orders(s, d))),
+    // RFM quartile segmentation via bounded-histogram fences (no ntile)
+    "user_rfm_segments" -> ((s, d) => Relational.rfmSegments(Tables.orders(s, d))),
     "parts_above_brand_avg" -> ((s, d) => Relational.partsAboveBrandAverage(Tables.part(s, d))),
     "daily_revenue_running" -> ((s, d) => Relational.dailyRevenueRunning(Tables.orders(s, d))),
     "customer_name_parse" -> ((s, d) => Relational.customerNameParse(Tables.customer(s, d))),
@@ -325,7 +334,15 @@ object SparkEntry {
     // deterministic hash-keyed training-order shuffle (epoch-salted)
     "train_order_shuffle" -> ((s, d) => TextAnalysis.trainOrderShuffle(Tables.documents(s, d))),
     "dedup_rate_by_source" -> ((s, d) => TextAnalysis.dedupRateBySource(Tables.documents(s, d))),
+    // integer-bits KL(source || corpus) over smoothed unigram models —
+    // the domain-drift / mixture-skew monitor
+    "token_distribution_shift" -> ((s, d) =>
+      TextAnalysis.tokenDistributionShift(Tables.documents(s, d))),
     "corpus_curated" -> ((s, d) => TextAnalysis.curatedCorpus(Tables.documents(s, d))),
+    // per-(source, first-failing-gate) attribution with ppm shares —
+    // which gate started eating a source's admit rate
+    "curation_kill_reasons" -> ((s, d) =>
+      TextAnalysis.curationKillReasons(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionSignals(Tables.documents(s, d))),
     "text_token_rarity" -> ((s, d) => TextAnalysis.tokenRarity(Tables.documents(s, d))),
     // LM-gate deployable form: odd docs scored against the even docs'
@@ -1968,6 +1985,35 @@ object SparkEntry {
         |    last_value(orderkey IGNORE NULLS) OVER (PARTITION BY k ORDER BY t, tag, orderkey
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_orderkey FROM u)
         |SELECT event_id, k AS user_id, asof_orderkey FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin,
+    // the oracle states the SEMANTICS as a plain inequality join — the
+    // Spark side's bucketization must be invisible in the result
+    "click_purchase_range_join" ->
+      """WITH c AS (SELECT event_id, user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS click_sec
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS k,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS p_sec,
+        |    CAST(round(value*100) AS BIGINT) AS v_cents
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT event_id, user_id, click_sec,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(v_cents) AS BIGINT) AS purchase_cents,
+        |  CAST(min(p_sec - click_sec) AS BIGINT) AS first_purchase_gap_sec
+        |FROM c JOIN p ON user_id = k
+        |  AND p_sec >= click_sec AND p_sec < click_sec + 3600
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    "customer_trailing_features" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey,
+        |    CAST(epoch(o_orderdate) AS BIGINT) AS order_sec,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS price_cents FROM orders)
+        |SELECT o_orderkey, o_custkey, order_sec,
+        |  CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY order_sec
+        |    RANGE BETWEEN 7776000 PRECEDING AND 1 PRECEDING) AS BIGINT) AS prev_n_90d,
+        |  CAST(coalesce(sum(price_cents) OVER (PARTITION BY o_custkey ORDER BY order_sec
+        |    RANGE BETWEEN 7776000 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev_cents_90d,
+        |  CAST((order_sec - lag(order_sec) OVER (PARTITION BY o_custkey
+        |    ORDER BY order_sec, o_orderkey)) // 86400 AS BIGINT) AS days_since_prev
+        |FROM b ORDER BY o_orderkey""".stripMargin,
     "orders_upsert_apply" ->
       """WITH upd AS (SELECT o_orderkey, o_orderstatus, o_totalprice + 1000 AS o_totalprice
         |    FROM orders WHERE o_orderkey % 10 = 0),
@@ -1988,6 +2034,41 @@ object SparkEntry {
         |  CAST(lead(epoch(o_orderdate)) OVER (PARTITION BY o_custkey
         |      ORDER BY o_orderdate, o_orderkey) - 1 AS BIGINT) AS valid_to_sec
         |FROM orders ORDER BY o_custkey, valid_from_sec, o_orderkey""".stripMargin,
+    "user_rfm_segments" -> {
+      def fenceCte(src: String, pre: String) =
+        s"""${pre}h AS (SELECT $src AS v, count(*) AS cnt FROM b GROUP BY 1),
+           |${pre}c AS (SELECT v, sum(cnt) OVER (ORDER BY v
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM ${pre}h),
+           |${pre}t AS (SELECT sum(cnt) AS n FROM ${pre}h),
+           |${pre}f AS (SELECT min(CASE WHEN cum*4 >= n THEN v END) AS f1,
+           |    min(CASE WHEN cum*4 >= 2*n THEN v END) AS f2,
+           |    min(CASE WHEN cum*4 >= 3*n THEN v END) AS f3 FROM ${pre}c, ${pre}t)""".stripMargin
+      s"""WITH per AS (SELECT o_custkey,
+         |    CAST(max(epoch(o_orderdate)) AS BIGINT) AS last_sec,
+         |    CAST(count(*) AS BIGINT) AS f_n,
+         |    CAST(sum(round(o_totalprice*100)) AS BIGINT) AS m_cents
+         |  FROM orders GROUP BY 1),
+         |mx AS (SELECT CAST(max(epoch(o_orderdate)) AS BIGINT) AS maxd FROM orders),
+         |b AS (SELECT o_custkey, (maxd - last_sec) // 86400 AS r_days, f_n,
+         |    m_cents // 100000 AS m_bucket FROM per, mx),
+         |${fenceCte("r_days", "r")},
+         |${fenceCte("f_n", "q")},
+         |${fenceCte("m_bucket", "m")},
+         |seg AS (SELECT
+         |    1 + CASE WHEN r_days > rf.f1 THEN 1 ELSE 0 END
+         |      + CASE WHEN r_days > rf.f2 THEN 1 ELSE 0 END
+         |      + CASE WHEN r_days > rf.f3 THEN 1 ELSE 0 END AS r_q,
+         |    1 + CASE WHEN f_n > qf.f1 THEN 1 ELSE 0 END
+         |      + CASE WHEN f_n > qf.f2 THEN 1 ELSE 0 END
+         |      + CASE WHEN f_n > qf.f3 THEN 1 ELSE 0 END AS f_q,
+         |    1 + CASE WHEN m_bucket > mf.f1 THEN 1 ELSE 0 END
+         |      + CASE WHEN m_bucket > mf.f2 THEN 1 ELSE 0 END
+         |      + CASE WHEN m_bucket > mf.f3 THEN 1 ELSE 0 END AS m_q
+         |  FROM b, rf, qf, mf)
+         |SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+         |  CAST(m_q AS BIGINT) AS m_q, CAST(count(*) AS BIGINT) AS n_customers
+         |FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+    },
     "zorder_cluster_stats" -> {
       // the 32-term Morton interleave, generated to match Layout.zValue16
       val zTerms = (0 until 16).map(i =>
@@ -2288,6 +2369,24 @@ object SparkEntry {
         |       doc_id
         |FROM k ORDER BY bucket, pos""".stripMargin,
     "dedup_rate_by_source" -> dedupRateBySourceOracle,
+    "token_distribution_shift" ->
+      """WITH norm AS (SELECT source, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t FROM documents),
+        |tok AS (SELECT source, unnest(string_split(t, ' ')) AS tok FROM norm),
+        |sc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS n_st
+        |  FROM tok WHERE tok != '' GROUP BY 1, 2),
+        |cc AS (SELECT tok, CAST(sum(n_st) AS BIGINT) AS n_ct FROM sc GROUP BY 1),
+        |st AS (SELECT source, CAST(sum(n_st) AS BIGINT) AS n_s,
+        |  CAST(count(*) AS BIGINT) AS vocab_s FROM sc GROUP BY 1),
+        |ct AS (SELECT CAST(sum(n_ct) AS BIGINT) AS n_c, CAST(count(*) AS BIGINT) AS v FROM cc),
+        |terms AS (SELECT sc.source, sc.n_st,
+        |    CAST(length(bin((sc.n_st + 1) * (ct.n_c + ct.v))) - 1 AS BIGINT)
+        |      - CAST(length(bin((cc.n_ct + 1) * (st.n_s + ct.v))) - 1 AS BIGINT) AS d_bits
+        |  FROM sc JOIN cc USING (tok) JOIN st ON sc.source = st.source CROSS JOIN ct),
+        |agg AS (SELECT source, CAST(sum(n_st * d_bits) AS BIGINT) AS shift_bits
+        |  FROM terms GROUP BY 1)
+        |SELECT st.source, st.n_s AS n_tokens, st.vocab_s AS vocab, agg.shift_bits,
+        |  CAST((1000 * agg.shift_bits) // st.n_s AS BIGINT) AS milli_bits_per_token
+        |FROM agg JOIN st ON agg.source = st.source ORDER BY st.source""".stripMargin,
     "text_token_rarity" ->
       """WITH norm AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t FROM documents),
         |tk AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
@@ -2433,6 +2532,22 @@ object SparkEntry {
          |  CAST((1000 * bpe_tokens) // greatest(ws_tokens, 1) AS BIGINT) AS bpe_per_ws_milli
          |FROM a ORDER BY source""".stripMargin,
     "corpus_curated" -> curatedCorpusOracle,
+    "curation_kill_reasons" ->
+      s"""WITH f AS (SELECT doc_id, source, text,
+         |    coalesce(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), '') AS fp
+         |  FROM documents),
+         |k AS (SELECT fp, min(doc_id) AS keeper FROM f GROUP BY 1),
+         |t AS (SELECT f.source,
+         |    CASE WHEN $QualityScoreSql < 0.5 THEN 'quality'
+         |         WHEN ($LangIdEnSql) != 'en' THEN 'lang'
+         |         WHEN doc_id != keeper THEN 'exact_dup'
+         |         ELSE 'admitted' END AS reason
+         |  FROM f JOIN k USING (fp)),
+         |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src FROM t GROUP BY 1)
+         |SELECT t.source, reason, CAST(count(*) AS BIGINT) AS n, s.n_src,
+         |  CAST((count(*) * 1000000) // s.n_src AS BIGINT) AS share_ppm
+         |FROM t JOIN s ON t.source = s.source GROUP BY t.source, reason, s.n_src
+         |ORDER BY t.source, reason""".stripMargin,
     "text_repetition" -> repetitionOracle,
     "distinctive_terms" -> distinctiveTermsOracle,
     "pii_scrub_stats" -> piiScrubOracle,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -777,6 +777,93 @@ object Relational {
         unix_timestamp(col("o_orderdate")).as("valid_from_sec"),
         (lead(unix_timestamp(col("o_orderdate")), 1).over(w) - 1L).as("valid_to_sec"))
       .orderBy("o_custkey", "valid_from_sec", "o_orderkey")
+  }
+
+  /** RFM (recency / frequency / monetary) quartile segmentation of the
+    * customer base — the classic product-analytics cube: each customer
+    * scored 1–4 on days-since-last-order, order count, and lifetime
+    * spend, rolled up to segment cells. Quartile FENCES use the
+    * nearest-rank rule `fence_k = min{v : 4·cum(v) ≥ k·n}` so ties never
+    * straddle a fence (a value sits entirely in one quartile) and the
+    * result is partitioning/engine-stable with zero float arithmetic.
+    *
+    * Scale shape — the [[graft.operators.TextAnalysis.qualityCalibrated]]
+    * histogram pattern, not an `ntile` over customers: each dimension's
+    * fences derive from a bounded VALUE-DOMAIN histogram (days span the
+    * date domain, counts are small integers, spend is bucketed to $1000
+    * — the disclosed granularity), a cumulative window over that bounded
+    * table, and a 1-row broadcast of the three fences back over the
+    * per-customer relation. An `ntile` would sort every customer through
+    * one ordered window; here no per-customer sort exists anywhere. */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    val sec = unix_timestamp(col("o_orderdate"))
+    val maxd = orders.agg(max(sec).as("maxd"))
+    val per = orders.groupBy(col("o_custkey"))
+      .agg(
+        max(sec).as("last_sec"),
+        count(lit(1)).as("f_n"),
+        sum(cents(col("o_totalprice"))).cast("long").as("m_cents"))
+      .crossJoin(broadcast(maxd))
+      .select(
+        col("o_custkey"),
+        expr("(maxd - last_sec) div 86400").as("r_days"),
+        col("f_n"),
+        expr("m_cents div 100000").as("m_bucket"))
+    def fences(c: String): DataFrame = {
+      val hist = per.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+      val cum = hist.withColumn("cum",
+        sum(col("cnt")).over(Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      cum.crossJoin(broadcast(hist.agg(sum(col("cnt")).as("n"))))
+        .agg(
+          min(when(col("cum") * 4 >= col("n"), col("v"))).as(s"${c}_f1"),
+          min(when(col("cum") * 4 >= col("n") * 2, col("v"))).as(s"${c}_f2"),
+          min(when(col("cum") * 4 >= col("n") * 3, col("v"))).as(s"${c}_f3"))
+    }
+    def seg(c: String): Column =
+      (lit(1) + when(col(c) > col(s"${c}_f1"), 1).otherwise(0)
+        + when(col(c) > col(s"${c}_f2"), 1).otherwise(0)
+        + when(col(c) > col(s"${c}_f3"), 1).otherwise(0)).cast("long")
+    per
+      .crossJoin(broadcast(fences("r_days")))
+      .crossJoin(broadcast(fences("f_n")))
+      .crossJoin(broadcast(fences("m_bucket")))
+      .select(seg("r_days").as("r_q"), seg("f_n").as("f_q"), seg("m_bucket").as("m_q"))
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("r_q", "f_q", "m_q")
+  }
+
+  /** Per-entity trailing-window features — the lag-feature builder of an
+    * ML feature pipeline: for every order, the same customer's order count
+    * and spend over the preceding 90 days (STRICTLY before, so the
+    * feature is leakage-free for a model predicting the current order)
+    * plus whole days since the previous order. The RANGE frame is
+    * value-based on epoch seconds, so same-timestamp peers are excluded
+    * identically in both engines (no ROWS-frame tie ambiguity).
+    *
+    * Scale shape: one exchange on the entity key serves both windows
+    * (millions of small per-customer partitions, never a global sort);
+    * the RANGE frame is Spark's native sliding-frame implementation —
+    * state bounded by one key's rows inside the span. `div` (not `/`)
+    * keeps the day arithmetic integer-exact cross-engine. */
+  def customerTrailingFeatures(orders: DataFrame, trailingDays: Int = 90): DataFrame = {
+    val base = orders.select(
+      col("o_orderkey"), col("o_custkey"),
+      unix_timestamp(col("o_orderdate")).as("order_sec"),
+      cents(col("o_totalprice")).cast("long").as("price_cents"))
+    val trail = Window.partitionBy(col("o_custkey")).orderBy(col("order_sec"))
+      .rangeBetween(-trailingDays.toLong * 86400L, -1L)
+    val seq = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("order_sec"), col("o_orderkey"))
+    base.select(
+        col("o_orderkey"), col("o_custkey"), col("order_sec"),
+        count(lit(1)).over(trail).as("prev_n_90d"),
+        coalesce(sum(col("price_cents")).over(trail), lit(0L)).as("prev_cents_90d"),
+        (col("order_sec") - lag(col("order_sec"), 1).over(seq)).as("gap_sec"))
+      .withColumn("days_since_prev", expr("gap_sec div 86400"))
+      .drop("gap_sec")
+      .orderBy("o_orderkey")
   }
 
   /** Time-series resample + gap-fill over the event stream: fixed-width

@@ -61,6 +61,48 @@ object Sessionize {
       .orderBy("event_id")
   }
 
+  /** Point-in-interval RANGE JOIN, bucketized — conversion attribution:
+    * each click paired with the same user's purchases inside the 1 h
+    * window starting at the click, aggregated per click. The missing
+    * member of the join family (inner/semi/anti/outer/as-of/stream are
+    * covered elsewhere): `a.key = b.key AND b.t BETWEEN a.t0 AND a.t1`.
+    *
+    * Scale shape — the TIME-BUCKET EXPANSION trick, not a theta join: a
+    * plain `key = key AND ts BETWEEN …` plans as an equi-join on `key`
+    * alone with the range as a post-filter, so a hot key pairs ALL its
+    * clicks with ALL its purchases before filtering (quadratic per key —
+    * the classic interval-join blowup). Here both sides carry an
+    * explicit time bucket of width == the window span: purchases land in
+    * their bucket, each click explodes to the ≤ 2 buckets its window can
+    * touch (bounded ×2, by construction of bucket width == span), and
+    * the join key is `(key, bucket)` — strictly finer than `key`, so
+    * per-reducer input is bounded by a key's activity per HOUR, not per
+    * lifetime. The residual range predicate trims within the bucket.
+    * This is the state layout Flink/Kafka-Streams interval joins and
+    * Spark's own stream–stream join use, expressed relationally. */
+  def clickPurchaseRangeJoin(events: DataFrame, windowSec: Long = 3600L): DataFrame = {
+    val pur = events.filter(col("event_type") === "purchase").select(
+      col("user_id").as("k"),
+      unix_timestamp(col("ts")).as("p_sec"),
+      round(col("value") * 100).cast("long").as("v_cents"))
+      .withColumn("pbucket", col("p_sec") - pmod(col("p_sec"), lit(windowSec)))
+    val clk = events.filter(col("event_type") === "click").select(
+      col("event_id"), col("user_id"),
+      unix_timestamp(col("ts")).as("click_sec"))
+      .withColumn("b0", col("click_sec") - pmod(col("click_sec"), lit(windowSec)))
+      .withColumn("bucket", explode(array(col("b0"), col("b0") + lit(windowSec))))
+    clk.join(pur,
+        col("user_id") === col("k") && col("bucket") === col("pbucket") &&
+          col("p_sec") >= col("click_sec") &&
+          col("p_sec") < col("click_sec") + lit(windowSec))
+      .groupBy(col("event_id"), col("user_id"), col("click_sec"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        sum(col("v_cents")).as("purchase_cents"),
+        min(col("p_sec") - col("click_sec")).as("first_purchase_gap_sec"))
+      .orderBy("event_id")
+  }
+
   /** Peak concurrent sessions per hour — the SWEEP-LINE form of an
     * interval-vs-timeline question ("how many sessions were open at
     * once?"). The naive relational answer is an interval × time-grid

@@ -115,6 +115,43 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Curation KILL-REASON attribution — the observability twin of
+    * [[curatedCorpus]]: every document is assigned the FIRST gate that
+    * rejects it, in the pipeline's canonical order (quality → language →
+    * exact-dup non-keeper → admitted), rolled up per (source, reason)
+    * with integer-ppm shares of the source. A pipeline that only reports
+    * "N admitted" is undebuggable at 100 TB — when a source's admit rate
+    * drops, this is the view that says WHICH gate started eating it.
+    *
+    * The dup gate here is the exact normalized-fingerprint family
+    * (min-doc_id keeper), not the MinHash graph — attribution wants a
+    * cheap deterministic membership, and exact dups dominate kill counts
+    * in practice. Scale shape: one fp-keyed join of the corpus against
+    * its own 16-byte-fingerprint aggregate (the `dedup_exact` class),
+    * one (source, reason) two-phase agg, per-source totals broadcast
+    * (|sources| rows). Null-text rows coalesce to the '' fingerprint so
+    * they are attributed, not silently dropped by null-key join rules. */
+  def curationKillReasons(documents: DataFrame, keepAt: Double = 0.5): DataFrame = {
+    val fp = coalesce(fingerprint(col("text")), lit(""))
+    val keepers = documents
+      .groupBy(fp.as("fp")).agg(min(col("doc_id")).as("keeper"))
+    val tagged = documents
+      .withColumn("fp", fp)
+      .join(keepers, "fp")
+      .withColumn("reason",
+        when(qualityScore(col("text")) < keepAt, "quality")
+          .when(langIdEn(col("text")) =!= "en", "lang")
+          .when(col("doc_id") =!= col("keeper"), "exact_dup")
+          .otherwise(lit("admitted")))
+    val perSource = tagged.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    tagged.groupBy(col("source"), col("reason"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(perSource), "source")
+      .select(col("source"), col("reason"), col("n"), col("n_src"),
+        expr("(n * 1000000) div n_src").as("share_ppm"))
+      .orderBy("source", "reason")
+  }
+
   /** Generator (lateral-view) surface + grouped top-k: explode every
     * token, count per (source, token), rank-window to the top `k` per
     * source. The window input is the aggregated count table — bounded by
@@ -1035,6 +1072,58 @@ object TextAnalysis {
         col("n_distinct").cast("long").as("n_distinct"),
         expr("(100 * (n_docs - n_distinct)) div greatest(n_docs, 1)").as("dup_pct"))
       .orderBy("source")
+
+  /** Per-source token-distribution SHIFT against the corpus — the
+    * domain-drift / mixture-skew monitor: an integer-bits KL-style
+    * divergence KL(source ‖ corpus) over add-1-smoothed unigram
+    * distributions. Each shared token contributes
+    * `n_s(t) · (ilog2((n_s(t)+1)·(N_c+V)) − ilog2((n_c(t)+1)·(N_s+V)))`
+    * — the floor-log2 of the smoothed probability RATIO (within ±1 bit
+    * per term of the real log), summed per source and normalized to
+    * milli-bits per token. The metric's CONTRACT is the integer formula
+    * itself (same [[floorLog2]] discipline as the surprisal family), so
+    * thresholds are engine/partitioning-stable: a source whose milli-bits
+    * balloon between snapshots has drifted from the mixture it was
+    * weighted for.
+    *
+    * Scale shape: ONE token explode feeds a (source, token) two-phase
+    * hash agg; everything after runs on vocabulary-bounded aggregate
+    * tables — corpus counts derive FROM the per-source counts (never a
+    * second pass over text), the per-source totals broadcast (|sources|
+    * rows), the corpus total is a 1-row broadcast crossJoin, and the
+    * only remaining shuffle is the vocab-keyed join of two aggregate
+    * relations. Output is |sources| rows. The milli normalization uses
+    * `div` (truncation toward zero) — the same semantics as DuckDB's
+    * integer `//` — which matters because the floored per-term logs
+    * bias each term down by up to a bit, so a source's shift sum CAN
+    * land negative; the sign-stable reading is relative (source vs
+    * source, snapshot vs snapshot), not absolute. */
+  def tokenDistributionShift(documents: DataFrame): DataFrame = {
+    val srcCounts = documents
+      .select(col("source"), explode(split(normText(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("n_st"))
+    val corpusCounts = srcCounts.groupBy(col("tok")).agg(sum(col("n_st")).as("n_ct"))
+    val srcTotals = srcCounts.groupBy(col("source"))
+      .agg(sum(col("n_st")).as("n_s"), count(lit(1)).cast("long").as("vocab_s"))
+    val corpusTotals = corpusCounts
+      .agg(sum(col("n_ct")).as("n_c"), count(lit(1)).cast("long").as("v"))
+    srcCounts
+      .join(corpusCounts, "tok")
+      .join(broadcast(srcTotals), "source")
+      .crossJoin(broadcast(corpusTotals))
+      .withColumn("d_bits",
+        floorLog2(expr("(n_st + 1) * (n_c + v)")) -
+          floorLog2(expr("(n_ct + 1) * (n_s + v)")))
+      .groupBy(col("source"))
+      .agg(
+        max(col("n_s")).as("n_tokens"),
+        max(col("vocab_s")).as("vocab"),
+        sum(col("n_st") * col("d_bits")).as("shift_bits"))
+      .withColumn("milli_bits_per_token", expr("(1000 * shift_bits) div n_tokens"))
+      .orderBy("source")
+  }
 
   /** One bigram-occurrence row (doc_id, bg = "prev next") per adjacent
     * token pair of the normalized text, in position order with

@@ -693,4 +693,62 @@ class OperatorSpec extends SparkSpec {
     // zero/null/empty vectors have no direction: excluded, not fatal
     assert(graft.operators.Dedup.embeddingNearDup(vecs).count() === 0)
   }
+
+  test("clickPurchaseRangeJoin: inclusive start, exclusive end, cross-bucket matches, per-click attribution") {
+    val ev = Seq(
+      // user 1: one purchase BEFORE any click — never attributed
+      (1L, "2024-01-01 00:00:00", 1L, "purchase", 1.0),
+      (10L, "2024-01-01 00:30:00", 1L, "click", 0.0),
+      (2L, "2024-01-01 00:30:00", 1L, "purchase", 2.0),  // gap 0 (inclusive)
+      (3L, "2024-01-01 01:29:59", 1L, "purchase", 3.0),  // gap 3599; lands in C1's SECOND hour bucket
+      (4L, "2024-01-01 01:30:00", 1L, "purchase", 4.0),  // gap 3600 — exclusive end, not C1's
+      (11L, "2024-01-01 01:00:00", 1L, "click", 0.0),    // window [01:00, 02:00): matches 3 and 4
+      (12L, "2024-01-01 05:00:00", 2L, "click", 0.0),    // no purchases: absent (inner join)
+      (5L, "2024-01-01 00:45:00", 3L, "purchase", 9.0)   // no click for user 3: absent
+    ).toDF("event_id", "s", "user_id", "event_type", "value")
+      .select(col("event_id"), col("s").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val got = Sessionize.clickPurchaseRangeJoin(ev).collect()
+      .map(r => (r.getLong(0), (r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got === Map(
+      10L -> ((2L, 500L, 0L)),     // purchases 2 + 3; first gap 0
+      11L -> ((2L, 700L, 1799L)))) // purchases 3 + 4; first gap 29:59
+  }
+
+  test("customerTrailingFeatures: strictly-before RANGE frame, same-day peers excluded, 90-day horizon") {
+    val orders = Seq(
+      (1L, 1L, "2024-01-01", 10.0),
+      (2L, 1L, "2024-01-15", 20.0), // trailing: order 1 only (14 days back)
+      (3L, 1L, "2024-01-15", 30.0), // same day as 2: peer EXCLUDED by the value frame
+      (4L, 1L, "2024-06-01", 40.0), // > 90 days since Jan 15: trailing window empty
+      (5L, 2L, "2024-01-10", 50.0)  // first order of its customer
+    ).toDF("o_orderkey", "o_custkey", "d", "o_totalprice")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("d").cast("timestamp").as("o_orderdate"), col("o_totalprice"))
+    val got = Relational.customerTrailingFeatures(orders).collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(3), r.getLong(4), if (r.isNullAt(5)) -1L else r.getLong(5)))).toMap
+    assert(got === Map(
+      1L -> ((0L, 0L, -1L)),
+      2L -> ((1L, 1000L, 14L)),
+      3L -> ((1L, 1000L, 0L)),   // same-day peer invisible; gap to prev row is 0 days
+      4L -> ((0L, 0L, 138L)),    // leakage-free: nothing older than 90 days leaks in
+      5L -> ((0L, 0L, -1L))))
+  }
+
+  test("rfmSegments: nearest-rank fences put four distinct spenders in four monetary quartiles") {
+    val orders = Seq(
+      (1L, 1L, "2024-01-01", 1000.0),
+      (2L, 2L, "2024-01-01", 2000.0),
+      (3L, 3L, "2024-01-01", 3000.0),
+      (4L, 4L, "2024-01-01", 4000.0)
+    ).toDF("o_orderkey", "o_custkey", "d", "o_totalprice")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("d").cast("timestamp").as("o_orderdate"), col("o_totalprice"))
+    val got = Relational.rfmSegments(orders).collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3))).toMap
+    // identical recency/frequency collapse to quartile 1; monetary spreads 1..4
+    assert(got === Map(
+      (1L, 1L, 1L) -> 1L, (1L, 1L, 2L) -> 1L, (1L, 1L, 3L) -> 1L, (1L, 1L, 4L) -> 1L))
+  }
 }

@@ -798,4 +798,42 @@ class PipelineOpsSpec extends SparkSpec {
     roll.foreach { case (sp, n, _, _) => assert(n === expCounts.getOrElse(sp, -1L)) }
     Dedup.clearSessionState() // leave no fixture-keyed cluster map behind
   }
+
+  test("tokenDistributionShift: identical sources score identically, a disjoint-vocab source scores higher") {
+    val docs = Seq(
+      (0L, "x x y", "srcA"), (1L, "y x", "srcA"),
+      (2L, "x x y", "srcB"), (3L, "y x", "srcB"), // same multiset as srcA
+      (4L, "z z z", "srcC"), (5L, "z z", "srcC")  // vocabulary disjoint from the corpus bulk
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.tokenDistributionShift(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got("srcA") === got("srcB")) // the metric is a pure function of the distribution
+    assert(got.keySet === Set("srcA", "srcB", "srcC"))
+    // the drifted source stands out on the normalized reading
+    assert(got("srcC")._4 > got("srcA")._4)
+    // sanity on the components: totals and vocab are plain counts
+    assert(got("srcA")._1 === 5L && got("srcA")._2 === 2L)
+    assert(got("srcC")._1 === 5L && got("srcC")._2 === 1L)
+  }
+
+  test("curationKillReasons: first failing gate wins — a low-quality dup dies as 'quality', never 'exact_dup'") {
+    val good = "the quick brown fox jumps over the lazy dog again and then runs far away to find more food"
+    val gibberish = "zog blarg frumple quix zanter bloop krell vanta morp dazzle " +
+      "fenwick groll hapt jinder klome lurn mivvy norp quell rost"
+    val docs = Seq(
+      (0L, good, "s"),      // admitted
+      (1L, good, "s"),      // exact dup of 0 -> exact_dup (keeper = min doc_id)
+      (2L, "!!!", "s"),     // fails quality
+      (3L, "!!!", "s"),     // dup of 2 AND low quality: the quality gate fires FIRST
+      (4L, gibberish, "s")  // passes quality, fails language id
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.curationKillReasons(docs).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      "admitted" -> ((1L, 5L, 200000L)),
+      "exact_dup" -> ((1L, 5L, 200000L)),
+      "lang" -> ((1L, 5L, 200000L)),
+      "quality" -> ((2L, 5L, 400000L))))
+  }
 }

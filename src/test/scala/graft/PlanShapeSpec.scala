@@ -115,7 +115,10 @@ class PlanShapeSpec extends SparkSpec {
       "audience_overlap_check" ->
         "per-type sketch aggregate self-joined (|event_type| rows of sketch blobs — audience-count-bounded, never data-bounded)",
       "graph_triangles" -> "1-row triangle-count aggregate broadcast onto the 1-row degree sums",
-      "part_cooccurrence" -> "1-row basket-total broadcast onto a support-filtered top-k")
+      "part_cooccurrence" -> "1-row basket-total broadcast onto a support-filtered top-k",
+      "token_distribution_shift" -> "1-row corpus-total (n_c, v) broadcast onto vocab-bounded aggregates",
+      "user_rfm_segments" ->
+        "1-row broadcasts only: corpus max date + three quartile-fence rows + histogram totals")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, Sf0001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
