@@ -235,6 +235,10 @@ object SparkEntry {
     // per-doc recycled-text score (fraction of shingles seen elsewhere)
     "doc_shingle_novelty" -> ((s, d) => Dedup.shingleNovelty(Tables.documents(s, d))),
     "mixture_weights" -> ((s, d) => TextAnalysis.mixtureWeights(Tables.documents(s, d))),
+    // token-budget planning: per-source target share, sampling rate,
+    // and disclosed deficit before any sampling runs
+    "mixture_budget_rates" -> ((s, d) =>
+      TextAnalysis.mixtureBudgetRates(Tables.documents(s, d))),
     "top_repeated_shingles" -> ((s, d) => TextAnalysis.topRepeatedShingles(Tables.documents(s, d))),
     // ---- similarity search ----
     "ann_bruteforce_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
@@ -415,6 +419,17 @@ object SparkEntry {
     }),
     // ---- multimodal plumbing ----
     "media_bytes_stats" -> ((s, d) => Multimodal.bytesStats(Tables.documents(s, d))),
+    // banded perceptual-hash near-dup pairs over media payloads; the
+    // corpus is unioned with a deterministic RE-CRAWL slice (same
+    // payload, new id — the situation payload dedup exists for, and the
+    // synthetic corpus ships no byte-identical payloads of its own)
+    "media_phash_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit}
+      val docs = Tables.documents(s, d)
+      val recrawl = docs.filter(col("doc_id") % 97 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      Multimodal.phashDedup(docs.unionByName(recrawl))
+    }),
     "media_frame_sample" -> ((s, d) => Multimodal.frameSample(Tables.documents(s, d))),
     "image_meta_stub" -> ((s, d) => Multimodal.imageMeta(s, Tables.documents(s, d))),
     // multimodal → ANN composition: stub-extracted per-payload features
@@ -2560,6 +2575,21 @@ object SparkEntry {
     "minhash_band_stats" -> minhashBandStatsOracle,
     "benchmark_contamination" -> benchmarkContaminationOracle,
     "mixture_weights" -> mixtureWeightsOracle,
+    "mixture_budget_rates" ->
+      """WITH per AS (SELECT source,
+        |    CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_total,
+        |    CAST(count(*) AS BIGINT) AS n_sources FROM per),
+        |b AS (SELECT source, n_tokens,
+        |    CAST((t_total // 2) // n_sources AS BIGINT) AS target_tokens FROM per, t),
+        |r AS (SELECT source, n_tokens, target_tokens,
+        |    CAST(least(1000000, (target_tokens * 1000000) // n_tokens) AS BIGINT) AS rate_ppm
+        |  FROM b)
+        |SELECT source, n_tokens, target_tokens, rate_ppm,
+        |  CAST((n_tokens * rate_ppm) // 1000000 AS BIGINT) AS expected_tokens,
+        |  CAST(greatest(0, target_tokens - (n_tokens * rate_ppm) // 1000000) AS BIGINT) AS deficit_tokens
+        |FROM r ORDER BY source""".stripMargin,
     "mixture_sample_temperature" -> temperatureSampleOracle,
     "source_cap_sample" -> sourceCapOracle,
     "top_repeated_shingles" -> topRepeatedShinglesOracle,
@@ -2577,6 +2607,28 @@ object SparkEntry {
         |  CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // ---- multimodal plumbing ----
+    "media_phash_dedup" -> {
+      def nib(i: Int) = s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)"
+      def band(b: Int) =
+        s"(${nib(4 * b + 1)}*4096 + ${nib(4 * b + 2)}*256 + ${nib(4 * b + 3)}*16 + ${nib(4 * b + 4)})"
+      val bandsUnion = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band_idx, ${band(b)} AS band_key FROM h").mkString(" UNION ALL ")
+      val wCols = (0 until 4).map(b => s"${band(b)} AS k$b").mkString(", ")
+      val hamSum = (0 until 4).map(b => s"bit_count(xor(wa.k$b, wb.k$b))").mkString(" + ")
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 97 = 0),
+         |h AS (SELECT doc_id, md5(text) AS m FROM corpus),
+         |bands AS ($bandsUnion),
+         |keep AS (SELECT band_idx, band_key FROM bands GROUP BY 1, 2 HAVING count(*) <= 1000),
+         |kept AS (SELECT b.* FROM bands b JOIN keep USING (band_idx, band_key)),
+         |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM kept a JOIN kept b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |    AND a.doc_id < b.doc_id),
+         |w AS (SELECT doc_id, $wCols FROM h),
+         |s AS (SELECT doc_a, doc_b, CAST($hamSum AS BIGINT) AS hamming
+         |  FROM p JOIN w wa ON p.doc_a = wa.doc_id JOIN w wb ON p.doc_b = wb.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM s WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+    },
     "media_bytes_stats" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS header_byte

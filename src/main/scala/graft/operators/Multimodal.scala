@@ -89,6 +89,63 @@ object Multimodal {
       .toDF()
   }
 
+  /** Stubbed 64-bit perceptual hash of the media payload, banded 4×16 bit
+    * for the hamming join below. The STUB derives the signature from the
+    * payload md5 (this container ships no image codecs); a production
+    * pipeline swaps in a DCT pHash / aHash over decoded pixels, and
+    * NOTHING downstream changes — banding, pigeonhole recall, hot-bucket
+    * cap and the exact hamming verify operate on any 4×16-bit signature.
+    * The signature is carried as a 4-element long array (each ≤ 0xffff),
+    * never as one 64-bit value, so both engines stay in safe signed
+    * arithmetic with no sign-bit gymnastics. */
+  def phashSignatures(documents: DataFrame): DataFrame = {
+    val m = md5(col("text").cast("binary"))
+    documents.select(
+      col("doc_id"),
+      array((0 until 4).map(b =>
+        conv(substring(m, 4 * b + 1, 4), 16, 10).cast("long")): _*).as("ph"))
+  }
+
+  /** Near-duplicate media detection over the banded perceptual hashes —
+    * the media-payload member of the dedup family (the text twin is
+    * `Dedup.simhashPairs`, whose banding/cap design this mirrors):
+    * candidates from a 4×16-bit band equi-join (pigeonhole: hamming ≤ 3
+    * ⇒ at least one band equal, recall 1 within capped buckets), buckets
+    * above `maxBucket` dropped disclosed (near-constant payloads —
+    * blank images, tracking pixels — are exact-dedup's population), then
+    * an exact hamming ≤ `maxHamming` verify summed per band with
+    * codegen'd `bit_count(xor)`. On the md5 STUB only identical payloads
+    * actually collide (uniform bits); with a real pHash the same plan
+    * finds re-encoded/resized variants — the spec drives the band+verify
+    * machinery with synthetic near signatures to pin that behavior. */
+  def phashPairs(signatures: DataFrame, maxHamming: Int = 3,
+                 maxBucket: Int = 1000): DataFrame = {
+    val bands = signatures.select(col("doc_id"), col("ph"), posexplode(col("ph")))
+      .toDF("doc_id", "ph", "band_idx", "band_key")
+    val keep = bands.groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBucket)
+      .select(col("band_idx"), col("band_key"))
+    val kept = bands.join(keep, Seq("band_idx", "band_key"))
+    val ham = (1 to 4).map(i =>
+      bit_count(element_at(col("a.ph"), i)
+        .bitwiseXOR(element_at(col("b.ph"), i)))).reduce(_ + _)
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        ham.cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** [[phashSignatures]] ∘ [[phashPairs]] — the registered composition. */
+  def phashDedup(documents: DataFrame): DataFrame =
+    phashPairs(phashSignatures(documents))
+
   /** Decode metadata for every document via mapPartitions — one decoder
     * instance per partition (the expensive-init pattern for real codecs),
     * rows streamed, nothing collected to the driver. */

@@ -1073,6 +1073,41 @@ object TextAnalysis {
         expr("(100 * (n_docs - n_distinct)) div greatest(n_docs, 1)").as("dup_pct"))
       .orderBy("source")
 
+  /** Token-BUDGET mixture scheduler — the planning step that runs before
+    * any sampling operator: given the corpus's per-source token counts
+    * and a total training budget (here `corpus_tokens / BudgetDenom`, so
+    * the contract is scale-free), emit each source's target share
+    * (equal-contribution policy), the ppm sampling rate that hits it,
+    * the tokens actually expected at that rate, and the DEFICIT where a
+    * scarce source cannot fill its slot (rate capped at 10⁶ ppm — an
+    * under-provisioned source is DISCLOSED, not silently backfilled;
+    * re-balancing a deficit is a policy decision the caller owns).
+    * Everything is integer arithmetic on non-negative values, so `div`
+    * and DuckDB `//` agree.
+    *
+    * Scale shape: one scan aggregates `tokenCount` per source (pure
+    * codegen'd regexp count — no token explode at all), then a 1-row
+    * totals broadcast; output is |sources| rows. */
+  val BudgetDenom = 2L
+
+  def mixtureBudgetRates(documents: DataFrame): DataFrame = {
+    val per = documents.groupBy(col("source"))
+      .agg(sum(tokenCount(col("text"))).cast("long").as("n_tokens"))
+    val tot = per.agg(
+      sum(col("n_tokens")).as("t_total"),
+      count(lit(1)).cast("long").as("n_sources"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("target_tokens", expr(s"(t_total div $BudgetDenom) div n_sources"))
+      .withColumn("rate_ppm",
+        least(lit(1000000L), expr("(target_tokens * 1000000) div n_tokens")))
+      .withColumn("expected_tokens", expr("(n_tokens * rate_ppm) div 1000000"))
+      .withColumn("deficit_tokens",
+        greatest(lit(0L), col("target_tokens") - col("expected_tokens")))
+      .select(col("source"), col("n_tokens"), col("target_tokens"),
+        col("rate_ppm"), col("expected_tokens"), col("deficit_tokens"))
+      .orderBy("source")
+  }
+
   /** Per-source token-distribution SHIFT against the corpus — the
     * domain-drift / mixture-skew monitor: an integer-bits KL-style
     * divergence KL(source ‖ corpus) over add-1-smoothed unigram

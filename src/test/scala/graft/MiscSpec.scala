@@ -65,4 +65,34 @@ class MiscSpec extends SparkSpec {
     val got = Multimodal.frameSample(df).head().getString(1)
     assert(got === "aq6") // chars at 1, 17, 33 (1-based, stride 16)
   }
+
+  test("phashPairs: band candidates + exact hamming verify on synthetic near signatures") {
+    // the md5 stub only ever produces identical-payload collisions, so
+    // the NEAR-dup machinery (pigeonhole candidates, hamming sum, cap)
+    // is driven here with hand-built 4×16-bit signatures
+    val sigs = Seq(
+      (0L, Seq(10L, 20L, 30L, 40L)),
+      (1L, Seq(10L, 20L, 30L, 41L)), // 1 bit from doc 0 (band 3)
+      (2L, Seq(10L, 99L, 98L, 97L)), // shares band 0 only: candidate, verify kills it
+      (3L, Seq(1L, 2L, 3L, 4L)),     // shares no band with anyone: never a candidate
+      (4L, Seq(10L, 20L, 31L, 41L))  // 2 bits from doc 0, 1 bit from doc 1
+    ).toDF("doc_id", "ph")
+    val got = Multimodal.phashPairs(sigs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got === Map((0L, 1L) -> 1L, (0L, 4L) -> 2L, (1L, 4L) -> 1L))
+    // hot-bucket cap: with maxBucket = 1 every colliding bucket is
+    // dropped disclosed, so no candidates survive
+    assert(Multimodal.phashPairs(sigs, maxBucket = 1).count() === 0L)
+  }
+
+  test("phashDedup: identical payloads pair at hamming 0; the raw-byte hash ignores text normalization") {
+    val docs = Seq(
+      (0L, "same payload"),
+      (1L, "same payload"),   // byte-identical re-ingest
+      (2L, "Same Payload")    // case differs: a DIFFERENT payload to a byte hash
+    ).toDF("doc_id", "text")
+    val got = Multimodal.phashDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((0L, 1L, 0L)))
+  }
 }

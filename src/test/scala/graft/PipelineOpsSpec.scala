@@ -799,6 +799,21 @@ class PipelineOpsSpec extends SparkSpec {
     Dedup.clearSessionState() // leave no fixture-keyed cluster map behind
   }
 
+  test("mixtureBudgetRates: equal targets, capped rates, and a disclosed deficit for the scarce source") {
+    // srcA: 30 tokens, srcB: 10 -> total 40, budget 20, target 10 each
+    val docs = Seq(
+      (0L, Seq.fill(30)("w").mkString(" "), "srcA"),
+      (1L, Seq.fill(10)("w").mkString(" "), "srcB")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.mixtureBudgetRates(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // srcA downsamples: 10M/30 = 333333 ppm -> 9 expected (floor), deficit 1 disclosed
+    assert(got("srcA") === ((30L, 10L, 333333L, 9L, 1L)))
+    // srcB can exactly fill its slot at the 1e6 ppm cap
+    assert(got("srcB") === ((10L, 10L, 1000000L, 10L, 0L)))
+  }
+
   test("tokenDistributionShift: identical sources score identically, a disjoint-vocab source scores higher") {
     val docs = Seq(
       (0L, "x x y", "srcA"), (1L, "y x", "srcA"),
