@@ -315,6 +315,10 @@ object SparkEntry {
     // partitioned PQ layout, searched via the partition-pruned codes-only
     // ADC path — the end-to-end 100 TB text-ANN composition (oracle
     // inlines the doclex slot's quantizer + codebooks post-run)
+    // k-means topic clusters over the hashed-TF vectors, each cluster
+    // summarized by size + top distinctive tokens
+    "doc_topic_clusters" -> ((s, d) =>
+      TextAnalysis.docTopicClusters(Tables.documents(s, d))),
     "doc_lexical_ann_pq" -> ((s, d) =>
       TextAnalysis.lexicalAnnPq(Tables.documents(s, d), lexPqIndexPath(d))),
     // snapshot-versioning audit: per-source added/removed/changed/unchanged
@@ -1561,6 +1565,57 @@ object SparkEntry {
     Map("doc_lexical_ann_pq" -> pqSearchOracleSql(model, books, embCte))
   }
 
+  /** doc_topic_clusters oracle (post-run contract, doclex_topics slot):
+    * hashed-TF dense vectors rebuilt in SQL, argmax-cosine assignment
+    * against the inlined centroids (ties to the lowest cell, mirroring
+    * array_position-on-max), then the distinctive-terms scoring over the
+    * cluster-keyed token counts. */
+  private def docTopicOracleEntry: Map[String, String] = {
+    val model = graft.operators.Similarity.slotQuantizer(TextAnalysis.TopicSlot)
+    if (model.isEmpty) return Map.empty
+    val dim = TextAnalysis.HashVecDim
+    val cells = model.indices.mkString("[", ", ", "]")
+    val cents = model
+      .map(_.map(f => s"'${f.toDouble}'::DOUBLE").mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+    def dotEC(e: String, c: String) =
+      s"list_sum(list_transform(range($dim), i -> $e[i+1]::DOUBLE * $c[i+1]))"
+    def dotEE(e: String) =
+      s"list_sum(list_transform(range($dim), i -> $e[i+1]::DOUBLE * $e[i+1]::DOUBLE))"
+    def dotCC(c: String) =
+      s"list_sum(list_transform(range($dim), i -> $c[i+1] * $c[i+1]))"
+    val sql =
+      s"""WITH $hashedTfCte,
+         |hdd AS (SELECT DISTINCT doc_id FROM hc),
+         |hdense AS (SELECT hdd.doc_id, r.i AS bucket, CAST(coalesce(hc.cnt, 0) AS DOUBLE) AS v
+         |  FROM hdd CROSS JOIN range($dim) r(i)
+         |  LEFT JOIN hc ON hc.doc_id = hdd.doc_id AND hc.bucket = r.i),
+         |emb AS (SELECT doc_id AS vec_id, list(v ORDER BY bucket) AS embedding
+         |  FROM hdense GROUP BY doc_id),
+         |cents AS (SELECT unnest($cells) AS cell, unnest($cents) AS centroid),
+         |asgs AS (SELECT e.vec_id, c.cell,
+         |    ${dotEC("e.embedding", "c.centroid")} / sqrt(${dotEE("e.embedding")} * ${dotCC("c.centroid")}) AS cs
+         |  FROM emb e CROSS JOIN cents c),
+         |asg AS (SELECT vec_id AS doc_id, CAST(cell AS BIGINT) AS cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS ark FROM asgs)
+         |  WHERE ark = 1),
+         |toks AS (SELECT doc_id, tk AS tok FROM
+         |  (SELECT doc_id, unnest(string_split(t, ' ')) AS tk FROM hnorm) WHERE length(tk) > 0),
+         |tf AS (SELECT cell, tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM toks JOIN asg USING (doc_id) GROUP BY 1, 2),
+         |dfr AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY 1),
+         |sc AS (SELECT cell, tok, tf, df, CAST((tf * 1000000) // df AS BIGINT) AS score_ppm
+         |  FROM tf JOIN dfr USING (tok)),
+         |rnk AS (SELECT *, CAST(row_number() OVER (PARTITION BY cell
+         |    ORDER BY score_ppm DESC, tok) AS BIGINT) AS rk FROM sc),
+         |sizes AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_docs FROM asg GROUP BY 1)
+         |SELECT r.cell, s.n_docs, r.rk, r.tok, r.tf, r.df, r.score_ppm
+         |FROM rnk r JOIN sizes s ON r.cell = s.cell
+         |WHERE r.rk <= 3 ORDER BY r.cell, r.rk""".stripMargin
+    Map("doc_topic_clusters" -> sql)
+  }
+
   /** The shared IVF-PQ oracle CTE chain over an arbitrary `emb(vec_id,
     * embedding)` corpus definition: inlined centroids + codebooks, then
     * per-(vector, subspace) argmin-L2 codes (ties to the lowest code,
@@ -2639,5 +2694,6 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "image_meta_stub" -> imageMetaOracle,
     "media_feature_ann" -> mediaFeatureAnnOracle,
-  ) ++ annIvfOracleEntry ++ annPqOracleEntry ++ lexPqOracleEntry ++ qualityModelOracleEntry
+  ) ++ annIvfOracleEntry ++ annPqOracleEntry ++ lexPqOracleEntry ++ qualityModelOracleEntry ++
+    docTopicOracleEntry
 }

@@ -777,6 +777,62 @@ object TextAnalysis {
         .select(col("vec_id").as("query_id"), col("embedding")), k)
   }
 
+  /** The oracle-model slot [[docTopicClusters]] trains into — its OWN
+    * slot (not [[LexicalSlot]]) because its un-checkpointed vector plan
+    * canonicalizes differently from [[lexicalAnnPq]]'s checkpointed one,
+    * and two distinct keys in one slot would degrade BOTH oracles to
+    * rows-only (the slot ambiguity guard doing its job). */
+  val TopicSlot = "doclex_topics"
+
+  /** Unsupervised TOPIC CLUSTERING of the corpus — k-means over the
+    * hashed-TF document vectors (the same session-trained spherical
+    * quantizer the IVF family uses, trained on [[lexicalVectors]]), each
+    * cluster summarized by its size and its top-k DISTINCTIVE tokens
+    * (in-cluster tf × 10⁶ div corpus df — the [[distinctiveTerms]] score
+    * with clusters standing in for sources). The corpus-exploration /
+    * mixture-design view: what is actually IN this corpus, in machine
+    * terms, before anyone weights it.
+    *
+    * Scale shape: cluster assignment is one broadcast-centroid codegen
+    * map pass (no shuffle); the token side is one explode feeding a
+    * (cell, token) two-phase agg after a doc_id-keyed join with the
+    * narrow assignment relation; the score join is between
+    * vocabulary-bounded aggregates, the ranking window reads the
+    * (cell, token) aggregate (vocab-bounded per cell, Spark 4 prunes to
+    * top-k map-side), and cluster sizes are an nCells-row join. */
+  def docTopicClusters(documents: DataFrame, k: Int = 3, nCells: Int = 16): DataFrame = {
+    val vecs = lexicalVectors(documents)
+    val model = Similarity.quantizerFor(vecs, nCells, slot = TopicSlot)
+    if (model.isEmpty) {
+      import org.apache.spark.sql.types._
+      return documents.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("cell", LongType), StructField("n_docs", LongType),
+          StructField("rk", LongType), StructField("tok", StringType),
+          StructField("tf", LongType), StructField("df", LongType),
+          StructField("score_ppm", LongType))))
+    }
+    val asg = Similarity.withCell(vecs, model)
+      .select(col("vec_id").as("doc_id"), col("cell").cast("long").as("cell"))
+    val toks = documents
+      .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tf = toks.join(asg, "doc_id")
+      .groupBy(col("cell"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfRel = toks.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy(col("cell")).orderBy(col("score_ppm").desc, col("tok"))
+    val sizes = asg.groupBy(col("cell")).agg(count(lit(1)).as("n_docs"))
+    tf.join(dfRel, "tok")
+      .withColumn("score_ppm", expr("(tf * 1000000) div df"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .join(sizes, "cell")
+      .select(col("cell"), col("n_docs"), col("rk"), col("tok"),
+        col("tf").cast("long").as("tf"), col("df").cast("long").as("df"),
+        col("score_ppm"))
+      .orderBy("cell", "rk")
+  }
+
   /** Snapshot diff — the dataset-versioning audit between two corpus
     * snapshots: per source, how many docs were ADDED (doc_id new),
     * REMOVED (doc_id gone), CHANGED (same doc_id, different content

@@ -799,6 +799,24 @@ class PipelineOpsSpec extends SparkSpec {
     Dedup.clearSessionState() // leave no fixture-keyed cluster map behind
   }
 
+  test("docTopicClusters: disjoint-vocabulary doc groups land in disjoint clusters with their own top tokens") {
+    val docs = (0L until 3L).map(i => (i, "apple apple apple", "s")) ++
+      (3L until 6L).map(i => (i, "zebra zebra zebra", "s"))
+    val out = TextAnalysis.docTopicClusters(docs.toDF("doc_id", "text", "source")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // identical docs share a vector, so each group occupies exactly one
+    // cluster: two non-empty cells of size 3, each topped by its own token
+    val cells = out.map(_._1).distinct
+    assert(cells.length === 2)
+    val byCell = out.groupBy(_._1)
+    byCell.values.foreach { rows =>
+      assert(rows.head._2 === 3L)                   // n_docs
+      assert(rows.map(_._4).distinct.length === 1)  // one token family per cell
+    }
+    assert(out.map(_._4).distinct.sorted.toSeq === Seq("apple", "zebra"))
+    graft.operators.Similarity.clearSessionState() // fixture model out of the topic slot
+  }
+
   test("mixtureBudgetRates: equal targets, capped rates, and a disclosed deficit for the scarce source") {
     // srcA: 30 tokens, srcB: 10 -> total 40, budget 20, target 10 each
     val docs = Seq(
