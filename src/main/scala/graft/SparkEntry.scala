@@ -156,6 +156,19 @@ object SparkEntry {
     "scd2_orders" -> ((s, d) => Relational.scd2FromOrders(Tables.orders(s, d))),
     // RFM quartile segmentation via bounded-histogram fences (no ntile)
     "user_rfm_segments" -> ((s, d) => Relational.rfmSegments(Tables.orders(s, d))),
+    // materialized-aggregate maintenance, hash-gated END TO END: init
+    // from the even-keyed facts, apply the odd-keyed batch as a delta,
+    // REPLAY the same batch (must be a ledgered no-op), and the read-back
+    // must equal the oracle's full recompute over all facts — a broken
+    // merge or a double-applied replay is a hash mismatch, not a log line
+    "daily_revenue_incremental" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_dailyrev_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      Relational.saveDailyRevenue(orders.filter("o_orderkey % 2 = 0"), path)
+      Relational.applyDailyRevenueDelta(s, path, orders.filter("o_orderkey % 2 = 1"), batchId = 1L)
+      Relational.applyDailyRevenueDelta(s, path, orders.filter("o_orderkey % 2 = 1"), batchId = 1L)
+      Relational.loadDailyRevenue(s, path).orderBy("day_sec")
+    }),
     "parts_above_brand_avg" -> ((s, d) => Relational.partsAboveBrandAverage(Tables.part(s, d))),
     "daily_revenue_running" -> ((s, d) => Relational.dailyRevenueRunning(Tables.orders(s, d))),
     "customer_name_parse" -> ((s, d) => Relational.customerNameParse(Tables.customer(s, d))),
@@ -2104,6 +2117,13 @@ object SparkEntry {
         |  CAST(lead(epoch(o_orderdate)) OVER (PARTITION BY o_custkey
         |      ORDER BY o_orderdate, o_orderkey) - 1 AS BIGINT) AS valid_to_sec
         |FROM orders ORDER BY o_custkey, valid_from_sec, o_orderkey""".stripMargin,
+    // the oracle recomputes the aggregate over ALL facts — equality
+    // gates both the merge arithmetic and the replay ledger
+    "daily_revenue_incremental" ->
+      """SELECT CAST(epoch(o_orderdate) - epoch(o_orderdate) % 86400 AS BIGINT) AS day_sec,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(round(o_totalprice*100)) AS BIGINT) AS revenue_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "user_rfm_segments" -> {
       def fenceCte(src: String, pre: String) =
         s"""${pre}h AS (SELECT $src AS v, count(*) AS cnt FROM b GROUP BY 1),

@@ -779,6 +779,84 @@ object Relational {
       .orderBy("o_custkey", "valid_from_sec", "o_orderkey")
   }
 
+  /** The mergeable daily-revenue aggregate behind the MATERIALIZED-VIEW
+    * lifecycle below: (day_sec, n_orders, revenue_cents) with integer
+    * epoch-day keys. Count and sum are both mergeable, which is the
+    * entire point — a maintained aggregate must re-aggregate its own
+    * rows with a batch's partial rows and land on the full recompute. */
+  private def dailyRevenueAgg(orders: DataFrame): DataFrame = {
+    val u = unix_timestamp(col("o_orderdate"))
+    orders
+      .groupBy((u - u % lit(86400L)).as("day_sec"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).cast("long").as("revenue_cents"))
+  }
+
+  /** Initialize the persisted daily-revenue MATERIALIZED AGGREGATE — the
+    * fourth persisted-artifact family after the dedup / IVF-PQ / BM25
+    * indexes: a fact-table aggregate a pipeline maintains INCREMENTALLY
+    * instead of recomputing over the full fact history per refresh. The
+    * live tree holds the aggregate plus a batch-id LEDGER; both are
+    * replaced together by one directory rename in
+    * [[applyDailyRevenueDelta]], so the "which batches are in here"
+    * record can never drift from the numbers (the search-index
+    * commit-point idea, directory edition). */
+  def saveDailyRevenue(orders: DataFrame, path: String): Unit = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    dailyRevenueAgg(orders).write.parquet(s"$path/live/agg")
+    Seq.empty[Long].toDF("batch_id").write.parquet(s"$path/live/ledger")
+  }
+
+  /** Apply one fact batch to the maintained aggregate, REPLAY-SAFE: a
+    * batch id already in the ledger is a re-delivery and the call is a
+    * no-op (at-least-once ingestion double-counts a merged aggregate —
+    * unlike an anti-join index, the damage is silent and permanent, so
+    * the ledger is load-bearing here, not hygiene). The merge cost is
+    * aggregate-table + batch-sized — the fact history is never re-read.
+    * Staged-then-swap: the new agg AND the extended ledger are written
+    * to a staging tree and take effect via one rename, so a crash
+    * mid-apply leaves the live tree untouched and the re-delivered batch
+    * applies cleanly next time. */
+  def applyDailyRevenueDelta(spark: org.apache.spark.sql.SparkSession, path: String,
+                             batch: DataFrame, batchId: Long): Unit = {
+    import spark.implicits._
+    val applied = spark.read.parquet(s"$path/live/ledger")
+      .filter(col("batch_id") === batchId).limit(1).count() > 0
+    if (applied) return
+    val merged = spark.read.parquet(s"$path/live/agg")
+      .unionByName(dailyRevenueAgg(batch))
+      .groupBy(col("day_sec"))
+      .agg(
+        sum(col("n_orders")).cast("long").as("n_orders"),
+        sum(col("revenue_cents")).cast("long").as("revenue_cents"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$path/live")
+    val stage = new org.apache.hadoop.fs.Path(s"$path/stage")
+    val old = new org.apache.hadoop.fs.Path(s"$path/old")
+    fs.delete(stage, true)
+    merged.write.parquet(s"$path/stage/agg")
+    spark.read.parquet(s"$path/live/ledger")
+      .unionByName(Seq(batchId).toDF("batch_id"))
+      .write.parquet(s"$path/stage/ledger")
+    fs.delete(old, true)
+    if (!fs.rename(live, old)) sys.error(s"applyDailyRevenueDelta: could not stage out $live")
+    if (!fs.rename(stage, live)) {
+      fs.rename(old, live)
+      sys.error(s"applyDailyRevenueDelta: could not swap in $stage")
+    }
+    fs.delete(old, true)
+    spark.catalog.refreshByPath(live.toString)
+  }
+
+  def loadDailyRevenue(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/live/agg")
+
   /** RFM (recency / frequency / monetary) quartile segmentation of the
     * customer base — the classic product-analytics cube: each customer
     * scored 1–4 on days-since-last-order, order count, and lifetime

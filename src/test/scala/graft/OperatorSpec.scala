@@ -736,6 +736,22 @@ class OperatorSpec extends SparkSpec {
       5L -> ((0L, 0L, -1L))))
   }
 
+  test("daily-revenue materialized aggregate: N deltas equal the full recompute; replays are ledgered no-ops") {
+    val orders = Tables.orders(spark, Sf0001)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inc = java.nio.file.Files.createTempDirectory("dailyrev_inc").toString
+    Relational.saveDailyRevenue(orders.filter("o_orderkey % 3 = 0"), inc)
+    Relational.applyDailyRevenueDelta(spark, inc, orders.filter("o_orderkey % 3 = 1"), 1L)
+    Relational.applyDailyRevenueDelta(spark, inc, orders.filter("o_orderkey % 3 = 2"), 2L)
+    // re-delivery of batch 1: the ledger must make this a no-op
+    Relational.applyDailyRevenueDelta(spark, inc, orders.filter("o_orderkey % 3 = 1"), 1L)
+    val full = java.nio.file.Files.createTempDirectory("dailyrev_full").toString
+    Relational.saveDailyRevenue(orders, full)
+    assert(rows(Relational.loadDailyRevenue(spark, inc)) ===
+      rows(Relational.loadDailyRevenue(spark, full)))
+  }
+
   test("rfmSegments: nearest-rank fences put four distinct spenders in four monetary quartiles") {
     val orders = Seq(
       (1L, 1L, "2024-01-01", 1000.0),
