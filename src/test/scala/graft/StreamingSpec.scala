@@ -152,6 +152,37 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter(col("window_start") === w0).head().getLong(1) === 2L)
   }
 
+  test("materialized aggregate maintained from a stream: foreachBatch deltas, re-delivery is a ledgered no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Relational
+    val day0 = 1704067200L // 2024-01-01, a whole epoch day
+    val in = MemoryStream[(Long, Long, Double)] // (orderkey, epoch sec, price)
+    val path = java.nio.file.Files.createTempDirectory("graft-magg").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft-magg-cp").toString
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("_1").as("o_orderkey"),
+        timestamp_seconds(col("_2")).as("o_orderdate"), col("_3").as("o_totalprice"))
+    Relational.saveDailyRevenue(shape(
+      Seq.empty[(Long, Long, Double)].toDF()), path) // empty init
+    val q = in.toDF().writeStream.option("checkpointLocation", cp)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        Relational.applyDailyRevenueDelta(spark, path, shape(batch.toDF()), id)
+        // at-least-once: the SAME micro-batch delivered again must not
+        // double-count — the ledger, not luck, makes this a no-op
+        Relational.applyDailyRevenueDelta(spark, path, shape(batch.toDF()), id)
+        ()
+      }.start()
+    try {
+      in.addData((1L, day0 + 10L, 10.0), (2L, day0 + 20L, 20.0))
+      q.processAllAvailable()
+      in.addData((3L, day0 + 86400L + 30L, 40.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = Relational.loadDailyRevenue(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((day0, 2L, 3000L), (day0 + 86400L, 1L, 4000L)))
+  }
+
   test("streaming session_window closes sessions past the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
