@@ -129,6 +129,10 @@ object SparkEntry {
     // leakage-free trailing-window lag features per entity (RANGE frame)
     "customer_trailing_features" -> ((s, d) =>
       Relational.customerTrailingFeatures(Tables.orders(s, d))),
+    // last-touch attribution: every purchase credited to exactly one
+    // channel (latest in-horizon click/view, else 'direct')
+    "attribution_last_touch" -> ((s, d) =>
+      Sessionize.lastTouchAttribution(Tables.events(s, d))),
     // Pregel-style iterative graph: integer-lattice PageRank over the
     // customer-supplier trading graph (one dst-shuffle per superstep)
     "graph_pagerank" -> ((s, d) =>
@@ -2085,6 +2089,26 @@ object SparkEntry {
         |FROM c JOIN p ON user_id = k
         |  AND p_sec >= click_sec AND p_sec < click_sec + 3600
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    "attribution_last_touch" ->
+      """WITH u AS (
+        |  SELECT user_id AS k, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+        |    0 AS tag, event_id, event_type AS touch_ch, NULL::BIGINT AS v_cents
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  UNION ALL
+        |  SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT),
+        |    1, event_id, NULL::VARCHAR, CAST(round(value*100) AS BIGINT)
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (SELECT k, t, tag, v_cents,
+        |    last_value(touch_ch IGNORE NULLS) OVER pw AS last_ch,
+        |    last_value(CASE WHEN tag = 0 THEN t END IGNORE NULLS) OVER pw AS last_t
+        |  FROM u WINDOW pw AS (PARTITION BY k ORDER BY t, tag, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |a AS (SELECT CASE WHEN last_ch IS NOT NULL AND t - last_t <= 86400
+        |    THEN last_ch ELSE 'direct' END AS channel, v_cents
+        |  FROM w WHERE tag = 1)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions,
+        |  CAST(sum(v_cents) AS BIGINT) AS value_cents
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
     "customer_trailing_features" ->
       """WITH b AS (SELECT o_orderkey, o_custkey,
         |    CAST(epoch(o_orderdate) AS BIGINT) AS order_sec,

@@ -103,6 +103,57 @@ object Sessionize {
       .orderBy("event_id")
   }
 
+  /** LAST-TOUCH ATTRIBUTION — the marketing-analytics classic: every
+    * purchase credited to the same user's most recent click/view at or
+    * before it, provided the touch is within the attribution horizon
+    * (24 h); purchases with no touch, or only a stale one, credit
+    * 'direct'. Conservation is the audit property: every purchase is
+    * attributed to exactly one channel, so the rollup's counts sum to
+    * the purchase count (a report that silently drops unattributable
+    * conversions overstates every channel).
+    *
+    * Scale shape — the MERGE form [[asofJoinOrders]] established, not a
+    * per-purchase subquery: touches and purchases union tagged, ONE
+    * shuffle on user_id, and a running `last(..., ignoreNulls)` window
+    * carries the latest touch's channel and time forward; the horizon
+    * check is a column comparison on the carried time. The rollup output
+    * is |channels|+1 rows. Total order at equal timestamps is
+    * (t, touches-first, event_id) — an at-purchase-second touch counts,
+    * and among same-second touches the highest event_id wins,
+    * deterministically in both engines. */
+  def lastTouchAttribution(events: DataFrame, horizonSec: Long = 86400L): DataFrame = {
+    val touches = events.filter(col("event_type").isin("click", "view")).select(
+      col("user_id").as("k"),
+      unix_timestamp(col("ts")).as("t"),
+      lit(0).as("tag"),
+      col("event_id"),
+      col("event_type").as("touch_ch"),
+      lit(null).cast("long").as("v_cents"))
+    val purchases = events.filter(col("event_type") === "purchase").select(
+      col("user_id").as("k"),
+      unix_timestamp(col("ts")).as("t"),
+      lit(1).as("tag"),
+      col("event_id"),
+      lit(null).cast("string").as("touch_ch"),
+      round(col("value") * 100).cast("long").as("v_cents"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    touches.unionByName(purchases)
+      .withColumn("last_ch", last(col("touch_ch"), ignoreNulls = true).over(w))
+      .withColumn("last_t",
+        last(when(col("tag") === 0, col("t")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .withColumn("channel",
+        when(col("last_ch").isNotNull && col("t") - col("last_t") <= horizonSec,
+          col("last_ch")).otherwise(lit("direct")))
+      .groupBy(col("channel"))
+      .agg(
+        count(lit(1)).as("n_conversions"),
+        sum(col("v_cents")).as("value_cents"))
+      .orderBy("channel")
+  }
+
   /** Peak concurrent sessions per hour — the SWEEP-LINE form of an
     * interval-vs-timeline question ("how many sessions were open at
     * once?"). The naive relational answer is an interval × time-grid

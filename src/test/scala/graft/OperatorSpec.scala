@@ -715,6 +715,28 @@ class OperatorSpec extends SparkSpec {
       11L -> ((2L, 700L, 1799L)))) // purchases 3 + 4; first gap 29:59
   }
 
+  test("lastTouchAttribution: latest in-horizon touch wins, stale/no-touch goes 'direct', conservation holds") {
+    val t0 = 1704067200L
+    def ev(id: Long, u: Long, sec: Long, tpe: String, v: Double) =
+      (id, u, new java.sql.Timestamp(sec * 1000L), tpe, v)
+    val events = Seq(
+      ev(10L, 1L, t0, "view", 0.0),
+      ev(11L, 1L, t0 + 100, "click", 0.0),
+      ev(12L, 1L, t0 + 200, "purchase", 1.0),     // latest touch: click
+      ev(20L, 2L, t0, "click", 0.0),
+      ev(21L, 2L, t0 + 86401, "purchase", 2.0),   // touch outside 24h: direct
+      ev(30L, 3L, t0 + 50, "purchase", 3.0),      // no touch at all: direct
+      ev(40L, 4L, t0, "view", 0.0),
+      ev(41L, 4L, t0, "click", 0.0),
+      ev(42L, 4L, t0, "purchase", 4.0)            // same-second: highest-id touch (click) wins
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = Sessionize.lastTouchAttribution(events).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map("click" -> ((2L, 500L)), "direct" -> ((2L, 500L))))
+    // conservation: attributed conversions sum to the purchase count
+    assert(got.values.map(_._1).sum === 4L)
+  }
+
   test("customerTrailingFeatures: strictly-before RANGE frame, same-day peers excluded, 90-day horizon") {
     val orders = Seq(
       (1L, 1L, "2024-01-01", 10.0),
