@@ -237,6 +237,11 @@ object SparkEntry {
         Dedup.loadDedupIndex(s, "dix_diffq")).orderBy("doc_id")
     }),
     "cross_source_dup_matrix" -> ((s, d) => Dedup.crossSourceDupMatrix(Tables.documents(s, d))),
+    // near-dup family-size histogram (mega-family = leaked template)
+    "dedup_cluster_sizes" -> ((s, d) => Dedup.clusterSizeHistogram(Tables.documents(s, d))),
+    // exact inner-join cardinality + hot-key bound WITHOUT the join
+    "join_size_estimate" -> ((s, d) =>
+      Skew.joinSizeEstimate(Tables.events(s, d), "user_id", Tables.customer(s, d), "c_custkey")),
     // quality-ranked canonical per near-dup family (keep the cleanest
     // copy, not the first-ingested one)
     "dedup_keep_best" -> ((s, d) => Dedup.keepBestPerCluster(Tables.documents(s, d))),
@@ -2388,6 +2393,26 @@ object SparkEntry {
     "dedup_minhash_sql" -> minhashOracle,
     "incremental_dedup" -> incrementalDedupOracle,
     "dedup_clusters" -> dedupClustersOracle,
+    "dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE pairs AS ($minhashOracle),
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(doc_id, lbl) AS (
+         |  SELECT DISTINCT s, s FROM edges
+         |  UNION
+         |  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.doc_id),
+         |labels AS (SELECT doc_id, min(lbl) AS lab FROM reach GROUP BY doc_id),
+         |fam AS (SELECT lab, CAST(count(*) AS BIGINT) AS family_size FROM labels GROUP BY 1)
+         |SELECT family_size, CAST(count(*) AS BIGINT) AS n_families
+         |FROM fam GROUP BY 1 ORDER BY 1""".stripMargin,
+    "join_size_estimate" ->
+      """WITH a AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS na FROM events GROUP BY 1),
+        |b AS (SELECT c_custkey AS key, CAST(count(*) AS BIGINT) AS nb FROM customer GROUP BY 1),
+        |j AS (SELECT na, nb FROM a JOIN b USING (key))
+        |SELECT CAST(count(*) AS BIGINT) AS n_matching_keys,
+        |  CAST(sum(na * nb) AS BIGINT) AS join_rows,
+        |  CAST(max(na * nb) AS BIGINT) AS max_key_rows
+        |FROM j""".stripMargin,
     "dedup_simhash" -> simhashOracle,
     "simhash_band_stats" -> simhashBandStatsOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,

@@ -987,6 +987,22 @@ object Dedup {
       .orderBy("doc_id", "eval_id")
   }
 
+  /** Near-dup FAMILY-SIZE distribution — the monitoring view over the
+    * connected components ([[dedupClusters]], memoized, so this costs one
+    * extra bounded aggregate when the pair graph already exists): how
+    * many 2-doc families vs how many giants. The histogram is what a
+    * pipeline alerts on — one mega-family usually means boilerplate or a
+    * template leaked past the shingle df cut, and its size bounds the
+    * worst-case work of any per-family operator (keep-best, leakage
+    * split). Output is bounded by the DISTINCT family sizes. */
+  def clusterSizeHistogram(documents: DataFrame): DataFrame =
+    dedupClusters(documents)
+      .groupBy(col("cluster_rep")).agg(count(lit(1)).as("family_size"))
+      .groupBy(col("family_size")).agg(count(lit(1)).as("n_families"))
+      .select(col("family_size").cast("long").as("family_size"),
+        col("n_families").cast("long").as("n_families"))
+      .orderBy("family_size")
+
   /** Cross-source duplication matrix: verified MinHash near-dup pairs
     * rolled up by (source, source) — the "which crawls duplicate each
     * other" view a pipeline checks before weighting its data mixture.

@@ -57,4 +57,25 @@ object Skew {
         (col("n") * lit(1000000L) / col("n_rows")).cast("long").as("share_ppm"))
       .orderBy(col("n").desc, col("key"))
   }
+
+  /** EXACT inner-join output cardinality WITHOUT running the join — the
+    * pre-flight audit for any prospective equi-join: per-key count
+    * aggregates of both sides joined on the key, then
+    * `Σ n_a(k)·n_b(k)` (the join's exact row count), the matching-key
+    * count, and the largest single-key contribution (the hot-key red
+    * flag that says "salt this" before the shuffle melts). A planner
+    * estimates this from NDV sketches; at aggregate cost it can simply
+    * be computed — both inputs reduce to NDV-bounded count relations
+    * before the only (key-keyed, aggregate-sized) join, so the audit
+    * costs two scans + one bounded join at ANY fact size. */
+  def joinSizeEstimate(left: DataFrame, leftKey: String,
+                       right: DataFrame, rightKey: String): DataFrame = {
+    val a = left.groupBy(col(leftKey).as("key")).agg(count(lit(1)).as("na"))
+    val b = right.groupBy(col(rightKey).as("key")).agg(count(lit(1)).as("nb"))
+    a.join(b, "key")
+      .agg(
+        count(lit(1)).cast("long").as("n_matching_keys"),
+        sum(col("na") * col("nb")).cast("long").as("join_rows"),
+        max(col("na") * col("nb")).cast("long").as("max_key_rows"))
+  }
 }

@@ -715,6 +715,29 @@ class OperatorSpec extends SparkSpec {
       11L -> ((2L, 700L, 1799L)))) // purchases 3 + 4; first gap 29:59
   }
 
+  test("joinSizeEstimate equals the materialized join's exact cardinality") {
+    val left = Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("k", "pay")
+    val right = Seq((1L, "a"), (3L, "b"), (3L, "c")).toDF("j", "pay2")
+    val est = graft.operators.Skew.joinSizeEstimate(left, "k", right, "j").head()
+    val actual = left.join(right, col("k") === col("j")).count()
+    assert(est.getLong(1) === actual)            // join_rows is EXACT, not an estimate
+    assert((est.getLong(0), est.getLong(2)) === ((1L, 2L))) // one matching key, contributing 2 rows
+  }
+
+  test("clusterSizeHistogram counts near-dup families by size; singletons are absent") {
+    val text = "one two three four five six seven eight"
+    val docs = Seq(
+      (0L, text, "s"), (1L, text, "s"), (2L, text, "s"),         // family of 3
+      (10L, "red green blue yellow purple orange pink", "s"),
+      (11L, "red green blue yellow purple orange pink", "s"),     // family of 2
+      (20L, "totally different words here entirely unrelated", "s") // singleton
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.clusterSizeHistogram(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(2L -> 1L, 3L -> 1L))
+    Dedup.clearSessionState()
+  }
+
   test("lastTouchAttribution: latest in-horizon touch wins, stale/no-touch goes 'direct', conservation holds") {
     val t0 = 1704067200L
     def ev(id: Long, u: Long, sec: Long, tpe: String, v: Double) =
