@@ -2708,7 +2708,7 @@ object SparkEntry {
         |b AS (SELECT source, n_tokens,
         |    CAST((t_total // 2) // n_sources AS BIGINT) AS target_tokens FROM per, t),
         |r AS (SELECT source, n_tokens, target_tokens,
-        |    CAST(least(1000000, (target_tokens * 1000000) // n_tokens) AS BIGINT) AS rate_ppm
+        |    CAST(least(1000000, (target_tokens * 1000000) // greatest(n_tokens, 1)) AS BIGINT) AS rate_ppm
         |  FROM b)
         |SELECT source, n_tokens, target_tokens, rate_ppm,
         |  CAST((n_tokens * rate_ppm) // 1000000 AS BIGINT) AS expected_tokens,

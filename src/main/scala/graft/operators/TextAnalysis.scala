@@ -1154,8 +1154,11 @@ object TextAnalysis {
       count(lit(1)).cast("long").as("n_sources"))
     per.crossJoin(broadcast(tot))
       .withColumn("target_tokens", expr(s"(t_total div $BudgetDenom) div n_sources"))
+      // greatest(n_tokens, 1): a source whose docs are all empty text
+      // still yields a (source, 0) row — it gets the capped rate and a
+      // full disclosed deficit instead of a divide-by-zero
       .withColumn("rate_ppm",
-        least(lit(1000000L), expr("(target_tokens * 1000000) div n_tokens")))
+        least(lit(1000000L), expr("(target_tokens * 1000000) div greatest(n_tokens, 1)")))
       .withColumn("expected_tokens", expr("(n_tokens * rate_ppm) div 1000000"))
       .withColumn("deficit_tokens",
         greatest(lit(0L), col("target_tokens") - col("expected_tokens")))

@@ -46,6 +46,32 @@ class MiscSpec extends SparkSpec {
     assert(prof.forall(r => r.getLong(1) === 0L && r.getLong(3) === 0L))
   }
 
+  test("fifth-wave operators survive empty and degenerate inputs (empty/identity result, never a crash)") {
+    import graft.operators.{Relational, Sessionize, Skew, TextAnalysis}
+    val noEvents = Tables.events(spark, Sf0001).filter(col("event_id") < 0)
+    val noDocs = Tables.documents(spark, Sf0001).filter(col("doc_id") < 0)
+    val noOrders = Tables.orders(spark, Sf0001).filter(col("o_orderkey") < 0)
+    assert(Sessionize.clickPurchaseRangeJoin(noEvents).collect().isEmpty)
+    assert(Sessionize.lastTouchAttribution(noEvents).collect().isEmpty)
+    assert(Relational.customerTrailingFeatures(noOrders).collect().isEmpty)
+    assert(Relational.rfmSegments(noOrders).collect().isEmpty)
+    assert(TextAnalysis.tokenDistributionShift(noDocs).collect().isEmpty)
+    assert(TextAnalysis.curationKillReasons(noDocs).collect().isEmpty)
+    assert(TextAnalysis.docTopicClusters(noDocs).collect().isEmpty)
+    assert(Multimodal.phashDedup(noDocs).collect().isEmpty)
+    val estRow = Skew.joinSizeEstimate(noEvents, "user_id", noOrders, "o_custkey").head()
+    assert(estRow.getLong(0) === 0L && estRow.isNullAt(1)) // 0 keys, null sums, no crash
+    // an all-empty-text source budgets at the capped rate with a fully
+    // disclosed deficit — not a divide-by-zero
+    val emptySource = Seq((0L, "", "hollow"), (1L, "ten real words of text here now ok fine yes", "real"))
+      .toDF("doc_id", "text", "source")
+    val budget = TextAnalysis.mixtureBudgetRates(emptySource).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3), r.getLong(5)))).toMap
+    assert(budget("hollow")._1 === 0L)                    // zero tokens
+    assert(budget("hollow")._2 === 1000000L)              // capped rate, no crash
+    assert(budget("hollow")._3 === 2L)                    // deficit = the full target
+  }
+
   test("text functions handle empty / whitespace / punctuation-only input") {
     val df = Seq("", "   ", "!!!", "one", "a  b\tc\nd").toDF("text")
     val got = df.select(
