@@ -115,6 +115,8 @@ object SparkEntry {
     "user_retention_cohorts" -> ((s, d) => Relational.retentionCohorts(Tables.events(s, d))),
     // Markov next-event matrix with integer-ppm row shares
     "event_transition_matrix" -> ((s, d) => Relational.eventTransitionMatrix(Tables.events(s, d))),
+    // top 3-event user journeys (path analysis one step past pairs)
+    "event_paths_top" -> ((s, d) => Relational.eventPathsTop(Tables.events(s, d))),
     // market-basket pair mining: same-order part pairs + integer lift
     "part_cooccurrence" -> ((s, d) => Relational.partCooccurrence(Tables.lineitem(s, d))),
     "user_sessions" -> ((s, d) => Sessionize.userSessions(Tables.events(s, d))),
@@ -2008,6 +2010,18 @@ object SparkEntry {
         |SELECT c.from_type, to_type, n,
         |  CAST((n * 1000000) // n_from AS BIGINT) AS share_ppm
         |FROM c JOIN t ON c.from_type = t.from_type ORDER BY 1, 2""".stripMargin,
+    "event_paths_top" ->
+      """WITH s AS (SELECT event_type AS e1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+        |  FROM events),
+        |p AS (SELECT e1 || '>' || e2 || '>' || e3 AS path FROM s
+        |  WHERE e2 IS NOT NULL AND e3 IS NOT NULL),
+        |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_paths FROM c),
+        |k AS (SELECT path, n FROM c ORDER BY n DESC, path LIMIT 20)
+        |SELECT path, n, n_paths, CAST((n * 1000000) // n_paths AS BIGINT) AS share_ppm
+        |FROM k, t ORDER BY n DESC, path""".stripMargin,
     "part_cooccurrence" ->
       """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM b),

@@ -779,6 +779,36 @@ object Relational {
       .orderBy("o_custkey", "valid_from_sec", "o_orderkey")
   }
 
+  /** Top user JOURNEYS — the path-analysis companion of
+    * [[eventTransitionMatrix]]: every consecutive 3-event sequence per
+    * user (ordered by (ts, event_id), the funnel family's tie-break),
+    * counted corpus-wide, top-k by frequency with integer-ppm shares.
+    * The "what do users actually do in order" view one step deeper than
+    * pairwise transitions — a Markov matrix cannot distinguish
+    * view→click→purchase from view→click→error beyond its pairs.
+    *
+    * Scale shape: two `lead`s over per-user windows (millions of small
+    * partitions), a (path)-keyed two-phase count agg bounded by
+    * |event_type|³, TakeOrdered top-k, 1-row total broadcast. */
+  def eventPathsTop(events: DataFrame, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val paths = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+    val counts = paths.groupBy(col("path")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("n_paths"))
+    counts
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+      .crossJoin(broadcast(total))
+      .select(col("path"), col("n"), col("n_paths"),
+        expr("(n * 1000000) div n_paths").as("share_ppm"))
+      .orderBy(col("n").desc, col("path"))
+  }
+
   /** The mergeable daily-revenue aggregate behind the MATERIALIZED-VIEW
     * lifecycle below: (day_sec, n_orders, revenue_cents) with integer
     * epoch-day keys. Count and sum are both mergeable, which is the

@@ -1,0 +1,58 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingAttribution
+import graft.streaming.StreamingAttribution.{Attribution, TouchEvent}
+
+/** Online last-touch attribution: constant per-user state, per-purchase
+  * emission, and rolled-up equality with the batch operator. */
+class StreamingAttributionSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val t0 = 1700000000L * 1000 // ms
+
+  private def ev(uid: String, offSec: Long, tpe: String, id: Long, v: Double = 0.0) =
+    TouchEvent(uid, new Timestamp(t0 + offSec * 1000), tpe, id, v)
+
+  test("purchases attribute at arrival: in-horizon touch wins, stale and untouched go direct") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TouchEvent]
+    val q = StreamingAttribution.attribute(
+        in.toDS().withWatermark("ts", "5 seconds"))
+      .writeStream.format("memory").queryName("attr1").outputMode("append").start()
+    try {
+      in.addData(ev("u1", 0, "click", 1), ev("u2", 0, "view", 2),
+        ev("u3", 10, "purchase", 3, 3.0)) // no touch ever: direct, same batch
+      q.processAllAvailable()
+      // cross-batch: the touch state carries into the next trigger
+      in.addData(ev("u1", 600, "purchase", 4, 1.0),      // 10 min after the click
+        ev("u2", 86401, "purchase", 5, 2.0))             // 1 s past the horizon
+      q.processAllAvailable()
+      val got = spark.table("attr1").as[Attribution].collect().toSet
+      assert(got === Set(
+        Attribution("u3", t0 / 1000 + 10, "direct", 300L),
+        Attribution("u1", t0 / 1000 + 600, "click", 100L),
+        Attribution("u2", t0 / 1000 + 86401, "direct", 200L)))
+    } finally q.stop()
+  }
+
+  test("rolled up, the online operator equals the batch lastTouchAttribution on real events") {
+    val events = Tables.events(spark, Sf0001)
+    val typed = events.select(
+        col("user_id").cast("string").as("uid"), col("ts"),
+        col("event_type").as("eventType"), col("event_id").as("eventId"), col("value"))
+      .as[TouchEvent]
+    val online = StreamingAttribution.attribute(typed) // batch execution: full history per key
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n"), sum(col("v_cents")).as("cents"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val batch = graft.operators.Sessionize.lastTouchAttribution(events)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(online === batch)
+  }
+}
