@@ -162,6 +162,10 @@ object SparkEntry {
     "scd2_orders" -> ((s, d) => Relational.scd2FromOrders(Tables.orders(s, d))),
     // RFM quartile segmentation via bounded-histogram fences (no ntile)
     "user_rfm_segments" -> ((s, d) => Relational.rfmSegments(Tables.orders(s, d))),
+    // equi-depth 20-bucket value histogram (CBO selectivity stats)
+    "orders_price_histogram" -> ((s, d) => Relational.ordersPriceHistogram(Tables.orders(s, d))),
+    // rank/ntile/integer-percent-rank over the bounded daily aggregate
+    "daily_revenue_rank_stats" -> ((s, d) => Relational.dailyRevenueRankStats(Tables.orders(s, d))),
     // materialized-aggregate maintenance, hash-gated END TO END: init
     // from the even-keyed facts, apply the odd-keyed batch as a delta,
     // REPLAY the same batch (must be a ledgered no-op), and the read-back
@@ -2160,6 +2164,36 @@ object SparkEntry {
         |  CAST(lead(epoch(o_orderdate)) OVER (PARTITION BY o_custkey
         |      ORDER BY o_orderdate, o_orderkey) - 1 AS BIGINT) AS valid_to_sec
         |FROM orders ORDER BY o_custkey, valid_from_sec, o_orderkey""".stripMargin,
+    "orders_price_histogram" -> {
+      val b = 20
+      val fenceCols = (1 until b).map(k =>
+        s"min(CASE WHEN cum*$b >= n*$k THEN v END) AS f$k").mkString(", ")
+      val bucketExpr = "1 + " + (1 until b).map(k =>
+        s"CASE WHEN v > f$k THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH h AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) // 10000 AS v,
+         |    CAST(count(*) AS BIGINT) AS cnt FROM orders GROUP BY 1),
+         |c AS (SELECT v, cnt, sum(cnt) OVER (ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h),
+         |t AS (SELECT sum(cnt) AS n FROM h),
+         |f AS (SELECT $fenceCols FROM c, t),
+         |a AS (SELECT CAST($bucketExpr AS BIGINT) AS bucket, cnt, v FROM c, f)
+         |SELECT bucket, CAST(sum(cnt) AS BIGINT) AS n_orders,
+         |  CAST(min(v) AS BIGINT) AS v_lo_100usd, CAST(max(v) AS BIGINT) AS v_hi_100usd
+         |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "daily_revenue_rank_stats" ->
+      """WITH d AS (SELECT CAST(epoch(o_orderdate) - epoch(o_orderdate) % 86400 AS BIGINT) AS day_sec,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(round(o_totalprice*100)) AS BIGINT) AS revenue_cents
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT day_sec, n_orders, revenue_cents,
+        |    CAST(rank() OVER w AS BIGINT) AS rk,
+        |    CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |    CAST(count(*) OVER () AS BIGINT) AS n_days
+        |  FROM d WINDOW w AS (ORDER BY revenue_cents DESC, day_sec))
+        |SELECT day_sec, n_orders, revenue_cents, rk, quartile,
+        |  CAST(((rk - 1) * 1000) // greatest(n_days - 1, 1) AS BIGINT) AS pct_milli
+        |FROM r ORDER BY day_sec""".stripMargin,
     // the oracle recomputes the aggregate over ALL facts — equality
     // gates both the merge arithmetic and the replay ledger
     "daily_revenue_incremental" ->

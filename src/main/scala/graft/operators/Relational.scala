@@ -887,6 +887,64 @@ object Relational {
   def loadDailyRevenue(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/live/agg")
 
+  /** Equi-depth (equal-count) HISTOGRAM of order values — the other half
+    * of the ANALYZE stats family next to [[tableColumnStats]]'s min/max:
+    * 20 buckets each holding ~5% of orders, with per-bucket bounds and
+    * counts. This is the column-statistics shape a cost-based optimizer
+    * consumes for selectivity (equi-WIDTH histograms lie under skew).
+    *
+    * Same machinery as [[rfmSegments]]: values quantize to a bounded
+    * $100 domain, the 19 fences come from nearest-rank cuts
+    * (`min{v : 20·cum ≥ k·n}`) over the value-domain histogram, and
+    * bucket assignment + rollup run ON the histogram (bounded), never
+    * re-scanning facts. Ties cannot straddle a fence, so bucket counts
+    * deviate from n/20 exactly where duplicate values force it —
+    * disclosed by the counts themselves. */
+  def ordersPriceHistogram(orders: DataFrame, buckets: Int = 20): DataFrame = {
+    val v = expr("cast(round(o_totalprice*100) as bigint) div 10000")
+    val hist = orders.select(v.as("v")).groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = hist.agg(sum(col("cnt")).as("n"))
+    val fenceExprs = (1 until buckets).map(k =>
+      min(when(col("cum") * buckets >= col("n") * k, col("v"))).as(s"f$k"))
+    val fences = cum.crossJoin(broadcast(tot))
+      .agg(fenceExprs.head, fenceExprs.tail: _*)
+    val bucket = (1 until buckets)
+      .map(k => when(col("v") > col(s"f$k"), 1).otherwise(0))
+      .reduce(_ + _) + lit(1)
+    cum.crossJoin(broadcast(fences))
+      .select(col("v"), col("cnt"), bucket.cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(
+        sum(col("cnt")).cast("long").as("n_orders"),
+        min(col("v")).as("v_lo_100usd"),
+        max(col("v")).as("v_hi_100usd"))
+      .orderBy("bucket")
+  }
+
+  /** Integer rank analytics over the DAILY revenue aggregate — the
+    * rank / ntile / cumulative-position window functions demonstrated
+    * where they are scale-safe: the window input is the day-keyed
+    * aggregate (bounded by the TIME DOMAIN, never by fact volume — the
+    * `daily_revenue_running` contract), so the single ordered window is
+    * bounded by construction. `pct_milli` is the integer percent-rank
+    * ((rank−1)·1000 div (n−1)) — no float `percent_rank` in the output,
+    * so the result hashes identically cross-engine. */
+  def dailyRevenueRankStats(orders: DataFrame): DataFrame = {
+    val daily = dailyRevenueAgg(orders)
+    val w = Window.orderBy(col("revenue_cents").desc, col("day_sec"))
+    daily
+      .withColumn("rk", rank().over(w).cast("long"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("n_days", count(lit(1)).over(Window.partitionBy()))
+      .select(col("day_sec"), col("n_orders"), col("revenue_cents"),
+        col("rk"), col("quartile"),
+        expr("((rk - 1) * 1000) div greatest(n_days - 1, 1)").as("pct_milli"))
+      .orderBy("day_sec")
+  }
+
   /** RFM (recency / frequency / monetary) quartile segmentation of the
     * customer base — the classic product-analytics cube: each customer
     * scored 1–4 on days-since-last-order, order count, and lifetime

@@ -715,6 +715,35 @@ class OperatorSpec extends SparkSpec {
       11L -> ((2L, 700L, 1799L)))) // purchases 3 + 4; first gap 29:59
   }
 
+  test("ordersPriceHistogram: 100 distinct $100-values split into 20 buckets of exactly 5") {
+    val orders = (1 to 100).map(i => (i.toLong, 1L, "1995-01-01", i * 100.0))
+      .toDF("o_orderkey", "o_custkey", "d", "o_totalprice")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("d").cast("timestamp").as("o_orderdate"), col("o_totalprice"))
+    val got = Relational.ordersPriceHistogram(orders).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length === 20)
+    assert(got.forall(_._2 === 5L))                 // equi-depth: 5 orders per bucket
+    assert(got.map(_._1).toSeq === (1L to 20L))     // dense bucket ids
+    // bucket bounds tile the domain without overlap
+    got.sliding(2).foreach { case Array(a, b) => assert(a._4 < b._3); case _ => }
+  }
+
+  test("dailyRevenueRankStats: four days rank into four quartiles with integer percent ranks") {
+    val orders = Seq(
+      (1L, 1L, "2024-01-01", 40.0), (2L, 1L, "2024-01-02", 30.0),
+      (3L, 1L, "2024-01-03", 20.0), (4L, 1L, "2024-01-04", 10.0)
+    ).toDF("o_orderkey", "o_custkey", "d", "o_totalprice")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("d").cast("timestamp").as("o_orderdate"), col("o_totalprice"))
+    val got = Relational.dailyRevenueRankStats(orders).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // days ordered by date = revenue descending in this fixture
+    assert(got.toSeq === Seq(
+      (4000L, 1L, 1L, 0L), (3000L, 2L, 2L, 333L),
+      (2000L, 3L, 3L, 666L), (1000L, 4L, 4L, 1000L)))
+  }
+
   test("joinSizeEstimate equals the materialized join's exact cardinality") {
     val left = Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("k", "pay")
     val right = Seq((1L, "a"), (3L, "b"), (3L, "c")).toDF("j", "pay2")

@@ -119,6 +119,8 @@ class PlanShapeSpec extends SparkSpec {
       "token_distribution_shift" -> "1-row corpus-total (n_c, v) broadcast onto vocab-bounded aggregates",
       "mixture_budget_rates" -> "1-row corpus-totals broadcast onto |sources| rows",
       "event_paths_top" -> "1-row path-total broadcast onto a k-bounded top-k",
+      "orders_price_histogram" ->
+        "1-row total + 1-row fence aggregates broadcast onto the bounded value-domain histogram",
       "user_rfm_segments" ->
         "1-row broadcasts only: corpus max date + three quartile-fence rows + histogram totals")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
