@@ -148,6 +148,10 @@ object SparkEntry {
       Tables.events(s, d), Tables.documents(s, d))),
     // robust (median/MAD, integer-exact) hourly rate-spike detection
     "event_rate_anomaly" -> ((s, d) => graft.operators.Audit.eventRateAnomaly(Tables.events(s, d))),
+    // CUSUM slow-drift detection via the prefix-sum/running-min closed form
+    "daily_revenue_cusum" -> ((s, d) => graft.operators.Audit.dailyRevenueCusum(Tables.orders(s, d))),
+    // naive vs seasonal-naive forecast backtest, integer WAPE
+    "revenue_forecast_eval" -> ((s, d) => graft.operators.Audit.revenueForecastEval(Tables.orders(s, d))),
     "salted_event_segment_stats" -> ((s, d) =>
       Skew.saltedEventSegmentStats(Tables.events(s, d), Tables.customer(s, d))),
     // pre-shuffle diagnostic: top-k heaviest values of a prospective key
@@ -2288,6 +2292,39 @@ object SparkEntry {
         |SELECT check_name, n_rows, n_bad,
         |  CAST(CASE WHEN n_bad = 0 THEN 1 ELSE 0 END AS BIGINT) AS ok
         |FROM u ORDER BY check_name""".stripMargin,
+    "daily_revenue_cusum" ->
+      """WITH d AS (SELECT CAST(epoch(o_orderdate) - epoch(o_orderdate) % 86400 AS BIGINT) AS day_sec,
+        |    CAST(sum(round(o_totalprice*100)) AS BIGINT) AS x FROM orders GROUP BY 1),
+        |m AS (SELECT CAST(2 * median(x) AS BIGINT) AS med2 FROM d),
+        |v AS (SELECT day_sec, x, 2*x - med2 AS d2, med2 FROM d, m),
+        |md AS (SELECT CAST(2 * median(abs(d2)) AS BIGINT) AS mad4 FROM v),
+        |p AS (SELECT day_sec, x, med2, d2,
+        |    sum(d2) OVER (ORDER BY day_sec ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        |  FROM v),
+        |c AS (SELECT day_sec, x, med2, p,
+        |    p - least(0, min(p) OVER (ORDER BY day_sec
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum2
+        |  FROM p)
+        |SELECT day_sec, x AS revenue_cents, med2, md.mad4, CAST(cusum2 AS BIGINT) AS cusum2,
+        |  CAST(CASE WHEN 2*cusum2 > 10*md.mad4 THEN 1 ELSE 0 END AS BIGINT) AS is_drift
+        |FROM c, md ORDER BY day_sec""".stripMargin,
+    "revenue_forecast_eval" ->
+      """WITH d AS (SELECT CAST(epoch(o_orderdate) - epoch(o_orderdate) % 86400 AS BIGINT) AS day_sec,
+        |    CAST(sum(round(o_totalprice*100)) AS BIGINT) AS x FROM orders GROUP BY 1),
+        |s AS (SELECT day_sec, x,
+        |    lag(x, 1) OVER (ORDER BY day_sec) AS f_naive,
+        |    lag(x, 7) OVER (ORDER BY day_sec) AS f_snaive FROM d),
+        |e AS (
+        |  SELECT 'naive' AS method, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(abs(x - f_naive)) AS BIGINT) AS abs_err_cents,
+        |    CAST(sum(x) AS BIGINT) AS actual FROM s WHERE f_naive IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'seasonal_naive', CAST(count(*) AS BIGINT),
+        |    CAST(sum(abs(x - f_snaive)) AS BIGINT),
+        |    CAST(sum(x) AS BIGINT) FROM s WHERE f_snaive IS NOT NULL)
+        |SELECT method, n_days, abs_err_cents,
+        |  CAST((abs_err_cents * 1000) // actual AS BIGINT) AS wape_milli
+        |FROM e ORDER BY method""".stripMargin,
     "event_rate_anomaly" ->
       """WITH h AS (SELECT event_type,
         |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-contract and anomaly audits — the validation pass a training-data
@@ -71,6 +72,67 @@ object Audit {
     * Scale shape: one two-phase hash agg to (type, hour) counts —
     * shuffle bounded by type × hour domain, not the event count — then
     * two exact-percentile aggs whose input is that bounded hourly table. */
+  /** CUSUM drift detection over daily revenue — the SLOW-DRIFT
+    * complement of [[eventRateAnomaly]]'s spike rule: a sustained small
+    * shift never trips a per-point MAD test, but its deviations
+    * accumulate. The textbook recursion s_i = max(0, s_{i-1} + dev_i)
+    * looks un-relational, but it has the closed form
+    * `s_i = P_i − min(0, min_{j≤i} P_j)` over prefix sums P — two
+    * ordered windows (running sum, running min) over the DAY-keyed
+    * aggregate, bounded by the time domain like every window in the
+    * daily family. Integer-exact throughout: deviations are doubled
+    * (2x − med2) so the median never introduces a half, and the drift
+    * verdict `2·cusum2 > 10·mad4` is a cross-multiplication — flags
+    * roughly when accumulated drift exceeds ~2.5 MADs, the contract
+    * being the integer formula itself. */
+  def dailyRevenueCusum(orders: DataFrame): DataFrame = {
+    val u = unix_timestamp(col("o_orderdate"))
+    val daily = orders
+      .groupBy((u - u % lit(86400L)).as("day_sec"))
+      .agg(sum(round(col("o_totalprice") * 100)).cast("long").as("x"))
+    val med = daily.agg(expr("CAST(2 * percentile(x, 0.5D) AS LONG)").as("med2"))
+    val dev = daily.crossJoin(broadcast(med))
+      .withColumn("d2", lit(2L) * col("x") - col("med2"))
+    val mad = dev.agg(expr("CAST(2 * percentile(abs(d2), 0.5D) AS LONG)").as("mad4"))
+    val wRun = Window.orderBy("day_sec")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dev.crossJoin(broadcast(mad))
+      .withColumn("p", sum(col("d2")).over(wRun))
+      .withColumn("cusum2", col("p") - least(lit(0L), min(col("p")).over(wRun)))
+      .select(col("day_sec"), col("x").as("revenue_cents"), col("med2"),
+        col("mad4"), col("cusum2"),
+        (lit(2L) * col("cusum2") > lit(10L) * col("mad4")).cast("long").as("is_drift"))
+      .orderBy("day_sec")
+  }
+
+  /** Forecast BACKTEST over daily revenue: the two no-model baselines
+    * every forecasting effort must beat — naive (yesterday) and
+    * seasonal-naive (same weekday last week) — scored with integer WAPE
+    * (Σ|err|·1000 div Σactual, weighted so zero-revenue days can't blow
+    * up a pointwise MAPE). One day-keyed aggregate, two lag windows over
+    * it, a 2-row report out; the eval harness a revenue model is graded
+    * against, expressed relationally. */
+  def revenueForecastEval(orders: DataFrame): DataFrame = {
+    val u = unix_timestamp(col("o_orderdate"))
+    val daily = orders
+      .groupBy((u - u % lit(86400L)).as("day_sec"))
+      .agg(sum(round(col("o_totalprice") * 100)).cast("long").as("x"))
+    val w = Window.orderBy("day_sec")
+    val scored = daily
+      .withColumn("f_naive", lag(col("x"), 1).over(w))
+      .withColumn("f_snaive", lag(col("x"), 7).over(w))
+    def eval(f: String, name: String) =
+      scored.filter(col(f).isNotNull)
+        .agg(
+          count(lit(1)).cast("long").as("n_days"),
+          sum(abs(col("x") - col(f))).cast("long").as("abs_err_cents"),
+          sum(col("x")).cast("long").as("actual_cents"))
+        .select(lit(name).as("method"), col("n_days"), col("abs_err_cents"),
+          expr("(abs_err_cents * 1000) div actual_cents").as("wape_milli"))
+    eval("f_naive", "naive").unionByName(eval("f_snaive", "seasonal_naive"))
+      .orderBy("method")
+  }
+
   def eventRateAnomaly(events: DataFrame): DataFrame = {
     val hourly = events
       .groupBy(col("event_type"),

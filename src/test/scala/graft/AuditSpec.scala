@@ -104,4 +104,31 @@ class AuditSpec extends SparkSpec {
     val rawHours = ev.select(date_trunc("hour", col("ts"))).distinct().count()
     assert(hoursFromRollup === rawHours)
   }
+
+  private def dailyOrders(xs: Seq[Double]) =
+    xs.zipWithIndex.map { case (v, i) =>
+      (i.toLong, 1L, java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(i).atStartOfDay()), v)
+    }.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+
+  test("CUSUM flags a sustained level shift the per-point spike rule never sees") {
+    // 14 baseline days at 100, then a +80% shift for 7 days: every single
+    // day is unremarkable on its own; the accumulated drift is not
+    val orders = dailyOrders(Seq.fill(14)(100.0) ++ Seq.fill(7)(180.0))
+    val got = Audit.dailyRevenueCusum(orders).collect()
+      .map(r => (r.getLong(4), r.getLong(5))) // (cusum2, is_drift)
+    assert(got.take(14).forall(_ == ((0L, 0L))))  // baseline: zero accumulation
+    assert(got.drop(14).forall(_._2 === 1L))      // every shifted day flagged
+    // the accumulator grows monotonically through the shift
+    val drift = got.drop(14).map(_._1)
+    assert(drift.zip(drift.tail).forall { case (a, b) => b > a })
+  }
+
+  test("forecast backtest: a weekly-periodic series gives seasonal-naive zero WAPE, naive pays") {
+    val orders = dailyOrders(Seq(10, 20, 30, 40, 50, 60, 70, 10, 20).map(_.toDouble))
+    val got = Audit.revenueForecastEval(orders).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("seasonal_naive") === ((2L, 0L, 0L)))      // perfect on the repeat
+    assert(got("naive") === ((8L, 13000L, 433L)))         // pays the day-to-day swing
+  }
 }
