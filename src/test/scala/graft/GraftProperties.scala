@@ -291,4 +291,49 @@ object GraftProperties extends Properties("graft") {
         (dot * dot * 100 / (na2 * nb2)).toLong))).toMap
       got == exp
     }
+
+  // CUSUM's relational closed form (prefix sum minus clamped running min)
+  // must equal the textbook recursion s_i = max(0, s_{i-1} + dev_i) on any
+  // integer series — the algebraic identity dailyRevenueCusum rests on
+  private val revenueGen: Gen[List[Int]] =
+    Gen.listOfN(30, Gen.choose(1, 500))
+
+  property("CUSUM closed form == direct recursion") = forAll(revenueGen) { xs =>
+    val orders = xs.zipWithIndex.map { case (v, i) =>
+      (i.toLong, 1L, java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(i).atStartOfDay()), v.toDouble)
+    }.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val got = graft.operators.Audit.dailyRevenueCusum(orders).collect()
+      .map(_.getLong(4)).toList
+    // reference recursion on the same doubled deviations
+    val cents = xs.map(_.toLong * 100)
+    val sorted = cents.sorted
+    val n = sorted.length
+    val med2 = // 2 * median, integer (even n averages the middle pair)
+      if (n % 2 == 1) 2 * sorted(n / 2) else sorted(n / 2 - 1) + sorted(n / 2)
+    val devs = cents.map(2 * _ - med2)
+    val exp = devs.scanLeft(0L)((s, d) => math.max(0L, s + d)).tail
+    got == exp
+  }
+
+  // equi-depth histogram invariants on any value multiset: bucket counts
+  // sum to n, ids stay in range and strictly ascend, bounds are ordered
+  // and non-overlapping
+  private val priceGen: Gen[List[Int]] =
+    Gen.listOfN(60, Gen.choose(1, 40))
+
+  property("equi-depth histogram partitions the multiset") = forAll(priceGen) { vs =>
+    val orders = vs.zipWithIndex.map { case (v, i) =>
+      (i.toLong, 1L, java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).atStartOfDay()), v * 100.0)
+    }.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val rows = graft.operators.Relational.ordersPriceHistogram(orders).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val sumOk = rows.map(_._2).sum == vs.length
+    val idsOk = rows.map(_._1).forall(b => b >= 1 && b <= 20) &&
+      rows.map(_._1).toSeq == rows.map(_._1).toSeq.sorted
+    val boundsOk = rows.forall(r => r._3 <= r._4) &&
+      rows.sliding(2).forall { case Array(a, b) => a._4 < b._3; case _ => true }
+    sumOk && idsOk && boundsOk
+  }
 }
