@@ -2311,9 +2311,10 @@ object SparkEntry {
     "revenue_forecast_eval" ->
       """WITH d AS (SELECT CAST(epoch(o_orderdate) - epoch(o_orderdate) % 86400 AS BIGINT) AS day_sec,
         |    CAST(sum(round(o_totalprice*100)) AS BIGINT) AS x FROM orders GROUP BY 1),
-        |s AS (SELECT day_sec, x,
-        |    lag(x, 1) OVER (ORDER BY day_sec) AS f_naive,
-        |    lag(x, 7) OVER (ORDER BY day_sec) AS f_snaive FROM d),
+        |s AS (SELECT d.day_sec, d.x,
+        |    lag(d.x, 1) OVER (ORDER BY d.day_sec) AS f_naive,
+        |    p.x AS f_snaive
+        |  FROM d LEFT JOIN d p ON p.day_sec = d.day_sec - 604800),
         |e AS (
         |  SELECT 'naive' AS method, CAST(count(*) AS BIGINT) AS n_days,
         |    CAST(sum(abs(x - f_naive)) AS BIGINT) AS abs_err_cents,

@@ -86,10 +86,10 @@ object Audit {
     * roughly when accumulated drift exceeds ~2.5 MADs, the contract
     * being the integer formula itself. */
   def dailyRevenueCusum(orders: DataFrame): DataFrame = {
-    val u = unix_timestamp(col("o_orderdate"))
-    val daily = orders
-      .groupBy((u - u % lit(86400L)).as("day_sec"))
-      .agg(sum(round(col("o_totalprice") * 100)).cast("long").as("x"))
+    // ONE definition of the day-bucketed revenue aggregate across the
+    // whole daily family (CUSUM, forecast eval, the materialized view)
+    val daily = Relational.dailyRevenueAgg(orders)
+      .select(col("day_sec"), col("revenue_cents").as("x"))
     val med = daily.agg(expr("CAST(2 * percentile(x, 0.5D) AS LONG)").as("med2"))
     val dev = daily.crossJoin(broadcast(med))
       .withColumn("d2", lit(2L) * col("x") - col("med2"))
@@ -106,21 +106,24 @@ object Audit {
   }
 
   /** Forecast BACKTEST over daily revenue: the two no-model baselines
-    * every forecasting effort must beat — naive (yesterday) and
-    * seasonal-naive (same weekday last week) — scored with integer WAPE
-    * (Σ|err|·1000 div Σactual, weighted so zero-revenue days can't blow
-    * up a pointwise MAPE). One day-keyed aggregate, two lag windows over
-    * it, a 2-row report out; the eval harness a revenue model is graded
-    * against, expressed relationally. */
+    * every forecasting effort must beat — naive (last OBSERVED day, the
+    * standard definition) and seasonal-naive (same CALENDAR day one week
+    * earlier, via a day-key self-join so a gap in the series cannot
+    * silently misalign the weekday — a `lag(7)` over rows would) —
+    * scored with integer WAPE (Σ|err|·1000 div Σactual, weighted so
+    * zero-revenue days can't blow up a pointwise MAPE). One day-keyed
+    * aggregate, one lag window and one day-key self-join over it, a
+    * 2-row report out; each method scores only the days its forecast
+    * exists for (`n_days` discloses the coverage). */
   def revenueForecastEval(orders: DataFrame): DataFrame = {
-    val u = unix_timestamp(col("o_orderdate"))
-    val daily = orders
-      .groupBy((u - u % lit(86400L)).as("day_sec"))
-      .agg(sum(round(col("o_totalprice") * 100)).cast("long").as("x"))
+    val daily = Relational.dailyRevenueAgg(orders)
+      .select(col("day_sec"), col("revenue_cents").as("x"))
     val w = Window.orderBy("day_sec")
+    val snaive = daily.select(
+      (col("day_sec") + lit(604800L)).as("day_sec"), col("x").as("f_snaive"))
     val scored = daily
       .withColumn("f_naive", lag(col("x"), 1).over(w))
-      .withColumn("f_snaive", lag(col("x"), 7).over(w))
+      .join(snaive, Seq("day_sec"), "left")
     def eval(f: String, name: String) =
       scored.filter(col(f).isNotNull)
         .agg(

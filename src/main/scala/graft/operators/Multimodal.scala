@@ -128,16 +128,20 @@ object Multimodal {
       .select(col("band_idx"), col("band_key"))
     val kept = bands.join(keep, Seq("band_idx", "band_key"))
     val ham = (1 to 4).map(i =>
-      bit_count(element_at(col("a.ph"), i)
-        .bitwiseXOR(element_at(col("b.ph"), i)))).reduce(_ + _)
+      bit_count(element_at(col("pa"), i)
+        .bitwiseXOR(element_at(col("pb"), i)))).reduce(_ + _)
+    // dedupe candidate PAIRS before the hamming verify: a 4-band
+    // collision otherwise shuffles four identical rows and evaluates
+    // the verify expression four times
     kept.as("a")
       .join(kept.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        ham.cast("long").as("hamming"))
+        col("a.ph").as("pa"), col("b.ph").as("pb"))
       .distinct()
+      .select(col("doc_a"), col("doc_b"), ham.cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
   }

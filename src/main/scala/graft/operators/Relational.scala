@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
-  private def cents(c: org.apache.spark.sql.Column) = round(c * 100)
+  private[operators] def cents(c: org.apache.spark.sql.Column) = round(c * 100)
 
   /** TPC-H Q1-style pricing summary: scan-heavy group-by over lineitem.
     * Filter reaches the parquet scan; aggregate is two-phase hash. */
@@ -814,7 +814,7 @@ object Relational {
     * epoch-day keys. Count and sum are both mergeable, which is the
     * entire point — a maintained aggregate must re-aggregate its own
     * rows with a batch's partial rows and land on the full recompute. */
-  private def dailyRevenueAgg(orders: DataFrame): DataFrame = {
+  private[operators] def dailyRevenueAgg(orders: DataFrame): DataFrame = {
     val u = unix_timestamp(col("o_orderdate"))
     orders
       .groupBy((u - u % lit(86400L)).as("day_sec"))

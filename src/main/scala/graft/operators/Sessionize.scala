@@ -84,7 +84,7 @@ object Sessionize {
     val pur = events.filter(col("event_type") === "purchase").select(
       col("user_id").as("k"),
       unix_timestamp(col("ts")).as("p_sec"),
-      round(col("value") * 100).cast("long").as("v_cents"))
+      Relational.cents(col("value")).cast("long").as("v_cents"))
       .withColumn("pbucket", col("p_sec") - pmod(col("p_sec"), lit(windowSec)))
     val clk = events.filter(col("event_type") === "click").select(
       col("event_id"), col("user_id"),
@@ -135,7 +135,7 @@ object Sessionize {
       lit(1).as("tag"),
       col("event_id"),
       lit(null).cast("string").as("touch_ch"),
-      round(col("value") * 100).cast("long").as("v_cents"))
+      Relational.cents(col("value")).cast("long").as("v_cents"))
     val w = Window.partitionBy(col("k"))
       .orderBy(col("t"), col("tag"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

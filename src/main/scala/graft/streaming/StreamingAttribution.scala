@@ -50,7 +50,11 @@ object StreamingAttribution {
       ordered.foreach { e =>
         val sec = e.ts.getTime / 1000
         if (Touches.contains(e.eventType)) {
-          st = Some(TouchState(e.eventType, e.ts.getTime))
+          // never let a LATE out-of-order touch regress the state: the
+          // batch operator attributes to the latest touch by EVENT time,
+          // so an older touch arriving after a newer one must lose
+          if (st.forall(_.lastMs <= e.ts.getTime))
+            st = Some(TouchState(e.eventType, e.ts.getTime))
         } else if (e.eventType == "purchase") {
           val ch = st match {
             case Some(s) if sec - s.lastMs / 1000 <= horizonMs / 1000 => s.channel
@@ -59,12 +63,18 @@ object StreamingAttribution {
           out += Attribution(uid, sec, ch, math.round(e.value * 100))
         }
       }
-      st match {
-        case Some(s) =>
-          state.update(s)
-          state.setTimeoutTimestamp(s.lastMs + horizonMs)
-        case None => // purchases only so far: nothing worth keeping
-          if (state.exists) state.remove()
+      st.foreach { s =>
+        state.update(s)
+        // +1s: the horizon compares FLOOR seconds, so a purchase up to
+        // 999 ms past lastMs+horizon is still in-horizon and the state
+        // must outlive it. Clamp above the watermark: a batch whose
+        // events do NOT move lastMs forward (late purchases, stale
+        // touches) would otherwise re-arm a timestamp the watermark has
+        // already passed — Spark rejects that and kills the query.
+        // (getCurrentWatermarkMs throws in BATCH execution, where no
+        // watermark exists and no clamp is needed.)
+        val wm = try state.getCurrentWatermarkMs() catch { case _: Exception => Long.MinValue }
+        state.setTimeoutTimestamp(math.max(s.lastMs + horizonMs + 1000, wm + 1))
       }
     }
     out.iterator

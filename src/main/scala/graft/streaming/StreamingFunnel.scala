@@ -63,8 +63,15 @@ object StreamingFunnel {
       if (st.step > 0) {
         state.update(st)
         // mid-funnel: past this instant nothing can advance the user;
-        // converted: nothing left to advance — either way, evict
-        state.setTimeoutTimestamp((st.lastSec + horizonSec + 1) * 1000)
+        // converted: nothing left to advance — either way, evict. Clamp
+        // above the watermark: a batch whose events do NOT advance the
+        // funnel (e.g. later activity past the horizon) would otherwise
+        // re-arm a timestamp the watermark has already passed — Spark
+        // rejects that and kills the query. (getCurrentWatermarkMs
+        // throws in BATCH execution, where no watermark exists and no
+        // clamp is needed.)
+        val wm = try state.getCurrentWatermarkMs() catch { case _: Exception => Long.MinValue }
+        state.setTimeoutTimestamp(math.max((st.lastSec + horizonSec + 1) * 1000, wm + 1))
       }
     }
     out.iterator

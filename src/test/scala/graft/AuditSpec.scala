@@ -131,4 +131,18 @@ class AuditSpec extends SparkSpec {
     assert(got("seasonal_naive") === ((2L, 0L, 0L)))      // perfect on the repeat
     assert(got("naive") === ((8L, 13000L, 433L)))         // pays the day-to-day swing
   }
+
+  test("forecast backtest stays CALENDAR-aligned across a gap in the daily series") {
+    // days 0..6, then day 7 missing, then day 8 repeating day 1's value:
+    // the calendar self-join scores day 8 against day 1 (error 0); a
+    // row-based lag(7) would silently slide to day 0 and report error
+    val base = Seq(10, 20, 30, 40, 50, 60, 70).map(_.toDouble)
+    val orders = dailyOrders(base).unionByName(
+      Seq((100L, 1L, java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2024, 1, 9).atStartOfDay()), 20.0))
+        .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"))
+    val got = Audit.revenueForecastEval(orders).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("seasonal_naive") === ((1L, 0L, 0L)))
+  }
 }

@@ -41,6 +41,30 @@ class StreamingAttributionSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a batch that cannot advance the state never re-arms a timeout below the watermark (crash regression)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TouchEvent]
+    val q = StreamingAttribution.attribute(
+        in.toDS().withWatermark("ts", "5 seconds"))
+      .writeStream.format("memory").queryName("attr2").outputMode("append").start()
+    try {
+      in.addData(ev("u1", 0, "click", 1))
+      q.processAllAvailable()
+      // keep u1's state alive while another user drags the watermark far
+      // past u1's armed timeout (t0 + 24h)
+      in.addData(ev("u1", 10, "purchase", 2, 1.0), ev("u9", 200000, "view", 3))
+      q.processAllAvailable()
+      // now the watermark is ~t0+200000s; u1's stale state gets data
+      // again — the un-clamped re-arm used to throw and kill the query
+      in.addData(ev("u1", 200001, "purchase", 4, 2.0))
+      q.processAllAvailable()
+      val got = spark.table("attr2").as[Attribution].collect().toSet
+      assert(got === Set(
+        Attribution("u1", t0 / 1000 + 10, "click", 100L),
+        Attribution("u1", t0 / 1000 + 200001, "direct", 200L)))
+    } finally q.stop()
+  }
+
   test("rolled up, the online operator equals the batch lastTouchAttribution on real events") {
     val events = Tables.events(spark, Sf0001)
     val typed = events.select(
