@@ -168,6 +168,12 @@ object SparkEntry {
     "user_rfm_segments" -> ((s, d) => Relational.rfmSegments(Tables.orders(s, d))),
     // equi-depth 20-bucket value histogram (CBO selectivity stats)
     "orders_price_histogram" -> ((s, d) => Relational.ordersPriceHistogram(Tables.orders(s, d))),
+    // order->ship latency distribution (delay-domain-bounded histogram)
+    "shipping_delay_histogram" -> ((s, d) =>
+      Relational.shippingDelayHistogram(Tables.lineitem(s, d), Tables.orders(s, d))),
+    // slowest suppliers by integer 2x-median delay, k-bounded
+    "supplier_delay_ranking" -> ((s, d) =>
+      Relational.supplierDelayRanking(Tables.lineitem(s, d), Tables.orders(s, d))),
     // rank/ntile/integer-percent-rank over the bounded daily aggregate
     "daily_revenue_rank_stats" -> ((s, d) => Relational.dailyRevenueRankStats(Tables.orders(s, d))),
     // materialized-aggregate maintenance, hash-gated END TO END: init
@@ -2185,6 +2191,22 @@ object SparkEntry {
          |  CAST(min(v) AS BIGINT) AS v_lo_100usd, CAST(max(v) AS BIGINT) AS v_hi_100usd
          |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    "shipping_delay_histogram" ->
+      """WITH j AS (SELECT CAST((epoch(l_shipdate) - epoch(o_orderdate)) // 86400 AS BIGINT) AS delay_days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |h AS (SELECT delay_days, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM h)
+        |SELECT delay_days, n, CAST((n * 1000000) // total AS BIGINT) AS share_ppm
+        |FROM h, t ORDER BY delay_days""".stripMargin,
+    "supplier_delay_ranking" ->
+      """WITH j AS (SELECT l_suppkey,
+        |    CAST((epoch(l_shipdate) - epoch(o_orderdate)) // 86400 AS BIGINT) AS delay_days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |a AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_lineitems,
+        |    CAST(2 * median(delay_days) AS BIGINT) AS med2_delay_days
+        |  FROM j GROUP BY 1)
+        |SELECT l_suppkey, n_lineitems, med2_delay_days
+        |FROM a ORDER BY med2_delay_days DESC, l_suppkey LIMIT 20""".stripMargin,
     "daily_revenue_rank_stats" ->
       """WITH d AS (SELECT CAST(epoch(o_orderdate) - epoch(o_orderdate) % 86400 AS BIGINT) AS day_sec,
         |    CAST(count(*) AS BIGINT) AS n_orders,

@@ -887,6 +887,44 @@ object Relational {
   def loadDailyRevenue(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/live/agg")
 
+  /** Order→ship latency distribution — the supply-chain SLA view: whole
+    * days between order date and each line item's ship date, as a
+    * histogram with ppm shares. One join on the order key (the
+    * semantically-required shuffle q3/q5 already pay), one two-phase agg
+    * bounded by the DELAY DOMAIN (days), a 1-row total broadcast. */
+  def shippingDelayHistogram(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val delays = lineitem.select(col("l_orderkey"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(expr(
+        "(unix_timestamp(l_shipdate) - unix_timestamp(o_orderdate)) div 86400")
+        .as("delay_days"))
+    val hist = delays.groupBy(col("delay_days")).agg(count(lit(1)).as("n"))
+    hist.crossJoin(broadcast(hist.agg(sum(col("n")).as("total"))))
+      .select(col("delay_days"), col("n").cast("long").as("n"),
+        expr("(n * 1000000) div total").as("share_ppm"))
+      .orderBy("delay_days")
+  }
+
+  /** Slowest suppliers by MEDIAN order→ship delay — the ranking that
+    * decides who gets the procurement call. med2 = 2×median keeps the
+    * even-count midpoint integer (the [[graft.operators.Audit]] family's
+    * trick); per-supplier aggregation is NDV-bounded, the output is a
+    * k-bounded TakeOrdered. */
+  def supplierDelayRanking(lineitem: DataFrame, orders: DataFrame, k: Int = 20): DataFrame =
+    lineitem.select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"), expr(
+        "(unix_timestamp(l_shipdate) - unix_timestamp(o_orderdate)) div 86400")
+        .as("delay_days"))
+      .groupBy(col("l_suppkey"))
+      .agg(
+        count(lit(1)).cast("long").as("n_lineitems"),
+        expr("CAST(2 * percentile(delay_days, 0.5D) AS LONG)").as("med2_delay_days"))
+      .orderBy(col("med2_delay_days").desc, col("l_suppkey"))
+      .limit(k)
+
   /** Equi-depth (equal-count) HISTOGRAM of order values — the other half
     * of the ANALYZE stats family next to [[tableColumnStats]]'s min/max:
     * 20 buckets each holding ~5% of orders, with per-bucket bounds and

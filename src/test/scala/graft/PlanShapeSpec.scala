@@ -123,6 +123,8 @@ class PlanShapeSpec extends SparkSpec {
         "1-row total + 1-row fence aggregates broadcast onto the bounded value-domain histogram",
       "daily_revenue_cusum" ->
         "1-row median + 1-row MAD broadcasts onto the day-domain-bounded aggregate",
+      "shipping_delay_histogram" ->
+        "1-row total broadcast onto the delay-domain-bounded histogram",
       "user_rfm_segments" ->
         "1-row broadcasts only: corpus max date + three quartile-fence rows + histogram totals")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
