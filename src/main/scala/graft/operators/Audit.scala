@@ -71,7 +71,8 @@ object Audit {
     *
     * Scale shape: one two-phase hash agg to (type, hour) counts —
     * shuffle bounded by type × hour domain, not the event count — then
-    * two exact-percentile aggs whose input is that bounded hourly table. */
+    * two [[Median.med2ByKey]] nearest-rank passes whose input is that
+    * bounded hourly table (histogram cums, no per-group value buffers). */
   /** CUSUM drift detection over daily revenue — the SLOW-DRIFT
     * complement of [[eventRateAnomaly]]'s spike rule: a sustained small
     * shift never trips a per-point MAD test, but its deviations
@@ -90,10 +91,10 @@ object Audit {
     // whole daily family (CUSUM, forecast eval, the materialized view)
     val daily = Relational.dailyRevenueAgg(orders)
       .select(col("day_sec"), col("revenue_cents").as("x"))
-    val med = daily.agg(expr("CAST(2 * percentile(x, 0.5D) AS LONG)").as("med2"))
+    val med = Median.med2Global(daily, col("x"))
     val dev = daily.crossJoin(broadcast(med))
       .withColumn("d2", lit(2L) * col("x") - col("med2"))
-    val mad = dev.agg(expr("CAST(2 * percentile(abs(d2), 0.5D) AS LONG)").as("mad4"))
+    val mad = Median.med2Global(dev, abs(col("d2"))).select(col("med2").as("mad4"))
     val wRun = Window.orderBy("day_sec")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     dev.crossJoin(broadcast(mad))
@@ -141,12 +142,12 @@ object Audit {
       .groupBy(col("event_type"),
         unix_timestamp(date_trunc("hour", col("ts"))).as("hour"))
       .agg(count(lit(1)).as("n"))
-    val med = hourly.groupBy("event_type")
-      .agg(expr("CAST(2 * percentile(n, 0.5D) AS LONG)").as("med2"))
+    val med = Median.med2ByKey(hourly, Seq("event_type"), col("n"))
+      .select(col("event_type"), col("med2"))
     val dev = hourly.join(med, "event_type")
       .withColumn("dev2", abs(lit(2L) * col("n") - col("med2")))
-    val mad = dev.groupBy("event_type")
-      .agg(expr("CAST(2 * percentile(dev2, 0.5D) AS LONG)").as("mad4"))
+    val mad = Median.med2ByKey(dev, Seq("event_type"), col("dev2"))
+      .select(col("event_type"), col("med2").as("mad4"))
     dev.join(mad, "event_type")
       .select(col("event_type"), col("hour"), col("n"), col("med2"),
         col("mad4"), col("dev2"),

@@ -849,12 +849,20 @@ object Relational {
     * the ledger is load-bearing here, not hygiene). The merge cost is
     * aggregate-table + batch-sized — the fact history is never re-read.
     * Staged-then-swap: the new agg AND the extended ledger are written
-    * to a staging tree and take effect via one rename, so a crash
-    * mid-apply leaves the live tree untouched and the re-delivered batch
-    * applies cleanly next time. */
+    * to a staging tree and take effect via the two-rename swap
+    * (live→old, stage→live). A crash before the FIRST rename leaves the
+    * live tree untouched; a crash between the two renames leaves no
+    * `live` but a complete pre-apply `old` — [[recoverDailyRevenue]]
+    * (run by both load and apply before touching the tree) restores it,
+    * after which the re-delivered batch applies cleanly. Caveat for
+    * object stores: directory "rename" is copy+delete there, so the
+    * swap's crash window widens — on S3-class storage this family wants
+    * a table format with a real commit log (the recovery hook is the
+    * filesystem-tree stand-in for that commit protocol). */
   def applyDailyRevenueDelta(spark: org.apache.spark.sql.SparkSession, path: String,
                              batch: DataFrame, batchId: Long): Unit = {
     import spark.implicits._
+    recoverDailyRevenue(spark, path)
     val applied = spark.read.parquet(s"$path/live/ledger")
       .filter(col("batch_id") === batchId).limit(1).count() > 0
     if (applied) return
@@ -884,8 +892,27 @@ object Relational {
     spark.catalog.refreshByPath(live.toString)
   }
 
-  def loadDailyRevenue(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+  /** Crash recovery for the two-rename swap: a failure between
+    * rename(live→old) and rename(stage→live) leaves no live tree but a
+    * complete pre-apply `old` — roll it back so readers and the next
+    * apply see the last committed state (the re-delivered batch then
+    * re-applies on top). No-op whenever `live` exists. */
+  def recoverDailyRevenue(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$path/live")
+    val old = new org.apache.hadoop.fs.Path(s"$path/old")
+    if (!fs.exists(live) && fs.exists(old)) {
+      if (!fs.rename(old, live))
+        sys.error(s"recoverDailyRevenue: could not restore $old to $live")
+      spark.catalog.refreshByPath(live.toString)
+    }
+  }
+
+  def loadDailyRevenue(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    recoverDailyRevenue(spark, path)
     spark.read.parquet(s"$path/live/agg")
+  }
 
   /** Order→ship latency distribution — the supply-chain SLA view: whole
     * days between order date and each line item's ship date, as a
@@ -909,21 +936,23 @@ object Relational {
   /** Slowest suppliers by MEDIAN order→ship delay — the ranking that
     * decides who gets the procurement call. med2 = 2×median keeps the
     * even-count midpoint integer (the [[graft.operators.Audit]] family's
-    * trick); per-supplier aggregation is NDV-bounded, the output is a
-    * k-bounded TakeOrdered. */
-  def supplierDelayRanking(lineitem: DataFrame, orders: DataFrame, k: Int = 20): DataFrame =
-    lineitem.select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    * trick), computed via [[Median.med2ByKey]]'s nearest-rank histogram —
+    * per-(supplier, delay-day) counts, never a per-group raw-value buffer
+    * — so per-task rows are bounded by the DELAY DOMAIN at any fact
+    * scale; the output is a k-bounded TakeOrdered. */
+  def supplierDelayRanking(lineitem: DataFrame, orders: DataFrame, k: Int = 20): DataFrame = {
+    val delays = lineitem.select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
       .join(orders.select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_suppkey"), expr(
         "(unix_timestamp(l_shipdate) - unix_timestamp(o_orderdate)) div 86400")
         .as("delay_days"))
-      .groupBy(col("l_suppkey"))
-      .agg(
-        count(lit(1)).cast("long").as("n_lineitems"),
-        expr("CAST(2 * percentile(delay_days, 0.5D) AS LONG)").as("med2_delay_days"))
+    Median.med2ByKey(delays, Seq("l_suppkey"), col("delay_days"))
+      .select(col("l_suppkey"), col("n").as("n_lineitems"),
+        col("med2").as("med2_delay_days"))
       .orderBy(col("med2_delay_days").desc, col("l_suppkey"))
       .limit(k)
+  }
 
   /** Equi-depth (equal-count) HISTOGRAM of order values — the other half
     * of the ANALYZE stats family next to [[tableColumnStats]]'s min/max:

@@ -20,11 +20,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * per-window uid-set state is the wall both avoid).
   *
   * Within-batch ordering: events fold sorted by (floor-second,
-  * touches-before-purchases, eventId) and the horizon compares
+  * touches-before-purchases, eventId) and BOTH horizon bounds compare
   * floor-seconds — the batch operator's EXACT total order and time
   * arithmetic, so a same-second touch+purchase pair (and a pair exactly
   * at the 24 h boundary) attributes identically online and offline; the
   * batch-equivalence spec asserts the rolled-up equality outright.
+  *
+  * CROSS-BATCH late data, disclosed divergence: state keeps only the
+  * LATEST touch, so a purchase arriving in a later micro-batch than a
+  * touch that post-dates it is credited 'direct' (the guard rejects a
+  * stored touch that does not precede the purchase — it is never credited
+  * to a FUTURE touch), even where batch — seeing all history — would
+  * credit an older in-horizon touch the online state has since dropped.
+  * Holding the full touch history per user would restore that case at
+  * unbounded state cost; 'direct' is the conservative answer an online
+  * bidder can live with, and within-watermark ordered delivery (the
+  * normal case) attributes identically to batch.
   */
 object StreamingAttribution {
 
@@ -52,12 +63,20 @@ object StreamingAttribution {
         if (Touches.contains(e.eventType)) {
           // never let a LATE out-of-order touch regress the state: the
           // batch operator attributes to the latest touch by EVENT time,
-          // so an older touch arriving after a newer one must lose
-          if (st.forall(_.lastMs <= e.ts.getTime))
+          // so an older touch arriving after a newer one must lose.
+          // FLOOR-second compare (not raw millis): the batch total order
+          // is (floor-second, tag, event_id), so a same-second touch with
+          // a higher eventId must win regardless of its sub-second millis
+          if (st.forall(_.lastMs / 1000 <= sec))
             st = Some(TouchState(e.eventType, e.ts.getTime))
         } else if (e.eventType == "purchase") {
+          // the credited touch must PRECEDE the purchase (floor-second,
+          // like the batch window order): a late purchase arriving after
+          // a newer touch already took the state must NOT be credited to
+          // that future touch — it falls back to 'direct'
           val ch = st match {
-            case Some(s) if sec - s.lastMs / 1000 <= horizonMs / 1000 => s.channel
+            case Some(s) if s.lastMs / 1000 <= sec &&
+              sec - s.lastMs / 1000 <= horizonMs / 1000 => s.channel
             case _ => "direct"
           }
           out += Attribution(uid, sec, ch, math.round(e.value * 100))

@@ -826,6 +826,29 @@ class OperatorSpec extends SparkSpec {
       rows(Relational.loadDailyRevenue(spark, full)))
   }
 
+  test("daily-revenue swap crash window: a missing live tree recovers from old on the next load/apply") {
+    val orders = Tables.orders(spark, Sf0001)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val path = java.nio.file.Files.createTempDirectory("dailyrev_crash").toString
+    Relational.saveDailyRevenue(orders.filter("o_orderkey % 2 = 0"), path)
+    val committed = rows(Relational.loadDailyRevenue(spark, path))
+    // simulate a crash BETWEEN the two renames: live was staged out to
+    // old, stage never swapped in — readers see no live tree at all
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$path/live"),
+      new org.apache.hadoop.fs.Path(s"$path/old")))
+    // load recovers the last committed state instead of failing
+    assert(rows(Relational.loadDailyRevenue(spark, path)) === committed)
+    // and a re-delivered apply lands on the recovered tree cleanly
+    Relational.applyDailyRevenueDelta(spark, path, orders.filter("o_orderkey % 2 = 1"), 7L)
+    val full = java.nio.file.Files.createTempDirectory("dailyrev_crash_full").toString
+    Relational.saveDailyRevenue(orders, full)
+    assert(rows(Relational.loadDailyRevenue(spark, path)) ===
+      rows(Relational.loadDailyRevenue(spark, full)))
+  }
+
   test("rfmSegments: nearest-rank fences put four distinct spenders in four monetary quartiles") {
     val orders = Seq(
       (1L, 1L, "2024-01-01", 1000.0),

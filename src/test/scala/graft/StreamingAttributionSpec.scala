@@ -65,6 +65,49 @@ class StreamingAttributionSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a late cross-batch purchase is never credited to a FUTURE touch (regression)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TouchEvent]
+    // wide watermark so the late purchase is processed, not dropped
+    val q = StreamingAttribution.attribute(
+        in.toDS().withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("attr_late").outputMode("append").start()
+    try {
+      in.addData(ev("u1", 100, "click", 1))
+      q.processAllAvailable()
+      // purchase at t=50 arrives AFTER the t=100 touch already took the
+      // state: the stored touch post-dates it, so the credit must fall
+      // back to 'direct' (batch would credit only a touch at or before
+      // t=50 — of which there is none)
+      in.addData(ev("u1", 50, "purchase", 2, 1.0))
+      q.processAllAvailable()
+      val got = spark.table("attr_late").as[Attribution].collect().toSet
+      assert(got === Set(Attribution("u1", t0 / 1000 + 50, "direct", 100L)))
+    } finally q.stop()
+  }
+
+  test("same-second touches resolve by eventId like the batch order, not by sub-second millis (regression)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TouchEvent]
+    val q = StreamingAttribution.attribute(
+        in.toDS().withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("attr_tie").outputMode("append").start()
+    try {
+      // two touches in the SAME floor-second: id=1 at 10.900s, id=2 at
+      // 10.100s. The batch total order (floor-sec, tag, event_id) applies
+      // id=2 last, so 'view' must win even though its raw millis are
+      // LOWER — the old raw-millis guard rejected it
+      in.addData(
+        TouchEvent("u1", new Timestamp(t0 + 10900), "click", 1, 0.0),
+        TouchEvent("u1", new Timestamp(t0 + 10100), "view", 2, 0.0))
+      q.processAllAvailable()
+      in.addData(ev("u1", 12, "purchase", 3, 1.0))
+      q.processAllAvailable()
+      val got = spark.table("attr_tie").as[Attribution].collect().toSet
+      assert(got === Set(Attribution("u1", t0 / 1000 + 12, "view", 100L)))
+    } finally q.stop()
+  }
+
   test("rolled up, the online operator equals the batch lastTouchAttribution on real events") {
     val events = Tables.events(spark, Sf0001)
     val typed = events.select(
