@@ -154,12 +154,26 @@ object SparkEntry {
     "revenue_forecast_eval" -> ((s, d) => graft.operators.Audit.revenueForecastEval(Tables.orders(s, d))),
     "salted_event_segment_stats" -> ((s, d) =>
       Skew.saltedEventSegmentStats(Tables.events(s, d), Tables.customer(s, d))),
+    // the same join left to AQE's runtime skew split (result-invariant;
+    // PlanShapeSpec drives the skewed case and asserts the skew=true split)
+    "aqe_skew_event_segment_stats" -> ((s, d) =>
+      Skew.aqeEventSegmentStats(Tables.events(s, d), Tables.customer(s, d))),
     // pre-shuffle diagnostic: top-k heaviest values of a prospective key
     "join_key_skew_stats" -> ((s, d) => Skew.joinKeySkewStats(Tables.events(s, d), "user_id")),
     "median_order_by_segment" -> ((s, d) =>
       Relational.medianOrderValueBySegment(Tables.orders(s, d), Tables.customer(s, d))),
     // Z-order (Morton) locality audit: per-Z-bucket bounding boxes
     "zorder_cluster_stats" -> ((s, d) => Layout.zorderClusterStats(Tables.orders(s, d))),
+    // dynamic partition pruning end-to-end: write the month-partitioned
+    // fact layout, then star-join it through a filtered calendar dim —
+    // the scan's PartitionFilters carry a dynamicpruningexpression
+    // (PlanShapeSpec asserts it) and the oracle recomputes the quarter
+    // from the unpartitioned facts, so pruning is hash-gated lossless
+    "dpp_quarter_revenue" -> ((s, d) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_dppfact_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      Star.writeMonthPartitionedOrders(Tables.orders(s, d), path)
+      Star.dppQuarterRevenue(s, path)
+    }),
     // MERGE INTO semantics on plain parquet relations (CDC apply)
     "orders_upsert_apply" -> ((s, d) => Relational.ordersUpsertApply(Tables.orders(s, d))),
     // change log -> SCD2 interval dimension via per-key lead()
@@ -2262,6 +2276,15 @@ object SparkEntry {
          |  CAST(m_q AS BIGINT) AS m_q, CAST(count(*) AS BIGINT) AS n_customers
          |FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
     },
+    // the star join through the filtered month dim is, by construction,
+    // a month-range filter on the facts — the oracle states it that way
+    "dpp_quarter_revenue" ->
+      """SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS BIGINT) AS month_key,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(round(o_totalprice*100)) AS BIGINT) AS revenue_cents
+        |FROM orders
+        |WHERE year(o_orderdate) = 1996 AND month(o_orderdate) BETWEEN 4 AND 6
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "zorder_cluster_stats" -> {
       // the 32-term Morton interleave, generated to match Layout.zValue16
       val zTerms = (0 until 16).map(i =>
@@ -2361,6 +2384,12 @@ object SparkEntry {
         |FROM d JOIN md ON d.event_type = md.event_type
         |ORDER BY 1, 2""".stripMargin,
     "salted_event_segment_stats" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(round(value*100)) AS BIGINT) AS value_cents
+        |FROM events JOIN customer ON user_id = c_custkey GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identical oracle to the salted form: skew handling (manual or AQE)
+    // is a shuffle-layout choice, never a semantics change
+    "aqe_skew_event_segment_stats" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(round(value*100)) AS BIGINT) AS value_cents
         |FROM events JOIN customer ON user_id = c_custkey GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -32,6 +32,38 @@ object Skew {
       .orderBy("c_mktsegment")
   }
 
+  /** The ADAPTIVE counterpart of [[saltedEventSegmentStats]]: the plain
+    * unsalted join, left for AQE's runtime skew-join split
+    * (`spark.sql.adaptive.skewJoin.enabled`, on by default) to handle.
+    * At execution time AQE reads the actual shuffle-partition sizes; a
+    * partition exceeding both the skew threshold and factor×median is
+    * split into sub-partitions, each joined against a duplicated copy of
+    * the other side — the same replicate-and-split idea as the manual
+    * salt, decided from measured sizes instead of a guessed factor.
+    * PlanShapeSpec drives a deliberately skewed join under tightened
+    * thresholds and asserts the executed plan's `skew=true` marker.
+    *
+    * WHEN TO RELY ON WHICH — AQE skew-join first: it needs no prior
+    * knowledge, adapts per-run, and costs nothing when the data isn't
+    * skewed. Reach for the manual salt only where AQE can't act: a
+    * BROADCAST join (nothing shuffles, so there is nothing to split —
+    * yet the probe side's hot rows still all land in one task's
+    * AGGREGATION), skew in a groupBy rather than a join (AQE splits
+    * join partitions, not hash-agg groups — the two-phase/salted agg is
+    * the fix there), or when reproducible partition layout matters
+    * (AQE's splits depend on measured bytes, the salt is
+    * deterministic). Results are identical either way — the oracle runs
+    * the same plain join for both registrations. */
+  def aqeEventSegmentStats(events: DataFrame, customer: DataFrame): DataFrame =
+    events.select(col("user_id"), col("value"))
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("value") * 100)).cast("long").as("value_cents"))
+      .orderBy("c_mktsegment")
+
   /** Join-key skew audit — the diagnostic you run BEFORE picking a
     * shuffle key, a salt factor, or trusting AQE's skew handling: the
     * top-k heaviest values of a prospective key with each value's exact

@@ -73,6 +73,50 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(source"), "window partitioning missing")
   }
 
+  test("star join over the partitioned fact carries a DYNAMIC partition filter on the scan") {
+    // the 100 TB scan lever: the month-dim filter must reach the fact
+    // scan as a runtime PartitionFilter (dynamicpruningexpression), not
+    // as a post-scan join filter — otherwise a 7-year fact table is read
+    // whole to answer a 3-month question
+    val p = plan("dpp_quarter_revenue")
+    assert(p.contains("dynamicpruning"),
+      s"fact scan lost its dynamic partition filter:\n${p.take(2000)}")
+    assert(p.contains("PartitionFilters"), "partitioned scan missing entirely")
+  }
+
+  test("AQE splits a runtime-skewed sort-merge join (adaptive counterpart of the manual salt)") {
+    // tightened thresholds stand in for 100 TB partition sizes: a key
+    // holding 90% of the left side must come out of AQE's runtime
+    // re-plan as a skew-split join (skew=true), not one giant task
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      val left = spark.range(0, 200000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 0 ELSE id END AS k", "repeat('x', 32) AS pad")
+      val right = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v")
+      val joined = left.join(right, "k")
+      // AQE decides from MEASURED sizes: execute THIS queryExecution
+      // (count() would plan and run a different one)
+      joined.queryExecution.toRdd.count()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"runtime skew split missing from the final adaptive plan:\n${p.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("plan lint over EVERY query: no cartesian; nested-loop only on broadcast-bounded sides") {
     // corpus-wide guard: the per-operator tests above pin known shapes,
     // this sweep catches a scale-killer sneaking into ANY of the ~80
