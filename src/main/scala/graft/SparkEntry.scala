@@ -2868,26 +2868,54 @@ object SparkEntry {
         |  CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // ---- multimodal plumbing ----
+    // recomputes the FULL fixed-point 2D-DCT pHash relationally: the
+    // 8×32 weight table is inlined from Multimodal.DctW (one source of
+    // truth), bytes come from hex(encode(text)) nibble parsing (this
+    // DuckDB can't substring a BLOB), and the transform is exact long
+    // arithmetic end-to-end — so signature, banding, cap, and hamming
+    // verify are all hash-gated cross-engine, no inlined results. The
+    // whole transform runs as per-ROW list lambdas (decode each byte
+    // once, separable row/column DCT passes over 256/64-element lists):
+    // the relational join-and-aggregate formulation of the same math
+    // measured 178 s at sf0.1 where this reads 16 s
     "media_phash_dedup" -> {
-      def nib(i: Int) = s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)"
+      val wList = (for (u <- 0 until 8; x <- 0 until 32)
+        yield operators.Multimodal.DctW(u)(x)).mkString("[", ",", "]")
       def band(b: Int) =
-        s"(${nib(4 * b + 1)}*4096 + ${nib(4 * b + 2)}*256 + ${nib(4 * b + 3)}*16 + ${nib(4 * b + 4)})"
+        s"""CAST(list_sum(list_transform(range(${16 * b}, ${16 * (b + 1)}), k ->
+           |    CASE WHEN k > 0 AND f[k+1] > med THEN 1 << (k % 16) ELSE 0 END)) AS BIGINT) AS k$b""".stripMargin
       val bandsUnion = (0 until 4).map(b =>
-        s"SELECT doc_id, $b AS band_idx, ${band(b)} AS band_key FROM h").mkString(" UNION ALL ")
-      val wCols = (0 until 4).map(b => s"${band(b)} AS k$b").mkString(", ")
+        s"SELECT doc_id, $b AS band_idx, k$b AS band_key FROM sigw").mkString(" UNION ALL ")
       val hamSum = (0 until 4).map(b => s"bit_count(xor(wa.k$b, wb.k$b))").mkString(" + ")
       s"""WITH corpus AS (SELECT doc_id, text FROM documents
          |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 97 = 0),
-         |h AS (SELECT doc_id, md5(text) AS m FROM corpus),
-         |bands AS ($bandsUnion),
-         |keep AS (SELECT band_idx, band_key FROM bands GROUP BY 1, 2 HAVING count(*) <= 1000),
-         |kept AS (SELECT b.* FROM bands b JOIN keep USING (band_idx, band_key)),
-         |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |wconst AS (SELECT $wList AS wl),
+         |hx AS (SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS len FROM corpus),
+         |bts AS (SELECT doc_id, len, list_transform(range(0, len), j ->
+         |    strpos('0123456789ABCDEF', substr(h, 2*j+1, 1)) * 16
+         |    + strpos('0123456789ABCDEF', substr(h, 2*j+2, 1)) - 17) AS bs
+         |  FROM hx),
+         |px AS (SELECT doc_id, list_transform(range(0, 1024), i ->
+         |    CASE WHEN len = 0 THEN 0 ELSE bs[(i*len)//1024 + 1] END) AS p
+         |  FROM bts),
+         |tt AS (SELECT doc_id, list_transform(range(0, 256), j ->
+         |    list_sum(list_transform(range(0, 32), r ->
+         |      p[r * 32 + (j % 32) + 1] * wl[(j // 32) * 32 + r + 1]))) AS t
+         |  FROM px, wconst),
+         |cf AS (SELECT doc_id, list_transform(range(0, 64), k ->
+         |    CAST(list_sum(list_transform(range(0, 32), c ->
+         |      t[(k // 8) * 32 + c + 1] * wl[(k % 8) * 32 + c + 1])) AS BIGINT)) AS f
+         |  FROM tt, wconst),
+         |cfm AS (SELECT doc_id, f, list_sort(f[2:64])[32] AS med FROM cf),
+         |sigw AS (SELECT doc_id, ${band(0)}, ${band(1)}, ${band(2)}, ${band(3)} FROM cfm),
+         |sig AS ($bandsUnion),
+         |keep AS (SELECT band_idx, band_key FROM sig GROUP BY 1, 2 HAVING count(*) <= 1000),
+         |kept AS (SELECT s.* FROM sig s JOIN keep USING (band_idx, band_key)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM kept a JOIN kept b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
          |    AND a.doc_id < b.doc_id),
-         |w AS (SELECT doc_id, $wCols FROM h),
          |s AS (SELECT doc_a, doc_b, CAST($hamSum AS BIGINT) AS hamming
-         |  FROM p JOIN w wa ON p.doc_a = wa.doc_id JOIN w wb ON p.doc_b = wb.doc_id)
+         |  FROM cand JOIN sigw wa ON cand.doc_a = wa.doc_id JOIN sigw wb ON cand.doc_b = wb.doc_id)
          |SELECT doc_a, doc_b, hamming FROM s WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
     },
     "media_bytes_stats" ->

@@ -4,12 +4,15 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: treat image/audio/video payloads as opaque
-  * `binary` columns with typed metadata. The decode step is STUBBED with a
-  * deterministic fake (this container ships no image/audio codecs — see
-  * the builder brief); everything around it — schema, binary casting,
-  * partition-parallel batch iteration via mapPartitions, typed Encoders —
-  * is the real Spark plumbing a production decode would use, and is
-  * oracle-tested.
+  * `binary` columns with typed metadata. The metadata-decode and
+  * feature-extract steps are STUBBED with deterministic fakes (this
+  * container ships no image/audio codecs — see the builder brief);
+  * everything around them — schema, binary casting, partition-parallel
+  * batch iteration via mapPartitions, typed Encoders — is the real Spark
+  * plumbing a production decode would use, and is oracle-tested. The
+  * perceptual-hash dedup is NOT stubbed: [[phashOf]] is a real
+  * fixed-point 2D-DCT pHash over the payload bytes (only the
+  * pixels-from-decode step is a byte-plane read).
   */
 object Multimodal {
 
@@ -89,21 +92,100 @@ object Multimodal {
       .toDF()
   }
 
-  /** Stubbed 64-bit perceptual hash of the media payload, banded 4×16 bit
-    * for the hamming join below. The STUB derives the signature from the
-    * payload md5 (this container ships no image codecs); a production
-    * pipeline swaps in a DCT pHash / aHash over decoded pixels, and
-    * NOTHING downstream changes — banding, pigeonhole recall, hot-bucket
-    * cap and the exact hamming verify operate on any 4×16-bit signature.
-    * The signature is carried as a 4-element long array (each ≤ 0xffff),
-    * never as one 64-bit value, so both engines stay in safe signed
-    * arithmetic with no sign-bit gymnastics. */
+  /** Fixed-point 8×32 DCT-II weight table shared by the JVM transform
+    * and the generated DuckDB oracle (the oracle inlines THIS table as a
+    * VALUES CTE, so the two engines cannot drift):
+    * W[u][x] = round(2^14 · cos(π·(2x+1)·u / 64)), u ∈ 0..7, x ∈ 0..31.
+    * StrictMath keeps the rounding platform-identical; everything after
+    * the table is pure long arithmetic. */
+  private[graft] val DctW: Array[Array[Long]] =
+    Array.tabulate(8, 32)((u, x) =>
+      math.round(16384.0 * StrictMath.cos(StrictMath.PI * (2 * x + 1) * u / 64.0)))
+
+  /** REAL 2D-DCT perceptual hash of a payload, 64 bits as 4×16-bit
+    * bands. The classic pHash recipe with the decode step replaced by a
+    * deterministic byte-plane read (no codecs in this container; a real
+    * decoder changes only how the 32×32 grid is filled):
+    *  1. resample the payload to a 32×32 "pixel" grid — pixel i reads
+    *     byte (i·len) div 1024, so every byte region contributes and a
+    *     single-byte change moves only ~1024/len pixels;
+    *  2. exact integer 2D DCT-II: keep the 8×8 LOW-FREQUENCY block of
+    *     F[u][v] = Σ p(r,c)·W[u][r]·W[v][c] — separable (row pass then
+    *     column pass), no intermediate truncation, so F is an EXACT
+    *     integer both engines reproduce bit-for-bit (|F| ≤
+    *     255·1024·2^28 < 2^63);
+    *  3. threshold each of the 63 non-DC coefficients against their
+    *     lower median (the 32nd smallest): bit k = F_k > med. Small
+    *     payload perturbations move coefficients a little and flip few
+    *     bits — the property that makes near-identical payloads land at
+    *     small hamming distance (spec-pinned with a byte-perturbed
+    *     payload).
+    * The DC term is excluded (it is the global byte sum — pure
+    * brightness/length, no structure) and its bit stays 0. */
+  private[graft] def phashOf(payload: Array[Byte]): Array[Long] = {
+    val bytes = if (payload == null) Array.emptyByteArray else payload
+    val len = bytes.length
+    val px = new Array[Long](1024)
+    var i = 0
+    while (i < 1024) {
+      px(i) = if (len == 0) 0L else (bytes(i * len / 1024) & 0xFF).toLong
+      i += 1
+    }
+    // row pass: t[u][c] = Σ_r W[u][r] · p[r][c]
+    val t = Array.ofDim[Long](8, 32)
+    var u = 0
+    while (u < 8) {
+      var c = 0
+      while (c < 32) {
+        var s = 0L; var r = 0
+        while (r < 32) { s += DctW(u)(r) * px(r * 32 + c); r += 1 }
+        t(u)(c) = s; c += 1
+      }
+      u += 1
+    }
+    // column pass: f[u][v] = Σ_c t[u][c] · W[v][c]
+    val f = new Array[Long](64)
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0L; var c = 0
+        while (c < 32) { s += t(u)(c) * DctW(v)(c); c += 1 }
+        f(u * 8 + v) = s; v += 1
+      }
+      u += 1
+    }
+    val nonDc = java.util.Arrays.copyOfRange(f, 1, 64)
+    java.util.Arrays.sort(nonDc)
+    val med = nonDc(31) // lower median of 63 = 32nd smallest
+    val bands = new Array[Long](4)
+    var k = 1
+    while (k < 64) {
+      if (f(k) > med) bands(k / 16) |= 1L << (k % 16)
+      k += 1
+    }
+    bands
+  }
+
+  /** Typed signature row for the mapPartitions encoder. */
+  final case class PhashSig(doc_id: Long, ph: Array[Long])
+
+  /** Per-document [[phashOf]] signatures, banded 4×16 bit for the
+    * hamming join below — computed payload-local via mapPartitions (the
+    * per-partition codec-init pattern: zero shuffle, the transform cost
+    * scales embarrassingly with partitions). The signature is carried as
+    * a 4-element long array (each ≤ 0xffff), never as one 64-bit value,
+    * so both engines stay in safe signed arithmetic with no sign-bit
+    * gymnastics. */
   def phashSignatures(documents: DataFrame): DataFrame = {
-    val m = md5(col("text").cast("binary"))
-    documents.select(
-      col("doc_id"),
-      array((0 until 4).map(b =>
-        conv(substring(m, 4 * b + 1, 4), 16, 10).cast("long")): _*).as("ph"))
+    val binary: Dataset[(Long, Array[Byte])] = documents
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    binary
+      .mapPartitions { it =>
+        it.map { case (id, payload) => PhashSig(id, phashOf(payload)) }
+      }(Encoders.product[PhashSig])
+      .toDF()
   }
 
   /** Near-duplicate media detection over the banded perceptual hashes —
@@ -114,10 +196,11 @@ object Multimodal {
     * above `maxBucket` dropped disclosed (near-constant payloads —
     * blank images, tracking pixels — are exact-dedup's population), then
     * an exact hamming ≤ `maxHamming` verify summed per band with
-    * codegen'd `bit_count(xor)`. On the md5 STUB only identical payloads
-    * actually collide (uniform bits); with a real pHash the same plan
-    * finds re-encoded/resized variants — the spec drives the band+verify
-    * machinery with synthetic near signatures to pin that behavior. */
+    * codegen'd `bit_count(xor)`. The signatures are the REAL 2D-DCT
+    * pHash ([[phashOf]]), so byte-perturbed ("re-encoded") payloads land
+    * at small hamming distance and pair — spec-pinned with a perturbed
+    * payload, plus synthetic near signatures for the band/verify edge
+    * cases. */
   def phashPairs(signatures: DataFrame, maxHamming: Int = 3,
                  maxBucket: Int = 1000): DataFrame = {
     val bands = signatures.select(col("doc_id"), col("ph"), posexplode(col("ph")))

@@ -93,9 +93,9 @@ class MiscSpec extends SparkSpec {
   }
 
   test("phashPairs: band candidates + exact hamming verify on synthetic near signatures") {
-    // the md5 stub only ever produces identical-payload collisions, so
     // the NEAR-dup machinery (pigeonhole candidates, hamming sum, cap)
-    // is driven here with hand-built 4×16-bit signatures
+    // driven with hand-built 4×16-bit signatures, independent of the
+    // DCT transform, so band/verify edge cases are pinned exactly
     val sigs = Seq(
       (0L, Seq(10L, 20L, 30L, 40L)),
       (1L, Seq(10L, 20L, 30L, 41L)), // 1 bit from doc 0 (band 3)
@@ -111,14 +111,35 @@ class MiscSpec extends SparkSpec {
     assert(Multimodal.phashPairs(sigs, maxBucket = 1).count() === 0L)
   }
 
-  test("phashDedup: identical payloads pair at hamming 0; the raw-byte hash ignores text normalization") {
+  test("phashDedup: identical payloads pair at hamming 0; a short payload's case flip is a real change") {
     val docs = Seq(
       (0L, "same payload"),
       (1L, "same payload"),   // byte-identical re-ingest
-      (2L, "Same Payload")    // case differs: a DIFFERENT payload to a byte hash
+      (2L, "Same Payload")    // 2 of 12 bytes changed: a LARGE perceptual move at this size
     ).toDF("doc_id", "text")
     val got = Multimodal.phashDedup(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq === Seq((0L, 1L, 0L)))
+  }
+
+  test("phashDedup: a byte-perturbed (re-encoded) payload still pairs; unrelated payloads don't") {
+    // the property the REAL DCT pHash buys over a byte hash: a 1-byte
+    // replacement in a 2 KB payload moves ~1 pixel of the 32×32 grid,
+    // nudges the low-frequency coefficients, and flips ≤ maxHamming
+    // signature bits — so the 'same media, slightly different bytes'
+    // re-crawl pairs, while an unrelated payload stays far away
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdefghijklmnopqrstuvwxyz "
+    def randText(n: Int) = Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+    val base = randText(2048)
+    val perturbed = base.updated(500, 'X').updated(1200, 'Q')
+    val unrelated = randText(2048)
+    val docs = Seq((0L, base), (1L, perturbed), (2L, unrelated)).toDF("doc_id", "text")
+    val got = Multimodal.phashDedup(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got.keySet === Set((0L, 1L)), s"expected only the perturbed pair, got $got")
+    assert(got((0L, 1L)) <= 3L)
+    // and the transform itself: constant payload → zero AC energy → all-zero bands
+    assert(Multimodal.phashOf(Array.fill[Byte](64)(7)).toSeq === Seq(0L, 0L, 0L, 0L))
   }
 }
