@@ -2930,4 +2930,93 @@ object SparkEntry {
     "media_feature_ann" -> mediaFeatureAnnOracle,
   ) ++ annIvfOracleEntry ++ annPqOracleEntry ++ lexPqOracleEntry ++ qualityModelOracleEntry ++
     docTopicOracleEntry
+
+  /** Queries whose DuckDB oracle is generated POST-RUN by inlining the
+    * session-trained model artifact (IVF centroids, PQ codebooks, LR
+    * coefficients, k-means centers): `oracleSql` contains them only
+    * after the matching query has executed in this JVM — Verify runs
+    * queries first, then dumps oracles, so the driver always sees them.
+    * Listed statically so the catalog can label them `sql_inlined_model`
+    * instead of mistaking a pre-run empty slot for a rows-only query. */
+  def postRunOracleQueries: Set[String] = Set(
+    "ann_ivf_topk", "ann_ivf_after_remove", "ivf_cell_stats", "dedup_semantic",
+    "ann_ivfpq_topk", "pq_code_stats", "doc_lexical_ann_pq", "doc_topic_clusters",
+    "quality_classifier")
+
+  /** EXPLICIT family per registered query — the machine-readable catalog
+    * axis ([[graft.tools.QueryCatalog]] emits it into QUERIES.json, the
+    * catalog spec asserts it covers `queries.keySet` exactly). Explicit
+    * name lists, not prefix regexes: a new query that lands in no family
+    * fails the spec instead of silently mis-classifying. */
+  def queryFamilies: Map[String, String] = Seq(
+    "reference-parity" -> Seq(
+      "uu_per_minute", "uu_per_minute_twophase", "uu_per_minute_collect_set",
+      "uu_per_minute_approx", "uu_per_minute_approx_check", "uu_per_minute_udaf",
+      "uu_per_minute_sql", "uu_sliding_5m_1m", "uu_daily_sketch_union",
+      "uu_daily_sketch_check", "user_count_cms_check", "audience_overlap_check",
+      "events_filter_project", "events_json_extract", "events_props_map_stats",
+      "event_type_stats"),
+    "relational" -> Seq(
+      "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue", "top100_items",
+      "customers_topn_per_segment", "semi_join_customers", "anti_join_customers",
+      "custkeys_intersect", "custkeys_except", "sales_rollup", "sales_cube",
+      "sales_grouping_sets", "orders_enriched", "latest_order_per_customer",
+      "order_value_histogram", "order_value_percentiles", "order_value_percentiles_approx",
+      "order_value_percentiles_approx_check", "customer_order_counts",
+      "customer_name_parse", "events_by_weekday", "events_pivot",
+      "events_resample_gapfill", "parts_above_brand_avg", "median_order_by_segment",
+      "orders_price_histogram", "asof_join_orders", "click_purchase_range_join",
+      "part_cooccurrence", "shipping_delay_histogram", "supplier_delay_ranking"),
+    "window-functions" -> Seq(
+      "daily_revenue_range7d", "daily_revenue_running", "daily_revenue_rank_stats",
+      "customer_trailing_features"),
+    "materialized-view" -> Seq("daily_revenue_incremental"),
+    "cdc" -> Seq("orders_upsert_apply", "scd2_orders"),
+    "product-analytics" -> Seq(
+      "event_funnel", "event_funnel_windowed", "event_funnel_sessionized",
+      "user_retention_cohorts", "event_transition_matrix", "event_paths_top",
+      "user_sessions", "session_concurrency", "attribution_last_touch",
+      "user_rfm_segments"),
+    "ops-audit" -> Seq(
+      "data_expectations", "event_rate_anomaly", "daily_revenue_cusum",
+      "revenue_forecast_eval", "table_column_stats", "join_key_skew_stats",
+      "join_size_estimate", "salted_event_segment_stats",
+      "aqe_skew_event_segment_stats", "length_outlier_stats"),
+    "layout-scan" -> Seq("zorder_cluster_stats", "dpp_quarter_revenue", "pack_shards"),
+    "graph" -> Seq("graph_pagerank", "graph_triangles"),
+    "dedup" -> Seq(
+      "dedup_exact", "dedup_exact_norm", "dedup_exact_norm_sql", "dedup_minhash_lsh",
+      "dedup_minhash_sql", "dedup_simhash", "dedup_ngram_jaccard", "dedup_sparse_cosine",
+      "dedup_substring", "substring_gram_stats", "dedup_levenshtein",
+      "dedup_embedding_cosine", "dedup_semantic", "dedup_clusters", "dedup_cluster_sizes",
+      "dedup_keep_best", "dedup_bloom_check", "dedup_chunks", "incremental_dedup",
+      "incremental_dedup_after_diff", "corpus_diff", "cross_source_dup_matrix",
+      "minhash_band_stats", "simhash_band_stats", "benchmark_contamination",
+      "doc_shingle_novelty"),
+    "similarity" -> Seq(
+      "ann_bruteforce_topk", "ann_bruteforce_sql", "ann_lsh_topk",
+      "ann_lsh_multiprobe_topk", "ann_ivf_topk", "ann_ivf_after_remove",
+      "ann_ivfpq_topk", "ivf_cell_stats", "pq_code_stats", "ann_bucket_stats",
+      "embedding_norm_stats", "doc_vector_hash", "doc_lexical_ann",
+      "doc_lexical_ann_pq", "media_feature_ann"),
+    "text-analysis" -> Seq(
+      "text_stats", "text_token_counts", "text_langid", "text_quality",
+      "text_repetition", "text_token_rarity", "text_top_bigrams",
+      "token_heavy_hitters", "token_rarity_against", "tokenizer_fertility",
+      "lm_bigram_surprisal", "lm_surprisal_against", "perplexity_buckets",
+      "pii_scrub_stats", "doc_fingerprint", "doc_winnow_fingerprint",
+      "corpus_summary", "top_tokens_per_source", "top_repeated_shingles",
+      "distinctive_terms", "doc_topic_clusters", "chunk_documents"),
+    "sampling-mixing" -> Seq(
+      "corpus_sample_stratified", "mixture_weights", "mixture_budget_rates",
+      "mixture_sample_temperature", "source_cap_sample", "train_test_split",
+      "leakage_safe_split", "dsir_weights", "dsir_sample", "train_order_shuffle"),
+    "curation-observability" -> Seq(
+      "curation_kill_reasons", "token_distribution_shift", "dedup_rate_by_source",
+      "vocab_growth", "corpus_curated"),
+    "quality-model" -> Seq("quality_calibrated", "quality_classifier"),
+    "search" -> Seq("bm25_search", "bm25_search_indexed", "bm25_after_remove"),
+    "multimodal" -> Seq(
+      "media_bytes_stats", "media_frame_sample", "media_phash_dedup", "image_meta_stub")
+  ).flatMap { case (fam, names) => names.map(_ -> fam) }.toMap
 }
