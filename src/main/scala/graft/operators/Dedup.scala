@@ -147,12 +147,19 @@ object Dedup {
   val MinhashSeeds = 8
   val MinhashBands = 4 // 2 rows per band
 
-  def minhashSignatures(documents: DataFrame): DataFrame = {
+  /** Signature build from an exploded (doc_id, g) shingle relation —
+    * shared by the corpus path (cached shingles) and the streaming
+    * append path (a batch-local shingle relation, see
+    * [[appendToDedupIndex]]). */
+  private def minhashSignaturesFrom(shingleRows: DataFrame): DataFrame = {
     val aggs = (0 until MinhashSeeds).map { i =>
       min(md5(concat_ws(":", lit(i.toString), col("g")))).as(s"h$i")
     }
-    shingles(documents).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    shingleRows.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
+
+  def minhashSignatures(documents: DataFrame): DataFrame =
+    minhashSignaturesFrom(shingles(documents))
 
   /** Exact-overlap verify: attach both docs' cached shingle arrays to each
     * candidate pair and count the intersection in-place
@@ -191,14 +198,17 @@ object Dedup {
 
   /** (doc_id, band_idx, band_key) — the LSH band table both the pair
     * join and the skew monitor read. */
-  private def bandTable(documents: DataFrame): DataFrame = {
-    val sig = minhashSignatures(documents)
+  private def bandTableFrom(shingleRows: DataFrame): DataFrame = {
+    val sig = minhashSignaturesFrom(shingleRows)
     val bandCols = array((0 until MinhashBands).map { b =>
       md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")))
     }: _*)
     sig.select(col("doc_id"), posexplode(bandCols))
       .toDF("doc_id", "band_idx", "band_key")
   }
+
+  private def bandTable(documents: DataFrame): DataFrame =
+    bandTableFrom(shingles(documents))
 
   /** LSH bucket-skew monitor: the most-populated colliding band buckets.
     * A hot bucket generates O(n²) candidate pairs — this is the view a
@@ -422,14 +432,48 @@ object Dedup {
     def bucketsOf(table: String): Int =
       catalog.getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
         .bucketSpec.map(_.numBuckets).getOrElse(8)
-    def app(df: DataFrame, table: String, key: String): Unit =
-      df.write.mode(org.apache.spark.sql.SaveMode.Append)
-        .bucketBy(bucketsOf(table), key).sortBy(key).saveAsTable(table)
-    app(admitted.select(md5(normText(col("text"))).as("fp"), col("doc_id")).distinct(),
-      s"${name}_fp", "fp")
-    app(bandTable(admitted), s"${name}_bands", "band_key")
-    app(shingleArrays(admitted).select(col("doc_id"), col("n_g"), col("gs")),
-      s"${name}_shingles", "doc_id")
+    // repartition on the bucket key to EXACTLY the bucket count before
+    // writing: repartition's hash partitioning is the same murmur3-pmod
+    // the bucketed write assigns bucket ids with, so each task holds one
+    // bucket's rows and the append lands ONE file per bucket — without
+    // it, every writer task touches every bucket it has rows for
+    // (tasks × buckets files per append; observed 4622 files across an
+    // 8-batch streamed run pre-compaction). The extra shuffle is
+    // batch-sized — trivial next to the file-creation overhead it kills.
+    def app(df: DataFrame, table: String, key: String): Unit = {
+      val n = bucketsOf(table)
+      df.repartition(n, col(key))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .bucketBy(n, key).sortBy(key).saveAsTable(table)
+    }
+    // ONE shingle pass feeds both the bands and shingles appends,
+    // persisted batch-locally and dropped at the end: the per-plan
+    // tracked cache would grow by one never-reused entry per micro-batch
+    // in a streaming sink (each batch is a fresh plan), and the uncached
+    // path would shingle the batch twice
+    val sh = shingleArrays(admitted).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      sh.count() // materialize once before the three writers race to fill it
+      // the three appends hit three DIFFERENT tables: run them as
+      // concurrent Spark jobs instead of paying three sequential write
+      // commits per micro-batch (the scheduler interleaves their stages
+      // across the same executors; catalog mutations are per-table).
+      // Crash atomicity is unchanged from the sequential form — a batch
+      // that dies mid-append leaves some tables appended and some not,
+      // and the at-least-once replay re-appends all three; duplicate
+      // index rows cannot change an anti-join/candidate outcome.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence(Seq(
+        Future(app(
+          admitted.select(md5(normText(col("text"))).as("fp"), col("doc_id")).distinct(),
+          s"${name}_fp", "fp")),
+        Future(app(bandTableFrom(sh.select(col("doc_id"), explode(col("gs")).as("g"))),
+          s"${name}_bands", "band_key")),
+        Future(app(sh.select(col("doc_id"), col("n_g"), col("gs")),
+          s"${name}_shingles", "doc_id")))),
+        scala.concurrent.duration.Duration.Inf)
+    } finally sh.unpersist()
     // readers cache a table's resolved relation (file listing included)
     // PER SESSION — and a streaming foreachBatch hands this code a CLONED
     // session, so refreshing only `admitted.sparkSession` would leave the

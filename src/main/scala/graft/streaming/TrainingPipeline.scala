@@ -166,10 +166,30 @@ object TrainingPipeline {
     // in the streaming plan, so the fp relation can stay plan-pinned.
     val dedupCompacts = compactEvery.isDefined && maintainIndexName.isDefined
     val planIndex = if (dedupCompacts) None else Some(fpIndex)
+    // PER-BATCH CACHES, filled on the first batch from the stream's own
+    // session (the same clone serves every micro-batch of this query) and
+    // persisted: the gate models are STATIC reference artifacts — loading
+    // and re-scanning them per batch taxed every trigger with catalog
+    // lookups and parquet scans the models' immutability never required.
+    // (The dedup fp index is NOT cached here: the sink maintains it, so
+    // its freshness contract is per-batch by design.)
+    var freqModel: Option[(DataFrame, Long)] = None
+    var lmModel: Option[(DataFrame, DataFrame, DataFrame)] = None
+    var dsirModels: Option[((DataFrame, DataFrame, DataFrame), (DataFrame, DataFrame, DataFrame))] = None
+    def cacheLm(t: (DataFrame, DataFrame, DataFrame)) = {
+      t._1.persist(); t._2.persist(); t._3.persist(); t
+    }
     transformsWithOriginal(docs, planIndex, watermark, keepAt).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // PERSIST the micro-batch: the body runs several actions (export,
+        // three index appends, the gate joins' ground truth) and an
+        // unpersisted foreachBatch Dataset re-executes the whole upstream
+        // chain (source read → dedup → curation) once per action — the
+        // dominant per-trigger cost the round-9 throughput profile found
+        val batch = batch0.persist()
+        try {
         // skip no-data batches (watermark-advance ticks): an empty shard
         // tree and three empty index appends would cost a write each
         if (!batch.isEmpty) {
@@ -194,7 +214,10 @@ object TrainingPipeline {
               Seq("doc_id"), "left_semi")
           }
           val rarityOk = rarityGate.fold(curated) { case (freqName, minMeanPpm) =>
-            val (freqs, nTotal) = TextAnalysis.loadTokenFreqs(batch.sparkSession, freqName)
+            val (freqs, nTotal) = freqModel.getOrElse {
+              val m = TextAnalysis.loadTokenFreqs(batch.sparkSession, freqName)
+              m._1.persist(); freqModel = Some(m); m
+            }
             val scores = TextAnalysis.tokenRarityAgainst(original, freqs, nTotal)
               .select(col("doc_id"), col("mean_prob_ppm"))
             // LEFT join: a doc with zero tokens after normalization has no
@@ -205,7 +228,10 @@ object TrainingPipeline {
               .drop("mean_prob_ppm")
           }
           val lmOk = lmGate.fold(rarityOk) { case (lmName, maxMilliBits) =>
-            val (bgT, prevT, metaT) = TextAnalysis.loadBigramLm(batch.sparkSession, lmName)
+            val (bgT, prevT, metaT) = lmModel.getOrElse {
+              val m = cacheLm(TextAnalysis.loadBigramLm(batch.sparkSession, lmName))
+              lmModel = Some(m); m
+            }
             val scores = TextAnalysis.bigramSurprisalAgainst(original, bgT, prevT, metaT)
               .select(col("doc_id"), col("bits_per_bigram_milli"))
             // same LEFT-join contract: a doc with < 2 tokens has no bigram
@@ -215,18 +241,31 @@ object TrainingPipeline {
                 col("bits_per_bigram_milli") <= maxMilliBits)
               .drop("bits_per_bigram_milli")
           }
-          val admitted = dsirGate.fold(lmOk) { case (tName, bName, minDsirMilli) =>
-            val scores = TextAnalysis.dsirWeightsAgainst(original,
-              TextAnalysis.loadBigramLm(batch.sparkSession, tName),
-              TextAnalysis.loadBigramLm(batch.sparkSession, bName))
+          val admitted0 = dsirGate.fold(lmOk) { case (tName, bName, minDsirMilli) =>
+            val (tLm, bLm) = dsirModels.getOrElse {
+              val m = (cacheLm(TextAnalysis.loadBigramLm(batch.sparkSession, tName)),
+                cacheLm(TextAnalysis.loadBigramLm(batch.sparkSession, bName)))
+              dsirModels = Some(m); m
+            }
+            val scores = TextAnalysis.dsirWeightsAgainst(original, tLm, bLm)
               .select(col("doc_id"), col("dsir_milli"))
             // same LEFT-join ride-through for docs with nothing to score
             lmOk.join(scores, Seq("doc_id"), "left_outer")
               .filter(col("dsir_milli").isNull || col("dsir_milli") >= minDsirMilli)
               .drop("dsir_milli")
           }
+          // admitted feeds the export plus up to three index appends —
+          // persist it too, and size the export's writer width from the
+          // ADMITTED count (~1 task per 1000 rows, capped: each writer
+          // owns whole (source, block, shard) directories, so the tree
+          // stays one-file-per-directory at any width — see
+          // writeTrainingShards; the batch-mode export keeps the full
+          // shuffle width)
+          val admitted = admitted0.persist()
+          val nAdmitted = admitted.count()
           graft.sources.FileFormats.writeTrainingShards(
-            admitted, s"$outDir/batch_id=$batchId", budget)
+            admitted, s"$outDir/batch_id=$batchId", budget,
+            writerTasks = Some(math.min(32, 1 + (nAdmitted / 1000)).toInt))
           // maintenance entries hash the ORIGINAL text (see
           // [[transformsWithOriginal]]): the index must fingerprint what
           // future raw arrivals will hash, not the redacted export form.
@@ -276,7 +315,10 @@ object TrainingPipeline {
             if (compactEvery.exists(n => (batchId + 1) % n == 0))
               graft.operators.Similarity.compactIvfIndex(batch.sparkSession, path)
           }
+          admitted.unpersist()
+          ()
         }
+        } finally { batch.unpersist(); () }
       }
       .trigger(Trigger.AvailableNow())
       .start()
