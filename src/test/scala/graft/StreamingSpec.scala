@@ -208,6 +208,89 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session_window merges ACROSS micro-batches and equals the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val sessions = StreamingUniqueUsers.parseEvents(in.toDF())
+      .withWatermark("ts", "5 seconds")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("uid"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("session_window.start")).as("start_sec"),
+        col("uid"), col("n_events"))
+    val q = sessions.writeStream.format("memory").queryName("swm")
+      .outputMode("append").start()
+    try {
+      // one session extended across three separate micro-batches (each
+      // event within 30 min of the previous) — the merging state machine
+      // must fold them into ONE window, not one per batch
+      in.addData(jsonEvent("a", w0), jsonEvent("b", w0))
+      q.processAllAvailable()
+      in.addData(jsonEvent("a", w0 + 1200))
+      q.processAllAvailable()
+      in.addData(jsonEvent("a", w0 + 2400))
+      q.processAllAvailable()
+      // a's SECOND session, plus the watermark mover that closes everything
+      in.addData(jsonEvent("a", w0 + 9000))
+      q.processAllAvailable()
+      in.addData(jsonEvent("z", w0 + 50000))
+      q.processAllAvailable()
+      in.addData(jsonEvent("z", w0 + 90000))
+      q.processAllAvailable()
+      val online = spark.table("swm").collect()
+        .map { case Row(st: Long, uid: String, n: Long) => (uid, st, n) }.toSet
+      // the batch operator over the SAME events (only z's LAST session is
+      // still open online — nothing moved the watermark past its gap —
+      // so compare the closed set)
+      val allEvents = Seq(("a", w0), ("b", w0), ("a", w0 + 1200), ("a", w0 + 2400),
+        ("a", w0 + 9000), ("z", w0 + 50000), ("z", w0 + 90000))
+      import spark.implicits._
+      val batch = graft.operators.Sessionize.userSessions(
+        allEvents.toDF("user_id", "sec")
+          .select(col("user_id"), timestamp_seconds(col("sec")).as("ts")))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val closedBatch = batch.filter { case (_, st, _) => st < w0 + 90000 }
+      assert(online === closedBatch)
+      assert(online.contains(("a", w0, 3L))) // the cross-batch merged session
+    } finally q.stop()
+  }
+
+  test("stream-stream OUTER join: unmatched purchase null-pads exactly once, after watermark expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamJoins
+    val clicks = MemoryStream[(String, Long)]
+    val purchases = MemoryStream[(String, Long)]
+    def ts(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.select(col("_1").as("uid"), timestamp_seconds(col("_2")).as(c))
+    val joined = StreamJoins.purchasesWithRecentClicksOuter(
+      ts(clicks.toDF(), "click_ts"), ts(purchases.toDF(), "purchase_ts"))
+    val q = joined.writeStream.format("memory").queryName("ssoj")
+      .outputMode("append").start()
+    try {
+      // u1: click then purchase (matches); u2: purchase, no click ever
+      clicks.addData(("u1", w0))
+      purchases.addData(("u1", w0 + 300), ("u2", w0 + 300))
+      q.processAllAvailable()
+      val early = spark.table("ssoj").collect()
+        .map(r => (r.getString(0), r.isNullAt(2)))
+      // matched row emits; u2's null-padded row must NOT exist yet — a
+      // late in-horizon click could still arrive while the watermark
+      // allows it
+      assert(early.toSet === Set(("u1", false)))
+      // move BOTH watermarks far past u2's join bound
+      clicks.addData(("wm", w0 + 7200))
+      purchases.addData(("wm2", w0 + 7200))
+      q.processAllAvailable()
+      // and once more: the null-padded row must not re-emit
+      clicks.addData(("wm", w0 + 14400))
+      purchases.addData(("wm2", w0 + 14400))
+      q.processAllAvailable()
+      val rows = spark.table("ssoj").collect()
+        .map(r => (r.getString(0), r.isNullAt(2)))
+      assert(rows.count(_ == ("u2", true)) === 1, s"expected exactly one null-padded u2 row: ${rows.toSeq}")
+      assert(rows.count(_._1 == "u1") === 1)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs purchases with recent clicks only") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamJoins
