@@ -52,6 +52,13 @@ object Star {
     orders
       .withColumn("month_key",
         (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("int"))
+      // repartition ON the partition column first: each month lands whole
+      // in one task, so the tree gets one file per directory instead of
+      // (writer tasks × months) shards — the same writer discipline as
+      // the shard exporter. At 100 TB raise the width per month by
+      // repartitioning on (month_key, salt); the layout contract is
+      // "file count scales with data per month", never with writer count
+      .repartition(col("month_key"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("month_key")
       .parquet(path)

@@ -82,6 +82,27 @@ object FileFormats {
       .parquet(path)
   }
 
+  /** Consolidate a streaming export's per-batch shard trees
+    * (`<dir>/batch_id=N/source=…/block_id=…/shard_id=…`) into the
+    * canonical single tree [[writeTrainingShards]] would have written
+    * over the union — the shard-layer member of the compaction family
+    * (dedup/BM25/IVF indexes each have one). A long-running pipeline
+    * accumulates one subtree per micro-batch; trainers want ONE
+    * manifest tree, and at 100 TB the per-batch trees are also a
+    * small-file problem (every batch re-starts shard packing at
+    * offset 0, so per-batch shards run well under budget). Re-packing
+    * from the union restores the exact fresh-export layout: shard ids
+    * are deterministic in (source, block, doc_id) order, so
+    * consolidation is idempotent and its output is byte-comparable to
+    * a from-scratch export (spec-pinned). Reads ride partition
+    * discovery — no listing collected to the driver. */
+  def consolidateShardTrees(spark: SparkSession, streamOutDir: String, finalDir: String,
+                            budget: Long = graft.operators.TextAnalysis.PackBudgetTokens,
+                            writerTasks: Option[Int] = None): Unit =
+    writeTrainingShards(
+      spark.read.parquet(streamOutDir).select("doc_id", "text", "source"),
+      finalDir, budget, writerTasks)
+
   /** ORC writer — the OTHER columnar warehouse format Spark ships
     * natively (no extra jars): same predicate-pushdown / column-pruning
     * contract as parquet, preferred by Hive-lineage warehouses. Exposed

@@ -87,6 +87,32 @@ class FileFormatsSpec extends SparkSpec {
     assert(shardDirs.nonEmpty && shardDirs.forall(_.getName.startsWith("source=")))
   }
 
+  test("consolidateShardTrees: per-batch trees re-pack to exactly the fresh-export layout") {
+    val docs = Tables.documents(spark, Sf0001)
+    val streamed = java.nio.file.Files.createTempDirectory("shards_batches").toString
+    // a streamed export: two micro-batches, each its own batch_id tree
+    // (each re-starts packing at offset 0 — the small-shard pileup)
+    FileFormats.writeTrainingShards(
+      docs.filter("doc_id % 2 = 0"), s"$streamed/batch_id=0")
+    FileFormats.writeTrainingShards(
+      docs.filter("doc_id % 2 = 1"), s"$streamed/batch_id=1")
+    val fin = java.nio.file.Files.createTempDirectory("shards_final").toString
+    FileFormats.consolidateShardTrees(spark, streamed, fin)
+    // the consolidated tree IS the from-scratch export: same rows, same
+    // deterministic (source, block, shard) assignment per doc
+    val direct = java.nio.file.Files.createTempDirectory("shards_direct").toString
+    FileFormats.writeTrainingShards(docs, direct)
+    def layout(dir: String) = spark.read.parquet(dir)
+      .select(col("doc_id"), col("source"),
+        col("block_id").cast("long"), col("shard_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(layout(fin) === layout(direct))
+    // idempotent: consolidating the consolidated tree is a no-op layout
+    val fin2 = java.nio.file.Files.createTempDirectory("shards_final2").toString
+    FileFormats.consolidateShardTrees(spark, fin, fin2)
+    assert(layout(fin2) === layout(direct))
+  }
+
   test("partitioned write prunes to one partition directory on a source filter") {
     val docs = Tables.documents(spark, Sf0001)
     val dir = tmp("graft-part")
