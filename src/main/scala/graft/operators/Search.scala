@@ -177,8 +177,12 @@ object Search {
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(s"${name}_postings"))
       .bucketSpec.map(_.numBuckets).getOrElse(8)
     val docs = docsProjected(documents)
+    // repartition to the bucket count on the bucket key before writing:
+    // one file per bucket per append instead of tasks × buckets (the
+    // dedup-index append's small-file discipline, postings edition)
     explodedTokens(docs).groupBy(col("tok"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf")).withColumn("batch_id", lit(id))
+      .repartition(nb, col("tok"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .bucketBy(nb, "tok").sortBy("tok").saveAsTable(s"${name}_postings")
     docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))

@@ -871,6 +871,9 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
         pqCodesCol(books).as("codes"),
         col("cell"))
+      // one file per touched cell per append, not tasks × cells (the
+      // dedup/postings appends' small-file discipline, cell-tree edition)
+      .repartition(col("cell"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("cell").parquet(s"$path/cells")
   }
