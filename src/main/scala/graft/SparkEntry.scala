@@ -188,6 +188,12 @@ object SparkEntry {
     // slowest suppliers by integer 2x-median delay, k-bounded
     "supplier_delay_ranking" -> ((s, d) =>
       Relational.supplierDelayRanking(Tables.lineitem(s, d), Tables.orders(s, d))),
+    // per-month p50/p90/p99 delay SLA curve (nearest-rank == quantile_disc)
+    "shipping_delay_percentiles" -> ((s, d) =>
+      Relational.shippingDelayPercentiles(Tables.lineitem(s, d), Tables.orders(s, d))),
+    // weekday-seasonal residual anomaly (each weekday vs its own median)
+    "daily_revenue_seasonal" -> ((s, d) =>
+      graft.operators.Audit.dailyRevenueSeasonalResidual(Tables.orders(s, d))),
     // rank/ntile/integer-percent-rank over the bounded daily aggregate
     "daily_revenue_rank_stats" -> ((s, d) => Relational.dailyRevenueRankStats(Tables.orders(s, d))),
     // materialized-aggregate maintenance, hash-gated END TO END: init
@@ -2221,6 +2227,27 @@ object SparkEntry {
         |  FROM j GROUP BY 1)
         |SELECT l_suppkey, n_lineitems, med2_delay_days
         |FROM a ORDER BY med2_delay_days DESC, l_suppkey LIMIT 20""".stripMargin,
+    "shipping_delay_percentiles" ->
+      """WITH j AS (SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS BIGINT) AS month_key,
+        |    CAST((epoch(l_shipdate) - epoch(o_orderdate)) // 86400 AS BIGINT) AS delay_days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT month_key, CAST(count(*) AS BIGINT) AS n_lineitems,
+        |  CAST(quantile_disc(delay_days, 0.50) AS BIGINT) AS p50,
+        |  CAST(quantile_disc(delay_days, 0.90) AS BIGINT) AS p90,
+        |  CAST(quantile_disc(delay_days, 0.99) AS BIGINT) AS p99
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "daily_revenue_seasonal" ->
+      """WITH d AS (SELECT CAST(epoch(o_orderdate) - epoch(o_orderdate) % 86400 AS BIGINT) AS day_sec,
+        |    CAST(sum(round(o_totalprice*100)) AS BIGINT) AS x FROM orders GROUP BY 1),
+        |w AS (SELECT day_sec, x, (day_sec // 86400) % 7 AS weekday FROM d),
+        |m AS (SELECT weekday, CAST(2 * median(x) AS BIGINT) AS med2_wd FROM w GROUP BY 1),
+        |r AS (SELECT day_sec, x, w.weekday, med2_wd, 2*x - med2_wd AS residual2
+        |  FROM w JOIN m ON w.weekday = m.weekday),
+        |md AS (SELECT CAST(2 * median(abs(residual2)) AS BIGINT) AS mad4 FROM r)
+        |SELECT day_sec, x AS revenue_cents, CAST(weekday AS BIGINT) AS weekday, med2_wd,
+        |  CAST(residual2 AS BIGINT) AS residual2, md.mad4,
+        |  CAST(CASE WHEN 2*abs(residual2) > 3*md.mad4 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM r, md ORDER BY day_sec""".stripMargin,
     "daily_revenue_rank_stats" ->
       """WITH d AS (SELECT CAST(epoch(o_orderdate) - epoch(o_orderdate) % 86400 AS BIGINT) AS day_sec,
         |    CAST(count(*) AS BIGINT) AS n_orders,
@@ -2966,7 +2993,8 @@ object SparkEntry {
       "customer_name_parse", "events_by_weekday", "events_pivot",
       "events_resample_gapfill", "parts_above_brand_avg", "median_order_by_segment",
       "orders_price_histogram", "asof_join_orders", "click_purchase_range_join",
-      "part_cooccurrence", "shipping_delay_histogram", "supplier_delay_ranking"),
+      "part_cooccurrence", "shipping_delay_histogram", "supplier_delay_ranking",
+      "shipping_delay_percentiles"),
     "window-functions" -> Seq(
       "daily_revenue_range7d", "daily_revenue_running", "daily_revenue_rank_stats",
       "customer_trailing_features"),
@@ -2979,8 +3007,8 @@ object SparkEntry {
       "user_rfm_segments"),
     "ops-audit" -> Seq(
       "data_expectations", "event_rate_anomaly", "daily_revenue_cusum",
-      "revenue_forecast_eval", "table_column_stats", "join_key_skew_stats",
-      "join_size_estimate", "salted_event_segment_stats",
+      "daily_revenue_seasonal", "revenue_forecast_eval", "table_column_stats",
+      "join_key_skew_stats", "join_size_estimate", "salted_event_segment_stats",
       "aqe_skew_event_segment_stats", "length_outlier_stats"),
     "layout-scan" -> Seq("zorder_cluster_stats", "dpp_quarter_revenue", "pack_shards"),
     "graph" -> Seq("graph_pagerank", "graph_triangles"),

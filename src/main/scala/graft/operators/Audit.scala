@@ -137,6 +137,36 @@ object Audit {
       .orderBy("method")
   }
 
+  /** Weekday-seasonal residual anomaly over daily revenue — the
+    * decomposition step [[dailyRevenueCusum]] and the MAD spike rule
+    * both lack: a Saturday that looks anomalous against the all-week
+    * median may be a perfectly normal Saturday. Seasonal center = each
+    * weekday's own 2×median of daily revenue ([[Median.med2ByKey]] on
+    * the day-domain-bounded aggregate, 7 groups); residual2 = 2x −
+    * med2_wd; spread = the 2×median of |residual2| (so mad4 = 4·MAD of
+    * the residual), and the 3-MAD flag is the cross-multiplication
+    * `2·|residual2| > 3·mad4`. Integer-exact end to end — the weekday
+    * key is epoch-day mod 7 (identical arithmetic both engines; which
+    * weekday is 0 is irrelevant to grouping). */
+  def dailyRevenueSeasonalResidual(orders: DataFrame): DataFrame = {
+    val daily = Relational.dailyRevenueAgg(orders)
+      .select(col("day_sec"), col("revenue_cents").as("x"))
+      .withColumn("weekday", expr("(day_sec div 86400) % 7"))
+    val med = Median.med2ByKey(daily, Seq("weekday"), col("x"))
+      .select(col("weekday"), col("med2").as("med2_wd"))
+    val res = daily.join(broadcast(med), "weekday")
+      .withColumn("residual2", lit(2L) * col("x") - col("med2_wd"))
+    val mad = Median.med2Global(res, abs(col("residual2")))
+      .select(col("med2").as("mad4"))
+    res.crossJoin(broadcast(mad))
+      .select(col("day_sec"), col("x").as("revenue_cents"),
+        col("weekday").cast("long").as("weekday"), col("med2_wd"),
+        col("residual2").cast("long").as("residual2"), col("mad4"),
+        (lit(2L) * abs(col("residual2")) > lit(3L) * col("mad4"))
+          .cast("long").as("is_anomaly"))
+      .orderBy("day_sec")
+  }
+
   def eventRateAnomaly(events: DataFrame): DataFrame = {
     val hourly = events
       .groupBy(col("event_type"),

@@ -39,6 +39,31 @@ object Median {
             min(when(col("cum") * 2 > col("n"), col("v")))).cast("long").as("med2"))
   }
 
+  /** Per-key nearest-rank percentiles over the same bounded histogram
+    * machinery: one `p<pct>` long column per requested percent, each the
+    * element at rank ceil(pct·n/100) — `min{v : 100·cum ≥ pct·n}`, which
+    * is EXACTLY DuckDB's `quantile_disc(pct/100)` (rank-ceil semantics,
+    * engine-verified), so percentile reports hash cross-engine with no
+    * interpolation anywhere. Same scale shape as [[med2ByKey]]: shuffle
+    * bounded by key × value-domain NDV, never by row count. */
+  def nearestRankByKey(df: DataFrame, keys: Seq[String], value: Column,
+                       pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100), "pcts in 1..100")
+    val keyCols = keys.map(col)
+    val hist = df.select(keyCols :+ value.as("v"): _*)
+      .groupBy(keyCols :+ col("v"): _*).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(keyCols: _*).orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keyCols: _*)
+    val pctAggs = pcts.map(p =>
+      min(when(col("cum") * 100 >= col("n_all") * p, col("v"))).cast("long").as(s"p$p"))
+    hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n_all", sum(col("cnt")).over(wAll))
+      .groupBy(keyCols: _*)
+      .agg(sum(col("cnt")).cast("long").as("n"), pctAggs: _*)
+  }
+
   /** Per-key form: `keys..., n (rows per key), med2`. The window
     * partitions by the group key, so each partition is one key's
     * value-domain histogram — bounded rows per task at any fact scale. */

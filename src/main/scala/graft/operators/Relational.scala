@@ -954,6 +954,28 @@ object Relational {
       .limit(k)
   }
 
+  /** Order→ship delay SLA percentiles per order month — the latency
+    * curve an ops dashboard tracks (p50 says "typical", p99 says "who
+    * is about to churn"): nearest-rank p50/p90/p99 of whole-day delays
+    * via [[Median.nearestRankByKey]] — per-(month, delay-day) histogram
+    * counts, so per-task rows are bounded by months × the delay domain
+    * at any fact scale, and rank-ceil semantics hash-match DuckDB's
+    * `quantile_disc` exactly (no interpolation anywhere). */
+  def shippingDelayPercentiles(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val delays = lineitem.select(col("l_orderkey"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("month_key"),
+        expr("(unix_timestamp(l_shipdate) - unix_timestamp(o_orderdate)) div 86400")
+          .as("delay_days"))
+    Median.nearestRankByKey(delays, Seq("month_key"), col("delay_days"), Seq(50, 90, 99))
+      .select(col("month_key"), col("n").as("n_lineitems"),
+        col("p50"), col("p90"), col("p99"))
+      .orderBy("month_key")
+  }
+
   /** Equi-depth (equal-count) HISTOGRAM of order values — the other half
     * of the ANALYZE stats family next to [[tableColumnStats]]'s min/max:
     * 20 buckets each holding ~5% of orders, with per-bucket bounds and

@@ -92,6 +92,22 @@ class MiscSpec extends SparkSpec {
     assert(got === "aq6") // chars at 1, 17, 33 (1-based, stride 16)
   }
 
+  test("nearestRankByKey: rank-ceil percentiles, ties never straddle, matches med2 at p50 pairs") {
+    import graft.operators.Median
+    // key a: values 1..10 → p50 = rank ceil(5) = 5, p90 = rank 9, p99 = rank 10
+    // key b: heavy ties 7,7,7,9 → p50 = rank 2 = 7, p90 = rank ceil(3.6)=4 = 9
+    val df = ((1 to 10).map(v => ("a", v.toLong)) ++
+      Seq(("b", 7L), ("b", 7L), ("b", 7L), ("b", 9L))).toDF("k", "v")
+    val got = Median.nearestRankByKey(df, Seq("k"), col("v"), Seq(50, 90, 99))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("a") === ((10L, 5L, 9L, 10L)))
+    assert(got("b") === ((4L, 7L, 9L, 9L)))
+    // med2 consistency: lo+hi for even n ('a': 5+6=11), pure ties ('b': 7+7=14)
+    val m = Median.med2ByKey(df, Seq("k"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(m === Map("a" -> 11L, "b" -> 14L))
+  }
+
   test("phashPairs: band candidates + exact hamming verify on synthetic near signatures") {
     // the NEAR-dup machinery (pigeonhole candidates, hamming sum, cap)
     // driven with hand-built 4×16-bit signatures, independent of the
