@@ -210,6 +210,17 @@ object SparkEntry {
       Relational.loadDailyRevenue(s, path).orderBy("day_sec")
     }),
     "parts_above_brand_avg" -> ((s, d) => Relational.partsAboveBrandAverage(Tables.part(s, d))),
+    // wide→long reshape: Spark native unpivot (melt), the inverse of pivot
+    "lineitem_metrics_unpivot" -> ((s, d) =>
+      Relational.lineitemMetricsUnpivot(Tables.lineitem(s, d))),
+    // DAU / rolling-7d WAU / stickiness via the exploded distinct-pair relation
+    "user_stickiness_daily" -> ((s, d) => Relational.userStickinessDaily(Tables.events(s, d))),
+    // per-segment p5/p95 winsorization over the quantized value-domain histogram
+    "order_value_winsorized" -> ((s, d) =>
+      Relational.orderValueWinsorized(Tables.orders(s, d), Tables.customer(s, d))),
+    // incident blast-radius: sessions overlapping any spike-flagged hour
+    "anomaly_session_impact" -> ((s, d) =>
+      graft.operators.Audit.anomalySessionImpact(Tables.events(s, d))),
     "daily_revenue_running" -> ((s, d) => Relational.dailyRevenueRunning(Tables.orders(s, d))),
     "customer_name_parse" -> ((s, d) => Relational.customerNameParse(Tables.customer(s, d))),
     "events_by_weekday" -> ((s, d) => Relational.eventsByWeekday(Tables.events(s, d))),
@@ -2236,6 +2247,76 @@ object SparkEntry {
         |  CAST(quantile_disc(delay_days, 0.90) AS BIGINT) AS p90,
         |  CAST(quantile_disc(delay_days, 0.99) AS BIGINT) AS p99
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the oracle states the melt as the portable UNION ALL form; the
+    // engine's native unpivot is the same relation by construction
+    "lineitem_metrics_unpivot" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, 'l_quantity' AS metric, CAST(round(l_quantity*100) AS BIGINT) AS v FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_extendedprice', CAST(round(l_extendedprice*100) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_discount', CAST(round(l_discount*100) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_tax', CAST(round(l_tax*100) AS BIGINT) FROM lineitem)
+        |SELECT l_returnflag, metric, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(v) AS BIGINT) AS sum_centi,
+        |  CAST(min(v) AS BIGINT) AS min_centi, CAST(max(v) AS BIGINT) AS max_centi
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "user_stickiness_daily" ->
+      """WITH pairs AS (SELECT DISTINCT CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS d,
+        |    user_id FROM events),
+        |mx AS (SELECT max(d) AS max_d FROM pairs),
+        |w AS (SELECT unnest(generate_series(d, d + 6)) AS day, user_id FROM pairs),
+        |wau AS (SELECT day, count(DISTINCT user_id) AS wau7 FROM w, mx
+        |  WHERE day <= max_d GROUP BY 1),
+        |dau AS (SELECT d AS day, count(*) AS dau FROM pairs GROUP BY 1)
+        |SELECT wau.day AS day, CAST(coalesce(dau, 0) AS BIGINT) AS dau,
+        |  CAST(wau7 AS BIGINT) AS wau7,
+        |  CAST((coalesce(dau, 0) * 1000000) // wau7 AS BIGINT) AS stickiness_ppm
+        |FROM wau LEFT JOIN dau ON wau.day = dau.day ORDER BY 1""".stripMargin,
+    "order_value_winsorized" ->
+      """WITH j AS (SELECT c_mktsegment, CAST(round(o_totalprice*100) AS BIGINT) AS cents_v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |f AS (SELECT c_mktsegment,
+        |    quantile_disc(cents_v // 10000, 0.05) * 10000 AS lo,
+        |    quantile_disc(cents_v // 10000, 0.95) * 10000 AS hi
+        |  FROM j GROUP BY 1)
+        |SELECT j.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents_v) AS BIGINT) AS sum_cents,
+        |  CAST(sum(greatest(lo, least(hi, cents_v))) AS BIGINT) AS sum_winsorized_cents,
+        |  CAST(sum(CASE WHEN cents_v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+        |  CAST(sum(CASE WHEN cents_v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi,
+        |  CAST(min(lo) AS BIGINT) AS lo_cents, CAST(min(hi) AS BIGINT) AS hi_cents
+        |FROM j JOIN f ON j.c_mktsegment = f.c_mktsegment
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // spike CTEs replicate the event_rate_anomaly oracle; session CTEs
+    // replicate the user_sessions oracle; overlap is the plain interval
+    // predicate (the engine's hour-bucket expansion is provably the same
+    // relation: bucket containment == interval overlap on integer secs)
+    "anomaly_session_impact" ->
+      """WITH h AS (SELECT event_type,
+        |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(2 * median(n) AS BIGINT) AS med2 FROM h GROUP BY 1),
+        |d AS (SELECT h.event_type, hour, n, med2, abs(2 * n - med2) AS dev2
+        |  FROM h JOIN m ON h.event_type = m.event_type),
+        |md AS (SELECT event_type, CAST(2 * median(dev2) AS BIGINT) AS mad4 FROM d GROUP BY 1),
+        |spikes AS (SELECT DISTINCT hour FROM d JOIN md ON d.event_type = md.event_type
+        |  WHERE 2 * dev2 > 3 * mad4),
+        |o AS (SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events),
+        |f AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN prev IS NULL OR ts >= prev + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM o),
+        |s AS (SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f),
+        |sess AS (SELECT user_id,
+        |    CAST(epoch(date_trunc('second', min(ts))) AS BIGINT) AS start_sec,
+        |    CAST(epoch(date_trunc('second', max(ts))) AS BIGINT) AS end_sec,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT hour, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(n_events) AS BIGINT) AS n_session_events
+        |FROM spikes JOIN sess ON start_sec < hour + 3600 AND end_sec >= hour
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "daily_revenue_seasonal" ->
       """WITH d AS (SELECT CAST(epoch(o_orderdate) - epoch(o_orderdate) % 86400 AS BIGINT) AS day_sec,
         |    CAST(sum(round(o_totalprice*100)) AS BIGINT) AS x FROM orders GROUP BY 1),
@@ -2994,7 +3075,7 @@ object SparkEntry {
       "events_resample_gapfill", "parts_above_brand_avg", "median_order_by_segment",
       "orders_price_histogram", "asof_join_orders", "click_purchase_range_join",
       "part_cooccurrence", "shipping_delay_histogram", "supplier_delay_ranking",
-      "shipping_delay_percentiles"),
+      "shipping_delay_percentiles", "lineitem_metrics_unpivot", "order_value_winsorized"),
     "window-functions" -> Seq(
       "daily_revenue_range7d", "daily_revenue_running", "daily_revenue_rank_stats",
       "customer_trailing_features"),
@@ -3004,12 +3085,13 @@ object SparkEntry {
       "event_funnel", "event_funnel_windowed", "event_funnel_sessionized",
       "user_retention_cohorts", "event_transition_matrix", "event_paths_top",
       "user_sessions", "session_concurrency", "attribution_last_touch",
-      "user_rfm_segments"),
+      "user_rfm_segments", "user_stickiness_daily"),
     "ops-audit" -> Seq(
       "data_expectations", "event_rate_anomaly", "daily_revenue_cusum",
       "daily_revenue_seasonal", "revenue_forecast_eval", "table_column_stats",
       "join_key_skew_stats", "join_size_estimate", "salted_event_segment_stats",
-      "aqe_skew_event_segment_stats", "length_outlier_stats"),
+      "aqe_skew_event_segment_stats", "length_outlier_stats",
+      "anomaly_session_impact"),
     "layout-scan" -> Seq("zorder_cluster_stats", "dpp_quarter_revenue", "pack_shards"),
     "graph" -> Seq("graph_pagerank", "graph_triangles"),
     "dedup" -> Seq(

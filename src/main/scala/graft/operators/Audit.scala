@@ -184,4 +184,36 @@ object Audit {
         (lit(2L) * col("dev2") > lit(3L) * col("mad4")).cast("long").as("is_spike"))
       .orderBy("event_type", "hour")
   }
+
+  /** Incident blast-radius: the user sessions in flight during any hour
+    * [[eventRateAnomaly]] flags (any event type) — the "who was
+    * affected" view that turns a rate anomaly into a user-facing impact
+    * report. The interval-overlap join is the bucket-expansion shape,
+    * never a nested loop over the timeline: each session explodes to
+    * exactly the hour buckets it spans (bounded by its own duration —
+    * 30-min-gap mechanics keep spans short unless activity is truly
+    * continuous), spike hours are a DISTINCT time-domain-bounded
+    * relation, and the equi-join on the hour key bounds any reducer by
+    * one hour's concurrent sessions (the [[Sessionize.sessionConcurrency]]
+    * quantity, monitored there). Reported event counts are whole-session
+    * totals (the session is the impact unit, not its in-hour slice). */
+  def anomalySessionImpact(events: DataFrame): DataFrame = {
+    val spikes = eventRateAnomaly(events)
+      .filter(col("is_spike") === 1L)
+      .select(expr("hour div 3600").as("hb"), col("hour"))
+      .distinct()
+    val sess = Sessionize.userSessions(events)
+      .select(col("user_id"), col("n_events"), col("session_start_sec"),
+        (col("session_start_sec") + col("duration_sec")).as("session_end_sec"))
+    val exploded = sess.select(col("user_id"), col("n_events"),
+      explode(sequence(expr("session_start_sec div 3600"),
+        expr("session_end_sec div 3600"))).as("hb"))
+    exploded.join(spikes, "hb")
+      .groupBy("hour")
+      .agg(
+        count(lit(1)).cast("long").as("n_sessions"),
+        countDistinct(col("user_id")).cast("long").as("n_users"),
+        sum(col("n_events")).cast("long").as("n_session_events"))
+      .orderBy("hour")
+  }
 }

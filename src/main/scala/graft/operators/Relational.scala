@@ -1220,4 +1220,97 @@ object Relational {
         |) AS (col_name, n_rows, n_nulls, ndv, min_num, max_num, min_str, max_str)""".stripMargin)
       .orderBy("col_name")
   }
+
+  /** Wide→long reshape via Spark's native `unpivot` (melt) — the inverse
+    * of `pivot` and the one relational reshape the surface lacked. Each
+    * lineitem row's four measure columns become (metric, v_centi) rows
+    * AFTER integer centi-unit conversion (quantity in centi-units,
+    * money/rates in cents/bp — exact in both engines), then a two-phase
+    * agg by (returnflag, metric). Scale shape: `unpivot` plans as a
+    * map-side Expand over the scan (×4 rows, no shuffle — same family as
+    * the NDV Expand in [[tableColumnStats]]); the only exchange is the
+    * (flag × metric)-bounded rollup, so the reshape itself never moves
+    * data. The oracle states the identical melt as the portable
+    * UNION ALL formulation. */
+  def lineitemMetricsUnpivot(lineitem: DataFrame): DataFrame =
+    lineitem.select(
+        col("l_returnflag"),
+        cents(col("l_quantity")).cast("long").as("l_quantity"),
+        cents(col("l_extendedprice")).cast("long").as("l_extendedprice"),
+        cents(col("l_discount")).cast("long").as("l_discount"),
+        cents(col("l_tax")).cast("long").as("l_tax"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "metric", "v_centi")
+      .groupBy("l_returnflag", "metric")
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(col("v_centi")).cast("long").as("sum_centi"),
+        min(col("v_centi")).cast("long").as("min_centi"),
+        max(col("v_centi")).cast("long").as("max_centi"))
+      .orderBy("l_returnflag", "metric")
+
+  /** DAU / trailing-7-day rolling distinct users (WAU) / integer
+    * stickiness ppm — the engagement curve next to
+    * [[retentionCohorts]]. Rolling DISTINCT over a sliding window is
+    * not derivable from per-day distincts (users repeat across days),
+    * and re-scanning the trailing week per day reads the facts 7×; the
+    * scale shape is the (day, user) DISTINCT pair relation (map-side
+    * partial dedup; rows bounded by users × active days, far below
+    * event count) exploded to the ≤ 7 trailing windows each pair
+    * serves, then ONE two-phase countDistinct per window day. DAU rides
+    * the same pair relation (already distinct, so a plain count). The
+    * window clip joins a 1-row max-day aggregate (broadcast). Output is
+    * bounded by the day domain. */
+  def userStickinessDaily(events: DataFrame): DataFrame = {
+    val pairs = events
+      .select(expr("unix_timestamp(ts) div 86400").as("d"), col("user_id"))
+      .distinct()
+    val maxDay = pairs.agg(max(col("d")).as("max_d"))
+    val wau = pairs
+      .select(explode(sequence(col("d"), col("d") + 6)).as("day"), col("user_id"))
+      .crossJoin(broadcast(maxDay))
+      .filter(col("day") <= col("max_d"))
+      .groupBy("day")
+      .agg(countDistinct(col("user_id")).as("wau7"))
+    val dau = pairs.groupBy(col("d").as("day")).agg(count(lit(1)).as("dau"))
+    wau.join(dau, Seq("day"), "left")
+      .select(
+        col("day"),
+        coalesce(col("dau"), lit(0L)).cast("long").as("dau"),
+        col("wau7").cast("long").as("wau7"),
+        expr("(coalesce(dau, 0) * 1000000) div wau7").as("stickiness_ppm"))
+      .orderBy("day")
+  }
+
+  /** Winsorized order values per market segment — the outlier-clamping
+    * feature-engineering op: per-segment p5/p95 fences from
+    * [[Median.nearestRankByKey]] over the $100-quantized value domain
+    * (fences land on bucket edges — the disclosed quantization that
+    * keeps the fence histogram bounded by segments × price-range/$100
+    * instead of per-order-unique cents), every order clamped into
+    * [lo, hi], and a per-segment report comparing raw vs winsorized
+    * sums plus clamp counts. No per-segment sort of orders anywhere;
+    * the fence rule is DuckDB `quantile_disc` exactly, and the
+    * |segments|-row fence relation broadcasts back over the scan. */
+  def orderValueWinsorized(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val j = orders.join(customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), cents(col("o_totalprice")).cast("long").as("cents_v"))
+    val fences = Median.nearestRankByKey(j, Seq("c_mktsegment"),
+        expr("cents_v div 10000"), Seq(5, 95))
+      .select(col("c_mktsegment"), (col("p5") * 10000L).as("lo"), (col("p95") * 10000L).as("hi"))
+    j.join(broadcast(fences), "c_mktsegment")
+      .withColumn("w", greatest(col("lo"), least(col("hi"), col("cents_v"))))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).cast("long").as("n_orders"),
+        sum(col("cents_v")).cast("long").as("sum_cents"),
+        sum(col("w")).cast("long").as("sum_winsorized_cents"),
+        sum(when(col("cents_v") < col("lo"), 1L).otherwise(0L)).cast("long").as("n_clamped_lo"),
+        sum(when(col("cents_v") > col("hi"), 1L).otherwise(0L)).cast("long").as("n_clamped_hi"),
+        min(col("lo")).cast("long").as("lo_cents"),
+        min(col("hi")).cast("long").as("hi_cents"))
+      .orderBy("c_mktsegment")
+  }
 }

@@ -864,4 +864,80 @@ class OperatorSpec extends SparkSpec {
     assert(got === Map(
       (1L, 1L, 1L) -> 1L, (1L, 1L, 2L) -> 1L, (1L, 1L, 3L) -> 1L, (1L, 1L, 4L) -> 1L))
   }
+
+  test("lineitemMetricsUnpivot: melt is the exact UNION-ALL relation, per (flag, metric)") {
+    val li = Seq(
+      ("A", 5.0, 100.50, 0.05, 0.02),
+      ("A", 3.0, 200.25, 0.10, 0.04),
+      ("R", 1.0, 50.00, 0.00, 0.08)
+    ).toDF("l_returnflag", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val got = Relational.lineitemMetricsUnpivot(li).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.size === 8) // 2 flags × 4 metrics
+    assert(got(("A", "l_quantity")) === ((2L, 800L, 300L, 500L)))
+    assert(got(("A", "l_extendedprice")) === ((2L, 30075L, 10050L, 20025L)))
+    assert(got(("A", "l_discount")) === ((2L, 15L, 5L, 10L)))
+    assert(got(("R", "l_tax")) === ((1L, 8L, 8L, 8L)))
+  }
+
+  test("userStickinessDaily: a pair serves exactly its 7 trailing windows; clip at max day") {
+    // user 1 active on day 0 only; user 2 active on days 0 and 9; max day = 9
+    def ev(id: Long, day: Long, u: Long) =
+      (id, new java.sql.Timestamp(day * 86400000L), u)
+    val events = Seq(ev(1, 0, 1), ev(2, 0, 2), ev(3, 9, 2))
+      .toDF("event_id", "ts", "user_id")
+    val got = Relational.userStickinessDaily(events).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // windows 0..6 carry both day-0 users; days 7-8 have no window membership
+    // (day-0 pairs expired, day-9 not yet); day 9 carries only user 2
+    assert(got.keySet === (0L to 6L).toSet + 9L)
+    assert(got(0L) === ((2L, 2L, 1000000L))) // dau 2, wau 2
+    assert(got(6L) === ((0L, 2L, 0L)))       // no activity, window still alive
+    assert(got(9L) === ((1L, 1L, 1000000L))) // fresh window, clip kept day ≤ 9
+  }
+
+  test("orderValueWinsorized: fences clamp exactly the outliers, sums reflect the clamp") {
+    // segment S: 20 orders at $100..$2000 (quantized buckets 1..20);
+    // p5 fence = bucket 1 → $100, p95 = bucket 19 → $1900: exactly one
+    // order clamps high, none low (min is the fence itself)
+    val orders = (1 to 20).map(i => (i.toLong, i.toLong, "1995-01-01", i * 100.0))
+      .toDF("o_orderkey", "o_custkey", "d", "o_totalprice")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("d").cast("timestamp").as("o_orderdate"), col("o_totalprice"))
+    val customer = (1 to 20).map(i => (i.toLong, "S")).toDF("c_custkey", "c_mktsegment")
+    val r = Relational.orderValueWinsorized(orders, customer).collect()
+    assert(r.length === 1)
+    val Row(_, n, sumC, sumW, nLo, nHi, lo, hi) = r.head
+    assert(n === 20L)
+    assert(lo === 10000L && hi === 190000L)
+    assert(nLo === 0L && nHi === 1L) // only the $2000 order exceeds the p95 fence
+    assert(sumC === (1 to 20).map(_ * 10000L).sum)
+    assert(sumW === sumC.asInstanceOf[Long] - 10000L) // $2000 clamped to $1900
+  }
+
+  test("anomalySessionImpact: a session spanning an hour boundary reports in both flagged hours") {
+    import graft.operators.Audit
+    // background: 9 quiet hours × 1 event for type 'click' establish a
+    // median of 1/hour; hour 10 gets a 50-event burst → flagged. The
+    // bursty hour's only sessions: user 1 (entirely inside hour 10) and
+    // user 2 (starts hour 9, ends hour 10 — overlap counts it too).
+    val bg = (0 until 9).map(h =>
+      (100L + h, new java.sql.Timestamp(h * 3600000L), 99L, "click"))
+    val burst = (0 until 50).map(i =>
+      (200L + i, new java.sql.Timestamp(10L * 3600000L + i * 1000L), 1L, "click"))
+    val spanner = Seq(
+      (300L, new java.sql.Timestamp(9L * 3600000L + 3500 * 1000L), 2L, "click"),
+      (301L, new java.sql.Timestamp(10L * 3600000L + 100 * 1000L), 2L, "click"))
+    val events = (bg ++ burst ++ spanner)
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = Audit.anomalySessionImpact(events).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val h10 = 10L * 3600L
+    assert(got.contains(h10), s"burst hour missing from ${got.keySet}")
+    // hour 10: user 1's 50-event session + user 2's spanning 2-event session
+    assert(got(h10) === ((2L, 2L, 52L)))
+    // the quiet background hours are not flagged
+    assert(!got.contains(0L) && !got.contains(3600L))
+  }
 }

@@ -167,10 +167,13 @@ class PlanShapeSpec extends SparkSpec {
         "1-row total + 1-row fence aggregates broadcast onto the bounded value-domain histogram",
       "daily_revenue_cusum" ->
         "1-row median + 1-row MAD broadcasts onto the day-domain-bounded aggregate",
+      "daily_revenue_seasonal" ->
+        "1-row residual-MAD broadcast onto the day-domain-bounded aggregate (7-row weekday medians hash-join)",
       "shipping_delay_histogram" ->
         "1-row total broadcast onto the delay-domain-bounded histogram",
       "user_rfm_segments" ->
-        "1-row broadcasts only: corpus max date + three quartile-fence rows + histogram totals")
+        "1-row broadcasts only: corpus max date + three quartile-fence rows + histogram totals",
+      "user_stickiness_daily" -> "1-row max-day broadcast (trailing-window clip)")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, Sf0001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
