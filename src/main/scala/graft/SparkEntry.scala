@@ -221,6 +221,9 @@ object SparkEntry {
     // incident blast-radius: sessions overlapping any spike-flagged hour
     "anomaly_session_impact" -> ((s, d) =>
       graft.operators.Audit.anomalySessionImpact(Tables.events(s, d))),
+    // co-located bucketed fact⋈fact join: shuffle paid once at write time
+    "bucketed_join_revenue" -> ((s, d) =>
+      graft.operators.Layout.bucketedJoinRevenue(s, Tables.orders(s, d), Tables.lineitem(s, d))),
     "daily_revenue_running" -> ((s, d) => Relational.dailyRevenueRunning(Tables.orders(s, d))),
     "customer_name_parse" -> ((s, d) => Relational.customerNameParse(Tables.customer(s, d))),
     "events_by_weekday" -> ((s, d) => Relational.eventsByWeekday(Tables.events(s, d))),
@@ -2286,6 +2289,13 @@ object SparkEntry {
         |  CAST(min(lo) AS BIGINT) AS lo_cents, CAST(min(hi) AS BIGINT) AS hi_cents
         |FROM j JOIN f ON j.c_mktsegment = f.c_mktsegment
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the bucketed layout is a scan/shuffle optimization, never a
+    // semantics change: the oracle is the plain join
+    "bucketed_join_revenue" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(round(l_extendedprice*100)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // spike CTEs replicate the event_rate_anomaly oracle; session CTEs
     // replicate the user_sessions oracle; overlap is the plain interval
     // predicate (the engine's hour-bucket expansion is provably the same
@@ -3092,7 +3102,8 @@ object SparkEntry {
       "join_key_skew_stats", "join_size_estimate", "salted_event_segment_stats",
       "aqe_skew_event_segment_stats", "length_outlier_stats",
       "anomaly_session_impact"),
-    "layout-scan" -> Seq("zorder_cluster_stats", "dpp_quarter_revenue", "pack_shards"),
+    "layout-scan" -> Seq("zorder_cluster_stats", "dpp_quarter_revenue", "pack_shards",
+      "bucketed_join_revenue"),
     "graph" -> Seq("graph_pagerank", "graph_triangles"),
     "dedup" -> Seq(
       "dedup_exact", "dedup_exact_norm", "dedup_exact_norm_sql", "dedup_minhash_lsh",

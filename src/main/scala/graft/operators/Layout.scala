@@ -88,6 +88,54 @@ object Layout {
     * invisible to readers. Every output file then covers one compact
     * Z-range = one small (a, b) rectangle, and parquet's min/max stats
     * prune on both dimensions. */
+  /** Drop a bucketed table AND its leftover warehouse location — Verify
+    * runs per-SF in fresh JVMs sharing `./spark-warehouse`, and a fresh
+    * in-memory catalog refuses `saveAsTable` over a location it doesn't
+    * know about (the same contract as [[Dedup.dropDedupIndex]]). */
+  def dropBucketedTable(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    try spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    catch { case _: Throwable => () }
+    try {
+      val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+      val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase(java.util.Locale.ROOT))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(loc, true)
+    } catch { case _: Throwable => () }
+  }
+
+  /** Co-located fact ⋈ fact join via BUCKETED layout — the shuffle-paid-
+    * once-at-write-time lever for the joins broadcast can't serve (both
+    * sides grow with the data). Orders and lineitem are written bucketed
+    * on the order key with the SAME bucket count; the join then plans as
+    * a SortMergeJoin with ZERO Exchange on either side (asserted in
+    * PlanShapeSpec): each bucket pair joins locally, and at 100 TB every
+    * downstream join on that key amortizes the one write-time shuffle.
+    * The `merge` hint pins the sort-merge strategy at any SF so the
+    * demonstrated plan is the co-located one rather than a small-scale
+    * broadcast (the layout, not the planner's size estimate, is what's
+    * under test); semantics are hint-invariant, which is exactly what
+    * the plain-join DuckDB oracle gates. Like `dpp_quarter_revenue`, the
+    * registered query prices write + join together — a deployment pays
+    * the layout once per snapshot. */
+  def bucketedJoinRevenue(spark: org.apache.spark.sql.SparkSession,
+                          orders: DataFrame, lineitem: DataFrame,
+                          buckets: Int = 8): DataFrame = {
+    import graft.sources.FileFormats.writeBucketed
+    val oT = "orders_bktrev"
+    val lT = "lineitem_bktrev"
+    dropBucketedTable(spark, oT)
+    dropBucketedTable(spark, lT)
+    writeBucketed(orders.select("o_orderkey", "o_orderpriority"), oT, "o_orderkey", buckets)
+    writeBucketed(lineitem.select("l_orderkey", "l_extendedprice"), lT, "l_orderkey", buckets)
+    spark.table(lT).hint("merge")
+      .join(spark.table(oT).hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).cast("long").as("n_items"),
+        sum(expr("cast(round(l_extendedprice*100) as bigint)")).cast("long").as("revenue_cents"))
+      .orderBy("o_orderpriority")
+  }
+
   def writeZOrdered(df: DataFrame, a: Column, b: Column, path: String, nFiles: Int): Unit = {
     val r = df.agg(min(a), max(a), min(b), max(b)).head()
     val (aLo, aHi, bLo, bHi) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))

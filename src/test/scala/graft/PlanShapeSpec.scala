@@ -84,6 +84,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("PartitionFilters"), "partitioned scan missing entirely")
   }
 
+  test("bucketed fact join: SortMergeJoin with zero Exchange below it (shuffle paid at write)") {
+    // run the registered query once: it writes both bucketed tables and
+    // must pick the sort-merge (co-located) strategy, not a broadcast
+    val full = plan("bucketed_join_revenue")
+    assert(full.contains("SortMergeJoin"), s"expected the merge-hinted join:\n${full.take(800)}")
+    // the layout contract itself: the join-only plan over the two bucket
+    // trees needs NO shuffle on either side
+    val joined = spark.table("lineitem_bktrev")
+      .join(spark.table("orders_bktrev"),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
+      .map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(500))
+      assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n${p.take(1200)}")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("AQE splits a runtime-skewed sort-merge join (adaptive counterpart of the manual salt)") {
     // tightened thresholds stand in for 100 TB partition sizes: a key
     // holding 90% of the left side must come out of AQE's runtime
