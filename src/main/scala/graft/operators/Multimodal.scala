@@ -177,9 +177,18 @@ object Multimodal {
     * a 4-element long array (each ≤ 0xffff), never as one 64-bit value,
     * so both engines stay in safe signed arithmetic with no sign-bit
     * gymnastics. */
-  def phashSignatures(documents: DataFrame): DataFrame = {
-    val binary: Dataset[(Long, Array[Byte])] = documents
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+  def phashSignatures(documents: DataFrame): DataFrame =
+    phashSignaturesOf(
+      documents.select(col("doc_id"), col("text").cast("binary").as("payload")))
+
+  /** Signature pass over an arbitrary `(doc_id, payload)` relation —
+    * the shared core of [[phashSignatures]] (table-carried payloads) and
+    * the [[ingestBinaryDir]] file-ingestion path: one mapPartitions
+    * scan, no shuffle, identical signatures whichever way the bytes
+    * arrived. */
+  def phashSignaturesOf(binaryRel: DataFrame): DataFrame = {
+    val binary: Dataset[(Long, Array[Byte])] = binaryRel
+      .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
     binary
       .mapPartitions { it =>
@@ -187,6 +196,24 @@ object Multimodal {
       }(Encoders.product[PhashSig])
       .toDF()
   }
+
+  /** Ingest a directory of raw media files as `(doc_id, n_bytes,
+    * payload)` via Spark's builtin `binaryFile` source — the real-world
+    * media entry point: payload files land in object storage, the scan
+    * yields one row per file with the bytes as a binary column, and
+    * every downstream payload operator ([[bytesStats]]-style stats,
+    * [[phashSignaturesOf]], feature extraction) runs unchanged on
+    * ingested or table-carried payloads. doc_id parses from the file
+    * name stem. At 100 TB the per-file row model is the right grain for
+    * media (files are the unit of decode); Spark distributes files
+    * across tasks and `spark.sql.sources.binaryFile.maxLength` guards
+    * against a single pathological blob. */
+  def ingestBinaryDir(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile").load(dir)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
+        col("length").as("n_bytes"),
+        col("content").as("payload"))
 
   /** Near-duplicate media detection over the banded perceptual hashes —
     * the media-payload member of the dedup family (the text twin is

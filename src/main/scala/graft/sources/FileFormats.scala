@@ -118,6 +118,26 @@ object FileFormats {
   def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).orc(path)
 
+  /** Avro sink — the row-oriented interchange format of the Kafka
+    * ecosystem the reference lives in (a Kafka wire record is
+    * conventionally Avro + schema registry; the file form is the batch
+    * archive of the same records). This distribution bundles the full
+    * Avro connector classes inside spark-sql but omits the `avro` alias
+    * from DataSourceRegister, so the format is addressed by its
+    * fully-qualified class name — same connector, explicit spelling. */
+  private val AvroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  def writeAvro(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).format(AvroFormat).save(path)
+
+  /** Avro reader with declared schema — the same no-inference stance as
+    * the JSONL/CSV/ORC readers: Avro files carry a writer schema, and
+    * declaring the reader schema turns layout drift into a loud error at
+    * read time instead of a silent widening downstream. Timestamps
+    * round-trip as Avro timestamp-micros logical types. */
+  def readAvro(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).format(AvroFormat).load(path)
+
   /** Round-trip helpers for the events table (the reference's native
     * record stream): JSONL out and back with identical rows. Timestamps
     * travel as epoch micros (a long) — ISO strings lose sub-second

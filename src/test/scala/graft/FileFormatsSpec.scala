@@ -42,6 +42,46 @@ class FileFormatsSpec extends SparkSpec {
       s"ORC scan did not receive the pushed filter:\n$plan")
   }
 
+  test("Avro round-trip preserves rows and timestamps exactly; reader schema prunes columns") {
+    val events = Tables.events(spark, Sf0001)
+    val dir = tmp("graft-avro")
+    FileFormats.writeAvro(events, dir)
+    val back = FileFormats.readAvro(spark, dir, events.schema)
+    assert(back.count() === events.count())
+    // timestamp-micros logical type must survive the round-trip bit-exactly
+    val cols = events.columns.sorted.map(col).toSeq
+    assert(back.select(cols: _*).except(events.select(cols: _*)).count() === 0L)
+    assert(events.select(cols: _*).except(back.select(cols: _*)).count() === 0L)
+    // declared-schema projection: a 2-column reader schema reads clean
+    val narrow = FileFormats.readAvro(spark, dir,
+      org.apache.spark.sql.types.StructType(events.schema.filter(f =>
+        f.name == "event_id" || f.name == "user_id")))
+    assert(narrow.columns.toSet === Set("event_id", "user_id"))
+    assert(narrow.count() === events.count())
+  }
+
+  test("binaryFile ingestion: payload files yield the same phash signatures as table-carried bytes") {
+    import graft.operators.Multimodal
+    val docs = Tables.documents(spark, Sf0001).limit(8)
+      .select(col("doc_id"), col("text")).collect()
+    val dir = Files.createTempDirectory("graft-media")
+    docs.foreach { r =>
+      Files.write(dir.resolve(s"${r.getLong(0)}.bin"), r.getString(1).getBytes("UTF-8"))
+    }
+    val ingested = Multimodal.ingestBinaryDir(spark, dir.toString)
+    // one row per file, byte counts exact
+    val sizes = ingested.select("doc_id", "n_bytes").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes === docs.map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8").length.toLong).toMap)
+    // the file-ingested payloads hash identically to the table-carried path
+    val viaFiles = Multimodal.phashSignaturesOf(ingested).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaTable = Multimodal.phashSignatures(
+      Tables.documents(spark, Sf0001).limit(8)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaFiles === viaTable)
+  }
+
   test("JSONL reader routes malformed lines to the corrupt column, never drops them") {
     val dir = tmp("graft-corrupt")
     Seq("""{"a": 1, "b": "x"}""", """{"a": oops""", """{"a": 3, "b": "y"}""")
