@@ -138,6 +138,19 @@ object FileFormats {
   def readAvro(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).format(AvroFormat).load(path)
 
+  /** XML sink — Spark 4 ships the XML connector in core (the spark-xml
+    * lineage); one element per row under `rowTag`. The interchange
+    * format of legacy enterprise feeds — the corpus-ingestion surface
+    * should read it natively rather than through a pre-conversion. */
+  def writeXml(df: DataFrame, path: String, rowTag: String = "row"): Unit =
+    df.write.mode(SaveMode.Overwrite).option("rowTag", rowTag).format("xml").save(path)
+
+  /** XML reader with declared schema — same no-inference stance as every
+    * other reader here. */
+  def readXml(spark: SparkSession, path: String, schema: StructType,
+              rowTag: String = "row"): DataFrame =
+    spark.read.schema(schema).option("rowTag", rowTag).format("xml").load(path)
+
   /** Round-trip helpers for the events table (the reference's native
     * record stream): JSONL out and back with identical rows. Timestamps
     * travel as epoch micros (a long) — ISO strings lose sub-second

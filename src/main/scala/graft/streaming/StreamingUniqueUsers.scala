@@ -40,6 +40,81 @@ object StreamingUniqueUsers {
       .select(col("e.uid").as("uid"), timestamp_seconds(col("e.ts")).as("ts"))
       .filter(col("uid").isNotNull && col("ts").isNotNull)
 
+  /** The event record's Avro wire schema — Avro is the CONVENTIONAL
+    * Kafka value encoding the reference's pass-through JsonSerde stands
+    * in for (a schema-registry deployment serializes exactly this
+    * record). Spark's native `to_avro`/`from_avro` column functions are
+    * unusable in this distribution (the serde expression classes
+    * `CatalystDataToAvro`/`AvroDataToCatalyst` are omitted from the
+    * bundled jars — AVRO_NOT_LOADED at analysis), so the serde below
+    * rides the bundled public avro-1.12 library through the same
+    * per-partition codec-init `mapPartitions` pattern the multimodal
+    * decoders use; swap to the native expressions when the packaging
+    * includes them. */
+  val EventAvroSchemaJson: String =
+    """{"type":"record","name":"event","fields":[
+      |  {"name":"uid","type":"string"},{"name":"ts","type":"long"}]}""".stripMargin
+
+  private def eventAvroSchema(): org.apache.avro.Schema =
+    new org.apache.avro.Schema.Parser().parse(EventAvroSchemaJson)
+
+  /** S3 in Avro: `(uid, ts)` columns → one binary Avro `value` per
+    * record (single-record wire form, no container framing — what a
+    * Kafka producer puts on the topic). Null-field rows are filtered
+    * up front: the serializer contract requires both fields, and the
+    * reference's NPE-on-missing-uid is exactly the failure mode this
+    * engine refuses to reproduce. Writer + encoder init once per
+    * partition, zero shuffle. */
+  def toAvroRecords(events: DataFrame): DataFrame = {
+    val session = events.sparkSession
+    import session.implicits._
+    events.filter(col("uid").isNotNull && col("ts").isNotNull)
+      .select(col("uid"), unix_timestamp(col("ts")).as("ts"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val schema = eventAvroSchema()
+        val writer = new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](schema)
+        val out = new java.io.ByteArrayOutputStream()
+        var encoder: org.apache.avro.io.BinaryEncoder = null
+        it.map { case (uid, ts) =>
+          out.reset()
+          encoder = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, encoder)
+          val rec = new org.apache.avro.generic.GenericData.Record(schema)
+          rec.put("uid", uid)
+          rec.put("ts", ts)
+          writer.write(rec, encoder)
+          encoder.flush()
+          out.toByteArray
+        }
+      }.toDF("value")
+  }
+
+  /** S2 in Avro: binary Avro `value` → typed columns, the
+    * [[parseEvents]] twin for Avro-encoded topics. Same corrupt-record
+    * policy as the JSON path: an undecodable payload DROPS here (the
+    * explicit analogue of the JSON path's null filter), never a
+    * downstream NPE. */
+  def parseAvroEvents(raw: DataFrame, valueCol: String = "value"): DataFrame = {
+    val session = raw.sparkSession
+    import session.implicits._
+    raw.select(col(valueCol).cast("binary")).as[Array[Byte]]
+      .mapPartitions { it =>
+        val schema = eventAvroSchema()
+        val reader = new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord](schema)
+        var decoder: org.apache.avro.io.BinaryDecoder = null
+        it.flatMap { bytes =>
+          try {
+            decoder = org.apache.avro.io.DecoderFactory.get().binaryDecoder(bytes, decoder)
+            val rec = reader.read(null, decoder)
+            Some((rec.get("uid").toString, rec.get("ts").asInstanceOf[Long]))
+          } catch { case _: Exception => None }
+        }
+      }.toDF("uid", "ts_sec")
+      .select(col("uid"), timestamp_seconds(col("ts_sec")).as("ts"))
+  }
+
   /** The windowed COUNT(DISTINCT) with watermark. Streaming exact
     * distinct: dropDuplicates inside the watermark then count — state per
     * (window, uid) is bounded and evicted by the watermark, unlike the

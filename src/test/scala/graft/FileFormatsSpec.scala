@@ -82,6 +82,30 @@ class FileFormatsSpec extends SparkSpec {
     assert(viaFiles === viaTable)
   }
 
+  test("XML round-trip preserves the documents table exactly (escaping included)") {
+    val docs = Tables.documents(spark, Sf0001).limit(200)
+    val dir = tmp("graft-xml")
+    FileFormats.writeXml(docs, dir, rowTag = "doc")
+    val back = FileFormats.readXml(spark, dir, docs.schema, rowTag = "doc")
+    assert(back.count() === docs.count())
+    assert(back.except(docs).count() === 0L && docs.except(back).count() === 0L)
+  }
+
+  test("Avro wire serde: to_avro -> from_avro round-trips event records exactly, same rows as JSON") {
+    import graft.streaming.StreamingUniqueUsers
+    val ev = Tables.events(spark, Sf0001).limit(500)
+      .select(col("user_id").cast("string").as("uid"),
+        org.apache.spark.sql.functions.date_trunc("second", col("ts")).as("ts"))
+    val viaAvro = StreamingUniqueUsers.parseAvroEvents(StreamingUniqueUsers.toAvroRecords(ev))
+    val viaJson = StreamingUniqueUsers.parseEvents(
+      ev.select(to_json(struct(col("uid"), unix_timestamp(col("ts")).as("ts"))).as("value")))
+    assert(viaAvro.except(ev).count() === 0L && ev.except(viaAvro).count() === 0L)
+    assert(viaAvro.except(viaJson).count() === 0L && viaJson.except(viaAvro).count() === 0L)
+    // corrupt-record policy: an undecodable payload drops, never crashes
+    val corrupt = Seq(Array[Byte](1, 2, 3), Array[Byte]()).toDF("value")
+    assert(StreamingUniqueUsers.parseAvroEvents(corrupt).count() === 0L)
+  }
+
   test("JSONL reader routes malformed lines to the corrupt column, never drops them") {
     val dir = tmp("graft-corrupt")
     Seq("""{"a": 1, "b": "x"}""", """{"a": oops""", """{"a": 3, "b": "y"}""")
