@@ -51,6 +51,9 @@ object SparkEntry {
     // oracle-gated bound check
     "uu_daily_sketch_union" -> ((s, d) => UniqueUsers.dailySketchRollup(Tables.events(s, d))),
     "uu_daily_sketch_check" -> ((s, d) => UniqueUsers.dailySketchCheck(Tables.events(s, d))),
+    // rolling 7-day WAU from per-day sketch blobs, bound-gated against
+    // the exact pair-relation form (user_stickiness_daily semantics)
+    "uu_wau_sketch_check" -> ((s, d) => UniqueUsers.wauSketchCheck(Tables.events(s, d))),
     // sketch set algebra: pairwise audience intersection by
     // inclusion-exclusion over stored per-type sketches, bound-gated
     "audience_overlap_check" -> ((s, d) => UniqueUsers.audienceOverlapCheck(Tables.events(s, d))),
@@ -1861,6 +1864,19 @@ object SparkEntry {
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS uu_exact,
         |       CAST(1 AS BIGINT) AS within_bound
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact side recomputed from the (day, user) pair relation — the
+    // same semantics user_stickiness_daily hash-gates; estimate bound
+    // violations become hash mismatches via the literal-1 verdict
+    "uu_wau_sketch_check" ->
+      """WITH pairs AS (SELECT DISTINCT CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS d,
+        |    user_id FROM events),
+        |mx AS (SELECT max(d) AS max_d FROM pairs),
+        |w AS (SELECT unnest(generate_series(d, d + 6)) AS day, user_id FROM pairs),
+        |wau AS (SELECT day, count(DISTINCT user_id) AS wau7 FROM w, mx
+        |  WHERE day <= max_d GROUP BY 1)
+        |SELECT CAST(day * 86400 AS BIGINT) AS day, CAST(wau7 AS BIGINT) AS wau7_exact,
+        |  CAST(1 AS BIGINT) AS within_bound
+        |FROM wau ORDER BY 1""".stripMargin,
     "audience_overlap_check" ->
       """WITH d AS (SELECT DISTINCT event_type, user_id FROM events)
         |SELECT x.event_type AS type_a, y.event_type AS type_b,
@@ -3071,7 +3087,8 @@ object SparkEntry {
       "uu_per_minute", "uu_per_minute_twophase", "uu_per_minute_collect_set",
       "uu_per_minute_approx", "uu_per_minute_approx_check", "uu_per_minute_udaf",
       "uu_per_minute_sql", "uu_sliding_5m_1m", "uu_daily_sketch_union",
-      "uu_daily_sketch_check", "user_count_cms_check", "audience_overlap_check",
+      "uu_daily_sketch_check", "uu_wau_sketch_check", "user_count_cms_check",
+      "audience_overlap_check",
       "events_filter_project", "events_json_extract", "events_props_map_stats",
       "event_type_stats"),
     "relational" -> Seq(

@@ -116,6 +116,52 @@ object UniqueUsers {
         count(lit(1)).as("n_hours"))
       .orderBy("day")
 
+  /** Trailing-7-day rolling distinct users (WAU) from STORED per-day HLL
+    * sketches — the sketch-algebra answer to
+    * [[Relational.userStickinessDaily]]'s exact form, and the 100 TB
+    * deployment shape: persist ONE ~kB sketch per day (emitted online by
+    * `StreamingUniqueUsers.uniqueUsersPerWindowSketch` at day windows),
+    * and any trailing window is a union of 7 blobs — no (day, user) pair
+    * relation, no raw-event re-read, and HLL union is lossless (the
+    * union's error equals one sketch's error over the union). Same
+    * ×7 explode-to-served-windows shape as the exact operator, but over
+    * the DAY-domain-bounded sketch table instead of the pair relation.
+    * Input: `(day_sec, sk)` one sketch blob per day. */
+  def wauFromDailySketches(dailySketches: DataFrame): DataFrame =
+    dailySketches
+      .select(explode(sequence(col("day_sec"), col("day_sec") + 6L * 86400L,
+        lit(86400L))).as("day"), col("sk"))
+      .crossJoin(broadcast(dailySketches.agg(max(col("day_sec")).as("max_d"))))
+      .filter(col("day") <= col("max_d"))
+      .groupBy("day")
+      .agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk, false))").cast("long").as("wau7_est"),
+        count(lit(1)).as("n_days"))
+      .orderBy("day")
+
+  /** The oracle-checked error gate for [[wauFromDailySketches]] — the
+    * [[dailySketchCheck]] contract applied to the ROLLING window: per
+    * day, the exact trailing-7-day distinct (the DuckDB oracle
+    * recomputes it independently from the (day, user) pair relation —
+    * the same semantics `user_stickiness_daily` hash-gates) plus a 0/1
+    * verdict that the 7-blob union estimate lands within max(2, 5% of
+    * exact). The engine side builds one sketch per day from the events
+    * and serves every window from blob unions; a bound violation is a
+    * hash mismatch. */
+  def wauSketchCheck(events: DataFrame, lgK: Int = 12): DataFrame = {
+    val daily = events
+      .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("day_sec"))
+      .agg(expr(s"hll_sketch_agg(user_id, $lgK)").as("sk"))
+    val est = wauFromDailySketches(daily).select(col("day"), col("wau7_est"))
+    val exact = Relational.userStickinessDaily(events)
+      .select((col("day") * 86400L).as("day"), col("wau7").as("wau7_exact"))
+    exact.join(est, "day")
+      .select(col("day"), col("wau7_exact"),
+        expr("abs(wau7_est - wau7_exact) <= greatest(2, wau7_exact div 20)")
+          .cast("long").as("within_bound"))
+      .orderBy("day")
+  }
+
   /** The oracle-checked error gate for [[dailySketchRollup]] — same
     * contract as [[perMinuteApproxCheck]]: per day, the EXACT distinct
     * count (recomputed independently by the DuckDB oracle) plus a 0/1

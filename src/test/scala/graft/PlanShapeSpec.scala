@@ -195,7 +195,9 @@ class PlanShapeSpec extends SparkSpec {
         "1-row total broadcast onto the delay-domain-bounded histogram",
       "user_rfm_segments" ->
         "1-row broadcasts only: corpus max date + three quartile-fence rows + histogram totals",
-      "user_stickiness_daily" -> "1-row max-day broadcast (trailing-window clip)")
+      "user_stickiness_daily" -> "1-row max-day broadcast (trailing-window clip)",
+      "uu_wau_sketch_check" ->
+        "1-row max-day broadcasts (trailing-window clip, sketch + exact sides)")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, Sf0001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
