@@ -72,6 +72,19 @@ class MiscSpec extends SparkSpec {
     assert(budget("hollow")._3 === 2L)                    // deficit = the full target
   }
 
+  test("round-10 wave operators survive empty inputs (empty result, never a crash)") {
+    import graft.operators.{Audit, Relational, UniqueUsers}
+    val noEvents = Tables.events(spark, Sf0001).filter(col("event_id") < 0)
+    val noOrders = Tables.orders(spark, Sf0001).filter(col("o_orderkey") < 0)
+    val noLineitem = Tables.lineitem(spark, Sf0001).filter(col("l_orderkey") < 0)
+    val customer = Tables.customer(spark, Sf0001)
+    assert(Relational.lineitemMetricsUnpivot(noLineitem).collect().isEmpty)
+    assert(Relational.userStickinessDaily(noEvents).collect().isEmpty)
+    assert(Relational.orderValueWinsorized(noOrders, customer).collect().isEmpty)
+    assert(Audit.anomalySessionImpact(noEvents).collect().isEmpty)
+    assert(UniqueUsers.wauSketchCheck(noEvents).collect().isEmpty)
+  }
+
   test("text functions handle empty / whitespace / punctuation-only input") {
     val df = Seq("", "   ", "!!!", "one", "a  b\tc\nd").toDF("text")
     val got = df.select(
