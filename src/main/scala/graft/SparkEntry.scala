@@ -111,6 +111,8 @@ object SparkEntry {
     // the TIME-BOUNDED funnel: each transition must land within
     // FunnelHorizonSec of the previous step's completion
     "event_funnel_windowed" -> ((s, d) => Relational.eventFunnelWindowed(Tables.events(s, d))),
+    // time-to-convert percentiles per transition (same greedy chain)
+    "funnel_time_to_convert" -> ((s, d) => Relational.funnelTimeToConvert(Tables.events(s, d))),
     // the SESSIONIZED funnel: conversion must complete within one
     // 30-min-gap session (strictest of the three funnel semantics)
     "event_funnel_sessionized" -> ((s, d) => Relational.eventFunnelSessionized(Tables.events(s, d))),
@@ -1152,6 +1154,41 @@ object SparkEntry {
        |  CAST(u.n_users AS BIGINT) AS n_users,
        |  CAST((u.n_users * 1000000) // b.base AS BIGINT) AS conv_ppm
        |FROM s JOIN u ON u.step = s.step, b ORDER BY step""".stripMargin
+  }
+
+  /** Mirrors Relational.funnelTimeToConvert: the same greedy completion
+    * CTE chain as the windowed funnel, delays as completion-time
+    * differences per transition, `quantile_disc` = the engine's
+    * nearest-rank fences exactly. */
+  private def funnelTimeToConvertOracle: String = {
+    val steps = Relational.FunnelSteps
+    val h = Relational.FunnelHorizonSec
+    val c0 =
+      s"c0 AS (SELECT user_id, min(tsec) AS t FROM e WHERE event_type = '${steps.head}' GROUP BY 1)"
+    val cis = (1 until steps.length).map { i =>
+      s"""c$i AS (SELECT e.user_id, min(e.tsec) AS t FROM e
+         |  JOIN c${i - 1} p ON e.user_id = p.user_id
+         |  WHERE e.event_type = '${steps(i)}' AND e.tsec >= p.t AND e.tsec <= p.t + $h
+         |  GROUP BY 1)""".stripMargin
+    }
+    val delays = (1 until steps.length).map(i =>
+      s"SELECT $i AS transition, c$i.t - c${i - 1}.t AS delay_sec " +
+        s"FROM c$i JOIN c${i - 1} ON c$i.user_id = c${i - 1}.user_id")
+      .mkString(" UNION ALL ")
+    val vals = steps.sliding(2).zipWithIndex
+      .map { case (Seq(a, b), i) => s"(${i + 1}, '$a->$b')" }.mkString(", ")
+    s"""WITH e AS (SELECT user_id, event_type,
+       |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS tsec FROM events),
+       |$c0,
+       |${cis.mkString(",\n")},
+       |d AS ($delays),
+       |nm AS (SELECT * FROM (VALUES $vals) v(transition, transition_name))
+       |SELECT CAST(d.transition AS BIGINT) AS transition, nm.transition_name,
+       |  CAST(count(*) AS BIGINT) AS n_converted,
+       |  CAST(quantile_disc(delay_sec, 0.50) AS BIGINT) AS p50_sec,
+       |  CAST(quantile_disc(delay_sec, 0.90) AS BIGINT) AS p90_sec
+       |FROM d JOIN nm ON d.transition = nm.transition
+       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
   }
 
   /** Mirrors Relational.eventFunnelSessionized, generated from the same
@@ -2756,6 +2793,7 @@ object SparkEntry {
     "train_test_split" -> trainTestSplitOracle,
     "leakage_safe_split" -> leakageSafeSplitOracle,
     "event_funnel_windowed" -> eventFunnelWindowedOracle,
+    "funnel_time_to_convert" -> funnelTimeToConvertOracle,
     "event_funnel_sessionized" -> eventFunnelSessionizedOracle,
     "substring_gram_stats" -> substringGramStatsOracle,
     "incremental_dedup_after_diff" -> incrementalDedupAfterDiffOracle,
@@ -3110,6 +3148,7 @@ object SparkEntry {
     "cdc" -> Seq("orders_upsert_apply", "scd2_orders"),
     "product-analytics" -> Seq(
       "event_funnel", "event_funnel_windowed", "event_funnel_sessionized",
+      "funnel_time_to_convert",
       "user_retention_cohorts", "event_transition_matrix", "event_paths_top",
       "user_sessions", "session_concurrency", "attribution_last_touch",
       "user_rfm_segments", "user_stickiness_daily"),

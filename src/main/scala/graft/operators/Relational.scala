@@ -264,26 +264,34 @@ object Relational {
     * (users × 1), never raw events paired with themselves. The final
     * roll-up unions `steps` one-row aggregates — the unpartitioned
     * window below runs over ≤ steps rows, bounded by construction. */
-  def eventFunnelWindowed(events: DataFrame, steps: Seq[String] = FunnelSteps,
-                          horizonSec: Long = FunnelHorizonSec): DataFrame = {
+  /** The greedy earliest-completion chain shared by
+    * [[eventFunnelWindowed]] and [[funnelTimeToConvert]]: element i is
+    * the one-row-per-user relation (user_id, t) of step-i completion
+    * times under the horizon rule. */
+  private def windowedCompletions(events: DataFrame, steps: Seq[String],
+                                  horizonSec: Long): Seq[DataFrame] = {
     val e = events
       .filter(col("event_type").isin(steps: _*))
       .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("tsec"))
+    steps.indices.foldLeft(Vector.empty[DataFrame]) { (acc, i) =>
+      val cur =
+        if (i == 0)
+          e.filter(col("event_type") === steps.head)
+            .groupBy(col("user_id")).agg(min(col("tsec")).as("t"))
+        else
+          e.filter(col("event_type") === steps(i))
+            .join(acc.last.select(col("user_id"), col("t").as("prev_t")), Seq("user_id"))
+            .filter(col("tsec") >= col("prev_t") &&
+              col("tsec") <= col("prev_t") + lit(horizonSec))
+            .groupBy(col("user_id")).agg(min(col("tsec")).as("t"))
+      acc :+ cur
+    }
+  }
+
+  def eventFunnelWindowed(events: DataFrame, steps: Seq[String] = FunnelSteps,
+                          horizonSec: Long = FunnelHorizonSec): DataFrame = {
     // per-user completion time of each successive step, within horizon
-    val completions: Seq[DataFrame] =
-      steps.indices.foldLeft(Vector.empty[DataFrame]) { (acc, i) =>
-        val cur =
-          if (i == 0)
-            e.filter(col("event_type") === steps.head)
-              .groupBy(col("user_id")).agg(min(col("tsec")).as("t"))
-          else
-            e.filter(col("event_type") === steps(i))
-              .join(acc.last.select(col("user_id"), col("t").as("prev_t")), Seq("user_id"))
-              .filter(col("tsec") >= col("prev_t") &&
-                col("tsec") <= col("prev_t") + lit(horizonSec))
-              .groupBy(col("user_id")).agg(min(col("tsec")).as("t"))
-        acc :+ cur
-      }
+    val completions = windowedCompletions(events, steps, horizonSec)
     // coalesce: an empty population must report an honest 0, not null
     // (same contract as eventFunnel)
     val counted = completions.zipWithIndex.map { case (c, i) =>
@@ -304,6 +312,37 @@ object Relational {
         col("n_users").cast("long").as("n_users"),
         expr("(n_users * 1000000) div base").as("conv_ppm"))
       .orderBy("step")
+  }
+
+  /** HOW FAST users convert, not just whether: nearest-rank p50/p90 of
+    * the delay between consecutive funnel-step completions, per
+    * transition — the time-to-convert curve product teams read next to
+    * the conversion rate. Rides the same greedy chain as
+    * [[eventFunnelWindowed]] (delays are differences of the SAME
+    * completion times the conversion counts come from, so the two
+    * reports can never disagree about who converted); percentiles via
+    * [[Median.nearestRankByKey]], whose per-transition histogram is
+    * bounded by the HORIZON domain (delay ∈ [0, horizonSec]) — no
+    * per-transition sort of converters at any scale. */
+  def funnelTimeToConvert(events: DataFrame, steps: Seq[String] = FunnelSteps,
+                          horizonSec: Long = FunnelHorizonSec): DataFrame = {
+    val completions = windowedCompletions(events, steps, horizonSec)
+    val delays = (1 until steps.length).map { i =>
+      completions(i).select(col("user_id"), col("t").as("t_cur"))
+        .join(completions(i - 1).select(col("user_id"), col("t").as("t_prev")), Seq("user_id"))
+        .select(lit(i.toLong).as("transition"), (col("t_cur") - col("t_prev")).as("delay_sec"))
+    }.reduce(_.unionByName(_))
+    val spark = events.sparkSession
+    import spark.implicits._
+    val names = steps.sliding(2).zipWithIndex
+      .map { case (Seq(a, b), i) => (i + 1L, s"$a->$b") }.toSeq
+      .toDF("transition", "transition_name")
+    Median.nearestRankByKey(delays, Seq("transition"), col("delay_sec"), Seq(50, 90))
+      .join(broadcast(names), Seq("transition"))
+      .select(col("transition"), col("transition_name"),
+        col("n").cast("long").as("n_converted"),
+        col("p50").as("p50_sec"), col("p90").as("p90_sec"))
+      .orderBy("transition")
   }
 
   /** Session gap for [[eventFunnelSessionized]], in seconds — the same

@@ -865,6 +865,30 @@ class OperatorSpec extends SparkSpec {
       (1L, 1L, 1L) -> 1L, (1L, 1L, 2L) -> 1L, (1L, 1L, 3L) -> 1L, (1L, 1L, 4L) -> 1L))
   }
 
+  test("funnelTimeToConvert: delays ride the greedy chain; counts agree with the windowed funnel") {
+    def ev(id: Long, sec: Long, u: Long, t: String) =
+      (id, new java.sql.Timestamp(sec * 1000L), u, t)
+    val events = Seq(
+      ev(1, 0, 1, "signup"), ev(2, 100, 1, "view"), ev(3, 700, 1, "click"),
+      ev(4, 700 + 85600, 1, "purchase"),       // within horizon of the click
+      ev(5, 0, 2, "signup"), ev(6, 50, 2, "view"),
+      ev(7, 10, 3, "view")                     // no signup: never enters
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = Relational.funnelTimeToConvert(events).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got === Map(
+      (1L, "signup->view") -> ((2L, 50L, 100L)),       // delays {100, 50}: p50 rank-1 = 50
+      (2L, "view->click") -> ((1L, 600L, 600L)),
+      (3L, "click->purchase") -> ((1L, 85600L, 85600L))))
+    // the two reports derive from the SAME completion chain: transition
+    // counts equal the windowed funnel's step populations
+    val funnel = Relational.eventFunnelWindowed(events).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got((1L, "signup->view"))._1 === funnel(2L))
+    assert(got((3L, "click->purchase"))._1 === funnel(4L))
+  }
+
   test("lineitemMetricsUnpivot: melt is the exact UNION-ALL relation, per (flag, metric)") {
     val li = Seq(
       ("A", 5.0, 100.50, 0.05, 0.02),
