@@ -418,6 +418,8 @@ object SparkEntry {
     "pack_shards" -> ((s, d) => TextAnalysis.packShards(Tables.documents(s, d))),
     // deterministic hash-keyed training-order shuffle (epoch-salted)
     "train_order_shuffle" -> ((s, d) => TextAnalysis.trainOrderShuffle(Tables.documents(s, d))),
+    // padding waste: shuffle-order vs length-bucketed batch assembly
+    "batch_padding_stats" -> ((s, d) => TextAnalysis.batchPaddingStats(Tables.documents(s, d))),
     "dedup_rate_by_source" -> ((s, d) => TextAnalysis.dedupRateBySource(Tables.documents(s, d))),
     // integer-bits KL(source || corpus) over smoothed unigram models —
     // the domain-drift / mixture-skew monitor
@@ -1059,6 +1061,38 @@ object SparkEntry {
 
   /** Mirrors TextAnalysis.packShards: same block key, same running-offset
     * shard arithmetic (integer div), same doc_id ordering. */
+  /** Mirrors TextAnalysis.batchPaddingStats, generated from the same
+    * constants (batch 16, len bucket 32, block size): both ranking
+    * partitions, batch ids, and the exact padded-token arithmetic. */
+  private def batchPaddingStatsOracle: String = {
+    val blk = TextAnalysis.PackBlockDocs
+    s"""WITH t AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':epoch-0') AS sk,
+       |    doc_id // $blk AS block_id,
+       |    len(regexp_extract_all(text, '\\S+')) AS toks FROM documents),
+       |n1 AS (SELECT substr(sk, 1, 2) AS bucket,
+       |    CAST(row_number() OVER (PARTITION BY substr(sk, 1, 2)
+       |                            ORDER BY sk, doc_id) AS BIGINT) AS pos, toks FROM t),
+       |nb AS (SELECT bucket, (pos - 1) // 16 AS batch,
+       |    count(*) AS n, max(toks) AS mx, CAST(sum(toks) AS BIGINT) AS tot
+       |  FROM n1 GROUP BY 1, 2),
+       |b1 AS (SELECT toks // 32 AS len_bucket, block_id,
+       |    CAST(row_number() OVER (PARTITION BY toks // 32, block_id
+       |                            ORDER BY doc_id) AS BIGINT) AS pos, toks FROM t),
+       |bb AS (SELECT len_bucket, block_id, (pos - 1) // 16 AS batch,
+       |    count(*) AS n, max(toks) AS mx, CAST(sum(toks) AS BIGINT) AS tot
+       |  FROM b1 GROUP BY 1, 2, 3),
+       |r AS (
+       |  SELECT 'length_bucketed' AS strategy, CAST(sum(n) AS BIGINT) AS n_docs,
+       |    CAST(count(*) AS BIGINT) AS n_batches, CAST(sum(tot) AS BIGINT) AS total_tokens,
+       |    CAST(sum(n * mx - tot) AS BIGINT) AS padded_tokens FROM bb
+       |  UNION ALL
+       |  SELECT 'shuffle_order', CAST(sum(n) AS BIGINT), CAST(count(*) AS BIGINT),
+       |    CAST(sum(tot) AS BIGINT), CAST(sum(n * mx - tot) AS BIGINT) FROM nb)
+       |SELECT strategy, n_docs, n_batches, total_tokens, padded_tokens,
+       |  CAST((padded_tokens * 1000000) // (total_tokens + padded_tokens) AS BIGINT) AS padding_ppm
+       |FROM r ORDER BY strategy""".stripMargin
+  }
+
   private def packShardsOracle: String =
     s"""WITH t AS (SELECT doc_id, source, doc_id // ${TextAnalysis.PackBlockDocs} AS block_id,
        |    len(regexp_extract_all(text, '\\S+')) AS toks FROM documents),
@@ -2816,6 +2850,7 @@ object SparkEntry {
         |                               ORDER BY sk, doc_id) AS BIGINT) AS pos,
         |       doc_id
         |FROM k ORDER BY bucket, pos""".stripMargin,
+    "batch_padding_stats" -> batchPaddingStatsOracle,
     "dedup_rate_by_source" -> dedupRateBySourceOracle,
     "token_distribution_shift" ->
       """WITH norm AS (SELECT source, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t FROM documents),
@@ -3187,7 +3222,8 @@ object SparkEntry {
     "sampling-mixing" -> Seq(
       "corpus_sample_stratified", "mixture_weights", "mixture_budget_rates",
       "mixture_sample_temperature", "source_cap_sample", "train_test_split",
-      "leakage_safe_split", "dsir_weights", "dsir_sample", "train_order_shuffle"),
+      "leakage_safe_split", "dsir_weights", "dsir_sample", "train_order_shuffle",
+      "batch_padding_stats"),
     "curation-observability" -> Seq(
       "curation_kill_reasons", "token_distribution_shift", "dedup_rate_by_source",
       "vocab_growth", "corpus_curated"),

@@ -909,6 +909,62 @@ object TextAnalysis {
       budget)
       .select(col("doc_id"), col("text"), col("source"), col("block_id"), col("shard_id"))
 
+  /** Padding-waste comparison for training-batch assembly — the
+    * efficiency question after [[packShards]] decides storage: a batch
+    * pads every sequence to its longest member, so batching in shuffle
+    * order (length-blind) wastes `Σ(max−len)` tokens of compute per
+    * batch, and LENGTH-BUCKETED batching (group by ⌈len/bucket⌉, batch
+    * within) is the standard fix. One row per strategy with exact
+    * integer padded-token counts and a ppm waste share — the report
+    * that justifies (or rejects) the bucketing complexity on a given
+    * corpus.
+    *
+    * Scale shape: both strategies rank inside BOUNDED partitions —
+    * shuffle order within md5-prefix buckets (the [[trainOrderShuffle]]
+    * contract), length-bucketed within (len_bucket, [[PackBlockDocs]]
+    * block) — so no global row_number anywhere; the roll-ups are
+    * batch-count-bounded aggregates. Batch boundaries never cross a
+    * partition (disclosed, same contract as shard packing: a trailing
+    * partial batch per partition). */
+  def batchPaddingStats(documents: DataFrame, batchSize: Int = 16,
+                        lenBucketTokens: Int = 32): DataFrame = {
+    val base = documents.select(col("doc_id"),
+      md5(concat(col("doc_id").cast("string"), lit(":epoch-0"))).as("sk"),
+      expr(s"doc_id div $PackBlockDocs").as("block_id"),
+      tokenCount(col("text")).cast("long").as("toks"))
+    val naive = base
+      .withColumn("bucket", substring(col("sk"), 1, 2))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("bucket")).orderBy(col("sk"), col("doc_id"))).cast("long"))
+      .withColumn("batch", expr(s"(pos - 1) div $batchSize"))
+      .groupBy(col("bucket"), col("batch"))
+      .agg(count(lit(1)).as("n"), max(col("toks")).as("mx"), sum(col("toks")).as("tot"))
+    val bucketed = base
+      .withColumn("len_bucket", expr(s"toks div $lenBucketTokens"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("len_bucket"), col("block_id")).orderBy(col("doc_id"))).cast("long"))
+      .withColumn("batch", expr(s"(pos - 1) div $batchSize"))
+      .groupBy(col("len_bucket"), col("block_id"), col("batch"))
+      .agg(count(lit(1)).as("n"), max(col("toks")).as("mx"), sum(col("toks")).as("tot"))
+    def roll(batches: DataFrame, name: String) =
+      batches
+        .agg(
+          sum(col("n")).as("n_docs"),
+          count(lit(1)).as("n_batches"),
+          sum(col("tot")).as("total_tokens"),
+          sum(col("n") * col("mx") - col("tot")).as("padded_tokens"))
+        .select(lit(name).as("strategy"),
+          col("n_docs").cast("long").as("n_docs"),
+          col("n_batches").cast("long").as("n_batches"),
+          col("total_tokens").cast("long").as("total_tokens"),
+          col("padded_tokens").cast("long").as("padded_tokens"),
+          expr("(padded_tokens * 1000000) div (total_tokens + padded_tokens)")
+            .as("padding_ppm"))
+    roll(bucketed, "length_bucketed")
+      .unionByName(roll(naive, "shuffle_order"))
+      .orderBy("strategy")
+  }
+
   /** Deterministic TRAINING-ORDER shuffle — the randomization step
     * between curation and shard export: training wants the corpus in a
     * pseudorandom order decorrelated from ingest/source order (long runs

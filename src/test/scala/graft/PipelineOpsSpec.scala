@@ -13,6 +13,26 @@ class PipelineOpsSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("batchPaddingStats: exact padded-token arithmetic; bucketing beats shuffle order on mixed lengths") {
+    // 32 short docs (1 token) + 32 long docs (31 tokens): same len bucket
+    // boundary (bucket 32 tokens, all in bucket 0)? No — short=1 → bucket 0,
+    // long=31 → bucket 0 too. Use 40-token longs (bucket 1) so bucketing
+    // fully separates lengths while shuffle order mixes them.
+    val docs = ((0L until 32L).map(i => (i, "w")) ++
+      (100L until 132L).map(i => (i, Seq.fill(40)("w").mkString(" "))))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.batchPaddingStats(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    val (nB, totB, padB) = got("length_bucketed")
+    val (nN, totN, padN) = got("shuffle_order")
+    assert(nB === 64L && nN === 64L)
+    assert(totB === 32L * 1 + 32L * 40 && totB === totN)
+    // bucketed batches are length-homogeneous → zero padding
+    assert(padB === 0L)
+    // shuffle order mixes 1s and 40s into common batches → real padding
+    assert(padN > 0L)
+  }
+
   test("tokenHeavyHitters: sketch-propose/exact-verify finds exactly the above-threshold tokens under a saturated cap") {
     // vocabulary (62 tokens) >> cap (8): the sketch MUST decrement, yet
     // the composition still returns exactly the exact-count answer
