@@ -215,6 +215,11 @@ object SparkEntry {
       Relational.loadDailyRevenue(s, path).orderBy("day_sec")
     }),
     "parts_above_brand_avg" -> ((s, d) => Relational.partsAboveBrandAverage(Tables.part(s, d))),
+    // full changelog semantics: I/U/D ops, highest-seq wins, D removes
+    "cdc_apply_changes" -> ((s, d) => Relational.cdcApplyChanges(Tables.orders(s, d))),
+    // consumption side of SCD2: facts joined to the version valid at t
+    "scd2_temporal_join" -> ((s, d) =>
+      Relational.scd2TemporalJoin(Tables.orders(s, d), Tables.events(s, d))),
     // wide→long reshape: Spark native unpivot (melt), the inverse of pivot
     "lineitem_metrics_unpivot" -> ((s, d) =>
       Relational.lineitemMetricsUnpivot(Tables.lineitem(s, d))),
@@ -2337,6 +2342,36 @@ object SparkEntry {
         |  CAST(quantile_disc(delay_days, 0.90) AS BIGINT) AS p90,
         |  CAST(quantile_disc(delay_days, 0.99) AS BIGINT) AS p99
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cdc_apply_changes" ->
+      """WITH log AS (
+        |  SELECT o_orderkey AS k, 'U' AS op, 2 AS seq, o_orderstatus,
+        |    o_totalprice + 1000 AS p FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL SELECT o_orderkey, 'D', 3, o_orderstatus, o_totalprice
+        |    FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL SELECT o_orderkey + 100000000, 'I', 1, o_orderstatus, o_totalprice
+        |    FROM orders WHERE o_orderkey % 1000 = 1),
+        |latest AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC, op) AS rn FROM log)
+        |  WHERE rn = 1),
+        |applied AS (
+        |  SELECT o_orderstatus, o_totalprice AS p FROM orders
+        |    WHERE o_orderkey NOT IN (SELECT k FROM latest)
+        |  UNION ALL SELECT o_orderstatus, p FROM latest WHERE op != 'D')
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(round(p*100)) AS BIGINT) AS total_cents
+        |FROM applied GROUP BY 1 ORDER BY 1""".stripMargin,
+    "scd2_temporal_join" ->
+      """WITH dim AS (SELECT o_custkey, o_orderkey,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS price_cents,
+        |    CAST(epoch(o_orderdate) AS BIGINT) AS vf,
+        |    CAST(lead(epoch(o_orderdate)) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) - 1 AS BIGINT) AS vt
+        |  FROM orders),
+        |ev AS (SELECT event_id, user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t FROM events)
+        |SELECT event_id, user_id, o_orderkey AS version_orderkey, price_cents
+        |FROM ev JOIN dim ON user_id = o_custkey AND t >= vf AND (vt IS NULL OR t <= vt)
+        |ORDER BY event_id""".stripMargin,
     // the oracle states the melt as the portable UNION ALL form; the
     // engine's native unpivot is the same relation by construction
     "lineitem_metrics_unpivot" ->
@@ -3180,7 +3215,8 @@ object SparkEntry {
       "daily_revenue_range7d", "daily_revenue_running", "daily_revenue_rank_stats",
       "customer_trailing_features"),
     "materialized-view" -> Seq("daily_revenue_incremental"),
-    "cdc" -> Seq("orders_upsert_apply", "scd2_orders"),
+    "cdc" -> Seq("orders_upsert_apply", "scd2_orders", "cdc_apply_changes",
+      "scd2_temporal_join"),
     "product-analytics" -> Seq(
       "event_funnel", "event_funnel_windowed", "event_funnel_sessionized",
       "funnel_time_to_convert",

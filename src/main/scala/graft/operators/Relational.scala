@@ -794,6 +794,41 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** CDC APPLY-CHANGES — the full changelog semantics [[ordersUpsertApply]]
+    * stops short of: a feed of (key, op ∈ {I, U, D}, seq, payload) rows
+    * where per key the HIGHEST-seq op wins and a winning D removes the
+    * row — the Debezium/DLT `apply_changes` contract. The synthesized
+    * feed overlaps deliberately (keys divisible by 70 get an update AND
+    * a later delete, so seq resolution is exercised, not just unioned).
+    * Scale shape: latest-per-key is a rank-1 window over the CHANGELOG
+    * (changelog-sized partitions, never the base table); the apply is
+    * the same anti-join ∪ survivors as MERGE; output is the
+    * status-bounded rollup. */
+  def cdcApplyChanges(orders: DataFrame): DataFrame = {
+    val updates = orders.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey").as("k"), lit("U").as("op"), lit(2L).as("seq"),
+        col("o_orderstatus"), (col("o_totalprice") + 1000.0).as("o_totalprice"))
+    val deletes = orders.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey").as("k"), lit("D").as("op"), lit(3L).as("seq"),
+        col("o_orderstatus"), col("o_totalprice"))
+    val inserts = orders.filter(col("o_orderkey") % 1000 === 1)
+      .select((col("o_orderkey") + lit(100000000L)).as("k"), lit("I").as("op"),
+        lit(1L).as("seq"), col("o_orderstatus"), col("o_totalprice"))
+    val log = updates.unionByName(deletes).unionByName(inserts)
+    val wk = Window.partitionBy(col("k")).orderBy(col("seq").desc, col("op"))
+    val latest = log.withColumn("rn", row_number().over(wk)).filter(col("rn") === 1)
+    val applied = orders
+      .join(latest.select(col("k")), col("o_orderkey") === col("k"), "left_anti")
+      .select(col("o_orderstatus"), col("o_totalprice"))
+      .unionByName(latest.filter(col("op") =!= "D")
+        .select(col("o_orderstatus"), col("o_totalprice")))
+    applied.groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(cents(col("o_totalprice"))).cast("long").as("total_cents"))
+      .orderBy("o_orderstatus")
+  }
+
   /** SCD2 build: turn a keyed change log into a slowly-changing
     * dimension with [valid_from, valid_to) intervals — each customer's
     * orders, ordered by date, become versioned rows where a version's
@@ -816,6 +851,29 @@ object Relational {
         unix_timestamp(col("o_orderdate")).as("valid_from_sec"),
         (lead(unix_timestamp(col("o_orderdate")), 1).over(w) - 1L).as("valid_to_sec"))
       .orderBy("o_custkey", "valid_from_sec", "o_orderkey")
+  }
+
+  /** SCD2 TEMPORAL JOIN — the consumption side of [[scd2FromOrders]]:
+    * each event enriched with the dimension version VALID AT its time
+    * (`valid_from ≤ t ≤ valid_to`, open-ended last version). The plan is
+    * an equi-join on the dimension KEY with the validity range as the
+    * residual condition: a key's reducer input is its events × its
+    * versions — bounded by that entity's own activity, never by the
+    * corpus (the disclosed contrast to a keyless interval join). The
+    * intervals partition time per key, so every event matches at most
+    * one version; and because `valid_to = next_from − 1`, the matched
+    * version is EXACTLY the as-of join's answer
+    * ([[Sessionize.asofJoinOrders]]) — the interchangeability the SCD2
+    * scaladoc promises, spec-pinned as row equality. */
+  def scd2TemporalJoin(orders: DataFrame, events: DataFrame): DataFrame = {
+    val dim = scd2FromOrders(orders)
+    val ev = events.select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("t"))
+    ev.join(dim, ev("user_id") === dim("o_custkey") &&
+        col("t") >= col("valid_from_sec") &&
+        (col("valid_to_sec").isNull || col("t") <= col("valid_to_sec")))
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey").as("version_orderkey"), col("price_cents"))
+      .orderBy("event_id")
   }
 
   /** Top user JOURNEYS — the path-analysis companion of

@@ -865,6 +865,35 @@ class OperatorSpec extends SparkSpec {
       (1L, 1L, 1L) -> 1L, (1L, 1L, 2L) -> 1L, (1L, 1L, 3L) -> 1L, (1L, 1L, 4L) -> 1L))
   }
 
+  test("scd2TemporalJoin equals the as-of join on every matched event (interval ≡ most-recent-at-or-before)") {
+    val orders = Tables.orders(spark, Sf0001)
+    val events = Tables.events(spark, Sf0001)
+    val viaInterval = Relational.scd2TemporalJoin(orders, events)
+      .select(col("event_id"), col("version_orderkey"))
+    val viaAsof = Sessionize.asofJoinOrders(events, orders)
+      .filter(col("asof_orderkey").isNotNull)
+      .select(col("event_id"), col("asof_orderkey").as("version_orderkey"))
+    assert(viaInterval.except(viaAsof).count() === 0L)
+    assert(viaAsof.except(viaInterval).count() === 0L)
+    assert(viaInterval.count() > 0L)
+    // intervals partition time per key: at most one version per event
+    assert(viaInterval.groupBy("event_id").count().filter(col("count") > 1).count() === 0L)
+  }
+
+  test("cdcApplyChanges: highest-seq op wins — a key updated then deleted is gone") {
+    def o(k: Long, status: String, price: Double) =
+      (k, 1L, status, price, java.sql.Timestamp.valueOf("1995-01-01 00:00:00"), "x")
+    // key 70: divisible by 10 AND 7 → gets U (seq 2) and D (seq 3); D wins
+    // key 10: U only → survives with +1000; key 3: untouched
+    val orders = Seq(o(70, "A", 100.0), o(10, "A", 200.0), o(3, "B", 50.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+    val got = Relational.cdcApplyChanges(orders).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      "A" -> ((1L, 120000L)),  // key 70 deleted; key 10 updated to $1200
+      "B" -> ((1L, 5000L))))   // key 3 untouched
+  }
+
   test("funnelTimeToConvert: delays ride the greedy chain; counts agree with the windowed funnel") {
     def ev(id: Long, sec: Long, u: Long, t: String) =
       (id, new java.sql.Timestamp(sec * 1000L), u, t)
