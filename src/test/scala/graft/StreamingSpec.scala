@@ -6,7 +6,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.streaming.StreamingUniqueUsers
+import graft.streaming.{StreamingCdc, StreamingUniqueUsers}
 
 /** Streaming semantics: the reference's documented defects, fixed and
   * regression-tested (reference README.md:42-52).
@@ -81,6 +81,38 @@ class StreamingSpec extends SparkSpec {
       val merged = t.agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))"))
         .head().getLong(0)
       assert(merged === 3L)
+    } finally q.stop()
+  }
+
+  test("streaming CDC sink maintains a keyed snapshot: seq resolution, deletes, replayed batch is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdc-ckpt").toString
+    // base snapshot: k1 -> a, k2 -> b
+    StreamingCdc.saveSnapshot(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir)
+    val in = MemoryStream[(Long, String, Long, String)]
+    val q = StreamingCdc.sink(in.toDF().toDF("k", "op", "seq", "v"), dir, ckpt)
+    try {
+      // batch: update k1, insert k3, delete k2, and k4 gets I(seq 1) then
+      // D(seq 2) — the delete must win WITHIN the batch
+      in.addData((1L, "U", 1L, "a2"), (3L, "I", 1L, "c"),
+        (2L, "D", 1L, "b"), (4L, "I", 1L, "d"), (4L, "D", 2L, "d"))
+      q.processAllAvailable()
+      val snap1 = StreamingCdc.loadSnapshot(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(snap1 === Map(1L -> "a2", 3L -> "c"))
+      // a later batch applies ON TOP: re-insert k2
+      in.addData((2L, "I", 1L, "b2"))
+      q.processAllAvailable()
+      val snap2 = StreamingCdc.loadSnapshot(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(snap2 === Map(1L -> "a2", 2L -> "b2", 3L -> "c"))
+      // checkpoint-style re-delivery of an applied batch id: ledgered no-op
+      StreamingCdc.applyCdcBatch(spark, dir,
+        Seq((2L, "D", 9L, "b2")).toDF("k", "op", "seq", "v"), batchId = 1L)
+      val snap3 = StreamingCdc.loadSnapshot(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(snap3 === snap2)
     } finally q.stop()
   }
 
