@@ -231,6 +231,9 @@ object SparkEntry {
     // incident blast-radius: sessions overlapping any spike-flagged hour
     "anomaly_session_impact" -> ((s, d) =>
       graft.operators.Audit.anomalySessionImpact(Tables.events(s, d))),
+    // observe(): audit metrics collected during the main query's own scan
+    "observed_order_audit" -> ((s, d) =>
+      graft.operators.Audit.observedOrderAudit(Tables.orders(s, d))),
     // co-located bucketed fact⋈fact join: shuffle paid once at write time
     "bucketed_join_revenue" -> ((s, d) =>
       graft.operators.Layout.bucketedJoinRevenue(s, Tables.orders(s, d), Tables.lineitem(s, d))),
@@ -2342,6 +2345,14 @@ object SparkEntry {
         |  CAST(quantile_disc(delay_days, 0.90) AS BIGINT) AS p90,
         |  CAST(quantile_disc(delay_days, 0.99) AS BIGINT) AS p99
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the observed metrics are the same aggregates a separate audit scan
+    // would compute — the point is they rode the main job's one pass
+    "observed_order_audit" ->
+      """SELECT CAST(count(DISTINCT CAST(epoch(o_orderdate) - epoch(o_orderdate) % 86400 AS BIGINT)) AS BIGINT) AS main_days,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_custkey,
+        |  CAST(sum(round(o_totalprice*100)) AS BIGINT) AS revenue_cents
+        |FROM orders""".stripMargin,
     "cdc_apply_changes" ->
       """WITH log AS (
         |  SELECT o_orderkey AS k, 'U' AS op, 2 AS seq, o_orderstatus,
@@ -3228,7 +3239,7 @@ object SparkEntry {
       "daily_revenue_seasonal", "revenue_forecast_eval", "table_column_stats",
       "join_key_skew_stats", "join_size_estimate", "salted_event_segment_stats",
       "aqe_skew_event_segment_stats", "length_outlier_stats",
-      "anomaly_session_impact"),
+      "anomaly_session_impact", "observed_order_audit"),
     "layout-scan" -> Seq("zorder_cluster_stats", "dpp_quarter_revenue", "pack_shards",
       "bucketed_join_revenue"),
     "graph" -> Seq("graph_pagerank", "graph_triangles"),

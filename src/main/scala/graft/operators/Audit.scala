@@ -185,6 +185,35 @@ object Audit {
       .orderBy("event_type", "hour")
   }
 
+  /** In-flight observed metrics — `Dataset.observe` (`CollectMetrics`):
+    * audit aggregates computed DURING the main query's own scan, the
+    * production alternative to a separate audit pass. Every other
+    * monitor here re-reads its input; at 100 TB a second 100 TB scan
+    * for row counts is real money, and `observe` rides the main job's
+    * one pass for free (the metrics are accumulator-style, collected on
+    * the driver at action time). The report row carries the MAIN
+    * query's result size next to the observed audit numbers, so the
+    * oracle gates both the job and its free metrics; the spec
+    * additionally pins the plan to ONE scan (CollectMetrics present, no
+    * second FileScan). Like the index-lifecycle queries, the registered
+    * form drives its own action — observation is an execution-time
+    * artifact, not a plan transform. */
+  def observedOrderAudit(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val obs = org.apache.spark.sql.Observation()
+    val main = Relational.dailyRevenueAgg(
+      orders.observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_null_custkey"),
+        sum(expr("cast(round(o_totalprice*100) as bigint)")).as("revenue_cents")))
+    val mainDays = main.count()
+    val m = obs.get
+    Seq((mainDays, m("n_rows").asInstanceOf[Long],
+      m("n_null_custkey").asInstanceOf[Long], m("revenue_cents").asInstanceOf[Long]))
+      .toDF("main_days", "n_rows", "n_null_custkey", "revenue_cents")
+  }
+
   /** Incident blast-radius: the user sessions in flight during any hour
     * [[eventRateAnomaly]] flags (any event type) — the "who was
     * affected" view that turns a rate anomaly into a user-facing impact

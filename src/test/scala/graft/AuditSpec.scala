@@ -10,6 +10,27 @@ class AuditSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("observe(): audit metrics ride the main query's single scan and match a separate audit pass") {
+    val orders = Tables.orders(spark, Sf0001)
+    val got = Audit.observedOrderAudit(orders).head()
+    // the observed numbers equal a dedicated audit scan's
+    val expect = orders.agg(
+      count(lit(1)), sum(when(col("o_custkey").isNull, 1L).otherwise(0L)),
+      sum(expr("cast(round(o_totalprice*100) as bigint)"))).head()
+    assert(got.getLong(1) === expect.getLong(0))
+    assert(got.getLong(2) === expect.getLong(1))
+    assert(got.getLong(3) === expect.getLong(2))
+    // and they were collected IN the main plan: CollectMetrics present,
+    // exactly one file scan — no second audit pass
+    val obs = org.apache.spark.sql.Observation()
+    val observed = orders.observe(obs, count(lit(1)).as("n"))
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)))
+    val plan = observed.queryExecution.executedPlan.toString
+    assert(plan.contains("CollectMetrics"), plan.take(500))
+    assert("FileScan|BatchScan".r.findAllIn(plan).length === 1,
+      s"observe must not add a scan:\n${plan.take(1200)}")
+  }
+
   test("expectations report the planted violations and nothing else") {
     val customer = Seq((1L, "a"), (2L, "b"), (2L, "b2")) // dup pk
       .toDF("c_custkey", "name")
