@@ -84,6 +84,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming observe(): per-batch audit metrics surface in query progress, no extra pass") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    // observe the parsed stream inside the live topology: every
+    // micro-batch reports its own row count + distinct-ish audit columns
+    val parsed = StreamingUniqueUsers.parseEvents(in.toDF(), "value")
+      .observe("batch_audit", count(lit(1)).as("n_rows"),
+        sum(unix_timestamp(col("ts"))).as("ts_sum"))
+    val q = StreamingUniqueUsers.uniqueUsersPerWindow(parsed)
+      .writeStream.format("memory").queryName("uu_observed")
+      .outputMode("append").start()
+    try {
+      in.addData(jsonEvent("a", w0 + 1), jsonEvent("b", w0 + 2))
+      q.processAllAvailable()
+      in.addData(jsonEvent("c", w0 + 300))
+      q.processAllAvailable()
+      val metrics = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("batch_audit")))
+        .filter(r => !r.isNullAt(1)) // empty batches observe sum = NULL
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .filter(_._1 > 0)
+      // batch 1: two rows summing 2*w0+3; batch 2: one row at w0+300
+      assert(metrics.contains((2L, 2 * w0 + 3)))
+      assert(metrics.contains((1L, w0 + 300)))
+    } finally q.stop()
+  }
+
   test("streaming CDC sink maintains a keyed snapshot: seq resolution, deletes, replayed batch is a no-op") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-cdc").toString
