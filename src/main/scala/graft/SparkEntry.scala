@@ -147,10 +147,15 @@ object SparkEntry {
     // degree-ordered triangle census of the co-purchase graph
     "graph_triangles" -> ((s, d) =>
       graft.operators.Graph.triangleStats(Tables.lineitem(s, d))),
+    // deterministic synchronous label propagation: co-purchase communities
+    "graph_communities" -> ((s, d) =>
+      graft.operators.Graph.labelPropagation(Tables.lineitem(s, d))),
     // data-contract audit: one bounded report row per expectation
     "data_expectations" -> ((s, d) => graft.operators.Audit.expectations(
       Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
       Tables.events(s, d), Tables.documents(s, d))),
+    // privacy-release gate: quasi-identifier equivalence-class histogram
+    "kanon_risk" -> ((s, d) => graft.operators.Audit.kAnonymityRisk(Tables.customer(s, d))),
     // robust (median/MAD, integer-exact) hourly rate-spike detection
     "event_rate_anomaly" -> ((s, d) => graft.operators.Audit.eventRateAnomaly(Tables.events(s, d))),
     // CUSUM slow-drift detection via the prefix-sum/running-min closed form
@@ -359,6 +364,8 @@ object SparkEntry {
     "pq_code_stats" -> ((s, d) => Similarity.pqCodeStats(Tables.embeddings(s, d))),
     "ann_bucket_stats" -> ((s, d) => Similarity.bucketStats(Tables.embeddings(s, d))),
     "embedding_norm_stats" -> ((s, d) => Similarity.normStats(Tables.embeddings(s, d))),
+    // int8 scalar-quantization reconstruction-error audit (the 4x tier)
+    "embedding_int8_stats" -> ((s, d) => Similarity.int8QuantStats(Tables.embeddings(s, d))),
     // ---- text analysis ----
     "text_stats" -> ((s, d) => TextAnalysis.stats(Tables.documents(s, d))),
     "text_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
@@ -860,6 +867,30 @@ object SparkEntry {
       |SELECT n_nodes, n_edges, n_wedges, n_triangles,
       |  CAST((3 * n_triangles * 1000000) // greatest(n_wedges, 1) AS BIGINT) AS clustering_ppm
       |FROM sums CROSS JOIN tri""".stripMargin
+
+  /** Label-propagation replica: same bidirectional ≥2-basket co-purchase
+    * edges as the triangle oracle, `iters` unrolled synchronous rounds,
+    * mode label with (count desc, label asc) tie-break, community census
+    * at the horizon. */
+  private def labelPropagationOracle(iters: Int = 4): String = {
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst AS dst, l.label AS label, CAST(count(*) AS BIGINT) AS c
+         |  FROM e JOIN l${i - 1} l ON e.src = l.node GROUP BY 1, 2),
+         |l$i AS (SELECT dst AS node, label FROM (
+         |    SELECT dst, label, row_number() OVER (PARTITION BY dst ORDER BY c DESC, label) AS rn FROM c$i)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |ue AS (SELECT a.l_partkey AS u, bb.l_partkey AS v
+       |  FROM b a JOIN b bb ON a.l_orderkey = bb.l_orderkey AND a.l_partkey < bb.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e AS (SELECT u AS src, v AS dst FROM ue UNION ALL SELECT v, u FROM ue),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+       |$steps
+       |SELECT CAST(label AS BIGINT) AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+       |  CAST(min(node) AS BIGINT) AS min_node
+       |FROM l$iters GROUP BY 1 ORDER BY n_nodes DESC, community LIMIT 50""".stripMargin
+  }
 
   private def sparseCosineOracle: String =
     """WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents),
@@ -2561,6 +2592,14 @@ object SparkEntry {
         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM events)
         |SELECT key, n, n_rows, CAST((n * 1000000) // n_rows AS BIGINT) AS share_ppm
         |FROM c CROSS JOIN t ORDER BY n DESC, key LIMIT 20""".stripMargin,
+    "kanon_risk" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |    CAST(count(*) AS BIGINT) AS group_size
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT group_size, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(group_size) AS BIGINT) AS n_rows,
+        |  CAST(group_size < 5 AS BIGINT) AS at_risk
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "data_expectations" ->
       """WITH u AS (
         |  SELECT 'customer_pk_unique' AS check_name, CAST(count(*) AS BIGINT) AS n_rows,
@@ -2807,6 +2846,7 @@ object SparkEntry {
     "dedup_sparse_cosine" -> sparseCosineOracle,
     "graph_pagerank" -> pagerankOracle(),
     "graph_triangles" -> triangleOracle,
+    "graph_communities" -> labelPropagationOracle(),
     // exact-substring overlap: identical positional-gram construction
     // (md5 of 8-token slices), aligned-offset runs, contiguity by
     // count==span, longest run per pair in tokens
@@ -3115,6 +3155,21 @@ object SparkEntry {
          |  CAST(((count(*) - sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)) * 1000) // count(*) AS BIGINT) AS novelty_milli
          |FROM ex JOIN sdf ON ex.g = sdf.g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "embedding_norm_stats" -> embeddingNormStatsOracle,
+    // per-ELEMENT micro-rounded errors, then integer sums only — no
+    // ordered-float-sum machinery needed anywhere in this oracle
+    "embedding_int8_stats" ->
+      """WITH d AS (SELECT i AS pos, min(embedding[i+1]::DOUBLE) AS mn, max(embedding[i+1]::DOUBLE) AS mx
+        |  FROM embeddings, unnest(range(64)) AS u(i) GROUP BY 1),
+        |e AS (SELECT vec_id, label, i, embedding[i+1]::DOUBLE AS x
+        |  FROM embeddings, unnest(range(64)) AS u(i)),
+        |er AS (SELECT vec_id, label,
+        |    CAST(floor(abs(x - (mn + (CASE WHEN mx = mn THEN 0 ELSE floor((x - mn) * 255.0 / (mx - mn) + 0.5) END) * (mx - mn) / 255.0)) * 1000000.0 + 0.5) AS BIGINT) AS em
+        |  FROM e JOIN d ON e.i = d.pos),
+        |v AS (SELECT vec_id, label, CAST(sum(em) AS BIGINT) AS err_micro FROM er GROUP BY 1, 2)
+        |SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(err_micro) AS BIGINT) AS sum_err_micro,
+        |  CAST(max(err_micro) AS BIGINT) AS max_err_micro
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
     "corpus_summary" ->
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
@@ -3239,10 +3294,10 @@ object SparkEntry {
       "daily_revenue_seasonal", "revenue_forecast_eval", "table_column_stats",
       "join_key_skew_stats", "join_size_estimate", "salted_event_segment_stats",
       "aqe_skew_event_segment_stats", "length_outlier_stats",
-      "anomaly_session_impact", "observed_order_audit"),
+      "anomaly_session_impact", "observed_order_audit", "kanon_risk"),
     "layout-scan" -> Seq("zorder_cluster_stats", "dpp_quarter_revenue", "pack_shards",
       "bucketed_join_revenue"),
-    "graph" -> Seq("graph_pagerank", "graph_triangles"),
+    "graph" -> Seq("graph_pagerank", "graph_triangles", "graph_communities"),
     "dedup" -> Seq(
       "dedup_exact", "dedup_exact_norm", "dedup_exact_norm_sql", "dedup_minhash_lsh",
       "dedup_minhash_sql", "dedup_simhash", "dedup_ngram_jaccard", "dedup_sparse_cosine",
@@ -3256,7 +3311,7 @@ object SparkEntry {
       "ann_bruteforce_topk", "ann_bruteforce_sql", "ann_lsh_topk",
       "ann_lsh_multiprobe_topk", "ann_ivf_topk", "ann_ivf_after_remove",
       "ann_ivfpq_topk", "ivf_cell_stats", "pq_code_stats", "ann_bucket_stats",
-      "embedding_norm_stats", "doc_vector_hash", "doc_lexical_ann",
+      "embedding_norm_stats", "embedding_int8_stats", "doc_vector_hash", "doc_lexical_ann",
       "doc_lexical_ann_pq", "media_feature_ann"),
     "text-analysis" -> Seq(
       "text_stats", "text_token_counts", "text_langid", "text_quality",

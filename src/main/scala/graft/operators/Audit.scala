@@ -245,4 +245,37 @@ object Audit {
         sum(col("n_events")).cast("long").as("n_session_events"))
       .orderBy("hour")
   }
+
+  /** k-anonymity risk audit over a quasi-identifier tuple — the privacy
+    * gate a training-data release runs before shipping records that are
+    * "anonymous" only until someone joins them to a phone book. A row is
+    * k-anonymous when at least k−1 OTHER rows share its quasi-identifier
+    * combination (here: nation × market segment × $1000 account-balance
+    * band — the classic "zip × birth date × sex" shape on this schema);
+    * singleton groups are exactly re-identifiable.
+    *
+    * Output is the equivalence-CLASS SIZE HISTOGRAM, not a row dump: one
+    * row per observed group size with the number of groups and rows at
+    * that size and a 0/1 `at_risk` verdict (size < k). The release
+    * decision reads three numbers (smallest class, rows below k, total);
+    * row-level triage is a follow-up filter with the same grouping.
+    *
+    * Scale shape: one two-phase hash agg to equivalence classes (shuffle
+    * bounded by the quasi-identifier DOMAIN, not the row count — that is
+    * the point of generalized quasi-identifiers) and a second bounded agg
+    * over class sizes. No windows, no joins; at 100 TB this is a scan
+    * plus two domain-bounded aggregates. */
+  def kAnonymityRisk(customer: DataFrame, k: Int = 5): DataFrame = {
+    val classes = customer
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+      .agg(count(lit(1)).as("group_size"))
+    classes.groupBy(col("group_size"))
+      .agg(count(lit(1)).cast("long").as("n_groups"),
+        sum(col("group_size")).cast("long").as("n_rows"))
+      .select(col("group_size").cast("long").as("group_size"), col("n_groups"),
+        col("n_rows"), (col("group_size") < k).cast("long").as("at_risk"))
+      .orderBy("group_size")
+  }
 }

@@ -130,4 +130,60 @@ object Graph {
       .orderBy(col("pr_milli").desc, col("kind"), col("entity_id"))
       .limit(k)
   }
+
+  /** Community detection via SYNCHRONOUS label propagation over the
+    * co-purchase graph (same ≥`minSupport`-baskets edge relation as
+    * [[triangleStats]]) — the third member of the iterative-graph family:
+    * [[Dedup.starContract]] converges a partition, [[pagerank]] a score,
+    * this one a LABEL. Labels start as node ids; each superstep every
+    * node adopts its neighborhood's MODE label with ties broken by the
+    * smaller label — fully deterministic, so both engines land on
+    * identical communities (asynchronous LPA's update-order randomness is
+    * exactly what a cross-engine gate cannot have). Fixed `iters`
+    * supersteps rather than convergence detection: sync LPA can 2-cycle
+    * on bipartite-ish regions, and a fixed horizon is the reproducible
+    * contract (label cores stabilize in a few rounds; the census below is
+    * of the labeling AT the horizon).
+    *
+    * Scale shape, per superstep: one hash join of the checkpointed edge
+    * list against the current labels, one two-phase (dst, label) count —
+    * shuffle bounded by Σ-degree like PageRank's mass transfer — and one
+    * `max_by`-shaped agg to the per-node winner (struct-max of
+    * (count, −label): no per-node window, partial aggregation collapses
+    * map-side). localCheckpoint per round keeps lineage flat. Output is
+    * the bounded community census (top-k by size), never a full node
+    * dump. */
+  def labelPropagation(lineitem: DataFrame, iters: Int = 4,
+                       minSupport: Long = 2, k: Int = 50): DataFrame = {
+    val baskets = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    val und = baskets.as("a")
+      .join(baskets.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg(count(lit(1)).as("nb"))
+      .filter(col("nb") >= minSupport)
+      .select("u", "v")
+    val edges = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint()
+
+    var lab = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      lab = edges.join(lab, col("src") === col("node"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("w"))
+        .select(col("dst").as("node"), (-col("w.nl")).as("label"))
+        .localCheckpoint()
+    }
+    lab.groupBy(col("label"))
+      .agg(count(lit(1)).cast("long").as("n_nodes"),
+        min(col("node")).cast("long").as("min_node"))
+      .select(col("label").cast("long").as("community"), col("n_nodes"), col("min_node"))
+      .orderBy(col("n_nodes").desc, col("community"))
+      .limit(k)
+  }
 }

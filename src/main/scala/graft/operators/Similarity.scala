@@ -959,6 +959,54 @@ object Similarity {
         max(col("nrm")).as("max_norm"))
       .orderBy("bucket")
 
+  /** INT8 scalar quantization audit — the memory half of the vector
+    * story BETWEEN full floats and [[pqTopK]]'s product quantization:
+    * per-dimension min/max affine uint8 codes give 4× scan-byte
+    * compression with near-zero ranking loss, and this operator reports
+    * exactly how much loss ("near-zero" is a claim; the per-label
+    * reconstruction-error table is the measurement a deployment gates
+    * on before switching its re-rank tier to codes).
+    *
+    * Determinism discipline: the per-ELEMENT error is rounded to integer
+    * micro-units FIRST and only integers are ever summed — per-element
+    * IEEE double arithmetic is bit-identical in any engine, and integer
+    * sums are order-independent, so the result is exact cross-engine
+    * with no ordered-float-sum machinery (the [[pqTopK]] oracles need
+    * left-to-right list folds; this metric is DEFINED to not).
+    *
+    * Scale shape: one posexplode pass to the per-dimension min/max (a
+    * dim-sized MODEL aggregate, collected like the IVF centroid table),
+    * then one scan computing codes + errors entirely inside per-row
+    * expressions (no shuffle), and a label-bounded final aggregate. */
+  def int8QuantStats(embeddings: DataFrame): DataFrame = {
+    val dims = embeddings
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy("pos")
+      .collect()  // dim rows — a bounded model artifact, never corpus-sized
+    val minsL = typedLit(dims.map(_.getDouble(1)).toSeq)
+    val maxsL = typedLit(dims.map(_.getDouble(2)).toSeq)
+    val errs = zip_with(
+      col("embedding").cast("array<double>"),
+      typedLit(dims.indices.toList),
+      (x, i) => {
+        val mn = element_at(minsL, i + 1)
+        val mx = element_at(maxsL, i + 1)
+        val span = mx - mn
+        val code = when(span === 0d, lit(0L))
+          .otherwise(floor((x - mn) * lit(255.0) / span + lit(0.5)))
+        val recon = mn + code * span / lit(255.0)
+        floor(abs(x - recon) * lit(1000000.0) + lit(0.5)).cast("long")
+      })
+    embeddings
+      .select(col("label"), aggregate(errs, lit(0L), (acc, e) => acc + e).as("err_micro"))
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+        sum(col("err_micro")).cast("long").as("sum_err_micro"),
+        max(col("err_micro")).cast("long").as("max_err_micro"))
+      .orderBy("label")
+  }
+
   /** Per-bucket occupancy — the sanity/skew view a pipeline operator
     * watches before trusting an LSH layout. */
   def bucketStats(embeddings: DataFrame): DataFrame =

@@ -166,4 +166,18 @@ class AuditSpec extends SparkSpec {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(got("seasonal_naive") === ((1L, 0L, 0L)))
   }
+
+  test("k-anonymity histogram: planted group sizes, negative-balance banding, k gate") {
+    // groups: size 3 (nation 1/A/band 0), size 5 (nation 3/C/band 2),
+    // two singletons — one via a NEGATIVE balance (floor(-50/1000) = -1,
+    // not 0: a truncate-toward-zero banding would merge it into band 0)
+    val customer = (
+      Seq((1L, 1, "A", 100.0), (2L, 1, "A", 200.0), (3L, 1, "A", 900.0)) ++
+      (10L to 14L).map(i => (i, 3, "C", 2000.0 + 100 * i)) ++
+      Seq((20L, 2, "B", 1500.0), (21L, 4, "D", -50.0))
+    ).toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val got = Audit.kAnonymityRisk(customer).collect()
+      .map { case Row(s: Long, g: Long, r: Long, a: Long) => (s, g, r, a) }
+    assert(got.toSeq === Seq((1L, 2L, 2L, 1L), (3L, 1L, 3L, 1L), (5L, 1L, 5L, 0L)))
+  }
 }

@@ -123,6 +123,38 @@ class OperatorSpec extends SparkSpec {
       ("supplier", 2L, 936250L)))
   }
 
+  test("label propagation: two cliques converge to their min-label communities") {
+    // two support-2 triangles {1,2,3} and {4,5,6}, no bridge. Sync LPA
+    // with (count desc, label asc) tie-break: round 1 sends each node its
+    // neighborhood minimum-ish label, round 2 floods the clique minimum
+    // (1 and 4); rounds 3-4 are stable — a deterministic fixture for the
+    // mode/tie-break contract.
+    val li = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 1L), (11L, 2L), (11L, 3L),
+      (12L, 4L), (12L, 5L), (12L, 6L),
+      (13L, 4L), (13L, 5L), (13L, 6L)
+    ).toDF("l_orderkey", "l_partkey")
+    val got = graft.operators.Graph.labelPropagation(li).collect()
+      .map { case Row(c: Long, n: Long, m: Long) => (c, n, m) }
+    assert(got.toSeq === Seq((1L, 3L, 1L), (4L, 3L, 4L)))
+  }
+
+  test("int8 quantization: exact code points cost zero, interior points pay the grid") {
+    // dim0 spans [0,255] (codes = values, lossless); dim1 spans [0,1].
+    // label 0 vectors sit exactly on code points -> err 0; label 1's
+    // (127.25, 0.5) pays |127.25-127| = 0.25 on dim0 (250000 micro) and
+    // |0.5 - 128/255| on dim1 (1961 micro after the per-element round)
+    val emb = Seq(
+      (1L, Array(0.0f, 0.0f), 0),
+      (2L, Array(255.0f, 1.0f), 0),
+      (3L, Array(127.25f, 0.5f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Similarity.int8QuantStats(emb).collect()
+      .map { case Row(l: Long, n: Long, s: Long, m: Long) => (l, n, s, m) }
+    assert(got.toSeq === Seq((0L, 2L, 0L, 0L), (1L, 1L, 251961L, 251961L)))
+  }
+
   test("latest-per-key keeps exactly one row per customer") {
     val orders = Tables.orders(spark, Sf0001)
     val got = Relational.latestOrderPerCustomer(orders)
