@@ -109,4 +109,52 @@ object StreamingAttribution {
       .groupByKey(_.uid)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update(horizonMs))
   }
+
+  /** Offline→online HANDOFF, batch half: distill historical events into
+    * the per-user initial state [[attributeWithBootstrap]] seeds — latest
+    * touch per user under the batch total order (floor-second, event_id).
+    * This is how the online operator goes live without replaying the
+    * archive through the stream: the backfill job computes state
+    * directly (one reduce per user, no shuffle beyond the key), and the
+    * streaming query starts attributing from the first post-cutoff
+    * micro-batch as if it had seen all history. */
+  def bootstrapState(history: Dataset[TouchEvent]): Dataset[(String, TouchState)] = {
+    val spark = history.sparkSession
+    import spark.implicits._
+    history.filter(e => Touches.contains(e.eventType))
+      .groupByKey(_.uid)
+      .reduceGroups { (a: TouchEvent, b: TouchEvent) =>
+        val ka = (a.ts.getTime / 1000, a.eventId)
+        val kb = (b.ts.getTime / 1000, b.eventId)
+        if (Ordering.Tuple2[Long, Long].gteq(ka, kb)) a else b
+      }
+      .map { case (uid, e) => (uid, TouchState(e.eventType, e.ts.getTime)) }
+  }
+
+  /** Offline→online HANDOFF, streaming half: [[attribute]] seeded with a
+    * batch-computed initial state (Spark's `flatMapGroupsWithState`
+    * initial-state overload) — purchases in the very first micro-batch
+    * credit touches the STREAM never saw, because the backfill already
+    * distilled them into state. Exactness contract (spec-pinned): for
+    * any cutoff, `attributeWithBootstrap(post-cutoff events,
+    * bootstrapState(pre-cutoff events))` equals the full-history
+    * operator on post-cutoff purchases — a pre-cutoff touch is always
+    * at-or-before a post-cutoff purchase, so the precede/horizon guards
+    * see the same state the unbroken run would hold. Caveat: a
+    * bootstrapped key that never receives traffic is not timeout-armed
+    * until its first invocation, so its one-pair state outlives the
+    * horizon until then (bounded by the bootstrap's user count, and the
+    * first event or timeout sweep reclaims it). */
+  def attributeWithBootstrap(events: Dataset[TouchEvent],
+                             initial: Dataset[(String, TouchState)],
+                             horizonMs: Long = DefaultHorizonMs): Dataset[Attribution] = {
+    implicit val stateEnc = Encoders.product[TouchState]
+    implicit val outEnc = Encoders.product[Attribution]
+    implicit val keyEnc = Encoders.STRING
+    val init = initial.groupByKey(_._1).mapValues(_._2)
+    events
+      .groupByKey(_.uid)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout, init)(update(horizonMs))
+  }
 }

@@ -69,11 +69,34 @@ object StreamingCdc {
     spark.read.parquet(s"$path/live/snap")
   }
 
+  private def ledgerMax(spark: SparkSession, dir: String): Long =
+    spark.read.parquet(s"$dir/ledger").agg(max(col("batch_id"))).head.getLong(0)
+
+  /** Versioned mode only: move a superseded `old` tree into
+    * `versions/v=<its ledger max>` instead of deleting it. Idempotent —
+    * an already-archived version id drops the duplicate — and called
+    * both after a swap and at apply/load start, so the crash window
+    * between swap and archive loses nothing. */
+  private def archiveOld(spark: SparkSession, path: String): Unit = {
+    val fs = hfs(spark, path)
+    val old = new org.apache.hadoop.fs.Path(s"$path/old")
+    if (!fs.exists(old)) return
+    val v = ledgerMax(spark, s"$path/old")
+    val dst = new org.apache.hadoop.fs.Path(s"$path/versions/v=$v")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/versions"))
+    if (fs.exists(dst)) fs.delete(old, true)
+    else if (!fs.rename(old, dst)) sys.error(s"archiveOld: could not archive $old to $dst")
+  }
+
   /** Apply one micro-batch of changes. Idempotent by `batchId`; within
     * the batch the highest (seq, op) wins per key; a winning D removes
-    * the key from the snapshot. */
+    * the key from the snapshot. With `retainVersions` the superseded
+    * snapshot is ARCHIVED under `versions/v=<batch>` instead of deleted
+    * — the poor-man's time travel a table format gives for free, at the
+    * disclosed cost of one full snapshot copy per applied batch
+    * ([[expireSnapshots]] bounds it). */
   def applyCdcBatch(spark: SparkSession, path: String, batch: DataFrame,
-                    batchId: Long): Unit = {
+                    batchId: Long, retainVersions: Boolean = false): Unit = {
     import spark.implicits._
     recoverSnapshot(spark, path)
     val applied = spark.read.parquet(s"$path/live/ledger")
@@ -95,24 +118,63 @@ object StreamingCdc {
     spark.read.parquet(s"$path/live/ledger")
       .unionByName(Seq(batchId).toDF("batch_id"))
       .write.parquet(s"$path/stage/ledger")
-    fs.delete(old, true)
+    if (retainVersions) archiveOld(spark, path) else fs.delete(old, true)
     if (!fs.rename(live, old)) sys.error(s"applyCdcBatch: could not stage out $live")
     if (!fs.rename(stage, live)) {
       fs.rename(old, live)
       sys.error(s"applyCdcBatch: could not swap in $stage")
     }
-    fs.delete(old, true)
+    if (retainVersions) archiveOld(spark, path) else fs.delete(old, true)
     spark.catalog.refreshByPath(live.toString)
+  }
+
+  /** Time travel over a versioned snapshot tree: the state AS OF
+    * `asOfBatch` — live when at-or-past the newest applied batch, else
+    * the archived version with the largest id ≤ `asOfBatch` (version id
+    * = the highest batch applied INTO that snapshot; the base snapshot
+    * is v=-1). Errors when history below the ask was expired — silent
+    * nearest-neighbor would misreport audits. */
+  def loadSnapshotAsOf(spark: SparkSession, path: String, asOfBatch: Long): DataFrame = {
+    recoverSnapshot(spark, path)
+    archiveOld(spark, path)
+    if (asOfBatch >= ledgerMax(spark, s"$path/live"))
+      return spark.read.parquet(s"$path/live/snap")
+    val fs = hfs(spark, path)
+    val vdir = new org.apache.hadoop.fs.Path(s"$path/versions")
+    val vs =
+      if (fs.exists(vdir)) fs.listStatus(vdir).toSeq.map(_.getPath.getName)
+        .collect { case s if s.startsWith("v=") => s.stripPrefix("v=").toLong }
+      else Seq.empty[Long]
+    val at = vs.filter(_ <= asOfBatch)
+    require(at.nonEmpty,
+      s"loadSnapshotAsOf: no snapshot at or before batch $asOfBatch (expired or never retained)")
+    spark.read.parquet(s"$path/versions/v=${at.max}/snap")
+  }
+
+  /** Retention: keep the newest `keepLast` archived versions, delete the
+    * rest (live is never touched). */
+  def expireSnapshots(spark: SparkSession, path: String, keepLast: Int): Unit = {
+    val fs = hfs(spark, path)
+    val vdir = new org.apache.hadoop.fs.Path(s"$path/versions")
+    if (!fs.exists(vdir)) return
+    val vs = fs.listStatus(vdir).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("v=") => s.stripPrefix("v=").toLong }
+      .sorted.reverse
+    vs.drop(keepLast).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/versions/v=$v"), true)
+    }
   }
 
   /** The streaming sink: every micro-batch of the change stream lands
     * via [[applyCdcBatch]] — checkpoint-restart re-delivers the batch,
-    * the ledger makes it a no-op. */
-  def sink(changes: DataFrame, path: String, checkpoint: String): StreamingQuery =
+    * the ledger makes it a no-op. `retainVersions` turns the sink into a
+    * versioned (time-travelable) snapshot tree. */
+  def sink(changes: DataFrame, path: String, checkpoint: String,
+           retainVersions: Boolean = false): StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        applyCdcBatch(b.sparkSession, path, b, id)
+        applyCdcBatch(b.sparkSession, path, b, id, retainVersions)
       }
       .start()
 }

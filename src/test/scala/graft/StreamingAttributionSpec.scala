@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -106,6 +107,89 @@ class StreamingAttributionSpec extends SparkSpec {
       val got = spark.table("attr_tie").as[Attribution].collect().toSet
       assert(got === Set(Attribution("u1", t0 / 1000 + 12, "view", 100L)))
     } finally q.stop()
+  }
+
+  test("bootstrap handoff: first-batch purchases credit touches only the backfill saw") {
+    implicit val sqlCtx = spark.sqlContext
+    // history (never streamed): u1 has a click then a same-second view
+    // with a higher eventId — the batch total order makes 'view' the
+    // distilled state; u2's only touch is also historical
+    val history = Seq(
+      ev("u1", 0, "click", 1), TouchEvent("u1", new Timestamp(t0), "view", 3, 0.0),
+      ev("u2", 5, "view", 2)).toDS()
+    val in = MemoryStream[TouchEvent]
+    val q = StreamingAttribution.attributeWithBootstrap(
+        in.toDS().withWatermark("ts", "5 seconds"),
+        StreamingAttribution.bootstrapState(history))
+      .writeStream.format("memory").queryName("attr_boot").outputMode("append").start()
+    try {
+      in.addData(
+        ev("u1", 600, "purchase", 10, 1.0),  // credits the HISTORICAL view
+        ev("u3", 610, "purchase", 11, 3.0))  // no state anywhere: direct
+      q.processAllAvailable()
+      // a post-cutoff touch then overrides the bootstrapped state
+      in.addData(ev("u2", 700, "click", 12))
+      q.processAllAvailable()
+      in.addData(ev("u2", 800, "purchase", 13, 2.0))
+      q.processAllAvailable()
+      val got = spark.table("attr_boot").as[Attribution].collect().toSet
+      assert(got === Set(
+        Attribution("u1", t0 / 1000 + 600, "view", 100L),
+        Attribution("u3", t0 / 1000 + 610, "direct", 300L),
+        Attribution("u2", t0 / 1000 + 800, "click", 200L)))
+    } finally q.stop()
+  }
+
+  test("bootstrap handoff equals the unbroken full-history run on post-cutoff purchases (real events)") {
+    val typed = Tables.events(spark, Sf0001).select(
+        col("user_id").cast("string").as("uid"), col("ts"),
+        col("event_type").as("eventType"), col("event_id").as("eventId"), col("value"))
+      .as[TouchEvent]
+    // cutoff at the event-time midpoint (a second boundary)
+    val Row(lo: Timestamp, hi: Timestamp) =
+      typed.agg(min(col("ts")), max(col("ts"))).head()
+    val cutoffSec = (lo.getTime / 1000 + hi.getTime / 1000) / 2
+    val pre = typed.filter(col("ts") < lit(new Timestamp(cutoffSec * 1000)))
+    val post = typed.filter(col("ts") >= lit(new Timestamp(cutoffSec * 1000)))
+    def canon(ds: org.apache.spark.sql.Dataset[Attribution]) =
+      ds.collect().map(a => (a.uid, a.purchase_sec, a.channel, a.v_cents)).sorted.toSeq
+    val unbroken = canon(StreamingAttribution.attribute(typed)
+      .filter(col("purchase_sec") >= cutoffSec).as[Attribution])
+    val handoff = canon(StreamingAttribution.attributeWithBootstrap(
+      post, StreamingAttribution.bootstrapState(pre)))
+    assert(handoff.nonEmpty && handoff === unbroken)
+  }
+
+  test("the operator is provider-agnostic: identical output under the RocksDB state store") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[TouchEvent]
+      val q = StreamingAttribution.attribute(
+          in.toDS().withWatermark("ts", "5 seconds"))
+        .writeStream.format("memory").queryName("attr_rocks").outputMode("append").start()
+      try {
+        in.addData(ev("u1", 0, "click", 1), ev("u2", 0, "view", 2),
+          ev("u3", 10, "purchase", 3, 3.0))
+        q.processAllAvailable()
+        in.addData(ev("u1", 600, "purchase", 4, 1.0),
+          ev("u2", 86401, "purchase", 5, 2.0))
+        q.processAllAvailable()
+        // the state backend is a layout/durability choice, never a
+        // semantics change: same rows as the HDFS-backed run above
+        val got = spark.table("attr_rocks").as[Attribution].collect().toSet
+        assert(got === Set(
+          Attribution("u3", t0 / 1000 + 10, "direct", 300L),
+          Attribution("u1", t0 / 1000 + 600, "click", 100L),
+          Attribution("u2", t0 / 1000 + 86401, "direct", 200L)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   test("rolled up, the online operator equals the batch lastTouchAttribution on real events") {

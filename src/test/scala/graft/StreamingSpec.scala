@@ -143,6 +143,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("versioned CDC snapshots time-travel by batch id; expiry bounds history, never live") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-v").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdc-v-ckpt").toString
+    StreamingCdc.saveSnapshot(Seq((1L, "a")).toDF("k", "v"), dir)
+    val in = MemoryStream[(Long, String, Long, String)]
+    val q = StreamingCdc.sink(in.toDF().toDF("k", "op", "seq", "v"), dir, ckpt,
+      retainVersions = true)
+    try {
+      in.addData((2L, "I", 1L, "b")); q.processAllAvailable()   // batch 0
+      in.addData((1L, "U", 1L, "a2")); q.processAllAvailable()  // batch 1
+      in.addData((2L, "D", 1L, "b")); q.processAllAvailable()   // batch 2
+      def m(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // every historical state is addressable by the batch that made it
+      assert(m(StreamingCdc.loadSnapshotAsOf(spark, dir, -1L)) === Map(1L -> "a"))
+      assert(m(StreamingCdc.loadSnapshotAsOf(spark, dir, 0L)) === Map(1L -> "a", 2L -> "b"))
+      assert(m(StreamingCdc.loadSnapshotAsOf(spark, dir, 1L)) === Map(1L -> "a2", 2L -> "b"))
+      // at-or-past the newest applied batch reads live
+      assert(m(StreamingCdc.loadSnapshotAsOf(spark, dir, 99L)) === Map(1L -> "a2"))
+      StreamingCdc.expireSnapshots(spark, dir, keepLast = 2)
+      // the base (v=-1) is gone: asking below retained history must ERROR
+      assert(intercept[IllegalArgumentException] {
+        StreamingCdc.loadSnapshotAsOf(spark, dir, -1L)
+      }.getMessage.contains("expired"))
+      // surviving versions and live still serve
+      assert(m(StreamingCdc.loadSnapshotAsOf(spark, dir, 0L)) === Map(1L -> "a", 2L -> "b"))
+      assert(m(StreamingCdc.loadSnapshot(spark, dir)) === Map(1L -> "a2"))
+    } finally q.stop()
+  }
+
   test("streamed daily sketches answer the trailing-7-day rolling distinct (WAU) offline") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
