@@ -150,6 +150,9 @@ object SparkEntry {
     // deterministic synchronous label propagation: co-purchase communities
     "graph_communities" -> ((s, d) =>
       graft.operators.Graph.labelPropagation(Tables.lineitem(s, d))),
+    // common-neighbor link prediction, hub mediators capped
+    "graph_link_prediction" -> ((s, d) =>
+      graft.operators.Graph.linkPrediction(Tables.lineitem(s, d))),
     // data-contract audit: one bounded report row per expectation
     "data_expectations" -> ((s, d) => graft.operators.Audit.expectations(
       Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
@@ -220,6 +223,36 @@ object SparkEntry {
       Relational.loadDailyRevenue(s, path).orderBy("day_sec")
     }),
     "parts_above_brand_avg" -> ((s, d) => Relational.partsAboveBrandAverage(Tables.part(s, d))),
+    // ---- correlated-subquery suite (TPC-H Q4/Q11/Q13/Q17/Q21/Q22
+    // analogues), every correlation decorrelated to aggregate-then-join ----
+    "q4_late_priority" -> ((s, d) =>
+      Relational.latePriorityDistribution(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q11_brand_share" -> ((s, d) =>
+      Relational.brandRevenueAboveAverage(Tables.lineitem(s, d), Tables.part(s, d))),
+    "q13_order_distribution" -> ((s, d) =>
+      Relational.customerOrderDistribution(Tables.customer(s, d), Tables.orders(s, d))),
+    "q17_small_qty_revenue" -> ((s, d) =>
+      Relational.smallQuantityRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
+    "q21_waiting_supplier" -> ((s, d) =>
+      Relational.soleLateSupplier(Tables.orders(s, d), Tables.lineitem(s, d), Tables.supplier(s, d))),
+    "q22_dormant_customers" -> ((s, d) =>
+      Relational.dormantRichCustomers(Tables.customer(s, d), Tables.orders(s, d))),
+    // ---- TPC-H remainder: scan-bound, star-join, and disjunctive shapes ----
+    "q6_discount_band" -> ((s, d) => Relational.discountBandRevenue(Tables.lineitem(s, d))),
+    "q7_nation_trade" -> ((s, d) =>
+      Relational.nationTradeMatrix(Tables.nation(s, d), Tables.customer(s, d),
+        Tables.orders(s, d), Tables.lineitem(s, d), Tables.supplier(s, d))),
+    "q8_market_share" -> ((s, d) =>
+      Relational.nationMarketShare(Tables.region(s, d), Tables.nation(s, d),
+        Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
+        Tables.supplier(s, d))),
+    "q10_returned_customers" -> ((s, d) =>
+      Relational.returnedItemCustomers(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d))),
+    "q14_promo_share" -> ((s, d) =>
+      Relational.promoRevenueShare(Tables.lineitem(s, d), Tables.part(s, d))),
+    "q19_bracket_revenue" -> ((s, d) =>
+      Relational.bracketRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
     // full changelog semantics: I/U/D ops, highest-seq wins, D removes
     "cdc_apply_changes" -> ((s, d) => Relational.cdcApplyChanges(Tables.orders(s, d))),
     // consumption side of SCD2: facts joined to the version valid at t
@@ -2767,6 +2800,128 @@ object SparkEntry {
         |FROM part JOIN b ON p_brand = bb
         |WHERE CAST(round(p_retailprice*100) AS BIGINT) * n * 20 > sum_cents * 21
         |ORDER BY p_partkey""".stripMargin,
+    // ---- correlated-subquery suite: the oracles keep the CORRELATED
+    // form (EXISTS / NOT EXISTS / scalar subquery) so DuckDB's own
+    // decorrelation independently checks the hand-decorrelated plans ----
+    "q4_late_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q11_brand_share" ->
+      """WITH pb AS (
+        |  SELECT p_brand, CAST(sum(round(l_extendedprice*100)) AS BIGINT) AS revenue_cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+        |t AS (SELECT CAST(sum(revenue_cents) AS BIGINT) AS tot,
+        |             CAST(count(*) AS BIGINT) AS nb FROM pb)
+        |SELECT p_brand, revenue_cents,
+        |  CAST(revenue_cents * 1000000 // tot AS BIGINT) AS share_ppm
+        |FROM pb CROSS JOIN t
+        |WHERE revenue_cents * nb > tot
+        |ORDER BY p_brand""".stripMargin,
+    "q13_order_distribution" ->
+      """WITH c AS (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_small_lines,
+        |       CAST(sum(round(l_extendedprice*100)) AS BIGINT) AS revenue_cents
+        |FROM lineitem l JOIN part ON l.l_partkey = p_partkey
+        |WHERE CAST(l.l_quantity AS BIGINT) * 2 *
+        |      (SELECT count(*) FROM lineitem li WHERE li.l_partkey = l.l_partkey)
+        |    < (SELECT sum(CAST(l_quantity AS BIGINT)) FROM lineitem li
+        |       WHERE li.l_partkey = l.l_partkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q21_waiting_supplier" ->
+      """WITH l AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         (l_shipdate > o_orderdate + INTERVAL 30 DAY) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |po AS (
+        |  SELECT l_orderkey,
+        |         count(DISTINCT l_suppkey) AS n_supp,
+        |         count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late,
+        |         min(CASE WHEN late THEN l_suppkey END) AS late_supp
+        |  FROM l GROUP BY 1),
+        |w AS (SELECT late_supp, CAST(count(*) AS BIGINT) AS n_waiting_orders
+        |      FROM po WHERE n_supp > 1 AND n_late = 1 GROUP BY 1)
+        |SELECT s_suppkey, s_name, n_waiting_orders
+        |FROM w JOIN supplier ON late_supp = s_suppkey
+        |ORDER BY n_waiting_orders DESC, s_suppkey""".stripMargin,
+    "q22_dormant_customers" ->
+      """WITH a AS (
+        |  SELECT CAST(sum(round(c_acctbal*100)) AS BIGINT) AS s,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(sum(round(c_acctbal*100)) AS BIGINT) AS balance_cents
+        |FROM customer CROSS JOIN a
+        |WHERE CAST(round(c_acctbal*100) AS BIGINT) * n > s
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q6_discount_band" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(round(l_extendedprice*l_discount*100)) AS BIGINT) AS uplift_cents
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q7_nation_trade" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        |       CAST(sum(round(l_extendedprice*(1-l_discount)*100)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE s_nationkey <> c_nationkey
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      """SELECT r_name, CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |  CAST(sum(round(l_extendedprice*(1-l_discount)*100)) AS BIGINT) AS total_cents,
+        |  CAST(CAST(sum(CASE WHEN sn.n_name = 'NATION_0'
+        |        THEN round(l_extendedprice*(1-l_discount)*100) ELSE 0 END) AS BIGINT) * 1000000
+        |    // CAST(sum(round(l_extendedprice*(1-l_discount)*100)) AS BIGINT) AS BIGINT) AS share_ppm
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation cnn ON c_nationkey = cnn.n_nationkey
+        |JOIN region ON cnn.n_regionkey = r_regionkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q10_returned_customers" ->
+      """SELECT c_custkey, c_mktsegment,
+        |       CAST(sum(round(l_extendedprice*(1-l_discount)*100)) AS BIGINT) AS returned_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2 ORDER BY returned_cents DESC, c_custkey LIMIT 20""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |        THEN round(l_extendedprice*(1-l_discount)*100) ELSE 0 END) AS BIGINT) AS promo_cents,
+        |  CAST(sum(round(l_extendedprice*(1-l_discount)*100)) AS BIGINT) AS total_cents,
+        |  CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
+        |        THEN round(l_extendedprice*(1-l_discount)*100) ELSE 0 END) AS BIGINT) * 1000000
+        |    // CAST(sum(round(l_extendedprice*(1-l_discount)*100)) AS BIGINT) AS BIGINT) AS promo_ppm
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q19_bracket_revenue" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(round(l_extendedprice*(1-l_discount)*100)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+        |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+        |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "daily_revenue_running" ->
       """WITH d AS (SELECT CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) AS day,
         |    CAST(sum(round(o_totalprice*100)) AS BIGINT) AS revenue_cents FROM orders GROUP BY 1)
@@ -2846,6 +3001,23 @@ object SparkEntry {
     "dedup_sparse_cosine" -> sparseCosineOracle,
     "graph_pagerank" -> pagerankOracle(),
     "graph_triangles" -> triangleOracle,
+    "graph_link_prediction" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |ue AS (SELECT a.l_partkey AS u, bb.l_partkey AS v
+        |  FROM b a JOIN b bb ON a.l_orderkey = bb.l_orderkey AND a.l_partkey < bb.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT u AS ctr, v AS nbr FROM ue UNION ALL SELECT v, u FROM ue),
+        |deg AS (SELECT nbr AS x, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+        |ctrs AS (SELECT adj.ctr, adj.nbr FROM adj JOIN deg ON adj.ctr = deg.x WHERE deg.d <= 64),
+        |pairs AS (SELECT a.nbr AS pu, b.nbr AS pv, CAST(count(*) AS BIGINT) AS cn
+        |  FROM ctrs a JOIN ctrs b ON a.ctr = b.ctr AND a.nbr < b.nbr GROUP BY 1, 2),
+        |np AS (SELECT pu, pv, cn FROM pairs
+        |  WHERE NOT EXISTS (SELECT 1 FROM ue WHERE u = pu AND v = pv))
+        |SELECT CAST(pu AS BIGINT) AS u, CAST(pv AS BIGINT) AS v,
+        |  cn AS common_neighbors,
+        |  CAST(cn * 1000000 // (du.d + dv.d - cn) AS BIGINT) AS jaccard_ppm
+        |FROM np JOIN deg du ON pu = du.x JOIN deg dv ON pv = dv.x
+        |ORDER BY common_neighbors DESC, jaccard_ppm DESC, u, v LIMIT 50""".stripMargin,
     "graph_communities" -> labelPropagationOracle(),
     // exact-substring overlap: identical positional-gram construction
     // (md5 of 8-token slices), aligned-offset runs, contiguity by
@@ -3277,6 +3449,12 @@ object SparkEntry {
       "orders_price_histogram", "asof_join_orders", "click_purchase_range_join",
       "part_cooccurrence", "shipping_delay_histogram", "supplier_delay_ranking",
       "shipping_delay_percentiles", "lineitem_metrics_unpivot", "order_value_winsorized"),
+    "subquery-decorrelation" -> Seq(
+      "q4_late_priority", "q11_brand_share", "q13_order_distribution",
+      "q17_small_qty_revenue", "q21_waiting_supplier", "q22_dormant_customers"),
+    "tpch-remainder" -> Seq(
+      "q6_discount_band", "q7_nation_trade", "q8_market_share",
+      "q10_returned_customers", "q14_promo_share", "q19_bracket_revenue"),
     "window-functions" -> Seq(
       "daily_revenue_range7d", "daily_revenue_running", "daily_revenue_rank_stats",
       "customer_trailing_features"),
@@ -3297,7 +3475,8 @@ object SparkEntry {
       "anomaly_session_impact", "observed_order_audit", "kanon_risk"),
     "layout-scan" -> Seq("zorder_cluster_stats", "dpp_quarter_revenue", "pack_shards",
       "bucketed_join_revenue"),
-    "graph" -> Seq("graph_pagerank", "graph_triangles", "graph_communities"),
+    "graph" -> Seq("graph_pagerank", "graph_triangles", "graph_communities",
+      "graph_link_prediction"),
     "dedup" -> Seq(
       "dedup_exact", "dedup_exact_norm", "dedup_exact_norm_sql", "dedup_minhash_lsh",
       "dedup_minhash_sql", "dedup_simhash", "dedup_ngram_jaccard", "dedup_sparse_cosine",

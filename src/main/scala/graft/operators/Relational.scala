@@ -1410,4 +1410,305 @@ object Relational {
         min(col("hi")).cast("long").as("hi_cents"))
       .orderBy("c_mktsegment")
   }
+
+  // --------------------------------------------------------------------
+  // Correlated-subquery suite (TPC-H Q4/Q11/Q13/Q17/Q21/Q22 analogues,
+  // adapted to the reduced synthetic schema — no partsupp/commitdate).
+  // The reference has no subqueries at all; at 100 TB the thing that
+  // matters is that every correlated form below is DECORRELATED by
+  // construction: expressed as aggregate-then-join plans that shuffle
+  // each fact table once, never as a per-row re-scan. Spark's optimizer
+  // performs the same rewrites on SQL-form subqueries (RewriteCorrelated
+  // ScalarSubquery etc.); writing the decorrelated shape directly makes
+  // the plan explicit and assertable.
+  // --------------------------------------------------------------------
+
+  /** Q4 analogue — EXISTS-style semi-join with a non-equi residual:
+    * orders that had at least one lineitem shipped more than 30 days
+    * after the order date, counted per priority bucket.
+    *
+    * The EXISTS is a LEFT SEMI hash join on orderkey with the lateness
+    * predicate as the join residual — lineitem is never aggregated or
+    * deduplicated first (the semi join short-circuits on first match),
+    * and only (l_orderkey, l_shipdate) is read from the fact scan.
+    * Output is bounded by the 5-value priority domain. */
+  def latePriorityDistribution(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .join(
+        lineitem.select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).cast("long").as("n_late_orders"))
+      .orderBy("o_orderpriority")
+
+  /** Q11 analogue — HAVING against a global scalar subquery: brands
+    * whose lineitem revenue exceeds the all-brand average. The scalar
+    * subquery decorrelates to a 1-row aggregate of the 25-row per-brand
+    * relation, broadcast back via crossJoin — the fact table is scanned
+    * and shuffled exactly once (lineitem ⋈ part on partkey, both
+    * SF-scaled, so no broadcast hint: AQE picks the strategy). The
+    * above-average test is integer cross-multiplication
+    * (rc·n_brands > total), never a float division. */
+  def brandRevenueAboveAverage(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val perBrand = lineitem
+      .join(part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(cents(col("l_extendedprice"))).cast("long").as("revenue_cents"))
+    val total = perBrand.agg(
+      sum(col("revenue_cents")).as("tot"), count(lit(1)).as("nb"))
+    perBrand
+      .crossJoin(broadcast(total))
+      .filter(col("revenue_cents") * col("nb") > col("tot"))
+      .select(col("p_brand"), col("revenue_cents"),
+        expr("revenue_cents * 1000000 div tot").as("share_ppm"))
+      .orderBy("p_brand")
+  }
+
+  /** Q13 analogue — order-count distribution over ALL customers,
+    * including zero-order ones: a left outer join (customer ⋈ orders)
+    * counted per customer, then a count-of-counts. The first aggregate
+    * is two-phase hash on custkey (the outer join's own shuffle key, so
+    * AQE coalesces into one exchange); the second groups the bounded
+    * order-count domain. `count(o_orderkey)` counts non-null matches —
+    * the standard SQL idiom that makes the unmatched row count as 0
+    * instead of 1. */
+  def customerOrderDistribution(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.select(col("c_custkey"))
+      .join(orders.select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).cast("long").as("n_customers"))
+      .orderBy("n_orders")
+
+  /** Q17 analogue — correlated per-group average: revenue from lineitems
+    * whose quantity is below half their part's average quantity,
+    * reported per brand. The correlated `avg(l_quantity) WHERE
+    * l_partkey = outer.l_partkey` decorrelates to ONE per-part
+    * aggregate joined back to the fact scan (both sides shuffle on
+    * partkey; AQE reuses the exchange). The below-half-average test is
+    * integer cross-multiplication over unit quantities
+    * (2·qty·n < Σqty) — exact, no float average anywhere. */
+  def smallQuantityRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val perPart = lineitem
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        count(lit(1)).as("n_lines"))
+    lineitem
+      .join(perPart, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity").cast("long") * 2 * col("n_lines") < col("sum_qty"))
+      .join(part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).cast("long").as("n_small_lines"),
+        sum(cents(col("l_extendedprice"))).cast("long").as("revenue_cents"))
+      .orderBy("p_brand")
+  }
+
+  /** Q21 analogue — the double-EXISTS query: suppliers who were the
+    * SOLE late shipper in a multi-supplier finished order. The classic
+    * form needs one EXISTS (another supplier in the order) and one
+    * NOT EXISTS (another LATE supplier) — two correlated self-joins of
+    * the biggest fact table. Decorrelated here to a single per-order
+    * aggregate: distinct suppliers, distinct late suppliers, and
+    * min(late supplier) — when the late-count is exactly 1, the min IS
+    * the culprit. One orderkey shuffle replaces both self-joins; the
+    * blame list then aggregates on the bounded supplier dimension.
+    * Late = shipped >30 days after order date; 'F' status only. */
+  def soleLateSupplier(orders: DataFrame, lineitem: DataFrame, supplier: DataFrame): DataFrame = {
+    val lines = lineitem
+      .join(orders.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("late"))
+    val perOrder = lines
+      .groupBy(col("l_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"),
+        min(when(col("late"), col("l_suppkey"))).as("late_supp"))
+    perOrder
+      .filter(col("n_supp") > 1 && col("n_late") === 1)
+      .groupBy(col("late_supp"))
+      .agg(count(lit(1)).cast("long").as("n_waiting_orders"))
+      .join(supplier.select(col("s_suppkey"), col("s_name")),
+        col("late_supp") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_waiting_orders"))
+      .orderBy(col("n_waiting_orders").desc, col("s_suppkey"))
+  }
+
+  /** Q6 analogue — the pure scan-filter-aggregate: revenue uplift from a
+    * discount band (1996 shipments, discount 5–7%, quantity < 24). The
+    * whole query is ONE parquet scan: all three predicates push to the
+    * reader (`PushedFilters` shows the shipdate range, the discount
+    * band, and the quantity cap), so at 100 TB row groups outside the
+    * year are skipped on min/max stats and nothing but the 3 referenced
+    * columns is read. Output is one row. */
+  def discountBandRevenue(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(
+        count(lit(1)).cast("long").as("n_lines"),
+        sum(cents(col("l_extendedprice") * col("l_discount"))).cast("long").as("uplift_cents"))
+
+  /** Q7 analogue — the cross-nation trade matrix: discounted revenue per
+    * (supplier nation, customer nation, ship year), intra-nation trade
+    * excluded. The classic Q7 pins one nation pair; grouping the full
+    * matrix instead keeps the output bounded by the DIMENSION domain
+    * (25·24 pairs × years) while exercising the same 4-way star: the
+    * only SF-scaled shuffle is lineitem ⋈ orders on orderkey — customer
+    * and supplier enrichments are left to AQE, and the two 25-row
+    * nation legs are broadcast. */
+  def nationTradeMatrix(nation: DataFrame, customer: DataFrame, orders: DataFrame,
+                        lineitem: DataFrame, supplier: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("s_nationkey") =!= col("c_nationkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("snk"))
+      .join(broadcast(nation.select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cnk"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).cast("long").as("revenue_cents"))
+      .orderBy("supp_nation", "cust_nation", "ship_year")
+
+  /** Q8 analogue — market share: the ppm of each customer-region's
+    * yearly revenue supplied by `targetNation`'s suppliers. Numerator
+    * and denominator ride ONE aggregation (conditional sum vs total —
+    * no second pass, no self-join); the share is integer ppm division
+    * of two long cent sums. Region/nation legs broadcast; the fact
+    * shuffle is the same single orderkey exchange as Q7. */
+  def nationMarketShare(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                        orders: DataFrame, lineitem: DataFrame, supplier: DataFrame,
+                        targetNation: String = "NATION_0"): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("cnk"), col("n_regionkey"))),
+        col("c_nationkey") === col("cnk"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("snk"))
+      .groupBy(col("r_name"), year(col("o_orderdate")).cast("long").as("order_year"))
+      .agg(
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).cast("long").as("total_cents"),
+        sum(when(col("supp_nation") === targetNation,
+          cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).otherwise(lit(0)))
+          .cast("long").as("target_cents"))
+      .select(col("r_name"), col("order_year"), col("total_cents"),
+        expr("target_cents * 1000000 div total_cents").as("share_ppm"))
+      .orderBy("r_name", "order_year")
+
+  /** Q10 analogue — returned-item blame list: top 20 customers by
+    * revenue on lineitems flagged 'R'. The returnflag filter pushes to
+    * the fact scan (at 100 TB: ~1/3 of row groups survive the min/max
+    * cut at worst, dictionary pruning at best); one orderkey shuffle,
+    * per-customer aggregate, then TakeOrderedAndProject — no global
+    * sort ever materializes. */
+  def returnedItemCustomers(customer: DataFrame, orders: DataFrame,
+                            lineitem: DataFrame, k: Int = 20): DataFrame =
+    lineitem
+      .filter(col("l_returnflag") === "R")
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).cast("long").as("returned_cents"))
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("returned_cents"))
+      .orderBy(col("returned_cents").desc, col("c_custkey"))
+      .limit(k)
+
+  /** Q14 analogue — promo revenue share per ship year: numerator
+    * (PROMO-type parts) and denominator in ONE conditional aggregate
+    * over the lineitem ⋈ part join, share as integer ppm. The 6-value
+    * p_type never leaves the map side: the join key is partkey and the
+    * CASE collapses the type immediately. */
+  def promoRevenueShare(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .join(part.select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).cast("long").as("total_cents"),
+        sum(when(col("p_type") === "PROMO",
+          cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).otherwise(lit(0)))
+          .cast("long").as("promo_cents"))
+      .select(col("ship_year"), col("promo_cents"), col("total_cents"),
+        expr("promo_cents * 1000000 div total_cents").as("promo_ppm"))
+      .orderBy("ship_year")
+
+  /** Q19 analogue — disjunctive bracket pricing: revenue from three
+    * (brand, quantity-band, size-band) OR-brackets, reported per brand.
+    * The disjunction SPLITS BY TABLE by construction: the part side
+    * keeps `p_brand IN (…) AND p_size ≤ max` (prunable at its scan —
+    * the OR's per-table envelope, which Spark does not derive from a
+    * cross-table disjunction on its own), the lineitem side keeps the
+    * quantity envelope, and only the residual bracket test rides the
+    * partkey join. Writing the envelopes explicitly is the at-scale
+    * point: a naive single OR predicate across both tables pushes
+    * NOTHING to either scan. */
+  def bracketRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val qty = col("l_quantity")
+    val bracket =
+      (col("p_brand") === "Brand#1" && qty.between(1, 11) && col("p_size").between(1, 5)) ||
+      (col("p_brand") === "Brand#2" && qty.between(10, 20) && col("p_size").between(1, 10)) ||
+      (col("p_brand") === "Brand#3" && qty.between(20, 30) && col("p_size").between(1, 15))
+    lineitem
+      .filter(qty.between(1, 30)) // quantity envelope of the disjunction
+      .join(part
+          .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+            col("p_size").between(1, 15)) // part-side envelope
+          .select(col("p_partkey"), col("p_brand"), col("p_size")),
+        col("l_partkey") === col("p_partkey") && bracket)
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).cast("long").as("n_lines"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).cast("long").as("revenue_cents"))
+      .orderBy("p_brand")
+  }
+
+  /** Q22 analogue — scalar subquery + NOT EXISTS: customers with an
+    * above-average positive balance who placed no order in the final
+    * seven months (dormant high-value accounts), per segment. The
+    * scalar average decorrelates to a broadcast 1-row aggregate with an
+    * integer cross-multiplied comparison; the NOT EXISTS is a LEFT ANTI
+    * hash join against orders PRE-FILTERED to the recency window (the
+    * date predicate pushes into the orders scan, so the anti join's
+    * build side is the small recent slice, not the full table). */
+  def dormantRichCustomers(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val cutoff = "2001-01-01"
+    val posAvg = customer
+      .filter(col("c_acctbal") > 0)
+      .agg(sum(cents(col("c_acctbal")).cast("long")).as("s"), count(lit(1)).as("n"))
+    customer
+      .crossJoin(broadcast(posAvg))
+      .filter(cents(col("c_acctbal")).cast("long") * col("n") > col("s"))
+      .join(orders.filter(col("o_orderdate") >= lit(cutoff).cast("timestamp"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).cast("long").as("n_customers"),
+        sum(cents(col("c_acctbal")).cast("long")).cast("long").as("balance_cents"))
+      .orderBy("c_mktsegment")
+  }
 }

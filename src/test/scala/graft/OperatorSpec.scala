@@ -1025,4 +1025,189 @@ class OperatorSpec extends SparkSpec {
     // the quiet background hours are not flagged
     assert(!got.contains(0L) && !got.contains(3600L))
   }
+
+  // ---- correlated-subquery suite: each decorrelated shape pinned on a
+  // fixture where the subtle boundary (strict >, exactly-one, zero-match
+  // row) is exercised by hand-computed values ----
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+
+  test("latePriorityDistribution: semi join counts an order once; +30 days exactly is NOT late") {
+    val orders = Seq(
+      (1L, ts("2020-01-01"), "1-URGENT"), // two late lines -> counted ONCE
+      (2L, ts("2020-01-01"), "1-URGENT"), // on time
+      (3L, ts("2020-01-01"), "2-HIGH"),   // +30 days exactly: strict > excludes
+      (4L, ts("2020-01-01"), "2-HIGH")    // +31 days: late
+    ).toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Seq(
+      (1L, ts("2020-02-15")), (1L, ts("2020-03-01")),
+      (2L, ts("2020-01-20")),
+      (3L, ts("2020-01-31")),
+      (4L, ts("2020-02-01"))
+    ).toDF("l_orderkey", "l_shipdate")
+    val got = Relational.latePriorityDistribution(orders, li).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("1-URGENT" -> 1L, "2-HIGH" -> 1L))
+  }
+
+  test("brandRevenueAboveAverage: strict above-average by integer cross-multiply; exact-average brand excluded") {
+    val part = Seq((1L, "A"), (2L, "B"), (3L, "C")).toDF("p_partkey", "p_brand")
+    val li = Seq(
+      (1L, 300.0), (2L, 100.0), (3L, 200.0) // avg = $200: C sits EXACTLY on it
+    ).toDF("l_partkey", "l_extendedprice")
+    val got = Relational.brandRevenueAboveAverage(li, part).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("A", 30000L, 500000L))) // 30000/60000 cents = 500000 ppm
+  }
+
+  test("customerOrderDistribution: zero-order customers land in the 0 bucket, not the 1 bucket") {
+    val cust = Seq(1L, 2L, 3L).toDF("c_custkey")
+    val orders = Seq((1L, 11L), (1L, 12L), (2L, 21L)).toDF("o_custkey", "o_orderkey")
+    val got = Relational.customerOrderDistribution(cust, orders).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("smallQuantityRevenue: below half the part's OWN average, never the global one") {
+    val part = Seq((1L, "X"), (2L, "Y")).toDF("p_partkey", "p_brand")
+    val li = Seq(
+      (1L, 1.0, 10.00), (1L, 10.0, 99.0), (1L, 10.0, 99.0), // part avg 7: qty 1 < 3.5
+      (2L, 5.0, 50.0), (2L, 5.0, 50.0)                      // part avg 5: nothing below 2.5
+    ).toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val got = Relational.smallQuantityRevenue(li, part).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("X", 1L, 1000L)))
+  }
+
+  test("soleLateSupplier: blamed only when late-count is EXACTLY 1 in a multi-supplier F order") {
+    val orders = Seq(
+      (1L, "F", ts("2020-01-01")), // supp 10 late, supp 20 on time -> blame 10
+      (2L, "F", ts("2020-01-01")), // both late -> nobody sole
+      (3L, "F", ts("2020-01-01")), // single-supplier order -> excluded
+      (4L, "O", ts("2020-01-01"))  // not finished -> excluded
+    ).toDF("o_orderkey", "o_orderstatus", "o_orderdate")
+    val li = Seq(
+      (1L, 10L, ts("2020-02-15")), (1L, 20L, ts("2020-01-05")),
+      (2L, 10L, ts("2020-02-15")), (2L, 20L, ts("2020-02-15")),
+      (3L, 10L, ts("2020-02-15")),
+      (4L, 20L, ts("2020-02-15")), (4L, 30L, ts("2020-01-02"))
+    ).toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val supplier = Seq((10L, "S10"), (20L, "S20"), (30L, "S30"))
+      .toDF("s_suppkey", "s_name")
+    val got = Relational.soleLateSupplier(orders, li, supplier).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq((10L, "S10", 1L)))
+  }
+
+  test("discountBandRevenue: band edges inclusive, quantity cap strict, year half-open") {
+    val li = Seq(
+      (ts("1996-06-01"), 0.05, 10.0, 100.0), // lower band edge: in (+500 cents)
+      (ts("1996-06-01"), 0.07, 23.0, 100.0), // upper band edge: in (+700)
+      (ts("1996-06-01"), 0.08, 10.0, 100.0), // above band: out
+      (ts("1996-06-01"), 0.06, 24.0, 100.0), // qty 24: strict < excludes
+      (ts("1995-12-31"), 0.06, 10.0, 100.0)  // prior year: out
+    ).toDF("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+    val got = Relational.discountBandRevenue(li).collect().head
+    assert((got.getLong(0), got.getLong(1)) === ((2L, 1200L)))
+  }
+
+  test("nationTradeMatrix: intra-nation trade excluded; supplier/customer legs labeled correctly") {
+    val nation = Seq((0, "N0"), (1, "N1")).toDF("n_nationkey", "n_name")
+    val cust = Seq((1L, 0)).toDF("c_custkey", "c_nationkey")
+    val supp = Seq((10L, 0), (11L, 1)).toDF("s_suppkey", "s_nationkey")
+    val orders = Seq((100L, 1L)).toDF("o_orderkey", "o_custkey")
+    val li = Seq(
+      (100L, 10L, ts("1996-05-01"), 999.0, 0.0), // supp nation == cust nation: out
+      (100L, 11L, ts("1996-05-01"), 100.0, 0.0)
+    ).toDF("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val got = Relational.nationTradeMatrix(nation, cust, orders, li, supp).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(("N1", "N0", 1996L, 10000L)))
+  }
+
+  test("nationMarketShare: integer ppm of the target nation's supply within the region-year") {
+    val region = Seq((0, "R0")).toDF("r_regionkey", "r_name")
+    val nation = Seq((0, "NATION_0", 0), (1, "NATION_1", 0))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val cust = Seq((1L, 0)).toDF("c_custkey", "c_nationkey")
+    val supp = Seq((10L, 0), (11L, 1)).toDF("s_suppkey", "s_nationkey")
+    val orders = Seq((100L, 1L, ts("1996-03-01"))).toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Seq(
+      (100L, 10L, 100.0, 0.0), // NATION_0 supplier: 10000 cents of 40000
+      (100L, 11L, 300.0, 0.0)
+    ).toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val got = Relational.nationMarketShare(region, nation, cust, orders, li, supp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(("R0", 1996L, 40000L, 250000L)))
+  }
+
+  test("returnedItemCustomers: only 'R' lines count; ranked by returned revenue") {
+    val cust = Seq((1L, "A"), (2L, "B")).toDF("c_custkey", "c_mktsegment")
+    val orders = Seq((100L, 1L), (200L, 2L)).toDF("o_orderkey", "o_custkey")
+    val li = Seq(
+      (100L, "R", 100.0, 0.0), (100L, "N", 999.0, 0.0),
+      (200L, "R", 50.0, 0.0)
+    ).toDF("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+    val got = Relational.returnedItemCustomers(cust, orders, li).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 10000L), (2L, 5000L)))
+  }
+
+  test("promoRevenueShare: promo numerator and total ride one aggregate; ppm is integer") {
+    val part = Seq((1L, "PROMO"), (2L, "STANDARD")).toDF("p_partkey", "p_type")
+    val li = Seq(
+      (1L, ts("1997-02-01"), 100.0, 0.0),
+      (2L, ts("1997-08-01"), 300.0, 0.0)
+    ).toDF("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val got = Relational.promoRevenueShare(li, part).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1997L, 10000L, 40000L, 250000L)))
+  }
+
+  test("bracketRevenue: the residual bracket test rejects envelope-passing mismatches") {
+    val part = Seq((1L, "Brand#1", 3), (2L, "Brand#2", 8), (3L, "Brand#1", 10))
+      .toDF("p_partkey", "p_brand", "p_size")
+    val li = Seq(
+      (1L, 5.0, 100.0, 0.0),  // bracket 1: in
+      (1L, 20.0, 50.0, 0.0),  // qty inside the ENVELOPE but outside Brand#1's band
+      (2L, 15.0, 200.0, 0.1), // bracket 2: in (180.00)
+      (3L, 5.0, 999.0, 0.0),  // Brand#1 size 10: size band rejects
+      (2L, 35.0, 999.0, 0.0)  // outside the quantity envelope entirely
+    ).toDF("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val got = Relational.bracketRevenue(li, part).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("Brand#1", 1L, 10000L), ("Brand#2", 1L, 18000L)))
+  }
+
+  test("linkPrediction: a shared neighbor predicts the missing link; closed triangles predict nothing") {
+    import graft.operators.Graph
+    // open wedge: 2-1-3 (each edge in 2 baskets) -> predict (2,3), jaccard 1.0
+    val wedge = Seq((101L, 1L), (101L, 2L), (102L, 1L), (102L, 2L),
+      (103L, 1L), (103L, 3L), (104L, 1L), (104L, 3L))
+    // closed triangle 4-5-6: every candidate pair is already an edge
+    val tri = Seq(201L -> (4L, 5L), 202L -> (4L, 5L), 203L -> (4L, 6L),
+      204L -> (4L, 6L), 205L -> (5L, 6L), 206L -> (5L, 6L))
+      .flatMap { case (o, (a, b)) => Seq((o, a), (o, b)) }
+    val li = (wedge ++ tri).toDF("l_orderkey", "l_partkey")
+    val got = Graph.linkPrediction(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((2L, 3L, 1L, 1000000L)))
+  }
+
+  test("dormantRichCustomers: above the positive-balance average AND no recent order") {
+    val cust = Seq(
+      (1L, 100.0, "A"),  // below average
+      (2L, 500.0, "A"),  // above; old order only -> dormant
+      (3L, -50.0, "B"),  // negative: excluded from the average AND the result
+      (4L, 200.0, "B"),  // below average (avg = $450)
+      (5L, 1000.0, "B")  // above; recent order -> anti-joined away
+    ).toDF("c_custkey", "c_acctbal", "c_mktsegment")
+    val orders = Seq(
+      (2L, ts("2000-06-01")), // predates the 2001-01-01 cutoff: still dormant
+      (5L, ts("2001-05-01"))
+    ).toDF("o_custkey", "o_orderdate")
+    val got = Relational.dormantRichCustomers(cust, orders).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("A", 1L, 50000L)))
+  }
 }

@@ -197,7 +197,10 @@ class PlanShapeSpec extends SparkSpec {
         "1-row broadcasts only: corpus max date + three quartile-fence rows + histogram totals",
       "user_stickiness_daily" -> "1-row max-day broadcast (trailing-window clip)",
       "uu_wau_sketch_check" ->
-        "1-row max-day broadcasts (trailing-window clip, sketch + exact sides)")
+        "1-row max-day broadcasts (trailing-window clip, sketch + exact sides)",
+      "q11_brand_share" ->
+        "1-row all-brand totals broadcast onto the brand-domain-bounded relation",
+      "q22_dormant_customers" -> "1-row positive-balance average broadcast")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, Sf0001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
