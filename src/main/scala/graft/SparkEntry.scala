@@ -253,6 +253,15 @@ object SparkEntry {
       Relational.promoRevenueShare(Tables.lineitem(s, d), Tables.part(s, d))),
     "q19_bracket_revenue" -> ((s, d) =>
       Relational.bracketRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
+    // ---- AQP: deterministic 1/16 md5-sample estimates, HT-variance
+    // gated; the oracle recomputes estimate AND gate ----
+    "aqp_revenue_estimate_check" -> ((s, d) =>
+      graft.operators.Approx.revenueEstimateCheck(Tables.orders(s, d))),
+    "aqp_segment_revenue_check" -> ((s, d) =>
+      graft.operators.Approx.segmentRevenueEstimateCheck(
+        Tables.orders(s, d), Tables.customer(s, d))),
+    // 2D skyline: days no other day beats on both (orders, revenue)
+    "pareto_days" -> ((s, d) => graft.operators.Approx.paretoDays(Tables.orders(s, d))),
     // full changelog semantics: I/U/D ops, highest-seq wins, D removes
     "cdc_apply_changes" -> ((s, d) => Relational.cdcApplyChanges(Tables.orders(s, d))),
     // consumption side of SCD2: facts joined to the version valid at t
@@ -1053,6 +1062,46 @@ object SparkEntry {
 
   /** md5-bucket stratified sample: 4 leading hex nibbles → value mod 100
     * (mirrors conv(substr(md5,1,4),16,10) % 100). */
+  /** 16-bit md5-prefix Bernoulli(1/16) membership flag, DuckDB-side:
+    * same salted key and nibble arithmetic as `Approx.inSample`. */
+  private def aqpSampleFlag: String = {
+    def nib(i: Int) = s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)"
+    s"CASE WHEN ${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)} < 4096 THEN 1 ELSE 0 END"
+  }
+
+  private def aqpRevenueOracle: String =
+    s"""WITH h AS (SELECT CAST(round(o_totalprice) AS BIGINT) AS v,
+       |    md5('aqp:' || CAST(o_orderkey AS VARCHAR)) AS m FROM orders),
+       |b AS (SELECT v, $aqpSampleFlag AS s FROM h),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS n_exact, CAST(sum(s) AS BIGINT) AS n_s,
+       |    CAST(sum(v) AS BIGINT) AS rev_exact, CAST(sum(s*v) AS BIGINT) AS rev_s,
+       |    CAST(sum(s*v*v) AS BIGINT) AS ssq_s FROM b)
+       |SELECT n_exact, CAST(n_s*16 AS BIGINT) AS n_est,
+       |  CAST(abs(n_s*16 - n_exact)*1000000 // n_exact AS BIGINT) AS n_err_ppm,
+       |  CAST(CASE WHEN (n_s*16 - n_exact)*(n_s*16 - n_exact) <= 25*240*n_s
+       |    THEN 1 ELSE 0 END AS BIGINT) AS n_gate_ok,
+       |  rev_exact AS rev_exact_dollars, CAST(rev_s*16 AS BIGINT) AS rev_est_dollars,
+       |  CAST(abs(rev_s*16 - rev_exact)*1000000 // rev_exact AS BIGINT) AS rev_err_ppm,
+       |  CAST(CASE WHEN (rev_s*16 - rev_exact)*(rev_s*16 - rev_exact) <= 25*240*ssq_s
+       |    THEN 1 ELSE 0 END AS BIGINT) AS rev_gate_ok
+       |FROM a""".stripMargin
+
+  private def aqpSegmentOracle: String =
+    s"""WITH j AS (SELECT c_mktsegment, CAST(round(o_totalprice) AS BIGINT) AS v,
+       |    md5('aqp:' || CAST(o_orderkey AS VARCHAR)) AS m
+       |  FROM orders JOIN customer ON o_custkey = c_custkey),
+       |b AS (SELECT c_mktsegment, v, $aqpSampleFlag AS s FROM j),
+       |g AS (SELECT c_mktsegment, CAST(sum(v) AS BIGINT) AS rev_exact,
+       |    CAST(sum(s*v) AS BIGINT) AS rev_s, CAST(sum(s*v*v) AS BIGINT) AS ssq_s,
+       |    CAST(sum(s) AS BIGINT) AS n_s FROM b GROUP BY 1)
+       |SELECT c_mktsegment, rev_exact AS rev_exact_dollars,
+       |  CAST(rev_s*16 AS BIGINT) AS rev_est_dollars,
+       |  CAST(abs(rev_s*16 - rev_exact)*1000000 // rev_exact AS BIGINT) AS rev_err_ppm,
+       |  n_s AS n_sampled,
+       |  CAST(CASE WHEN (rev_s*16 - rev_exact)*(rev_s*16 - rev_exact) <= 25*240*ssq_s
+       |    THEN 1 ELSE 0 END AS BIGINT) AS rev_gate_ok
+       |FROM g ORDER BY 1""".stripMargin
+
   private def stratifiedSampleOracle: String = {
     def nib(i: Int) = s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)"
     val rates = TextAnalysis.SampleRates
@@ -3082,6 +3131,18 @@ object SparkEntry {
         |  substr(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), 1, 8) AS fp_prefix
         |FROM documents ORDER BY doc_id""".stripMargin,
     "corpus_sample_stratified" -> stratifiedSampleOracle,
+    "aqp_revenue_estimate_check" -> aqpRevenueOracle,
+    "aqp_segment_revenue_check" -> aqpSegmentOracle,
+    "pareto_days" ->
+      """WITH d AS (SELECT CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) AS day_sec,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(round(o_totalprice)) AS BIGINT) AS revenue_dollars
+        |  FROM orders GROUP BY 1)
+        |SELECT day_sec, n_orders, revenue_dollars FROM d a
+        |WHERE NOT EXISTS (SELECT 1 FROM d b
+        |  WHERE b.n_orders >= a.n_orders AND b.revenue_dollars >= a.revenue_dollars
+        |    AND (b.n_orders > a.n_orders OR b.revenue_dollars > a.revenue_dollars))
+        |ORDER BY n_orders DESC, day_sec""".stripMargin,
     "train_test_split" -> trainTestSplitOracle,
     "leakage_safe_split" -> leakageSafeSplitOracle,
     "event_funnel_windowed" -> eventFunnelWindowedOracle,
@@ -3455,6 +3516,8 @@ object SparkEntry {
     "tpch-remainder" -> Seq(
       "q6_discount_band", "q7_nation_trade", "q8_market_share",
       "q10_returned_customers", "q14_promo_share", "q19_bracket_revenue"),
+    "aqp" -> Seq("aqp_revenue_estimate_check", "aqp_segment_revenue_check",
+      "pareto_days"),
     "window-functions" -> Seq(
       "daily_revenue_range7d", "daily_revenue_running", "daily_revenue_rank_stats",
       "customer_trailing_features"),

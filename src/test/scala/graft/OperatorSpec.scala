@@ -1194,6 +1194,54 @@ class OperatorSpec extends SparkSpec {
     assert(got.toSeq === Seq((2L, 3L, 1L, 1000000L)))
   }
 
+  test("aqp estimate: HT scale-up is exactly 16x the sample; constant values tie the two gates together") {
+    import graft.operators.Approx
+    // constant $100 orders: the revenue estimate must be EXACTLY 100x the
+    // count estimate, and both gates reduce to the same inequality
+    val orders = (1L to 2000L).map(k => (k, 100.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val r = Approx.revenueEstimateCheck(orders).collect().head
+    val (nExact, nEst) = (r.getLong(0), r.getLong(1))
+    assert(nExact === 2000L)
+    assert(nEst % 16 === 0L) // integer HT factor, never a float blow-up
+    assert(r.getLong(5) === nEst * 100) // rev_est = 100 * n_est
+    assert(r.getLong(2) === r.getLong(6)) // identical err ppm
+    assert(r.getLong(3) === 1L && r.getLong(7) === 1L) // both gates pass
+    // the deterministic sample: same input -> bit-identical output
+    val again = Approx.revenueEstimateCheck(orders).collect().head
+    assert(r === again)
+  }
+
+  test("aqp per-segment estimate exposes its own sample size and gate") {
+    import graft.operators.Approx
+    val orders = (1L to 2000L).map(k => (k, k, 100.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val cust = (1L to 2000L).map(k => (k, if (k % 2 == 0) "EVEN" else "ODD"))
+      .toDF("c_custkey", "c_mktsegment")
+    val got = Approx.segmentRevenueEstimateCheck(orders, cust).collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("EVEN", "ODD"))
+    got.foreach { r =>
+      assert(r.getLong(1) === 100000L) // 1000 orders x $100 exact
+      assert(r.getLong(2) === r.getLong(4) * 1600) // est = 16 * n_sampled * $100
+      assert(r.getLong(5) === 1L)
+    }
+  }
+
+  test("paretoDays: within-count losers, cross-count dominated, and ties resolve correctly") {
+    def o(day: String, price: Double) = (ts(day), price)
+    val orders = (
+      Seq.fill(3)(o("2020-01-01", 100.0)) ++             // (3, 300): frontier
+      Seq(o("2020-01-02", 150.0), o("2020-01-02", 250.0)) ++ // (2, 400): frontier
+      Seq(o("2020-01-03", 100.0), o("2020-01-03", 250.0)) ++ // (2, 350): beaten at n=2
+      Seq(o("2020-01-04", 100.0)) ++                     // (1, 100): dominated by (2,400)
+      Seq(o("2020-01-05", 50.0), o("2020-01-05", 100.0), o("2020-01-05", 100.0)) ++ // (3,250): beaten at n=3
+      Seq(o("2020-01-06", 200.0), o("2020-01-06", 200.0))    // (2, 400) tie: neither dominates
+    ).toDF("o_orderdate", "o_totalprice")
+    val got = graft.operators.Approx.paretoDays(orders).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((3L, 300L), (2L, 400L), (2L, 400L)))
+  }
+
   test("dormantRichCustomers: above the positive-balance average AND no recent order") {
     val cust = Seq(
       (1L, 100.0, "A"),  // below average
