@@ -374,6 +374,11 @@ object SparkEntry {
     "top_repeated_shingles" -> ((s, d) => TextAnalysis.topRepeatedShingles(Tables.documents(s, d))),
     // ---- similarity search ----
     "ann_bruteforce_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
+    // matryoshka truncation audit: is a 16-of-64-dim prefilter safe?
+    "embedding_truncation_recall" -> ((s, d) =>
+      Similarity.truncationRecall(Tables.embeddings(s, d))),
+    // LSH layout trust audit: bucketed top-k hits inside the exact top-k
+    "ann_lsh_recall" -> ((s, d) => Similarity.lshRecall(Tables.embeddings(s, d))),
     "ann_bruteforce_sql" -> ((s, d) => GraftSql.annBruteForceSql(s, d)),
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
     "ann_lsh_multiprobe_topk" -> ((s, d) => Similarity.lshMultiProbeTopK(Tables.embeddings(s, d))),
@@ -1101,6 +1106,69 @@ object SparkEntry {
        |  CAST(CASE WHEN (rev_s*16 - rev_exact)*(rev_s*16 - rev_exact) <= 25*240*ssq_s
        |    THEN 1 ELSE 0 END AS BIGINT) AS rev_gate_ok
        |FROM g ORDER BY 1""".stripMargin
+
+  /** Truncated-dot variant of [[dotSql]]: first `d` dimensions only. */
+  private def dotSqlDims(a: String, b: String, d: Int): String =
+    s"list_sum(list_transform(range($d), i -> $a.embedding[i+1]::DOUBLE * $b.embedding[i+1]::DOUBLE))"
+
+  private def truncationRecallOracle: String =
+    s"""WITH sf AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    ${dotSql("a", "b")} AS dp, ${dotSql("a", "a")} AS nq, ${dotSql("b", "b")} AS nn
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND a.vec_id != b.vec_id),
+       |tf AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY dp / sqrt(nq * nn) DESC, neighbor_id) AS rank
+       |  FROM sf) WHERE rank <= 10),
+       |st AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    ${dotSqlDims("a", "b", 16)} AS dp, ${dotSqlDims("a", "a", 16)} AS nq, ${dotSqlDims("b", "b", 16)} AS nn
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND a.vec_id != b.vec_id),
+       |tt AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY dp / sqrt(nq * nn) DESC, neighbor_id) AS rank
+       |  FROM st) WHERE rank <= 10)
+       |SELECT f.query_id,
+       |  CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_10,
+       |  CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000 // 10 AS BIGINT) AS recall_ppm
+       |FROM tf f LEFT JOIN tt t ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private def lshRecallOracle: String = {
+    val probes = (Seq(0) ++ (0 until 8).map(1 << _))
+      .map(m => s"xor(bucket, $m)").mkString("[", ", ", "]")
+    s"""WITH sf AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    ${dotSql("a", "b")} AS dp, ${dotSql("a", "a")} AS nq, ${dotSql("b", "b")} AS nn
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND a.vec_id != b.vec_id),
+       |tf AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY dp / sqrt(nq * nn) DESC, neighbor_id) AS rank
+       |  FROM sf) WHERE rank <= 3),
+       |bkt AS (SELECT vec_id, embedding, $BucketSql AS bucket FROM embeddings),
+       |sl AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    ${dotSql("a", "b")} AS dp, ${dotSql("a", "a")} AS nq, ${dotSql("b", "b")} AS nn
+       |  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < 5 AND a.vec_id != b.vec_id),
+       |tl AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY dp / sqrt(nq * nn) DESC, neighbor_id) AS rank
+       |  FROM sl) WHERE rank <= 3),
+       |pr AS (SELECT vec_id AS query_id, embedding AS qe, unnest($probes) AS pb
+       |  FROM bkt WHERE vec_id < 5),
+       |sm AS (SELECT p.query_id, b.vec_id AS neighbor_id,
+       |    list_sum(list_transform(range(64), i -> p.qe[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE)) AS dp,
+       |    list_sum(list_transform(range(64), i -> p.qe[i+1]::DOUBLE * p.qe[i+1]::DOUBLE)) AS nq,
+       |    list_sum(list_transform(range(64), i -> b.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE)) AS nn
+       |  FROM pr p JOIN bkt b ON b.bucket = p.pb AND b.vec_id != p.query_id),
+       |tm AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY dp / sqrt(nq * nn) DESC, neighbor_id) AS rank
+       |  FROM sm) WHERE rank <= 3),
+       |sing AS (SELECT 'lsh_single' AS variant, f.query_id,
+       |    CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_3,
+       |    CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000 // 3 AS BIGINT) AS recall_ppm
+       |  FROM tf f LEFT JOIN tl t ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+       |  GROUP BY 2),
+       |mult AS (SELECT 'lsh_multiprobe' AS variant, f.query_id,
+       |    CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_3,
+       |    CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000 // 3 AS BIGINT) AS recall_ppm
+       |  FROM tf f LEFT JOIN tm t ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+       |  GROUP BY 2)
+       |SELECT * FROM (SELECT * FROM sing UNION ALL SELECT * FROM mult)
+       |ORDER BY variant, query_id""".stripMargin
+  }
 
   private def stratifiedSampleOracle: String = {
     def nib(i: Int) = s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)"
@@ -3093,6 +3161,8 @@ object SparkEntry {
     // the DataFrame operator's oracle verbatim
     "ann_bruteforce_sql" -> annBruteForceOracle,
     "ann_lsh_topk" -> annLshOracle,
+    "embedding_truncation_recall" -> truncationRecallOracle,
+    "ann_lsh_recall" -> lshRecallOracle,
     "ann_lsh_multiprobe_topk" -> annLshMultiProbeOracle,
     "ann_bucket_stats" ->
       s"""SELECT bucket, CAST(count(*) AS BIGINT) AS n
@@ -3553,6 +3623,7 @@ object SparkEntry {
       "ann_bruteforce_topk", "ann_bruteforce_sql", "ann_lsh_topk",
       "ann_lsh_multiprobe_topk", "ann_ivf_topk", "ann_ivf_after_remove",
       "ann_ivfpq_topk", "ivf_cell_stats", "pq_code_stats", "ann_bucket_stats",
+      "embedding_truncation_recall", "ann_lsh_recall",
       "embedding_norm_stats", "embedding_int8_stats", "doc_vector_hash", "doc_lexical_ann",
       "doc_lexical_ann_pq", "media_feature_ann"),
     "text-analysis" -> Seq(

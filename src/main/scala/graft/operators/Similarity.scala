@@ -1014,4 +1014,55 @@ object Similarity {
       .groupBy(bucketKey(col("embedding")).as("bucket"))
       .agg(count(lit(1)).as("n"))
       .orderBy("bucket")
+
+  /** Recall of `approx` against `exact` per query: how many of the
+    * exact top-k survive in the approximate top-k. Both inputs are
+    * `topKPerQuery`-shaped (query_id, neighbor_id, rank, …); output is
+    * all-integer (hits + recall ppm), so the gate hashes cross-engine
+    * even where the underlying scores are floats. */
+  private def recallAgainst(exact: DataFrame, approx: DataFrame, k: Int): DataFrame =
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id").as("aq"), col("neighbor_id").as("an")),
+        col("query_id") === col("aq") && col("neighbor_id") === col("an"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("an").isNotNull, lit(1L)).otherwise(lit(0L))).as("hits"))
+      .select(col("query_id"), col("hits").cast("long").as(s"hits_at_$k"),
+        expr(s"hits * 1000000 div $k").cast("long").as("recall_ppm"))
+      .orderBy("query_id")
+
+  /** Matryoshka-style truncation check: can the FIRST `dims` of the
+    * 64-dim embedding serve as a cheap prefilter? Scores the exact
+    * top-k under full-dimension cosine against the top-k under
+    * truncated cosine (both brute force, same deterministic
+    * tie-break), reporting per-query hits@k — the measurement that
+    * decides whether a 4× narrower scan (16 of 64 dims) is safe as a
+    * first-pass ranker at 100 TB, BEFORE anyone builds the truncated
+    * index. Integer output; the oracle replays both rankings with
+    * sliced list arithmetic. */
+  def truncationRecall(embeddings: DataFrame, nQueries: Int = 5,
+                       k: Int = 10, dims: Int = 16): DataFrame = {
+    val full = bruteForceTopK(embeddings, nQueries, k)
+    val trunc = bruteForceTopK(
+      embeddings.select(col("vec_id"), slice(col("embedding"), 1, dims).as("embedding")),
+      nQueries, k)
+    recallAgainst(full, trunc, k)
+  }
+
+  /** Sign-LSH recall audit, both probe strategies side by side: hits of
+    * each bucketed top-k inside the exact brute-force top-k, per query —
+    * the ops dashboard that says whether the 8-bit bucket layout is
+    * still trustworthy as the corpus drifts, and what the 9× candidate
+    * cost of multiprobe actually buys. (On a low-correlation corpus the
+    * single-probe row honestly reads ~0 — the number that tells an
+    * operator to probe wider or rebuild, which is the audit's job.) */
+  def lshRecall(embeddings: DataFrame, nQueries: Int = 5, k: Int = 3): DataFrame = {
+    val exact = bruteForceTopK(embeddings, nQueries, k)
+    val single = recallAgainst(exact, lshTopK(embeddings, nQueries, k), k)
+      .withColumn("variant", lit("lsh_single"))
+    val multi = recallAgainst(exact, lshMultiProbeTopK(embeddings, nQueries, k), k)
+      .withColumn("variant", lit("lsh_multiprobe"))
+    single.unionByName(multi)
+      .select(col("variant"), col("query_id"), col(s"hits_at_$k"), col("recall_ppm"))
+      .orderBy("variant", "query_id")
+  }
 }

@@ -1242,6 +1242,37 @@ class OperatorSpec extends SparkSpec {
     assert(got.toSeq === Seq((3L, 300L), (2L, 400L), (2L, 400L)))
   }
 
+  test("truncationRecall: recall is 1.0 when all signal lives in the kept prefix") {
+    // suffix dims are zero -> the truncated ranking IS the full ranking
+    def vec(seed: Int): Array[Float] =
+      (Array.tabulate(16)(j => ((seed * 31 + j * 7) % 97 - 48).toFloat / 10f)
+        ++ Array.fill(48)(0f))
+    val emb = (0L to 4L).map(q => (q, vec(q.toInt)))
+      .++((10L to 24L).map(i => (i, vec(i.toInt))))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.truncationRecall(emb).collect()
+    assert(got.length === 5)
+    got.foreach(r => assert(r.getLong(2) === 1000000L, s"query ${r.getLong(0)}"))
+  }
+
+  test("lshRecall: a one-bit bucket miss zeroes single-probe recall; multiprobe recovers it") {
+    // query 0's true neighbors differ in exactly ONE sign bit (dim 1),
+    // so they land one bucket away: invisible to single-probe, found by
+    // the xor-probe. Decoys share the query's bucket but point the
+    // other way.
+    def v(dim1: Float, tail: Float): Array[Float] =
+      Array(dim1) ++ Array.fill(7)(1f) ++ Array(tail) ++ Array.fill(55)(0f)
+    val emb = (Seq(
+      (0L, v(1f, 100f))) ++                       // the query
+      (10L to 12L).map(i => (i, v(-1f, 100f + i))) ++ // near neighbors, bit-0 flipped
+      (13L to 20L).map(i => (i, v(1f, -100f - i)))    // same-bucket decoys, anti-aligned
+    ).toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.lshRecall(emb).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got(("lsh_single", 0L)) === 0L)
+    assert(got(("lsh_multiprobe", 0L)) === 3L)
+  }
+
   test("dormantRichCustomers: above the positive-balance average AND no recent order") {
     val cust = Seq(
       (1L, 100.0, "A"),  // below average

@@ -175,6 +175,9 @@ class PlanShapeSpec extends SparkSpec {
       "event_funnel" -> "4-row step table × 1-row reached-counts aggregate",
       "event_funnel_sessionized" -> "4-row step table × 1-row reached-counts aggregate",
       "ann_bruteforce_topk" -> "nQueries=5 query set broadcast (brute force scans corpus once)",
+      "embedding_truncation_recall" ->
+        "nQueries=5 query set broadcast (two brute-force passes: full-dim + truncated)",
+      "ann_lsh_recall" -> "nQueries=5 query set broadcast (brute-force exact side)",
       "ann_bruteforce_sql" -> "nQueries=5 query set broadcast (brute force scans corpus once)",
       "media_feature_ann" -> "nQueries=5 query set broadcast (brute force scans corpus once)",
       "doc_lexical_ann" -> "nQueries=5 query set broadcast (brute force scans corpus once)",
