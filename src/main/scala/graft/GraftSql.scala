@@ -139,4 +139,35 @@ object GraftSql {
         |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
   }
+
+  /** Recursive CTE (Spark 4's `WITH RECURSIVE`): min-hop reachability
+    * within 3 hops of the seed parts (partkey < 50) over the
+    * ≥2-basket co-purchase graph — the iterative-graph family's FOURTH
+    * member, this time expressed declaratively and executed by the
+    * engine's own fixpoint operator instead of a driver loop. The
+    * recursion is depth-BOUNDED (`hop < 3`) and the per-hop frontier is
+    * a hash join on the edge key, so each iteration is the same
+    * bounded-shuffle superstep PageRank/LPA pay; min(hop) collapses the
+    * revisit paths afterward. For UNBOUNDED closure at 100 TB use the
+    * O(log n)-round star-contraction ([[graft.operators.Dedup]]) — a
+    * linear-depth recursive CTE walks the graph's diameter in
+    * supersteps. The DuckDB oracle is the SAME recursive SQL, making
+    * this a cross-engine fixpoint-semantics gate. */
+  def reachabilityRecursiveSql(spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark, sfDir)
+    spark.sql(
+      """WITH RECURSIVE
+        |b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |ue AS (SELECT a.l_partkey AS u, bb.l_partkey AS v
+        |  FROM b a JOIN b bb ON a.l_orderkey = bb.l_orderkey AND a.l_partkey < bb.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT u AS src, v AS dst FROM ue UNION ALL SELECT v AS src, u AS dst FROM ue),
+        |reach AS (
+        |  SELECT DISTINCT src AS part, 0 AS hop FROM e WHERE src < 50
+        |  UNION ALL
+        |  SELECT e.dst AS part, r.hop + 1 AS hop
+        |  FROM reach r JOIN e ON e.src = r.part WHERE r.hop < 3)
+        |SELECT CAST(part AS LONG) AS part, CAST(min(hop) AS LONG) AS hops
+        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
 }

@@ -77,7 +77,15 @@ object SparkEntry {
     "uu_sliding_5m_1m" -> ((s, d) => UniqueUsers.slidingDistinct(Tables.events(s, d))),
     "events_filter_project" -> ((s, d) => UniqueUsers.filterProject(Tables.events(s, d))),
     "events_json_extract" -> ((s, d) => UniqueUsers.jsonExtractStats(Tables.events(s, d))),
+    // Spark 4 VARIANT: parse once, typed variant_get extraction
+    "events_variant_extract" -> ((s, d) =>
+      UniqueUsers.variantExtractStats(Tables.events(s, d))),
     "events_props_map_stats" -> ((s, d) => UniqueUsers.propsMapStats(Tables.events(s, d))),
+    // Spark 4 recursive CTE: engine-fixpoint bounded reachability
+    "reachability_recursive" -> ((s, d) => GraftSql.reachabilityRecursiveSql(s, d)),
+    // runtime Bloom-filter join pruning (DPP's row-level cousin)
+    "bloomjoin_segment_revenue" -> ((s, d) =>
+      graft.operators.Star.bloomSegmentRevenue(s, d)),
     "event_type_stats" -> ((s, d) => UniqueUsers.eventTypeStats(Tables.events(s, d))),
     // ---- relational coverage (SURVEY.md §2 category checklist) ----
     "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(Tables.lineitem(s, d))),
@@ -2164,6 +2172,33 @@ object SparkEntry {
         |       CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k
         |FROM (SELECT event_type, TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_variant_extract" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        |       CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k,
+        |       CAST(count(*) AS BIGINT) AS n_missing
+        |FROM (SELECT event_type, TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "reachability_recursive" ->
+      """WITH RECURSIVE
+        |b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |ue AS (SELECT a.l_partkey AS u, bb.l_partkey AS v
+        |  FROM b a JOIN b bb ON a.l_orderkey = bb.l_orderkey AND a.l_partkey < bb.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT u AS src, v AS dst FROM ue UNION ALL SELECT v AS src, u AS dst FROM ue),
+        |reach AS (
+        |  SELECT DISTINCT src AS part, 0 AS hop FROM e WHERE src < 50
+        |  UNION ALL
+        |  SELECT e.dst AS part, r.hop + 1 AS hop
+        |  FROM reach r JOIN e ON e.src = r.part WHERE r.hop < 3)
+        |SELECT CAST(part AS BIGINT) AS part, CAST(min(hop) AS BIGINT) AS hops
+        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    "bloomjoin_segment_revenue" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(round(o_totalprice*100)) AS BIGINT) AS revenue_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_props_map_stats" ->
       """WITH kv AS (SELECT props, unnest(json_keys(props)) AS key FROM events),
         |v AS (SELECT key, TRY_CAST(json_extract_string(props, '$.' || key) AS BIGINT) AS val FROM kv)
@@ -3566,8 +3601,8 @@ object SparkEntry {
       "uu_per_minute_sql", "uu_sliding_5m_1m", "uu_daily_sketch_union",
       "uu_daily_sketch_check", "uu_wau_sketch_check", "user_count_cms_check",
       "audience_overlap_check",
-      "events_filter_project", "events_json_extract", "events_props_map_stats",
-      "event_type_stats"),
+      "events_filter_project", "events_json_extract", "events_variant_extract",
+      "events_props_map_stats", "event_type_stats"),
     "relational" -> Seq(
       "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue", "top100_items",
       "customers_topn_per_segment", "semi_join_customers", "anti_join_customers",
@@ -3607,9 +3642,9 @@ object SparkEntry {
       "aqe_skew_event_segment_stats", "length_outlier_stats",
       "anomaly_session_impact", "observed_order_audit", "kanon_risk"),
     "layout-scan" -> Seq("zorder_cluster_stats", "dpp_quarter_revenue", "pack_shards",
-      "bucketed_join_revenue"),
+      "bucketed_join_revenue", "bloomjoin_segment_revenue"),
     "graph" -> Seq("graph_pagerank", "graph_triangles", "graph_communities",
-      "graph_link_prediction"),
+      "graph_link_prediction", "reachability_recursive"),
     "dedup" -> Seq(
       "dedup_exact", "dedup_exact_norm", "dedup_exact_norm_sql", "dedup_minhash_lsh",
       "dedup_minhash_sql", "dedup_simhash", "dedup_ngram_jaccard", "dedup_sparse_cosine",

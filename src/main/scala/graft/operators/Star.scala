@@ -84,4 +84,39 @@ object Star {
         col("n_orders"), col("revenue_cents"))
       .orderBy("month_key")
   }
+
+  /** Runtime Bloom-filter join pruning — DPP's row-level cousin, and the
+    * scan lever when the join key is NOT the partition column (so DPP
+    * cannot fire): the optimizer aggregates a Bloom filter over the
+    * FILTERED dim side's join keys and injects `might_contain` into the
+    * fact scan, so ~4/5 of orders rows are dropped at the reader instead
+    * of riding the shuffle to be discarded by the join.
+    *
+    * Runs in its OWN child session (`newSession`: shared context,
+    * private SQLConf) because the injection preconditions are conf-
+    * gated: broadcast joins are disabled to reproduce the 100 TB plan
+    * locally — at scale an SF-grown customer table exceeds any
+    * broadcast threshold and the join shuffles, which is exactly when
+    * the Bloom filter pays; the scan-size threshold is zeroed because
+    * the local fact file is far below the 10 GiB production default.
+    * Result-invariant by construction (a Bloom filter only SKIPS rows
+    * the join would reject — false positives just ride to the join);
+    * the DuckDB oracle is the plain join, and PlanShapeSpec asserts
+    * `bloom_filter_agg`/`might_contain` in the executed plan. */
+  def bloomSegmentRevenue(spark: SparkSession, sfDir: String,
+                          segment: String = "BUILDING"): DataFrame = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    val fact = graft.Tables.orders(s2, sfDir)
+    val dim = graft.Tables.customer(s2, sfDir).filter(col("c_mktsegment") === segment)
+    fact.join(dim, col("o_custkey") === col("c_custkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
+      .agg(
+        count(lit(1)).cast("long").as("n_orders"),
+        sum(expr("cast(round(o_totalprice*100) as bigint)")).cast("long").as("revenue_cents"))
+      .orderBy("order_year")
+  }
 }

@@ -308,6 +308,33 @@ object UniqueUsers {
         max(col("k")).as("max_k"))
       .orderBy("event_type")
 
+  /** VARIANT-typed JSON surface (Spark 4): `props` parsed ONCE into the
+    * binary semi-structured type, then extracted with typed
+    * `variant_get` paths — the parse-once/extract-many shape that
+    * replaces repeated per-path string parsing at scale (VARIANT is the
+    * open-lakehouse answer to schema-on-read: the binary encoding skips
+    * re-tokenizing the JSON for every path, and shredded storage can
+    * push the path reads to the column reader). `try_variant_get` on a
+    * path absent from every record exercises the lenient accessor —
+    * missing data reads as NULL, never an error. Aggregates mirror
+    * [[jsonExtractStats]] so the two surfaces are directly comparable;
+    * the oracle extracts the same paths with JSON functions. */
+  def variantExtractStats(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(
+        col("event_type"),
+        expr("variant_get(v, '$.k', 'long')").as("k"),
+        expr("try_variant_get(v, '$.absent_key', 'long')").as("miss"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(when(col("miss").isNull, lit(1L)).otherwise(lit(0L))).as("n_missing"))
+      .orderBy("event_type")
+
   /** MAP-typed JSON surface: `props` parsed as `map<string,long>` (vs
     * [[jsonExtractStats]]' path extraction), exploded into (key, value)
     * entry rows, aggregated per key. Exercises MapType columns and the

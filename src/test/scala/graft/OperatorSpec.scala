@@ -1273,6 +1273,40 @@ class OperatorSpec extends SparkSpec {
     assert(got(("lsh_multiprobe", 0L)) === 3L)
   }
 
+  test("VARIANT extraction agrees row-for-row with the string-path JSON surface") {
+    import graft.operators.UniqueUsers
+    val ev = Tables.events(spark, Sf0001)
+    val v = UniqueUsers.variantExtractStats(ev)
+    val j = UniqueUsers.jsonExtractStats(ev)
+    val vCore = v.drop("n_missing")
+    assert(vCore.except(j).count() === 0L && j.except(vCore).count() === 0L)
+    // the lenient accessor: a path absent from every record reads NULL
+    // on every row, never an error
+    v.collect().foreach(r => assert(r.getLong(5) === r.getLong(1)))
+  }
+
+  test("recursive-CTE reachability equals an independent driver-side BFS") {
+    val got = GraftSql.reachabilityRecursiveSql(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent implementation: collect the (tiny at sf0.001) edge
+    // relation and run a literal breadth-first search
+    val baskets = Tables.lineitem(spark, Sf0001)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val und = baskets.groupBy(_._1).values.toSeq
+      .flatMap(b => b.map(_._2).sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(p => p).filter(_._2.size >= 2).keys.toSeq
+    val adj = (und ++ und.map { case (u, v) => (v, u) })
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    var frontier = adj.keySet.filter(_ < 50)
+    val hops = collection.mutable.Map(frontier.toSeq.map(_ -> 0L): _*)
+    for (h <- 1 to 3) {
+      frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)).filterNot(hops.contains)
+      frontier.foreach(hops(_) = h.toLong)
+    }
+    assert(got === hops.toMap)
+  }
+
   test("dormantRichCustomers: above the positive-balance average AND no recent order") {
     val cust = Seq(
       (1L, 100.0, "A"),  // below average

@@ -84,6 +84,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("PartitionFilters"), "partitioned scan missing entirely")
   }
 
+  test("runtime Bloom filter from the filtered dim side is injected into the fact scan") {
+    // DPP's row-level cousin: when the join key is NOT the partition
+    // column, the segment filter must still reach the orders scan — as
+    // a bloom_filter_agg over the dim keys probed by might_contain on
+    // the fact side. Built in its own child session (broadcast disabled
+    // to reproduce the 100 TB shuffle-join plan locally).
+    val df = graft.operators.Star.bloomSegmentRevenue(spark, Sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("bloom_filter_agg"),
+      s"no Bloom filter built from the dim side:\n${p.take(2000)}")
+    assert(p.toLowerCase.contains("might_contain"),
+      s"fact scan not probed by the Bloom filter:\n${p.take(2000)}")
+  }
+
   test("bucketed fact join: SortMergeJoin with zero Exchange below it (shuffle paid at write)") {
     // run the registered query once: it writes both bucketed tables and
     // must pick the sort-merge (co-located) strategy, not a broadcast
