@@ -261,6 +261,11 @@ object SparkEntry {
       Relational.promoRevenueShare(Tables.lineitem(s, d), Tables.part(s, d))),
     "q19_bracket_revenue" -> ((s, d) =>
       Relational.bracketRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
+    "q15_top_supplier" -> ((s, d) =>
+      Relational.topQuarterSupplier(Tables.supplier(s, d), Tables.lineitem(s, d))),
+    "q18_large_orders" -> ((s, d) =>
+      Relational.largeVolumeOrders(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d))),
     // ---- AQP: deterministic 1/16 md5-sample estimates, HT-variance
     // gated; the oracle recomputes estimate AND gate ----
     "aqp_revenue_estimate_check" -> ((s, d) =>
@@ -3074,6 +3079,25 @@ object SparkEntry {
         |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
         |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey, CAST(sum(round(l_extendedprice*(1-l_discount)*100)) AS BIGINT) AS revenue_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, revenue_cents
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE revenue_cents = (SELECT max(revenue_cents) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > 150)
+        |SELECT o_orderkey, c_custkey, c_mktsegment,
+        |       CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate_sec, total_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
     "daily_revenue_running" ->
       """WITH d AS (SELECT CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) AS day,
         |    CAST(sum(round(o_totalprice*100)) AS BIGINT) AS revenue_cents FROM orders GROUP BY 1)
@@ -3620,7 +3644,8 @@ object SparkEntry {
       "q17_small_qty_revenue", "q21_waiting_supplier", "q22_dormant_customers"),
     "tpch-remainder" -> Seq(
       "q6_discount_band", "q7_nation_trade", "q8_market_share",
-      "q10_returned_customers", "q14_promo_share", "q19_bracket_revenue"),
+      "q10_returned_customers", "q14_promo_share", "q15_top_supplier",
+      "q18_large_orders", "q19_bracket_revenue"),
     "aqp" -> Seq("aqp_revenue_estimate_check", "aqp_segment_revenue_check",
       "pareto_days"),
     "window-functions" -> Seq(

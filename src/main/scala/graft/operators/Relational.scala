@@ -1686,6 +1686,54 @@ object Relational {
       .orderBy("p_brand")
   }
 
+  /** Q15 analogue — top supplier(s) by quarter revenue, TIES INCLUDED:
+    * the view-plus-scalar-max query. One shipdate-pruned fact pass
+    * builds the per-supplier revenue relation; the max is a 1-row
+    * broadcast joined back with an exact integer equality (no rank
+    * window, no second fact scan), so two suppliers at the same cent
+    * both win — the tie semantics TPC-H requires and `LIMIT 1` gets
+    * wrong. */
+  def topQuarterSupplier(supplier: DataFrame, lineitem: DataFrame,
+                         qStart: String = "1996-01-01",
+                         qEnd: String = "1996-04-01"): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit(qStart).cast("timestamp") &&
+        col("l_shipdate") < lit(qEnd).cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).cast("long").as("revenue_cents"))
+    rev
+      .crossJoin(broadcast(rev.agg(max(col("revenue_cents")).as("best"))))
+      .filter(col("revenue_cents") === col("best"))
+      .join(supplier.select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("revenue_cents"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Q18 analogue — large-volume orders: the HAVING-driven semi-join.
+    * The quantity filter aggregates lineitem ONCE on its natural key
+    * (orderkey — the same shuffle every order-grain query pays) and the
+    * qualifying keys join orders + customer; at 100 TB the per-order
+    * aggregate is two-phase (map-side partials collapse each order's
+    * lines within a task) and the top-k is TakeOrdered, so the >150-qty
+    * HAVING never materializes a sorted corpus. */
+  def largeVolumeOrders(customer: DataFrame, orders: DataFrame,
+                        lineitem: DataFrame, minQty: Long = 150,
+                        k: Int = 20): DataFrame =
+    lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+      .join(orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_custkey"), col("c_mktsegment"),
+        unix_timestamp(col("o_orderdate")).as("o_orderdate_sec"),
+        col("total_qty").cast("long").as("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(k)
+
   /** Q22 analogue — scalar subquery + NOT EXISTS: customers with an
     * above-average positive balance who placed no order in the final
     * seven months (dormant high-value accounts), per segment. The

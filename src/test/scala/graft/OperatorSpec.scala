@@ -1307,6 +1307,32 @@ class OperatorSpec extends SparkSpec {
     assert(got === hops.toMap)
   }
 
+  test("topQuarterSupplier: revenue ties BOTH win; out-of-quarter shipments excluded") {
+    val supp = Seq((1L, "S1"), (2L, "S2"), (3L, "S3")).toDF("s_suppkey", "s_name")
+    val li = Seq(
+      (1L, ts("1996-02-01"), 100.0, 0.0), (1L, ts("1996-03-01"), 100.0, 0.0),
+      (2L, ts("1996-01-15"), 200.0, 0.0), // exact tie with supplier 1
+      (3L, ts("1996-02-01"), 150.0, 0.0),
+      (3L, ts("1995-06-01"), 999.0, 0.0)  // outside the quarter: ignored
+    ).toDF("l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val got = Relational.topQuarterSupplier(supp, li).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, "S1", 20000L), (2L, "S2", 20000L)))
+  }
+
+  test("largeVolumeOrders: HAVING is strict — an order at exactly the threshold is out") {
+    val cust = Seq((1L, "A"), (2L, "B")).toDF("c_custkey", "c_mktsegment")
+    val orders = Seq((10L, 1L, ts("1997-01-01")), (20L, 2L, ts("1997-02-01")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Seq(
+      (10L, 100.0), (10L, 60.0), // 160 > 150: in
+      (20L, 150.0)               // exactly 150: strict > excludes
+    ).toDF("l_orderkey", "l_quantity")
+    val got = Relational.largeVolumeOrders(cust, orders, li).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(4)))
+    assert(got.toSeq === Seq((10L, 1L, "A", 160L)))
+  }
+
   test("dormantRichCustomers: above the positive-balance average AND no recent order") {
     val cust = Seq(
       (1L, 100.0, "A"),  // below average
