@@ -568,6 +568,10 @@ object SparkEntry {
     }),
     // the TAKEDOWN gate: index the full corpus, remove every 3rd doc,
     // search — hash-gated against fresh BM25 over the remaining corpus
+    // right-to-be-forgotten across ALL THREE index families in one verb;
+    // the contract oracle catches both under- and over-deletion
+    "forget_cascade" -> ((s, d) =>
+      graft.operators.Lifecycle.forgetCascadeReport(s, d)),
     "bm25_after_remove" -> ((s, d) => {
       Search.dropSearchIndex(s, "srchr")
       Search.saveSearchIndex(Tables.documents(s, d), "srchr")
@@ -3487,6 +3491,15 @@ object SparkEntry {
     "bm25_search_indexed" -> bm25Oracle,
     "bm25_after_remove" ->
       bm25OracleOver("(SELECT * FROM documents WHERE doc_id % 3 != 0)"),
+    "forget_cascade" ->
+      """WITH c AS (SELECT CAST(count(*) AS BIGINT) AS total,
+        |    CAST(sum(CASE WHEN doc_id % 10 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS gone
+        |  FROM documents)
+        |SELECT family, total - gone AS n_remaining,
+        |       CAST(0 AS BIGINT) AS n_forgotten_present
+        |FROM c CROSS JOIN
+        |  (SELECT unnest(['bm25_postings', 'dedup_fp', 'ivf_cells']) AS family)
+        |ORDER BY family""".stripMargin,
     "cross_source_dup_matrix" -> crossSourceDupOracle,
     "minhash_band_stats" -> minhashBandStatsOracle,
     "benchmark_contamination" -> benchmarkContaminationOracle,
@@ -3704,6 +3717,7 @@ object SparkEntry {
       "vocab_growth", "corpus_curated"),
     "quality-model" -> Seq("quality_calibrated", "quality_classifier"),
     "search" -> Seq("bm25_search", "bm25_search_indexed", "bm25_after_remove"),
+    "lifecycle" -> Seq("forget_cascade"),
     "multimodal" -> Seq(
       "media_bytes_stats", "media_frame_sample", "media_phash_dedup", "image_meta_stub")
   ).flatMap { case (fam, names) => names.map(_ -> fam) }.toMap

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cross-family index lifecycle: the right-to-be-forgotten verb.
+  *
+  * A takedown request at 100 TB is not one delete — the document's
+  * traces live in EVERY derived artifact: the dedup fingerprint/band/
+  * shingle tables, the BM25 postings + corpus totals, and the
+  * cell-partitioned vector tree. [[forget]] sequences the three
+  * families' own ledgered, staged-rename removals behind one verb; it
+  * adds NO new rewrite machinery, so each family keeps its individually
+  * oracle-gated semantics (`incremental_dedup_after_diff`,
+  * `bm25_after_remove`, `ann_ivf_after_remove`), and the verb is
+  * idempotent because each member is (removing an absent id is a
+  * no-op anti-join everywhere) — the recovery story for a crash between
+  * families is simply "run it again".
+  */
+object Lifecycle {
+
+  /** Remove `doomed` documents from all three index families. `doomed`
+    * must carry the document columns (doc_id, text, source): the dedup
+    * diff uses the ids, the search removal projects per-doc lengths,
+    * and the vector removal keys on vec_id == doc_id (the
+    * [[TextAnalysis.lexicalVectors]] contract). */
+  def forget(spark: SparkSession, doomed: DataFrame,
+             dedupName: String, searchName: String, ivfPath: String): Unit = {
+    // one consistent snapshot of the kill list for all three rewrites
+    val pinned = doomed.localCheckpoint()
+    Dedup.applyCorpusDiff(spark, dedupName, pinned, pinned.filter(lit(false)))
+    Search.removeFromSearchIndex(spark, searchName, pinned)
+    Similarity.removeFromIvfIndex(spark, ivfPath,
+      pinned.select(col("doc_id").as("vec_id")))
+  }
+
+  /** The oracle-gated cascade check: build all three index families over
+    * the corpus, [[forget]] the `doc_id % 10 = 3` slice, then report per
+    * family (rows remaining, forgotten ids still present). The oracle
+    * asserts the CONTRACT — remaining == docs − forgotten and forgotten-
+    * present == 0 in every family — so both under-deletion (a family
+    * skipped) and over-deletion (a rewrite that dropped bystanders) are
+    * hash mismatches. Wall time is three index lifecycles; that cost is
+    * the thing being tested, as with the per-family `*_after_remove`
+    * gates. */
+  def forgetCascadeReport(spark: SparkSession, sfDir: String,
+                          forgetMod: Long = 10, forgetRem: Long = 3): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val dedupName = "fgt_dix"
+    val searchName = "fgt_srch"
+    val ivfPath = s"${System.getProperty("java.io.tmpdir")}/graft_fgtivf_" +
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    Dedup.dropDedupIndex(spark, dedupName)
+    Search.dropSearchIndex(spark, searchName)
+    Dedup.saveDedupIndex(docs, dedupName)
+    Search.saveSearchIndex(docs, searchName)
+    Similarity.saveIvfIndex(TextAnalysis.lexicalVectors(docs), ivfPath,
+      slot = "fgtcascade")
+
+    forget(spark, docs.filter(col("doc_id") % forgetMod === forgetRem),
+      dedupName, searchName, ivfPath)
+
+    val forgotten = docs.filter(col("doc_id") % forgetMod === forgetRem)
+      .select(col("doc_id")).localCheckpoint()
+    def report(family: String, ids: DataFrame): DataFrame =
+      ids.select(col("doc_id")).distinct()
+        .join(broadcast(forgotten.withColumn("hit", lit(1L))),
+          Seq("doc_id"), "left_outer")
+        .agg(
+          count(lit(1)).cast("long").as("n_remaining"),
+          coalesce(sum(col("hit")), lit(0L)).cast("long").as("n_forgotten_present"))
+        .select(lit(family).as("family"), col("n_remaining"),
+          col("n_forgotten_present"))
+    report("bm25_postings", spark.table(s"${searchName}_postings"))
+      .unionByName(report("dedup_fp", spark.table(s"${dedupName}_fp")))
+      .unionByName(report("ivf_cells",
+        spark.read.parquet(s"$ivfPath/cells").select(col("vec_id").as("doc_id"))))
+      .orderBy("family")
+  }
+}

@@ -1333,6 +1333,35 @@ class OperatorSpec extends SparkSpec {
     assert(got.toSeq === Seq((10L, 1L, "A", 160L)))
   }
 
+  test("Lifecycle.forget: doomed ids vanish from all three families; a crash-recovery re-run is a no-op") {
+    import graft.operators.{Dedup, Lifecycle, Search, Similarity, TextAnalysis}
+    val docs = Tables.documents(spark, Sf0001)
+    val ivfPath = s"${System.getProperty("java.io.tmpdir")}/graft_fgtspec_ivf"
+    Dedup.dropDedupIndex(spark, "fgt_t")
+    Search.dropSearchIndex(spark, "fgt_ts")
+    Dedup.saveDedupIndex(docs, "fgt_t")
+    Search.saveSearchIndex(docs, "fgt_ts")
+    Similarity.saveIvfIndex(TextAnalysis.lexicalVectors(docs), ivfPath, slot = "fgtspec")
+    val doomed = docs.filter("doc_id % 7 = 2")
+    Lifecycle.forget(spark, doomed, "fgt_t", "fgt_ts", ivfPath)
+    def stateCounts() = (
+      spark.table("fgt_t_fp").select("doc_id").distinct().count(),
+      spark.table("fgt_ts_postings").select("doc_id").distinct().count(),
+      spark.read.parquet(s"$ivfPath/cells").count())
+    val afterFirst = stateCounts()
+    // the recovery story for a crash between families: run it again
+    Lifecycle.forget(spark, doomed, "fgt_t", "fgt_ts", ivfPath)
+    assert(stateCounts() === afterFirst)
+    val ids = doomed.select("doc_id")
+    assert(spark.table("fgt_t_fp").join(ids, "doc_id").count() === 0L)
+    assert(spark.table("fgt_ts_postings").join(ids, "doc_id").count() === 0L)
+    assert(spark.read.parquet(s"$ivfPath/cells")
+      .join(ids.withColumnRenamed("doc_id", "vec_id"), "vec_id").count() === 0L)
+    // survivors intact: nothing over-deleted
+    val expected = docs.count() - doomed.count()
+    assert(afterFirst._1 === expected && afterFirst._2 === expected && afterFirst._3 === expected)
+  }
+
   test("dormantRichCustomers: above the positive-balance average AND no recent order") {
     val cust = Seq(
       (1L, 100.0, "A"),  // below average
