@@ -167,6 +167,10 @@ object SparkEntry {
       Tables.events(s, d), Tables.documents(s, d))),
     // privacy-release gate: quasi-identifier equivalence-class histogram
     "kanon_risk" -> ((s, d) => graft.operators.Audit.kAnonymityRisk(Tables.customer(s, d))),
+    // forensic first-digit screen (Nigrini): fabricated/capped amounts tripwire
+    "orders_benford_audit" -> ((s, d) => graft.operators.Audit.benfordAudit(Tables.orders(s, d))),
+    // A/A split sanity: the hash assignment must NOT read significant
+    "ab_split_check" -> ((s, d) => graft.operators.Audit.abSplitCheck(Tables.events(s, d))),
     // robust (median/MAD, integer-exact) hourly rate-spike detection
     "event_rate_anomaly" -> ((s, d) => graft.operators.Audit.eventRateAnomaly(Tables.events(s, d))),
     // CUSUM slow-drift detection via the prefix-sum/running-min closed form
@@ -1185,6 +1189,47 @@ object SparkEntry {
        |  GROUP BY 2)
        |SELECT * FROM (SELECT * FROM sing UNION ALL SELECT * FROM mult)
        |ORDER BY variant, query_id""".stripMargin
+  }
+
+  private def benfordOracle: String =
+    """WITH v AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS v FROM orders
+      |  WHERE round(o_totalprice*100) > 0),
+      |d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+      |    CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+      |e AS (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS digit,
+      |    unnest([301029,176091,124938,96910,79181,66946,57991,51152,45757]) AS benford_ppm),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM d)
+      |SELECT CAST(e.digit AS BIGINT) AS digit, CAST(coalesce(d.n, 0) AS BIGINT) AS n,
+      |  CAST(coalesce(d.n, 0) * 1000000 // tot AS BIGINT) AS obs_ppm,
+      |  CAST(e.benford_ppm AS BIGINT) AS benford_ppm,
+      |  CAST(abs(coalesce(d.n, 0) * 1000000 // tot - e.benford_ppm) AS BIGINT) AS gap_ppm
+      |FROM e LEFT JOIN d ON e.digit = d.digit CROSS JOIN t ORDER BY digit""".stripMargin
+
+  private def abSplitOracle: String = {
+    def nib(i: Int) = s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)"
+    s"""WITH conv AS (SELECT user_id,
+       |    max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS converted
+       |  FROM events GROUP BY 1),
+       |h AS (SELECT converted, md5('ab:' || CAST(user_id AS VARCHAR)) AS m FROM conv),
+       |armd AS (SELECT converted,
+       |    CASE WHEN (${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)}) % 2 = 0
+       |      THEN 'A' ELSE 'B' END AS arm FROM h),
+       |w AS (SELECT
+       |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+       |    CAST(sum(CASE WHEN arm = 'A' THEN converted ELSE 0 END) AS BIGINT) AS ca,
+       |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+       |    CAST(sum(CASE WHEN arm = 'B' THEN converted ELSE 0 END) AS BIGINT) AS cb FROM armd),
+       |r AS (SELECT na AS n_a, ca AS conv_a,
+       |    CAST(ca*1000000 // na AS BIGINT) AS rate_a_ppm,
+       |    nb AS n_b, cb AS conv_b, CAST(cb*1000000 // nb AS BIGINT) AS rate_b_ppm,
+       |    CAST(abs(ca*1000000 // na - cb*1000000 // nb) AS BIGINT) AS delta_ppm,
+       |    CAST((ca+cb)*1000000 // (na+nb) AS BIGINT) AS pooled_ppm FROM w)
+       |SELECT n_a, conv_a, rate_a_ppm, n_b, conv_b, rate_b_ppm, delta_ppm, pooled_ppm,
+       |  CAST(CASE WHEN pooled_ppm > 0 AND pooled_ppm < 1000000 AND
+       |    CAST(25 AS HUGEINT) * delta_ppm * delta_ppm * n_a * n_b >=
+       |    CAST(96 AS HUGEINT) * pooled_ppm * (1000000 - pooled_ppm) * (n_a + n_b)
+       |    THEN 1 ELSE 0 END AS BIGINT) AS significant
+       |FROM r""".stripMargin
   }
 
   private def stratifiedSampleOracle: String = {
@@ -3265,6 +3310,8 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "corpus_sample_stratified" -> stratifiedSampleOracle,
     "aqp_revenue_estimate_check" -> aqpRevenueOracle,
+    "orders_benford_audit" -> benfordOracle,
+    "ab_split_check" -> abSplitOracle,
     "aqp_segment_revenue_check" -> aqpSegmentOracle,
     "pareto_days" ->
       """WITH d AS (SELECT CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) AS day_sec,
@@ -3678,7 +3725,8 @@ object SparkEntry {
       "daily_revenue_seasonal", "revenue_forecast_eval", "table_column_stats",
       "join_key_skew_stats", "join_size_estimate", "salted_event_segment_stats",
       "aqe_skew_event_segment_stats", "length_outlier_stats",
-      "anomaly_session_impact", "observed_order_audit", "kanon_risk"),
+      "anomaly_session_impact", "observed_order_audit", "kanon_risk",
+      "orders_benford_audit", "ab_split_check"),
     "layout-scan" -> Seq("zorder_cluster_stats", "dpp_quarter_revenue", "pack_shards",
       "bucketed_join_revenue", "bloomjoin_segment_revenue"),
     "graph" -> Seq("graph_pagerank", "graph_triangles", "graph_communities",

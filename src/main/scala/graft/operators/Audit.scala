@@ -278,4 +278,95 @@ object Audit {
         col("n_rows"), (col("group_size") < k).cast("long").as("at_risk"))
       .orderBy("group_size")
   }
+
+  /** Benford's-law expected leading-digit shares, in integer ppm
+    * (floor(log10(1+1/d)·10⁶), d = 1..9). Hard constants, not computed:
+    * the oracle must carry the identical table, and a float log at two
+    * engines is exactly the nondeterminism this repo bans. */
+  private val BenfordPpm = Seq(
+    301029L, 176091L, 124938L, 96910L, 79181L,
+    66946L, 57991L, 51152L, 45757L)
+
+  /** Benford first-digit audit of order totals — the forensic-accounting
+    * screen (Nigrini's test) applied as a data-quality monitor: naturally
+    * grown multi-magnitude amounts track Benford's law; fabricated,
+    * capped, or generator-defaulted values don't, and a sudden jump in
+    * this report's distance column is an upstream-change tripwire even
+    * though no single row is wrong. One scan → 9-row digit histogram
+    * (two-phase, domain-bounded); per-digit observed ppm vs the Benford
+    * expectation and the absolute gap. On THIS synthetic corpus the
+    * distance is honestly large (uniform prices are exactly the
+    * non-Benford case) — the audit reporting that is the demo. */
+  def benfordAudit(orders: DataFrame): DataFrame = {
+    val benford = BenfordPpm.zipWithIndex
+      .map { case (ppm, i) => (i + 1L, ppm) }
+    val expect = orders.sparkSession.createDataFrame(benford)
+      .toDF("digit", "benford_ppm")
+    val digits = orders
+      .select(Relational.cents(col("o_totalprice")).cast("long").as("v"))
+      .filter(col("v") > 0)
+      .select(substring(col("v").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).as("tot"))
+    digits
+      .join(broadcast(expect), Seq("digit"), "right_outer")
+      .crossJoin(broadcast(total))
+      .select(col("digit"),
+        coalesce(col("n"), lit(0L)).cast("long").as("n"),
+        expr("coalesce(n, 0) * 1000000 div tot").cast("long").as("obs_ppm"),
+        col("benford_ppm"),
+        expr("abs(coalesce(n, 0) * 1000000 div tot - benford_ppm)")
+          .cast("long").as("gap_ppm"))
+      .orderBy("digit")
+  }
+
+  /** A/A experiment-split sanity check: users hash-split into two arms
+    * (the same deterministic md5-ppm bucketing the samplers use), each
+    * arm's purchase-conversion rate compared with the pooled
+    * two-proportion z-test on the ppm-integer lattice:
+    * z² ≥ 3.84 (95%) ⟺ `25·δ²·na·nb ≥ 96·p·(10⁶−p)·(na+nb)` with δ and
+    * pooled p as floor-divided ppm (the ±1 ppm floor is deterministic,
+    * so both engines land on the same verdict bit); the product chain
+    * rides DECIMAL(38,0) / HUGEINT so it cannot wrap at any arm size.
+    * On identically distributed arms (this IS one population split by
+    * hash) the test must NOT fire — a significant A/A is the canonical
+    * symptom of a biased assignment hash or a unit-of-randomization
+    * bug, which is what this audit catches before anyone trusts a real
+    * A/B readout from the same machinery. One (user, arm, converted)
+    * aggregate then a 2-row rollup. */
+  def abSplitCheck(events: DataFrame): DataFrame = {
+    val users = events
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 150.0, 1L)
+        .otherwise(0L)).as("converted"))
+      .select(
+        when(conv(substring(md5(concat_ws(":", lit("ab"), col("user_id"))), 1, 4), 16, 10)
+          .cast("long") % 2 === 0, lit("A")).otherwise(lit("B")).as("arm"),
+        col("converted"))
+    val arms = users.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("c"))
+    arms.groupBy()
+      .agg(
+        sum(when(col("arm") === "A", col("n"))).as("na"),
+        sum(when(col("arm") === "A", col("c"))).as("ca"),
+        sum(when(col("arm") === "B", col("n"))).as("nb"),
+        sum(when(col("arm") === "B", col("c"))).as("cb"))
+      .selectExpr(
+        "CAST(na AS LONG) AS n_a", "CAST(ca AS LONG) AS conv_a",
+        "CAST(ca * 1000000 div na AS LONG) AS rate_a_ppm",
+        "CAST(nb AS LONG) AS n_b", "CAST(cb AS LONG) AS conv_b",
+        "CAST(cb * 1000000 div nb AS LONG) AS rate_b_ppm",
+        "CAST(abs(ca * 1000000 div na - cb * 1000000 div nb) AS LONG) AS delta_ppm",
+        "CAST((ca + cb) * 1000000 div (na + nb) AS LONG) AS pooled_ppm")
+      .selectExpr(
+        "n_a", "conv_a", "rate_a_ppm", "n_b", "conv_b", "rate_b_ppm",
+        "delta_ppm", "pooled_ppm",
+        // the variance guard: pooled 0 or 10^6 means zero variance AND
+        // equal rates — never "significant", not a 0 >= 0 coin flip
+        "CAST(CASE WHEN pooled_ppm > 0 AND pooled_ppm < 1000000 AND " +
+          "CAST(25 AS DECIMAL(38,0)) * delta_ppm * delta_ppm * n_a * n_b >= " +
+          "CAST(96 AS DECIMAL(38,0)) * pooled_ppm * (1000000 - pooled_ppm) * (n_a + n_b) " +
+          "THEN 1 ELSE 0 END AS LONG) AS significant")
+  }
 }

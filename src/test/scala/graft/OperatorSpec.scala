@@ -1362,6 +1362,45 @@ class OperatorSpec extends SparkSpec {
     assert(afterFirst._1 === expected && afterFirst._2 === expected && afterFirst._3 === expected)
   }
 
+  test("benfordAudit: hand-computed digit histogram; zero amounts excluded") {
+    import graft.operators.Audit
+    // cents: 100, 250, 19, 999, and a 0.0 that must not count
+    val orders = Seq(1.00, 2.50, 0.19, 9.99, 0.0).map(Tuple1(_)).toDF("o_totalprice")
+    val got = Audit.benfordAudit(orders).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    assert(got.size === 9) // all nine digits reported even when unobserved
+    assert(got(1L) === ((2L, 500000L, 198971L))) // 100 and 19 lead with 1
+    assert(got(2L) === ((1L, 250000L, 73909L)))
+    assert(got(9L) === ((1L, 250000L, 204243L)))
+    assert(got(5L)._1 === 0L && got(5L)._2 === 0L)
+  }
+
+  test("abSplitCheck: planted arm difference fires the gate; an all-convert corpus cannot (variance guard)") {
+    import graft.operators.Audit
+    // resolve each user's arm with the operator's own hash, then give
+    // purchases only to arm A -> the difference is real and must read
+    // significant
+    val userArm = (1L to 400L).toDF("user_id")
+      .selectExpr("user_id",
+        "conv(substring(md5(concat_ws(':', 'ab', user_id)), 1, 4), 16, 10) % 2 = 0 AS isA")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    def ev(id: Long, u: Long, t: String, v: Double) =
+      (id, new java.sql.Timestamp(id * 1000L), u, t, v)
+    val planted = userArm.toSeq.zipWithIndex.flatMap { case ((u, isA), i) =>
+      Seq(ev(i * 2L, u, "view", 1.0)) ++
+        (if (isA) Seq(ev(i * 2L + 1, u, "purchase", 200.0)) else Seq.empty)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val fired = Audit.abSplitCheck(planted).collect().head
+    assert(fired.getLong(2) === 1000000L) // rate A
+    assert(fired.getLong(5) === 0L)       // rate B
+    assert(fired.getLong(8) === 1L, "a real difference must be significant")
+    // degenerate: EVERY user converts -> zero variance, equal rates; the
+    // guard keeps 0 >= 0 from reading as significance
+    val allConvert = (1L to 100L).map(u => ev(u, u, "purchase", 200.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(Audit.abSplitCheck(allConvert).collect().head.getLong(8) === 0L)
+  }
+
   test("dormantRichCustomers: above the positive-balance average AND no recent order") {
     val cust = Seq(
       (1L, 100.0, "A"),  // below average

@@ -217,7 +217,9 @@ class PlanShapeSpec extends SparkSpec {
         "1-row max-day broadcasts (trailing-window clip, sketch + exact sides)",
       "q11_brand_share" ->
         "1-row all-brand totals broadcast onto the brand-domain-bounded relation",
-      "q22_dormant_customers" -> "1-row positive-balance average broadcast")
+      "q22_dormant_customers" -> "1-row positive-balance average broadcast",
+      "orders_benford_audit" ->
+        "9-row Benford-constant table outer-joined to the digit-domain histogram + 1-row total broadcast")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, Sf0001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
