@@ -270,6 +270,13 @@ object SparkEntry {
     "q18_large_orders" -> ((s, d) =>
       Relational.largeVolumeOrders(Tables.customer(s, d), Tables.orders(s, d),
         Tables.lineitem(s, d))),
+    // out-of-fold categorical target encoding: one aggregate, K-fold
+    // exclusion by subtraction — the leakage-safe ML prep step
+    "segment_target_encoding" -> ((s, d) =>
+      Relational.segmentTargetEncoding(Tables.orders(s, d), Tables.customer(s, d))),
+    // lead-lag analysis: integer-scaled covariance per day shift
+    "event_lag_correlation" -> ((s, d) =>
+      Relational.eventLagCorrelation(Tables.events(s, d))),
     // ---- AQP: deterministic 1/16 md5-sample estimates, HT-variance
     // gated; the oracle recomputes estimate AND gate ----
     "aqp_revenue_estimate_check" -> ((s, d) =>
@@ -1190,6 +1197,36 @@ object SparkEntry {
        |SELECT * FROM (SELECT * FROM sing UNION ALL SELECT * FROM mult)
        |ORDER BY variant, query_id""".stripMargin
   }
+
+  private def targetEncodingOracle: String = {
+    def nib(i: Int) = s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)"
+    s"""WITH j AS (SELECT c_mktsegment, CAST(round(o_totalprice*100) AS BIGINT) AS v,
+       |    md5('fold:' || CAST(o_orderkey AS VARCHAR)) AS m
+       |  FROM orders JOIN customer ON o_custkey = c_custkey),
+       |r AS (SELECT c_mktsegment,
+       |    CAST((${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)}) % 5 AS BIGINT) AS fold,
+       |    v FROM j),
+       |cf AS (SELECT c_mktsegment, fold, CAST(count(*) AS BIGINT) AS n_cf,
+       |    CAST(sum(v) AS BIGINT) AS s_cf FROM r GROUP BY 1, 2),
+       |c AS (SELECT c_mktsegment, CAST(sum(n_cf) AS BIGINT) AS n_c,
+       |    CAST(sum(s_cf) AS BIGINT) AS s_c FROM cf GROUP BY 1)
+       |SELECT cf.c_mktsegment, fold, n_cf AS n_rows,
+       |  CAST(CASE WHEN n_c > n_cf THEN (s_c - s_cf) // (n_c - n_cf) END AS BIGINT) AS encoding_cents
+       |FROM cf JOIN c ON cf.c_mktsegment = c.c_mktsegment
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  private def lagCorrelationOracle: String =
+    """WITH d AS (SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS p
+      |  FROM events GROUP BY 1),
+      |l AS (SELECT CAST(unnest(range(-7, 8)) AS BIGINT) AS lag),
+      |pairs AS (SELECT l.lag, a.c, b.p
+      |  FROM l CROSS JOIN d a JOIN d b ON b.day = a.day + l.lag * 86400)
+      |SELECT lag, CAST(count(*) AS BIGINT) AS n_days,
+      |  CAST(count(*) * sum(c * p) - sum(c) * sum(p) AS BIGINT) AS cov_scaled
+      |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin
 
   private def benfordOracle: String =
     """WITH v AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS v FROM orders
@@ -3311,6 +3348,8 @@ object SparkEntry {
     "corpus_sample_stratified" -> stratifiedSampleOracle,
     "aqp_revenue_estimate_check" -> aqpRevenueOracle,
     "orders_benford_audit" -> benfordOracle,
+    "segment_target_encoding" -> targetEncodingOracle,
+    "event_lag_correlation" -> lagCorrelationOracle,
     "ab_split_check" -> abSplitOracle,
     "aqp_segment_revenue_check" -> aqpSegmentOracle,
     "pareto_days" ->
@@ -3711,6 +3750,7 @@ object SparkEntry {
     "window-functions" -> Seq(
       "daily_revenue_range7d", "daily_revenue_running", "daily_revenue_rank_stats",
       "customer_trailing_features"),
+    "ml-feature-prep" -> Seq("segment_target_encoding"),
     "materialized-view" -> Seq("daily_revenue_incremental"),
     "cdc" -> Seq("orders_upsert_apply", "scd2_orders", "cdc_apply_changes",
       "scd2_temporal_join"),
@@ -3726,7 +3766,7 @@ object SparkEntry {
       "join_key_skew_stats", "join_size_estimate", "salted_event_segment_stats",
       "aqe_skew_event_segment_stats", "length_outlier_stats",
       "anomaly_session_impact", "observed_order_audit", "kanon_risk",
-      "orders_benford_audit", "ab_split_check"),
+      "orders_benford_audit", "ab_split_check", "event_lag_correlation"),
     "layout-scan" -> Seq("zorder_cluster_stats", "dpp_quarter_revenue", "pack_shards",
       "bucketed_join_revenue", "bloomjoin_segment_revenue"),
     "graph" -> Seq("graph_pagerank", "graph_triangles", "graph_communities",

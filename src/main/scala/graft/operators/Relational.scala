@@ -1686,6 +1686,73 @@ object Relational {
       .orderBy("p_brand")
   }
 
+  /** Leakage-safe (out-of-fold) target encoding — the categorical-
+    * feature prep step tabular ML pipelines get wrong at scale: the
+    * naive "mean target per category" leaks every row's OWN label into
+    * its feature (the model then memorizes rare categories), and the
+    * classic fix — K-fold exclusion — is usually coded as K re-
+    * aggregations. Here both grains come from ONE bounded aggregate:
+    * per (category, fold) sums roll up to per-category totals, and the
+    * out-of-fold encoding is pure subtraction,
+    * `(s_c − s_cf) div (n_c − n_cf)` — exact integer cents, K passes
+    * never happen, shuffle bounded by |categories|·K. The per-fold
+    * report is the leakage AUDIT view (a fold whose encoding swings is
+    * a category dominated by few rows); serving joins this ≤ |C|·K-row
+    * table broadcast onto the facts. A category living entirely in one
+    * fold has no out-of-fold rows — encoded NULL, the caller falls back
+    * to the global prior. */
+  def segmentTargetEncoding(orders: DataFrame, customer: DataFrame,
+                            folds: Int = 5): DataFrame = {
+    val rows = orders
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        (conv(substring(md5(concat_ws(":", lit("fold"), col("o_orderkey"))), 1, 4), 16, 10)
+          .cast("long") % folds).as("fold"),
+        cents(col("o_totalprice")).cast("long").as("v"))
+    val cf = rows.groupBy(col("c_mktsegment"), col("fold"))
+      .agg(count(lit(1)).as("n_cf"), sum(col("v")).as("s_cf"))
+    val c = cf.groupBy(col("c_mktsegment"))
+      .agg(sum(col("n_cf")).as("n_c"), sum(col("s_cf")).as("s_c"))
+    cf.join(c, "c_mktsegment")
+      .select(col("c_mktsegment"), col("fold"),
+        col("n_cf").cast("long").as("n_rows"),
+        expr("CASE WHEN n_c > n_cf THEN (s_c - s_cf) div (n_c - n_cf) END")
+          .cast("long").as("encoding_cents"))
+      .orderBy("c_mktsegment", "fold")
+  }
+
+  /** Lead–lag cross-correlation between two daily event series (clicks
+    * vs purchases): for each lag in ±`maxLag` days, the integer-scaled
+    * covariance `n·Σxy − Σx·Σy` over the overlapping days — positive
+    * peaks locate "purchases follow clicks by k days". Everything runs
+    * on the DAY-domain aggregate: the lag expansion is a ≤(2L+1)×
+    * explode of that bounded relation and the shift is an EQUI join on
+    * the day key (never an inequality join); the scaled-covariance form
+    * avoids both float means and the subtraction-of-large-squares trap.
+    * Scores are comparable across lags where n is equal (the interior
+    * lags); edge lags carry their smaller n visibly. */
+  def eventLagCorrelation(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    val daily = events
+      .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("day"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+    val shifted = daily.select(col("day"), col("c"))
+      .withColumn("lag", explode(sequence(lit(-maxLag), lit(maxLag))))
+      .withColumn("pday", col("day") + col("lag") * 86400L)
+    shifted
+      .join(daily.select(col("day").as("pday"), col("p")), "pday")
+      .groupBy(col("lag").cast("long").as("lag"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("c")).as("sc"), sum(col("p")).as("sp"),
+        sum(col("c") * col("p")).as("scp"))
+      .select(col("lag"), col("n_days").cast("long").as("n_days"),
+        (col("n_days") * col("scp") - col("sc") * col("sp")).cast("long").as("cov_scaled"))
+      .orderBy("lag")
+  }
+
   /** Q15 analogue — top supplier(s) by quarter revenue, TIES INCLUDED:
     * the view-plus-scalar-max query. One shipdate-pruned fact pass
     * builds the per-supplier revenue relation; the max is a 1-row

@@ -1401,6 +1401,42 @@ class OperatorSpec extends SparkSpec {
     assert(Audit.abSplitCheck(allConvert).collect().head.getLong(8) === 0L)
   }
 
+  test("segmentTargetEncoding: each fold's encoding excludes exactly its own rows") {
+    // resolve folds with the operator's own hash, then hand-compute the
+    // out-of-fold means and compare
+    val orders = (1L to 200L).map(k => (k, k % 2 + 1, if (k <= 100) 10.0 else 50.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val cust = Seq((1L, "SEG_A"), (2L, "SEG_B")).toDF("c_custkey", "c_mktsegment")
+    val fold = orders
+      .selectExpr("o_orderkey",
+        "CAST(conv(substring(md5(concat_ws(':', 'fold', o_orderkey)), 1, 4), 16, 10) AS LONG) % 5 AS fold")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = (1L to 200L).map(k =>
+      (if (k % 2 == 0) "SEG_A" else "SEG_B", fold(k), if (k <= 100) 1000L else 5000L))
+    val expected = rows.groupBy(r => (r._1, r._2)).map { case ((cat, f), in) =>
+      val all = rows.filter(_._1 == cat)
+      val out = all.filterNot(_._2 == f)
+      (cat, f) -> ((in.size.toLong, out.map(_._3).sum / out.size))
+    }
+    val got = Relational.segmentTargetEncoding(orders, cust).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+  }
+
+  test("eventLagCorrelation: the scaled covariance matches hand arithmetic per lag") {
+    def day(d: Int, t: String, n: Int) = (0 until n).map(_ =>
+      (new java.sql.Timestamp(d * 86400000L), t))
+    // clicks [5, 1, 4]; purchases are yesterday's clicks [_, 5, 1]
+    val ev = (day(0, "click", 5) ++ day(1, "click", 1) ++ day(2, "click", 4) ++
+      day(1, "purchase", 5) ++ day(2, "purchase", 1))
+      .toDF("ts", "event_type")
+    val got = Relational.eventLagCorrelation(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      -2L -> ((1L, 0L)), -1L -> ((2L, 15L)), 0L -> ((3L, -33L)),
+      1L -> ((2L, 16L)), 2L -> ((1L, 0L))))
+  }
+
   test("dormantRichCustomers: above the positive-balance average AND no recent order") {
     val cust = Seq(
       (1L, 100.0, "A"),  // below average
