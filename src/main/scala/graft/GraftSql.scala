@@ -153,6 +153,31 @@ object GraftSql {
     * linear-depth recursive CTE walks the graph's diameter in
     * supersteps. The DuckDB oracle is the SAME recursive SQL, making
     * this a cross-engine fixpoint-semantics gate. */
+  /** LISTAGG (new in Spark 4) with a WITHIN GROUP order: per order
+    * priority, the top-5 orders by value as an ordered comma string —
+    * the report-rendering aggregate BI layers ask for. Determinism is
+    * the whole game for an ordered string aggregate: the top-5 cut is
+    * the salted-window TakeOrdered shape on (value desc, orderkey) — a
+    * TOTAL order, so ties cannot reshuffle the string — and LISTAGG
+    * re-sorts WITHIN GROUP by the same keys. Output is
+    * |priority-domain| rows; the oracle is DuckDB's ordered
+    * string_agg. */
+  def priorityTopOrdersListagg(spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark, sfDir)
+    spark.sql(
+      """WITH v AS (SELECT o_orderpriority AS pri, o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS LONG) AS cents FROM orders),
+        |top5 AS (SELECT pri, k, cents FROM (
+        |    SELECT pri, k, cents,
+        |      row_number() OVER (PARTITION BY pri ORDER BY cents DESC, k) AS rn FROM v)
+        |  WHERE rn <= 5)
+        |SELECT pri AS o_orderpriority,
+        |  CAST(count(*) AS LONG) AS n,
+        |  CAST(sum(cents) AS LONG) AS top5_cents,
+        |  listagg(CAST(k AS STRING), ',') WITHIN GROUP (ORDER BY cents DESC, k) AS top5_keys
+        |FROM top5 GROUP BY pri ORDER BY pri""".stripMargin)
+  }
+
   def reachabilityRecursiveSql(spark: SparkSession, sfDir: String): DataFrame = {
     registerAll(spark, sfDir)
     // materialize the loop-INVARIANT edge relation ONCE (the same
@@ -171,13 +196,17 @@ object GraftSql {
         |UNION ALL SELECT v AS src, u AS dst FROM ue""".stripMargin)
       .localCheckpoint()
       .createOrReplaceTempView("copurchase_edges")
+    // named parameter markers (Spark 4 parameterized SQL): the literals
+    // bind server-side instead of being spliced into the text — the
+    // SQL-injection-proof form a query service exposes
     spark.sql(
       """WITH RECURSIVE reach AS (
-        |  SELECT DISTINCT src AS part, 0 AS hop FROM copurchase_edges WHERE src < 50
+        |  SELECT DISTINCT src AS part, 0 AS hop FROM copurchase_edges WHERE src < :seedCap
         |  UNION ALL
         |  SELECT e.dst AS part, r.hop + 1 AS hop
-        |  FROM reach r JOIN copurchase_edges e ON e.src = r.part WHERE r.hop < 3)
+        |  FROM reach r JOIN copurchase_edges e ON e.src = r.part WHERE r.hop < :maxHop)
         |SELECT CAST(part AS LONG) AS part, CAST(min(hop) AS LONG) AS hops
-        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+      Map("seedCap" -> 50, "maxHop" -> 3))
   }
 }

@@ -83,6 +83,8 @@ object SparkEntry {
     "events_props_map_stats" -> ((s, d) => UniqueUsers.propsMapStats(Tables.events(s, d))),
     // Spark 4 recursive CTE: engine-fixpoint bounded reachability
     "reachability_recursive" -> ((s, d) => GraftSql.reachabilityRecursiveSql(s, d)),
+    // Spark 4 LISTAGG: ordered string aggregate over a total-ordered top-k
+    "priority_top_orders_listagg" -> ((s, d) => GraftSql.priorityTopOrdersListagg(s, d)),
     // runtime Bloom-filter join pruning (DPP's row-level cousin)
     "bloomjoin_segment_revenue" -> ((s, d) =>
       graft.operators.Star.bloomSegmentRevenue(s, d)),
@@ -2283,6 +2285,17 @@ object SparkEntry {
         |  FROM reach r JOIN e ON e.src = r.part WHERE r.hop < 3)
         |SELECT CAST(part AS BIGINT) AS part, CAST(min(hop) AS BIGINT) AS hops
         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    "priority_top_orders_listagg" ->
+      """WITH v AS (SELECT o_orderpriority AS pri, o_orderkey AS k,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders),
+        |top5 AS (SELECT pri, k, cents FROM (
+        |    SELECT pri, k, cents,
+        |      row_number() OVER (PARTITION BY pri ORDER BY cents DESC, k) AS rn FROM v)
+        |  WHERE rn <= 5)
+        |SELECT pri AS o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS top5_cents,
+        |  string_agg(CAST(k AS VARCHAR), ',' ORDER BY cents DESC, k) AS top5_keys
+        |FROM top5 GROUP BY pri ORDER BY pri""".stripMargin,
     "bloomjoin_segment_revenue" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
         |       CAST(count(*) AS BIGINT) AS n_orders,
@@ -3736,6 +3749,7 @@ object SparkEntry {
       "customer_name_parse", "events_by_weekday", "events_pivot",
       "events_resample_gapfill", "parts_above_brand_avg", "median_order_by_segment",
       "orders_price_histogram", "asof_join_orders", "click_purchase_range_join",
+      "priority_top_orders_listagg",
       "part_cooccurrence", "shipping_delay_histogram", "supplier_delay_ranking",
       "shipping_delay_percentiles", "lineitem_metrics_unpivot", "order_value_winsorized"),
     "subquery-decorrelation" -> Seq(
