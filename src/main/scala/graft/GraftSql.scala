@@ -186,7 +186,10 @@ object GraftSql {
     // iteration, so leaving the basket self-join inline multiplies the
     // most expensive stage by the recursion depth (measured 14.5 s →
     // 5.0 s cold at sf0.1 from this change alone — the remainder is the
-    // one-time edge build itself)
+    // one-time edge build itself). The checkpoint blocks are reclaimed
+    // by the ContextCleaner when the plan's RDD references drop, same
+    // as every iterative operator here; the view name is namespaced to
+    // this query so no other operator can cross-wire with it
     spark.sql(
       """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |ue AS (SELECT a.l_partkey AS u, bb.l_partkey AS v
@@ -195,16 +198,16 @@ object GraftSql {
         |SELECT u AS src, v AS dst FROM ue
         |UNION ALL SELECT v AS src, u AS dst FROM ue""".stripMargin)
       .localCheckpoint()
-      .createOrReplaceTempView("copurchase_edges")
+      .createOrReplaceTempView("graft_reach_copurchase_edges")
     // named parameter markers (Spark 4 parameterized SQL): the literals
     // bind server-side instead of being spliced into the text — the
     // SQL-injection-proof form a query service exposes
     spark.sql(
       """WITH RECURSIVE reach AS (
-        |  SELECT DISTINCT src AS part, 0 AS hop FROM copurchase_edges WHERE src < :seedCap
+        |  SELECT DISTINCT src AS part, 0 AS hop FROM graft_reach_copurchase_edges WHERE src < :seedCap
         |  UNION ALL
         |  SELECT e.dst AS part, r.hop + 1 AS hop
-        |  FROM reach r JOIN copurchase_edges e ON e.src = r.part WHERE r.hop < :maxHop)
+        |  FROM reach r JOIN graft_reach_copurchase_edges e ON e.src = r.part WHERE r.hop < :maxHop)
         |SELECT CAST(part AS LONG) AS part, CAST(min(hop) AS LONG) AS hops
         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
       Map("seedCap" -> 50, "maxHop" -> 3))

@@ -579,12 +579,12 @@ object SparkEntry {
       Search.saveSearchIndex(Tables.documents(s, d), "srchq")
       Search.bm25Indexed(s, "srchq")
     }),
-    // the TAKEDOWN gate: index the full corpus, remove every 3rd doc,
-    // search — hash-gated against fresh BM25 over the remaining corpus
     // right-to-be-forgotten across ALL THREE index families in one verb;
     // the contract oracle catches both under- and over-deletion
     "forget_cascade" -> ((s, d) =>
       graft.operators.Lifecycle.forgetCascadeReport(s, d)),
+    // the TAKEDOWN gate: index the full corpus, remove every 3rd doc,
+    // search — hash-gated against fresh BM25 over the remaining corpus
     "bm25_after_remove" -> ((s, d) => {
       Search.dropSearchIndex(s, "srchr")
       Search.saveSearchIndex(Tables.documents(s, d), "srchr")
@@ -1259,9 +1259,11 @@ object SparkEntry {
        |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
        |    CAST(sum(CASE WHEN arm = 'B' THEN converted ELSE 0 END) AS BIGINT) AS cb FROM armd),
        |r AS (SELECT na AS n_a, ca AS conv_a,
-       |    CAST(ca*1000000 // na AS BIGINT) AS rate_a_ppm,
-       |    nb AS n_b, cb AS conv_b, CAST(cb*1000000 // nb AS BIGINT) AS rate_b_ppm,
-       |    CAST(abs(ca*1000000 // na - cb*1000000 // nb) AS BIGINT) AS delta_ppm,
+       |    CAST(CASE WHEN na > 0 THEN ca*1000000 // na ELSE 0 END AS BIGINT) AS rate_a_ppm,
+       |    nb AS n_b, cb AS conv_b,
+       |    CAST(CASE WHEN nb > 0 THEN cb*1000000 // nb ELSE 0 END AS BIGINT) AS rate_b_ppm,
+       |    CAST(abs(CASE WHEN na > 0 THEN ca*1000000 // na ELSE 0 END -
+       |             CASE WHEN nb > 0 THEN cb*1000000 // nb ELSE 0 END) AS BIGINT) AS delta_ppm,
        |    CAST((ca+cb)*1000000 // (na+nb) AS BIGINT) AS pooled_ppm FROM w)
        |SELECT n_a, conv_a, rate_a_ppm, n_b, conv_b, rate_b_ppm, delta_ppm, pooled_ppm,
        |  CAST(CASE WHEN pooled_ppm > 0 AND pooled_ppm < 1000000 AND
@@ -3088,9 +3090,9 @@ object SparkEntry {
       """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_small_lines,
         |       CAST(sum(round(l_extendedprice*100)) AS BIGINT) AS revenue_cents
         |FROM lineitem l JOIN part ON l.l_partkey = p_partkey
-        |WHERE CAST(l.l_quantity AS BIGINT) * 2 *
+        |WHERE CAST(floor(l.l_quantity) AS BIGINT) * 2 *
         |      (SELECT count(*) FROM lineitem li WHERE li.l_partkey = l.l_partkey)
-        |    < (SELECT sum(CAST(l_quantity AS BIGINT)) FROM lineitem li
+        |    < (SELECT sum(CAST(floor(l_quantity) AS BIGINT)) FROM lineitem li
         |       WHERE li.l_partkey = l.l_partkey)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q21_waiting_supplier" ->
@@ -3190,8 +3192,8 @@ object SparkEntry {
         |ORDER BY s_suppkey""".stripMargin,
     "q18_large_orders" ->
       """WITH big AS (
-        |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
-        |  FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > 150)
+        |  SELECT l_orderkey, CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(CAST(floor(l_quantity) AS BIGINT)) > 150)
         |SELECT o_orderkey, c_custkey, c_mktsegment,
         |       CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate_sec, total_qty
         |FROM big JOIN orders ON l_orderkey = o_orderkey

@@ -309,8 +309,13 @@ object Audit {
       .groupBy(col("digit"))
       .agg(count(lit(1)).as("n"))
     val total = digits.agg(sum(col("n")).as("tot"))
-    digits
-      .join(broadcast(expect), Seq("digit"), "right_outer")
+    // the 9-row constants table is the PRESERVED side (every digit
+    // reports even at zero count) and the digit histogram — ≤ 9 rows
+    // after its aggregate — is the broadcast build side: a left-outer
+    // join can honor that hint, where broadcasting the right side of a
+    // right-outer join is silently unsupported
+    expect
+      .join(broadcast(digits), Seq("digit"), "left_outer")
       .crossJoin(broadcast(total))
       .select(col("digit"),
         coalesce(col("n"), lit(0L)).cast("long").as("n"),
@@ -348,16 +353,20 @@ object Audit {
       .agg(count(lit(1)).as("n"), sum(col("converted")).as("c"))
     arms.groupBy()
       .agg(
-        sum(when(col("arm") === "A", col("n"))).as("na"),
-        sum(when(col("arm") === "A", col("c"))).as("ca"),
-        sum(when(col("arm") === "B", col("n"))).as("nb"),
-        sum(when(col("arm") === "B", col("c"))).as("cb"))
+        // explicit zeros, not SQL's sum-over-no-rows NULL: a corpus
+        // whose users all hash to one arm must report the empty arm as
+        // n=0/rate=0, matching the oracle — never a NULL row shape
+        sum(when(col("arm") === "A", col("n")).otherwise(lit(0L))).as("na"),
+        sum(when(col("arm") === "A", col("c")).otherwise(lit(0L))).as("ca"),
+        sum(when(col("arm") === "B", col("n")).otherwise(lit(0L))).as("nb"),
+        sum(when(col("arm") === "B", col("c")).otherwise(lit(0L))).as("cb"))
       .selectExpr(
         "CAST(na AS LONG) AS n_a", "CAST(ca AS LONG) AS conv_a",
-        "CAST(ca * 1000000 div na AS LONG) AS rate_a_ppm",
+        "CAST(CASE WHEN na > 0 THEN ca * 1000000 div na ELSE 0 END AS LONG) AS rate_a_ppm",
         "CAST(nb AS LONG) AS n_b", "CAST(cb AS LONG) AS conv_b",
-        "CAST(cb * 1000000 div nb AS LONG) AS rate_b_ppm",
-        "CAST(abs(ca * 1000000 div na - cb * 1000000 div nb) AS LONG) AS delta_ppm",
+        "CAST(CASE WHEN nb > 0 THEN cb * 1000000 div nb ELSE 0 END AS LONG) AS rate_b_ppm",
+        "CAST(abs(CASE WHEN na > 0 THEN ca * 1000000 div na ELSE 0 END - " +
+          "CASE WHEN nb > 0 THEN cb * 1000000 div nb ELSE 0 END) AS LONG) AS delta_ppm",
         "CAST((ca + cb) * 1000000 div (na + nb) AS LONG) AS pooled_ppm")
       .selectExpr(
         "n_a", "conv_a", "rate_a_ppm", "n_b", "conv_b", "rate_b_ppm",

@@ -27,6 +27,7 @@ object Lifecycle {
   def forget(spark: SparkSession, doomed: DataFrame,
              dedupName: String, searchName: String, ivfPath: String): Unit = {
     // one consistent snapshot of the kill list for all three rewrites
+    // (already-checkpointed input is a no-op re-pin, not a second scan)
     val pinned = doomed.localCheckpoint()
     Dedup.applyCorpusDiff(spark, dedupName, pinned, pinned.filter(lit(false)))
     Search.removeFromSearchIndex(spark, searchName, pinned)
@@ -57,11 +58,9 @@ object Lifecycle {
     Similarity.saveIvfIndex(TextAnalysis.lexicalVectors(docs), ivfPath,
       slot = "fgtcascade")
 
-    forget(spark, docs.filter(col("doc_id") % forgetMod === forgetRem),
-      dedupName, searchName, ivfPath)
-
-    val forgotten = docs.filter(col("doc_id") % forgetMod === forgetRem)
-      .select(col("doc_id")).localCheckpoint()
+    val doomed = docs.filter(col("doc_id") % forgetMod === forgetRem).localCheckpoint()
+    forget(spark, doomed, dedupName, searchName, ivfPath)
+    val forgotten = doomed.select(col("doc_id"))
     def report(family: String, ids: DataFrame): DataFrame =
       ids.select(col("doc_id")).distinct()
         .join(broadcast(forgotten.withColumn("hit", lit(1L))),

@@ -1497,11 +1497,15 @@ object Relational {
     val perPart = lineitem
       .groupBy(col("l_partkey").as("pk"))
       .agg(
-        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        // floor, not cast: a raw long-cast truncates toward zero in
+        // Spark but ROUNDS in a DuckDB double->BIGINT cast — floor is
+        // the one conversion both engines define identically, so the
+        // gate survives a generator that emits fractional quantities
+        sum(floor(col("l_quantity")).cast("long")).as("sum_qty"),
         count(lit(1)).as("n_lines"))
     lineitem
       .join(perPart, col("l_partkey") === col("pk"))
-      .filter(col("l_quantity").cast("long") * 2 * col("n_lines") < col("sum_qty"))
+      .filter(floor(col("l_quantity")).cast("long") * 2 * col("n_lines") < col("sum_qty"))
       .join(part.select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
@@ -1789,7 +1793,9 @@ object Relational {
                         k: Int = 20): DataFrame =
     lineitem
       .groupBy(col("l_orderkey"))
-      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      // floor: the only double->integer conversion Spark and DuckDB
+      // agree on (cast truncates here, rounds there)
+      .agg(sum(floor(col("l_quantity")).cast("long")).as("total_qty"))
       .filter(col("total_qty") > minQty)
       .join(orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))

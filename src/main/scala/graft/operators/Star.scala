@@ -103,13 +103,22 @@ object Star {
     * the join would reject — false positives just ride to the join);
     * the DuckDB oracle is the plain join, and PlanShapeSpec asserts
     * `bloom_filter_agg`/`might_contain` in the executed plan. */
+  private val bloomSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
   def bloomSegmentRevenue(spark: SparkSession, sfDir: String,
                           segment: String = "BUILDING"): DataFrame = {
-    val s2 = spark.newSession()
-    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
-    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    // ONE memoized child session per parent: repeated invocations
+    // (bench loops, the corpus-wide plan lint) must not each build a
+    // fresh SessionState that stays referenced through plan lineage
+    val s2 = bloomSessions.computeIfAbsent(spark, { parent =>
+      val child = parent.newSession()
+      child.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      child.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      child.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      child.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      child
+    })
     val fact = graft.Tables.orders(s2, sfDir)
     val dim = graft.Tables.customer(s2, sfDir).filter(col("c_mktsegment") === segment)
     fact.join(dim, col("o_custkey") === col("c_custkey"))
