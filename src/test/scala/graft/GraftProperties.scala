@@ -336,4 +336,70 @@ object GraftProperties extends Properties("graft") {
       rows.sliding(2).forall { case Array(a, b) => a._4 < b._3; case _ => true }
     sumOk && idsOk && boundsOk
   }
+
+  // random per-day order sets: the sort-sweep skyline must equal the
+  // quadratic dominance filter (the oracle's NOT EXISTS form) exactly,
+  // ties and within-count losers included
+  private val skyOrdersGen: Gen[List[(Int, Int)]] = // (dayIdx, dollars)
+    Gen.listOfN(40, Gen.zip(Gen.choose(0, 9), Gen.choose(1, 20)))
+
+  property("pareto skyline == brute-force dominance filter") = forAll(skyOrdersGen) { os =>
+    def ts(d: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, 1 + d).atStartOfDay())
+    val orders = os.map { case (d, p) => (ts(d), p.toDouble) }
+      .toDF("o_orderdate", "o_totalprice")
+    val got = graft.operators.Approx.paretoDays(orders).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val agg = os.groupBy(_._1).map { case (d, rows) =>
+      (ts(d).getTime / 1000L, rows.size.toLong, rows.map(_._2.toLong).sum)
+    }.toSeq
+    val sky = agg.filter(a => !agg.exists(b =>
+      b._2 >= a._2 && b._3 >= a._3 && (b._2 > a._2 || b._3 > a._3))).toSet
+    got == sky
+  }
+
+  // random basket sets: link prediction must equal the literal
+  // common-neighbor scan (cap wide open, k above any candidate count)
+  private val lpBasketsGen: Gen[List[(Int, Int)]] = // (orderId, partId)
+    Gen.listOfN(60, Gen.zip(Gen.choose(0, 14), Gen.choose(0, 11)))
+
+  property("link prediction == brute-force common-neighbor scan") = forAll(lpBasketsGen) { bs =>
+    val li = bs.map { case (o, p) => (o.toLong, p.toLong) }
+      .toDF("l_orderkey", "l_partkey")
+    val got = graft.operators.Graph.linkPrediction(li, k = 10000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val und = bs.distinct.map { case (o, p) => (o.toLong, p.toLong) }
+      .groupBy(_._1).values.toSeq
+      .flatMap(b => b.map(_._2).distinct.sorted.combinations(2).map(s => (s(0), s(1))))
+      .groupBy(p => p).filter(_._2.size >= 2).keys.toSet
+    val adj = (und.toSeq ++ und.toSeq.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    val cn = adj.toSeq
+      .filter { case (c, _) => deg(c) <= 64 }
+      .flatMap { case (_, nbrs) => nbrs.toSeq.sorted.combinations(2).map(s => (s(0), s(1))) }
+      .groupBy(p => p).view.mapValues(_.size.toLong).toMap
+    val expect = cn.collect { case ((u, v), c) if !und.contains((u, v)) =>
+      (u, v, c, c * 1000000L / (deg(u) + deg(v) - c)) }.toSet
+    got == expect
+  }
+
+  // cross-correlation antisymmetry: swapping the two series mirrors the
+  // lag axis exactly — cov(x, y, +k) == cov(y, x, -k) at identical n
+  private val lagEvGen: Gen[List[(Int, Boolean)]] = // (dayIdx, isClick)
+    Gen.listOfN(40, Gen.zip(Gen.choose(0, 6), Gen.oneOf(true, false)))
+
+  property("lag correlation mirrors under series swap") = forAll(lagEvGen) { evs =>
+    def df(swap: Boolean) = evs.map { case (d, isClick) =>
+      (java.sql.Timestamp.valueOf(java.time.LocalDate.of(2024, 1, 1 + d).atStartOfDay()),
+        if (isClick ^ swap) "click" else "purchase")
+    }.toDF("ts", "event_type")
+    def table(swap: Boolean) =
+      graft.operators.Relational.eventLagCorrelation(df(swap)).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val fwd = table(swap = false)
+    val rev = table(swap = true)
+    fwd.keySet.map(-_) == rev.keySet &&
+      fwd.forall { case (k, v) => rev(-k) == v }
+  }
 }
