@@ -39,6 +39,11 @@ object SparkEntry {
     // ---- reference-parity family (events): SURVEY.md §2 S1-S3/O1-O7 ----
     "uu_per_minute" -> ((s, d) => UniqueUsers.perMinute(Tables.events(s, d))),
     "uu_per_minute_twophase" -> ((s, d) => UniqueUsers.perMinuteTwoPhase(Tables.events(s, d))),
+    // the keyed generalization: state per (event_type, window), the
+    // production form of the reference's constant-key topology
+    "uu_per_minute_by_type" -> ((s, d) => UniqueUsers.perMinuteByType(Tables.events(s, d))),
+    // the counter's own monitoring view: minutes per distinct-count value
+    "uu_minute_histogram" -> ((s, d) => UniqueUsers.perMinuteHistogram(Tables.events(s, d))),
     "uu_per_minute_collect_set" -> ((s, d) => UniqueUsers.perMinuteCollectSet(Tables.events(s, d))),
     "uu_per_minute_approx" -> ((s, d) => UniqueUsers.perMinuteApprox(Tables.events(s, d))),
     // the sketch's BOUND GATE: exact anchor + 0/1 verdict, fully
@@ -2201,6 +2206,16 @@ object SparkEntry {
       """SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "uu_per_minute_by_type" ->
+      """SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute, event_type,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "uu_minute_histogram" ->
+      """WITH m AS (SELECT date_trunc('minute', ts) AS minute,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users
+        |  FROM events GROUP BY 1)
+        |SELECT unique_users, CAST(count(*) AS BIGINT) AS n_minutes
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "uu_per_minute_twophase" ->
       """SELECT minute, CAST(count(*) AS BIGINT) AS unique_users
         |FROM (SELECT DISTINCT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute, user_id FROM events)
@@ -3734,7 +3749,8 @@ object SparkEntry {
     * fails the spec instead of silently mis-classifying. */
   def queryFamilies: Map[String, String] = Seq(
     "reference-parity" -> Seq(
-      "uu_per_minute", "uu_per_minute_twophase", "uu_per_minute_collect_set",
+      "uu_per_minute", "uu_per_minute_by_type", "uu_minute_histogram",
+      "uu_per_minute_twophase", "uu_per_minute_collect_set",
       "uu_per_minute_approx", "uu_per_minute_approx_check", "uu_per_minute_udaf",
       "uu_per_minute_sql", "uu_sliding_5m_1m", "uu_daily_sketch_union",
       "uu_daily_sketch_check", "uu_wau_sketch_check", "user_count_cms_check",

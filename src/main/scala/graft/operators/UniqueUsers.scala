@@ -33,6 +33,36 @@ object UniqueUsers {
         col("unique_users"))
       .orderBy("minute")
 
+  /** The KEYED generalization of the reference topology: distinct users
+    * per (event_type, minute). The reference's constant-key `groupBy`
+    * (UniqueUsersCounter.java:74) is the degenerate single-group case
+    * of this — the production form almost every deployment actually
+    * runs, where state is per (key, window) and the shuffle key is
+    * (key, window) hash: hot windows spread across reducers by key
+    * instead of landing whole on one. Output bounded by
+    * |event-type domain| × minutes. */
+  def perMinuteByType(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("unique_users"))
+      .select(
+        unix_timestamp(col("window.start")).as("minute"),
+        col("event_type"), col("unique_users"))
+      .orderBy("minute", "event_type")
+
+  /** Distribution of the flagship's own output — the monitoring view an
+    * operator watches over the counter: how many minutes carried k
+    * distinct users. A shape change here (mass shifting toward the cap,
+    * a spike bucket appearing) flags upstream drift without storing the
+    * full minute series; the second aggregate's input is bounded by the
+    * per-minute-cardinality DOMAIN. */
+  def perMinuteHistogram(events: DataFrame): DataFrame =
+    perMinute(events)
+      .groupBy(col("unique_users"))
+      .agg(count(lit(1)).as("n_minutes"))
+      .select(col("unique_users"), col("n_minutes").cast("long").as("n_minutes"))
+      .orderBy("unique_users")
+
   /** The reference README's own sketched fix (README.md:60-62): floor ts to
     * the minute, dedup (minute, uid) pairs, then count — two explicit
     * phases. Same result as perMinute; state per phase is smaller (the
