@@ -132,6 +132,28 @@ object StreamingUniqueUsers {
         unix_timestamp(col("window.start")).as("window_start"),
         col("unique_users"))
 
+  /** The KEYED streaming form: distinct users per (event_type, window) —
+    * the batch [[graft.operators.UniqueUsers.perMinuteByType]] twin and
+    * the production generalization of the reference's constant-key
+    * topology. Same two-phase shape as [[uniqueUsersPerWindow]] (dedup
+    * state keyed (window, type, uid), count keyed (window, type)), so
+    * the watermark finalizes and evicts BOTH state stores and hot
+    * windows spread across reducers by key. Unified-API: applied to a
+    * batch frame it computes the identical relation (spec-pinned equal
+    * to the batch operator). */
+  def uniqueUsersPerWindowByType(events: DataFrame,
+                                 windowLen: String = "1 minute",
+                                 watermark: String = "5 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"), col("uid"))
+      .agg(count(lit(1)).as("hits"))
+      .groupBy(col("window"), col("event_type"))
+      .agg(count(lit(1)).as("unique_users"))
+      .select(
+        unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("unique_users"))
+
   /** HLL variant: approx distinct per window — constant state, the scale
     * default. Works in update/complete mode (sketches don't need the
     * two-phase dedup). */

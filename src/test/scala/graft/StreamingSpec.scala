@@ -1220,4 +1220,36 @@ class StreamingSpec extends SparkSpec {
       .collect().map { case Row(w: Long, n: Long) => w -> n }.toMap
     assert(batch === expected)
   }
+
+  test("keyed windowed distinct: streaming append finalizes per (type, window); unified API equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // true stream: (window, type)-keyed two-phase dedup in append mode
+    val in = MemoryStream[(String, String, Long)] // (uid, type, sec)
+    val counts = StreamingUniqueUsers.uniqueUsersPerWindowByType(
+      in.toDF().selectExpr("_1 AS uid", "_2 AS event_type",
+        "CAST(_3 AS TIMESTAMP) AS ts"))
+    val q = counts.writeStream.format("memory").queryName("uu_bytype")
+      .outputMode("append").start()
+    try {
+      in.addData(("a", "click", w0 + 1), ("b", "click", w0 + 2),
+        ("a", "click", w0 + 10), ("a", "view", w0 + 3))
+      q.processAllAvailable()
+      in.addData(("z", "click", w0 + 300)) // advance watermark past w0+60
+      q.processAllAvailable()
+      val rows = spark.table("uu_bytype").collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(rows((w0, "click")) === 2L) // a deduped within its key
+      assert(rows((w0, "view")) === 1L)
+      // unified API: the same operator over a batch frame equals the
+      // batch operator's relation
+      val events = Tables.events(spark, Sf0001)
+      val viaStreamOp = StreamingUniqueUsers.uniqueUsersPerWindowByType(
+        events.select(col("user_id").cast("string").as("uid"),
+          col("event_type"), col("ts")))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      val viaBatch = graft.operators.UniqueUsers.perMinuteByType(events)
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(viaStreamOp === viaBatch)
+    } finally q.stop()
+  }
 }
