@@ -84,6 +84,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("PartitionFilters"), "partitioned scan missing entirely")
   }
 
+  test("q6: all three predicates reach the parquet reader; only the four referenced columns read") {
+    // the scan-bound TPC-H shape: at 100 TB row groups outside the year
+    // are skipped on min/max stats, so pushdown IS the query's cost
+    // model. Formatted mode: the plain toString truncates the
+    // PushedFilters list mid-way
+    val p = SparkEntry.queries("q6_discount_band")(spark, Sf0001)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,1996-01-01") &&
+      p.contains("LessThan(l_shipdate,1997-01-01"), s"shipdate range not pushed:\n${p.take(1200)}")
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)") &&
+      p.contains("LessThanOrEqual(l_discount,0.07)"), "discount band not pushed")
+    assert(p.contains("LessThan(l_quantity,24.0)"), "quantity cap not pushed")
+    assert(p.contains("struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate"),
+      "scan reads more than the four referenced columns")
+  }
+
   test("runtime Bloom filter from the filtered dim side is injected into the fact scan") {
     // DPP's row-level cousin: when the join key is NOT the partition
     // column, the segment filter must still reach the orders scan — as
