@@ -140,19 +140,6 @@ object GraftSql {
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
   }
 
-  /** Recursive CTE (Spark 4's `WITH RECURSIVE`): min-hop reachability
-    * within 3 hops of the seed parts (partkey < 50) over the
-    * ≥2-basket co-purchase graph — the iterative-graph family's FOURTH
-    * member, this time expressed declaratively and executed by the
-    * engine's own fixpoint operator instead of a driver loop. The
-    * recursion is depth-BOUNDED (`hop < 3`) and the per-hop frontier is
-    * a hash join on the edge key, so each iteration is the same
-    * bounded-shuffle superstep PageRank/LPA pay; min(hop) collapses the
-    * revisit paths afterward. For UNBOUNDED closure at 100 TB use the
-    * O(log n)-round star-contraction ([[graft.operators.Dedup]]) — a
-    * linear-depth recursive CTE walks the graph's diameter in
-    * supersteps. The DuckDB oracle is the SAME recursive SQL, making
-    * this a cross-engine fixpoint-semantics gate. */
   /** LISTAGG (new in Spark 4) with a WITHIN GROUP order: per order
     * priority, the top-5 orders by value as an ordered comma string —
     * the report-rendering aggregate BI layers ask for. Determinism is
@@ -178,8 +165,27 @@ object GraftSql {
         |FROM top5 GROUP BY pri ORDER BY pri""".stripMargin)
   }
 
+  /** Recursive CTE (Spark 4's `WITH RECURSIVE`): min-hop reachability
+    * within 3 hops of the seed parts (partkey < 50) over the
+    * ≥2-basket co-purchase graph — the iterative-graph family's FOURTH
+    * member, this time expressed declaratively and executed by the
+    * engine's own fixpoint operator instead of a driver loop. The
+    * recursion is depth-BOUNDED (`hop < 3`) and the per-hop frontier is
+    * a hash join on the edge key, so each iteration is the same
+    * bounded-shuffle superstep PageRank/LPA pay; min(hop) collapses the
+    * revisit paths afterward. For UNBOUNDED closure at 100 TB use the
+    * O(log n)-round star-contraction ([[graft.operators.Dedup]]) — a
+    * linear-depth recursive CTE walks the graph's diameter in
+    * supersteps. The DuckDB oracle is the SAME recursive SQL, making
+    * this a cross-engine fixpoint-semantics gate. */
   def reachabilityRecursiveSql(spark: SparkSession, sfDir: String): DataFrame = {
     registerAll(spark, sfDir)
+    // per-INVOCATION view name: a fixed session-global name lets two
+    // concurrent callers on one session cross-wire (one recursion
+    // reading the other's freshly swapped edge relation mid-query);
+    // the unique name also drops the only reference to this call's
+    // checkpoint blocks once the returned plan is released
+    val edgesView = s"graft_reach_edges_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     // materialize the loop-INVARIANT edge relation ONCE (the same
     // localCheckpoint discipline the PageRank/LPA supersteps use): a
     // CTE referenced inside the recursive member is re-evaluated every
@@ -198,16 +204,16 @@ object GraftSql {
         |SELECT u AS src, v AS dst FROM ue
         |UNION ALL SELECT v AS src, u AS dst FROM ue""".stripMargin)
       .localCheckpoint()
-      .createOrReplaceTempView("graft_reach_copurchase_edges")
+      .createOrReplaceTempView(edgesView)
     // named parameter markers (Spark 4 parameterized SQL): the literals
     // bind server-side instead of being spliced into the text — the
     // SQL-injection-proof form a query service exposes
     spark.sql(
-      """WITH RECURSIVE reach AS (
-        |  SELECT DISTINCT src AS part, 0 AS hop FROM graft_reach_copurchase_edges WHERE src < :seedCap
+      s"""WITH RECURSIVE reach AS (
+        |  SELECT DISTINCT src AS part, 0 AS hop FROM $edgesView WHERE src < :seedCap
         |  UNION ALL
         |  SELECT e.dst AS part, r.hop + 1 AS hop
-        |  FROM reach r JOIN graft_reach_copurchase_edges e ON e.src = r.part WHERE r.hop < :maxHop)
+        |  FROM reach r JOIN $edgesView e ON e.src = r.part WHERE r.hop < :maxHop)
         |SELECT CAST(part AS LONG) AS part, CAST(min(hop) AS LONG) AS hops
         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
       Map("seedCap" -> 50, "maxHop" -> 3))

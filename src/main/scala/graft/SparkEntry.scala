@@ -1115,14 +1115,16 @@ object SparkEntry {
        |b AS (SELECT v, $aqpSampleFlag AS s FROM h),
        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_exact, CAST(sum(s) AS BIGINT) AS n_s,
        |    CAST(sum(v) AS BIGINT) AS rev_exact, CAST(sum(s*v) AS BIGINT) AS rev_s,
-       |    CAST(sum(s*v*v) AS BIGINT) AS ssq_s FROM b)
+       |    CAST(sum(CAST(s AS HUGEINT)*v*v) AS HUGEINT) AS ssq_s FROM b)
        |SELECT n_exact, CAST(n_s*16 AS BIGINT) AS n_est,
        |  CAST(abs(n_s*16 - n_exact)*1000000 // n_exact AS BIGINT) AS n_err_ppm,
-       |  CAST(CASE WHEN (n_s*16 - n_exact)*(n_s*16 - n_exact) <= 25*240*n_s
+       |  CAST(CASE WHEN CAST(n_s*16 - n_exact AS HUGEINT)*CAST(n_s*16 - n_exact AS HUGEINT)
+       |    <= 25*240*CAST(n_s AS HUGEINT)
        |    THEN 1 ELSE 0 END AS BIGINT) AS n_gate_ok,
        |  rev_exact AS rev_exact_dollars, CAST(rev_s*16 AS BIGINT) AS rev_est_dollars,
        |  CAST(abs(rev_s*16 - rev_exact)*1000000 // rev_exact AS BIGINT) AS rev_err_ppm,
-       |  CAST(CASE WHEN (rev_s*16 - rev_exact)*(rev_s*16 - rev_exact) <= 25*240*ssq_s
+       |  CAST(CASE WHEN CAST(rev_s*16 - rev_exact AS HUGEINT)*CAST(rev_s*16 - rev_exact AS HUGEINT)
+       |    <= 25*240*ssq_s
        |    THEN 1 ELSE 0 END AS BIGINT) AS rev_gate_ok
        |FROM a""".stripMargin
 
@@ -1132,13 +1134,15 @@ object SparkEntry {
        |  FROM orders JOIN customer ON o_custkey = c_custkey),
        |b AS (SELECT c_mktsegment, v, $aqpSampleFlag AS s FROM j),
        |g AS (SELECT c_mktsegment, CAST(sum(v) AS BIGINT) AS rev_exact,
-       |    CAST(sum(s*v) AS BIGINT) AS rev_s, CAST(sum(s*v*v) AS BIGINT) AS ssq_s,
+       |    CAST(sum(s*v) AS BIGINT) AS rev_s,
+       |    CAST(sum(CAST(s AS HUGEINT)*v*v) AS HUGEINT) AS ssq_s,
        |    CAST(sum(s) AS BIGINT) AS n_s FROM b GROUP BY 1)
        |SELECT c_mktsegment, rev_exact AS rev_exact_dollars,
        |  CAST(rev_s*16 AS BIGINT) AS rev_est_dollars,
        |  CAST(abs(rev_s*16 - rev_exact)*1000000 // rev_exact AS BIGINT) AS rev_err_ppm,
        |  n_s AS n_sampled,
-       |  CAST(CASE WHEN (rev_s*16 - rev_exact)*(rev_s*16 - rev_exact) <= 25*240*ssq_s
+       |  CAST(CASE WHEN CAST(rev_s*16 - rev_exact AS HUGEINT)*CAST(rev_s*16 - rev_exact AS HUGEINT)
+       |    <= 25*240*ssq_s
        |    THEN 1 ELSE 0 END AS BIGINT) AS rev_gate_ok
        |FROM g ORDER BY 1""".stripMargin
 

@@ -20,11 +20,14 @@ import org.apache.spark.sql.functions._
   * (`round(o_totalprice)`), the sampling rate is a power of two over a
   * 16-bit md5 prefix (p = 4096/65536 = 1/16 exactly), and the gate
   * compares SQUARES — `(est − exact)² ≤ z²·V̂` with z² = 25 — instead
-  * of taking a square root. Long-range note: the gate's
-  * `6000·Σv²` term fits int64 through ~10¹⁰ sampled rows at these
-  * value magnitudes; beyond that (full 100 TB fact tables) promote the
-  * two square-sum columns to DECIMAL(38,0) — the estimator itself
-  * (sums and counts) has far more headroom.
+  * of taking a square root. The square-sum `Σv²` and both sides of the
+  * squared comparison run in DECIMAL(38,0) (DuckDB: HUGEINT — both
+  * exact ≥ 10³⁸): per-row v² is ~10¹¹, so int64 would wrap the
+  * `6000·Σv²` term silently (non-ANSI) near 10⁶ sampled rows while
+  * DuckDB raised on BIGINT overflow — a cross-engine gate break. At
+  * 38 digits the term has headroom through ~10²³ sampled rows; the
+  * estimator itself (first-power sums and counts) stays int64, which
+  * wraps only past ~10¹⁷ sampled dollars-valued rows.
   */
 object Approx {
 
@@ -52,18 +55,18 @@ object Approx {
         sum(when(s, lit(1L)).otherwise(lit(0L))).as("n_s"),
         sum(v).as("rev_exact_dollars"),
         sum(when(s, v).otherwise(lit(0L))).as("rev_s"),
-        sum(when(s, v * v).otherwise(lit(0L))).as("ssq_s"))
+        sum(when(s, v * v).otherwise(lit(0L)).cast("decimal(38,0)")).as("ssq_s"))
       .selectExpr(
         "CAST(n_exact AS LONG) AS n_exact",
         "CAST(n_s * 16 AS LONG) AS n_est",
         "CAST(abs(n_s * 16 - n_exact) * 1000000 div n_exact AS LONG) AS n_err_ppm",
-        "CAST(CASE WHEN (n_s * 16 - n_exact) * (n_s * 16 - n_exact) <= 25 * 240 * n_s " +
-          "THEN 1 ELSE 0 END AS LONG) AS n_gate_ok",
+        "CAST(CASE WHEN CAST(n_s * 16 - n_exact AS DECIMAL(38,0)) * CAST(n_s * 16 - n_exact AS DECIMAL(38,0)) " +
+          "<= 25 * 240 * CAST(n_s AS DECIMAL(38,0)) THEN 1 ELSE 0 END AS LONG) AS n_gate_ok",
         "CAST(rev_exact_dollars AS LONG) AS rev_exact_dollars",
         "CAST(rev_s * 16 AS LONG) AS rev_est_dollars",
         "CAST(abs(rev_s * 16 - rev_exact_dollars) * 1000000 div rev_exact_dollars AS LONG) AS rev_err_ppm",
-        "CAST(CASE WHEN (rev_s * 16 - rev_exact_dollars) * (rev_s * 16 - rev_exact_dollars) <= 25 * 240 * ssq_s " +
-          "THEN 1 ELSE 0 END AS LONG) AS rev_gate_ok")
+        "CAST(CASE WHEN CAST(rev_s * 16 - rev_exact_dollars AS DECIMAL(38,0)) * CAST(rev_s * 16 - rev_exact_dollars AS DECIMAL(38,0)) " +
+          "<= 25 * 240 * ssq_s THEN 1 ELSE 0 END AS LONG) AS rev_gate_ok")
   }
 
   /** Grouped AQP check: per-segment revenue estimates from the SAME
@@ -83,7 +86,7 @@ object Approx {
       .agg(
         sum(v).as("rev_exact_dollars"),
         sum(when(s, v).otherwise(lit(0L))).as("rev_s"),
-        sum(when(s, v * v).otherwise(lit(0L))).as("ssq_s"),
+        sum(when(s, v * v).otherwise(lit(0L)).cast("decimal(38,0)")).as("ssq_s"),
         sum(when(s, lit(1L)).otherwise(lit(0L))).as("n_s"))
       .selectExpr(
         "c_mktsegment",
@@ -91,8 +94,8 @@ object Approx {
         "CAST(rev_s * 16 AS LONG) AS rev_est_dollars",
         "CAST(abs(rev_s * 16 - rev_exact_dollars) * 1000000 div rev_exact_dollars AS LONG) AS rev_err_ppm",
         "CAST(n_s AS LONG) AS n_sampled",
-        "CAST(CASE WHEN (rev_s * 16 - rev_exact_dollars) * (rev_s * 16 - rev_exact_dollars) <= 25 * 240 * ssq_s " +
-          "THEN 1 ELSE 0 END AS LONG) AS rev_gate_ok")
+        "CAST(CASE WHEN CAST(rev_s * 16 - rev_exact_dollars AS DECIMAL(38,0)) * CAST(rev_s * 16 - rev_exact_dollars AS DECIMAL(38,0)) " +
+          "<= 25 * 240 * ssq_s THEN 1 ELSE 0 END AS LONG) AS rev_gate_ok")
       .orderBy("c_mktsegment")
   }
 

@@ -368,8 +368,12 @@ object Dedup {
     // SURVIVOR's row keeps blocking that content
     writeBucketed(existing.select(md5(normText(col("text"))).as("fp"), col("doc_id")).distinct(),
       s"${name}_fp", "fp", buckets)
+    // the cached array relation feeds BOTH band derivation (via
+    // bandTable → shingles → shingleArraysCached) and the _shingles
+    // table: shingling — the expensive normalize+split+3-gram pass —
+    // runs once per corpus snapshot, not once per output table
     writeBucketed(bandTable(existing), s"${name}_bands", "band_key", buckets)
-    writeBucketed(shingleArrays(existing).select(col("doc_id"), col("n_g"), col("gs")),
+    writeBucketed(shingleArraysCached(existing).select(col("doc_id"), col("n_g"), col("gs")),
       s"${name}_shingles", "doc_id", buckets)
   }
 

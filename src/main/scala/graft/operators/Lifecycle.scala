@@ -46,11 +46,19 @@ object Lifecycle {
     * gates. */
   def forgetCascadeReport(spark: SparkSession, sfDir: String,
                           forgetMod: Long = 10, forgetRem: Long = 3): DataFrame = {
-    val docs = graft.Tables.documents(spark, sfDir)
+    // ONE pinned corpus snapshot feeds all three index builds: without
+    // it each family's build re-scans the parquet (and the dedup build's
+    // shingle cache would key on a fresh scan plan each call)
+    val docs = graft.Tables.documents(spark, sfDir).localCheckpoint()
     val dedupName = "fgt_dix"
     val searchName = "fgt_srch"
+    // pid-namespaced scratch path: two JVMs sweeping the same scale
+    // factor must not collide on one IVF cell tree mid staged-rename
+    // (within a process the path is stable, so bench re-invocations
+    // still reuse/rebuild the same tree)
     val ivfPath = s"${System.getProperty("java.io.tmpdir")}/graft_fgtivf_" +
-      sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
+      s"_p${ProcessHandle.current().pid()}"
     Dedup.dropDedupIndex(spark, dedupName)
     Search.dropSearchIndex(spark, searchName)
     Dedup.saveDedupIndex(docs, dedupName)

@@ -103,22 +103,33 @@ object Star {
     * the join would reject — false positives just ride to the join);
     * the DuckDB oracle is the plain join, and PlanShapeSpec asserts
     * `bloom_filter_agg`/`might_contain` in the executed plan. */
+  // WEAK keys: a strong parent->child map would pin every parent
+  // session's full SessionState for the life of the process; with weak
+  // keys the entry (and the child's state) goes when the parent does.
+  // The child holds context/sharedState but no reference back to the
+  // parent session object, so the entry stays collectable.
   private val bloomSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+
+  private def bloomSessionFor(parent: SparkSession): SparkSession =
+    bloomSessions.synchronized {
+      Option(bloomSessions.get(parent)).getOrElse {
+        val child = parent.newSession()
+        child.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        child.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        child.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+        child.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        bloomSessions.put(parent, child)
+        child
+      }
+    }
 
   def bloomSegmentRevenue(spark: SparkSession, sfDir: String,
                           segment: String = "BUILDING"): DataFrame = {
     // ONE memoized child session per parent: repeated invocations
     // (bench loops, the corpus-wide plan lint) must not each build a
     // fresh SessionState that stays referenced through plan lineage
-    val s2 = bloomSessions.computeIfAbsent(spark, { parent =>
-      val child = parent.newSession()
-      child.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-      child.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      child.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
-      child.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
-      child
-    })
+    val s2 = bloomSessionFor(spark)
     val fact = graft.Tables.orders(s2, sfDir)
     val dim = graft.Tables.customer(s2, sfDir).filter(col("c_mktsegment") === segment)
     fact.join(dim, col("o_custkey") === col("c_custkey"))
