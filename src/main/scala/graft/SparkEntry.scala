@@ -45,16 +45,20 @@ object SparkEntry {
     // the counter's own monitoring view: minutes per distinct-count value
     "uu_minute_histogram" -> ((s, d) => UniqueUsers.perMinuteHistogram(Tables.events(s, d))),
     "uu_per_minute_collect_set" -> ((s, d) => UniqueUsers.perMinuteCollectSet(Tables.events(s, d))),
-    "uu_per_minute_approx" -> ((s, d) => UniqueUsers.perMinuteApprox(Tables.events(s, d))),
-    // the sketch's BOUND GATE: exact anchor + 0/1 verdict, fully
-    // oracle-checked (the estimate itself stays rows-only by design)
+    // the HLL sketch's registered face is its BOUND GATE: exact anchor
+    // + 0/1 verdict, fully oracle-checked. The raw estimate relation
+    // ([[graft.operators.UniqueUsers.perMinuteApprox]] — executed
+    // INSIDE this gate) stays library API with its own error spec
+    // (UniqueUsersSpec): its values are engine-specific, so a registry
+    // row for them could never be more than rows-only.
     "uu_per_minute_approx_check" -> ((s, d) => UniqueUsers.perMinuteApproxCheck(Tables.events(s, d))),
     // Count-Min point-count sketch, bound-gated like the HLL check
     "user_count_cms_check" -> ((s, d) => UniqueUsers.userCountCmsCheck(Tables.events(s, d))),
-    // mergeable DataSketches rollup: per-hour HLL sketches UNIONED to
-    // daily distincts (rows-only — estimate is engine-specific) + its
-    // oracle-gated bound check
-    "uu_daily_sketch_union" -> ((s, d) => UniqueUsers.dailySketchRollup(Tables.events(s, d))),
+    // mergeable DataSketches rollup (per-hour HLL sketches UNIONED to
+    // daily distincts), registered as its oracle-gated bound check —
+    // the rollup itself ([[graft.operators.UniqueUsers.dailySketchRollup]],
+    // executed inside the gate) is engine-specific-valued API, audited
+    // for hour/day algebra in AuditSpec
     "uu_daily_sketch_check" -> ((s, d) => UniqueUsers.dailySketchCheck(Tables.events(s, d))),
     // rolling 7-day WAU from per-day sketch blobs, bound-gated against
     // the exact pair-relation form (user_stickiness_daily semantics)
@@ -67,12 +71,12 @@ object SparkEntry {
     "sales_grouping_sets" -> ((s, d) => GraftSql.salesGroupingSets(s, d)),
     "order_value_percentiles" -> ((s, d) =>
       Relational.percentilesBySegment(Tables.orders(s, d), Tables.customer(s, d))),
-    // sketch percentiles: rows-only by design (KLL sketch internals are
-    // engine-specific); error-bounded against the exact op in OperatorSpec
+    // sketch percentiles, registered as the oracle-gated bound check;
+    // the raw estimate relation (Relational.percentilesBySegmentApprox,
+    // executed inside the gate) is engine-specific-valued API,
+    // error-bounded against the exact op in OperatorSpec
     "order_value_percentiles_approx_check" -> ((s, d) =>
       Relational.percentilesBySegmentApproxCheck(Tables.orders(s, d), Tables.customer(s, d))),
-    "order_value_percentiles_approx" -> ((s, d) =>
-      Relational.percentilesBySegmentApprox(Tables.orders(s, d), Tables.customer(s, d))),
     "customer_order_counts" -> ((s, d) =>
       Relational.customerOrderCounts(Tables.customer(s, d), Tables.orders(s, d))),
     "daily_revenue_range7d" -> ((s, d) => Relational.dailyRevenueRange7d(Tables.orders(s, d))),
@@ -2228,8 +2232,9 @@ object SparkEntry {
       """SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-    // uu_per_minute_approx: HLL sketch — intentionally no SQL oracle
-    // (rows-only check); its BOUND is the oracle-checked gate below.
+    // the HLL sketch estimate is engine-specific — its registered face
+    // is this bound gate (literal-1 verdicts: a bound violation is a
+    // hash mismatch)
     "uu_per_minute_approx_check" ->
       """SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS uu_exact,
@@ -2239,8 +2244,8 @@ object SparkEntry {
       """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1)
         |SELECT user_id, n, CAST(1 AS BIGINT) AS never_under, CAST(1 AS BIGINT) AS within_bound
         |FROM c ORDER BY n DESC, user_id LIMIT 20""".stripMargin,
-    // uu_daily_sketch_union: DataSketches HLL estimates — rows-only by
-    // design; the bound is the oracle-checked gate below.
+    // the DataSketches rollup estimate is engine-specific — registered
+    // as its bound gate, same contract as uu_per_minute_approx_check
     "uu_daily_sketch_check" ->
       """SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS uu_exact,
@@ -3755,8 +3760,8 @@ object SparkEntry {
     "reference-parity" -> Seq(
       "uu_per_minute", "uu_per_minute_by_type", "uu_minute_histogram",
       "uu_per_minute_twophase", "uu_per_minute_collect_set",
-      "uu_per_minute_approx", "uu_per_minute_approx_check", "uu_per_minute_udaf",
-      "uu_per_minute_sql", "uu_sliding_5m_1m", "uu_daily_sketch_union",
+      "uu_per_minute_approx_check", "uu_per_minute_udaf",
+      "uu_per_minute_sql", "uu_sliding_5m_1m",
       "uu_daily_sketch_check", "uu_wau_sketch_check", "user_count_cms_check",
       "audience_overlap_check",
       "events_filter_project", "events_json_extract", "events_variant_extract",
@@ -3766,7 +3771,7 @@ object SparkEntry {
       "customers_topn_per_segment", "semi_join_customers", "anti_join_customers",
       "custkeys_intersect", "custkeys_except", "sales_rollup", "sales_cube",
       "sales_grouping_sets", "orders_enriched", "latest_order_per_customer",
-      "order_value_histogram", "order_value_percentiles", "order_value_percentiles_approx",
+      "order_value_histogram", "order_value_percentiles",
       "order_value_percentiles_approx_check", "customer_order_counts",
       "customer_name_parse", "events_by_weekday", "events_pivot",
       "events_resample_gapfill", "parts_above_brand_avg", "median_order_by_segment",

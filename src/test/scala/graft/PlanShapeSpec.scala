@@ -190,7 +190,6 @@ class PlanShapeSpec extends SparkSpec {
       "dsir_weights" -> "two 1-row vocabulary-size broadcasts (target + base LM)",
       "dsir_sample" -> "two 1-row vocabulary-size broadcasts (target + base LM)",
       "order_value_percentiles" -> "20 percentile targets broadcast",
-      "order_value_percentiles_approx" -> "20 percentile targets broadcast",
       "order_value_percentiles_approx_check" ->
         "percentile targets broadcast (3 instances of the bounded percentile machinery)",
       "ann_ivf_topk" -> "nCells=16 centroid table broadcast",

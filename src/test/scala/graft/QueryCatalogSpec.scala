@@ -23,15 +23,20 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(orphan.isEmpty, s"oracles without queries: $orphan")
   }
 
-  test("post-run oracle names are registered queries, disjoint from the static rows-only set") {
+  test("post-run oracle names are registered queries") {
     val postRun = SparkEntry.postRunOracleQueries
     assert((postRun -- SparkEntry.queries.keySet).isEmpty,
       s"post-run oracle for unregistered query: ${postRun -- SparkEntry.queries.keySet}")
-    // the three by-design rows-only sketch queries must never be listed
-    // as inlined-model (the catalog would claim a check that can't exist)
-    val rowsOnly = Set("uu_per_minute_approx", "uu_daily_sketch_union",
-      "order_value_percentiles_approx")
-    assert(postRun.intersect(rowsOnly).isEmpty)
+  }
+
+  test("every registered query carries an oracle: static SQL or a post-run inlined model") {
+    // no rows-only registry entries: engine-specific estimate relations
+    // (HLL/KLL values) live as library API under spec bounds, and their
+    // registered face is the oracle-gated bound check — so the driver's
+    // correctness record has zero no_oracle rows by construction
+    val uncovered = SparkEntry.queries.keySet --
+      SparkEntry.oracleSql.keySet -- SparkEntry.postRunOracleQueries
+    assert(uncovered.isEmpty, s"queries without any oracle: $uncovered")
   }
 
   test("committed QUERIES.json matches a fresh rendering byte for byte") {
