@@ -262,10 +262,28 @@ object TrainingPipeline {
           // writeTrainingShards; the batch-mode export keeps the full
           // shuffle width)
           val admitted = admitted0.persist()
-          val nAdmitted = admitted.count()
-          graft.sources.FileFormats.writeTrainingShards(
-            admitted, s"$outDir/batch_id=$batchId", budget,
-            writerTasks = Some(math.min(32, 1 + (nAdmitted / 1000)).toInt))
+          val nAdmitted = admitted.count() // materializes the cache the sinks below share
+          // the export and each index-maintenance family are INDEPENDENT
+          // consumers of the (already materialized) admitted cache, each
+          // writing its own path/tables: run them as concurrent Spark
+          // jobs rather than four sequential job-commit rounds per
+          // trigger — the sequential form left most of the 8 cores idle
+          // during each small write's planning/commit tail (the
+          // dominant per-trigger cost after round 10's persist fix).
+          // Order INSIDE a family (append, then cadence compaction) is
+          // preserved by keeping the family inside one Future. Crash
+          // atomicity is unchanged: a batch that dies with some families
+          // landed and others not is exactly the sequential form's crash
+          // state, and the at-least-once replay re-runs all four (export
+          // overwrites its batch_id dir; each index family has its own
+          // replay contract — ledger skip, duplicate-tolerant rows).
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          val exportF = Future {
+            graft.sources.FileFormats.writeTrainingShards(
+              admitted, s"$outDir/batch_id=$batchId", budget,
+              writerTasks = Some(math.min(32, 1 + (nAdmitted / 1000)).toInt))
+          }
           // maintenance entries hash the ORIGINAL text (see
           // [[transformsWithOriginal]]): the index must fingerprint what
           // future raw arrivals will hash, not the redacted export form.
@@ -274,11 +292,11 @@ object TrainingPipeline {
           // maintains correctly too.
           val forIndex = admitted.select(col("doc_id")).join(
             batch.select(col("doc_id"), col("orig_text").as("text"), col("source")), Seq("doc_id"))
-          maintainIndexName.foreach { name =>
+          val dedupF = Future { maintainIndexName.foreach { name =>
             graft.operators.Dedup.appendToDedupIndex(forIndex, name)
             if (compactEvery.exists(n => (batchId + 1) % n == 0))
               graft.operators.Dedup.compactDedupIndex(batch.sparkSession, name)
-          }
+          } }
           // search-index maintenance indexes the EXPORTED (redacted)
           // text — what the shards actually contain and what a corpus
           // search should retrieve — the deliberate asymmetry with the
@@ -286,7 +304,7 @@ object TrainingPipeline {
           // arrivals will hash. Keyed on batchId: the postings ledger
           // skips a re-delivered batch, so the at-least-once foreachBatch
           // replay cannot double tf/df (Search.appendToSearchIndex).
-          maintainSearchIndexName.foreach { name =>
+          val searchF = Future { maintainSearchIndexName.foreach { name =>
             graft.operators.Search.appendToSearchIndex(
               admitted.select(col("doc_id"), col("text"), col("source")),
               name, Some(batchId))
@@ -296,7 +314,7 @@ object TrainingPipeline {
             // — it only reclaims append-born files and crash orphans
             if (compactEvery.exists(n => (batchId + 1) % n == 0))
               graft.operators.Search.compactSearchIndex(batch.sparkSession, name)
-          }
+          } }
           // vector-index maintenance: admitted docs become ANN-searchable
           // online — hashed-TF lexical vectors (no model, no vocabulary)
           // encoded with the index's FROZEN quantizer/codebooks and
@@ -308,13 +326,19 @@ object TrainingPipeline {
           // slots in a top-k tail until the cadence compaction's
           // dropDuplicates(vec_id) folds them — run a cadence when
           // replays are possible.
-          maintainVectorIndexPath.foreach { path =>
+          val vectorF = Future { maintainVectorIndexPath.foreach { path =>
             graft.operators.Similarity.appendToPqIndex(
               graft.operators.TextAnalysis.lexicalVectors(
                 admitted.select(col("doc_id"), col("text"))), path)
             if (compactEvery.exists(n => (batchId + 1) % n == 0))
               graft.operators.Similarity.compactIvfIndex(batch.sparkSession, path)
-          }
+          } }
+          // the trigger does not complete until every family has landed
+          // (same completion point as the sequential form); Inf is the
+          // foreachBatch contract — the streaming engine owns timeouts
+          Await.result(
+            Future.sequence(Seq(exportF, dedupF, searchF, vectorF)),
+            scala.concurrent.duration.Duration.Inf)
           admitted.unpersist()
           ()
         }
