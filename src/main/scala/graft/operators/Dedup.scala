@@ -371,10 +371,24 @@ object Dedup {
     // the cached array relation feeds BOTH band derivation (via
     // bandTable → shingles → shingleArraysCached) and the _shingles
     // table: shingling — the expensive normalize+split+3-gram pass —
-    // runs once per corpus snapshot, not once per output table
-    writeBucketed(bandTable(existing), s"${name}_bands", "band_key", buckets)
-    writeBucketed(shingleArraysCached(existing).select(col("doc_id"), col("n_g"), col("gs")),
-      s"${name}_shingles", "doc_id", buckets)
+    // runs once per corpus snapshot, not once per output table.
+    // Materialize it BEFORE the concurrent writers (racing the cache
+    // fill would duplicate that pass), then write the two
+    // shingle-derived tables as concurrent jobs — same disjoint-table
+    // argument as the appendToDedupIndex fast path, same idempotent
+    // rebuild-on-crash story (the fp write above runs first and alone:
+    // it scans the raw corpus, not the cache, and keeping one writer
+    // serial bounds the build's peak concurrent shuffle footprint)
+    shingleArraysCached(existing).count()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(Seq(
+      Future(writeBucketed(bandTable(existing), s"${name}_bands", "band_key", buckets)),
+      Future(writeBucketed(
+        shingleArraysCached(existing).select(col("doc_id"), col("n_g"), col("gs")),
+        s"${name}_shingles", "doc_id", buckets)))),
+      scala.concurrent.duration.Duration.Inf)
+    ()
   }
 
   /** Drop a persisted index completely — catalog entries AND any
