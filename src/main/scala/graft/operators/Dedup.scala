@@ -97,11 +97,20 @@ object Dedup {
     * reads the CacheManager, so this re-persists exactly when the entry
     * is actually gone. */
   private def persistTracked(df: DataFrame): DataFrame = synchronized {
-    val handle = tracked.getOrElseUpdate(
-      (df.sparkSession, df.queryExecution.analyzed.canonicalized), df)
-    if (handle.storageLevel == StorageLevel.NONE)
-      handle.persist(StorageLevel.MEMORY_AND_DISK)
-    handle
+    val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized)
+    val handle = tracked.getOrElseUpdate(key, df)
+    if (handle.storageLevel == StorageLevel.NONE) {
+      // the entry is gone (clearCache, or a DROP TABLE uncached it).
+      // Re-persist the CALLER's df, not the stale handle: two plans can
+      // canonicalize equal while pinning DIFFERENT file-listing
+      // instances of the same table (drop → rebuild → swap leaves the
+      // old handle listing files that no longer exist — re-persisting
+      // it replays FileNotFound on the next materialization; this was a
+      // real bug the N-invocation-per-JVM path hit, not a theoretical)
+      tracked.put(key, df)
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+      df
+    } else handle
   }
 
   def shingleArraysCached(documents: DataFrame): DataFrame =
@@ -558,16 +567,19 @@ object Dedup {
     val catalog = spark.sessionState.catalog
     def rewriteOne(suffix: String, key: String): Unit = {
       val t = name + suffix
+      // a prior rewrite's crash between swap renames leaves t missing —
+      // restore before reading it as this rewrite's input
+      graft.sources.FileFormats.healTornSwap(spark, t)
       try spark.catalog.refreshTable(t)
       catch { case _: org.apache.spark.sql.AnalysisException => () }
       val buckets = catalog
         .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
         .bucketSpec.map(_.numBuckets).getOrElse(8)
-      val staged = s"${t}__compact"
-      graft.sources.FileFormats.writeBucketed(canon(suffix)(spark.table(t)), staged, key, buckets)
-      graft.sources.FileFormats.writeBucketed(spark.table(staged), t, key, buckets)
-      spark.sql(s"DROP TABLE `$staged`")
-      spark.catalog.refreshTable(t)
+      // staged SWAP, not staged copy-back: the rewrite pays its IO once
+      // and the swap is two catalog renames (see writeBucketedSwap for
+      // the torn-swap recovery contract)
+      graft.sources.FileFormats.writeBucketedSwap(
+        canon(suffix)(spark.table(t)), t, key, buckets)
     }
     rewriteOne("_fp", "fp")
     rewriteOne("_bands", "band_key")

@@ -202,19 +202,18 @@ object Search {
     val catalog = spark.sessionState.catalog
     val pt = s"${name}_postings"
     val tt = s"${name}_totals"
+    graft.sources.FileFormats.healTornSwap(spark, pt)
     Seq(pt, tt).foreach(t => try spark.catalog.refreshTable(t) catch { case _: Throwable => () })
     val buckets = catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(pt))
       .bucketSpec.map(_.numBuckets).getOrElse(8)
     val led = ledger(spark, name)
-    val stagedP = s"${pt}__compact"
-    writeBucketed(
+    // staged swap: 1x postings IO + two renames (writeBucketedSwap)
+    graft.sources.FileFormats.writeBucketedSwap(
       spark.table(pt).join(broadcast(led), "batch_id")
         .select(col("tok"), col("doc_id"), col("dl"), col("tf"))
         .withColumn("batch_id", lit(BaseSegment)),
-      stagedP, "tok", buckets)
-    writeBucketed(spark.table(stagedP), pt, "tok", buckets)
-    spark.sql(s"DROP TABLE `$stagedP`")
+      pt, "tok", buckets)
     val stagedT = s"${tt}__compact"
     spark.table(tt)
       .agg(sum(col("n_docs")).cast("long").as("n_docs"),
@@ -251,6 +250,7 @@ object Search {
     val catalog = spark.sessionState.catalog
     val pt = s"${name}_postings"
     val tt = s"${name}_totals"
+    graft.sources.FileFormats.healTornSwap(spark, pt)
     Seq(pt, tt).foreach(t => try spark.catalog.refreshTable(t) catch { case _: Throwable => () })
     val buckets = catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(pt))
@@ -268,15 +268,13 @@ object Search {
     val delta = toDrop.unionAll(emptyRemoved)
       .agg(count(lit(1)).as("rm_docs"),
         coalesce(sum(col("dl")), lit(0L)).as("rm_dl")).localCheckpoint()
-    val stagedP = s"${pt}__remove"
-    writeBucketed(
+    // staged swap: 1x postings IO + two renames (writeBucketedSwap)
+    graft.sources.FileFormats.writeBucketedSwap(
       spark.table(pt).join(broadcast(led), "batch_id")
         .join(toDrop.select(col("doc_id")), Seq("doc_id"), "left_anti")
         .select(col("tok"), col("doc_id"), col("dl"), col("tf"))
         .withColumn("batch_id", lit(BaseSegment)),
-      stagedP, "tok", buckets)
-    writeBucketed(spark.table(stagedP), pt, "tok", buckets)
-    spark.sql(s"DROP TABLE `$stagedP`")
+      pt, "tok", buckets)
     val stagedT = s"${tt}__remove"
     spark.table(tt)
       .agg(sum(col("n_docs")).cast("long").as("n_docs"),

@@ -53,6 +53,71 @@ object FileFormats {
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
 
+  /** Drop a table AND its managed location, even when the current
+    * session's catalog no longer knows the table (a crashed prior JVM's
+    * leftovers under a shared warehouse dir — `saveAsTable` refuses to
+    * reuse such a location). Best-effort by design. */
+  def dropTableAndLocation(spark: SparkSession, table: String): Unit = {
+    try spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    catch { case _: Throwable => () }
+    try {
+      val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+      val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase(java.util.Locale.ROOT))
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    } catch { case _: Throwable => () }
+  }
+
+  /** Rewrite a bucketed table's content by STAGED SWAP: write the new
+    * content once (to `<table>__staged`), then swap it into place with
+    * catalog renames — a managed-table rename MOVES the directory, so
+    * the swap is metadata + one filesystem move instead of the second
+    * full write the copy-back form paid (rewrites cost 1× IO, not 2×).
+    * On object stores without atomic rename, back these tables with a
+    * rename-capable store or a table format; the compaction/removal IO
+    * argument holds regardless.
+    *
+    * Torn-swap recovery is built in at entry: a crash between the two
+    * renames leaves `<table>` missing and `<table>__old` present — the
+    * next rewrite (the documented "run it again" recovery of every
+    * index lifecycle verb) restores the old table first, re-deriving
+    * from exactly the pre-swap state. Readers racing the swap see the
+    * same window the Overwrite copy-back form had; index rewrites here
+    * are single-writer by contract (ledgered batches / lifecycle
+    * verbs). */
+  /** Restore `table` from `<table>__old` if a prior [[writeBucketedSwap]]
+    * crashed between its two renames. Rewrite verbs call this BEFORE
+    * reading the table they are about to rewrite — the torn state has
+    * the table name missing, so a caller that builds its rewrite input
+    * from `spark.table(table)` would otherwise fail ahead of the
+    * in-swap heal. Idempotent no-op when the table is healthy. */
+  def healTornSwap(spark: SparkSession, table: String): Unit = {
+    val old = s"${table}__old"
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(old))
+      spark.sql(s"ALTER TABLE `$old` RENAME TO `$table`")
+  }
+
+  def writeBucketedSwap(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    val staged = s"${table}__staged"
+    val old = s"${table}__old"
+    healTornSwap(spark, table) // a torn prior swap (also guarded at verb entry)
+    dropTableAndLocation(spark, staged) // crashed-run leftovers
+    dropTableAndLocation(spark, old)
+    writeBucketed(df, staged, key, buckets)
+    spark.sql(s"ALTER TABLE `$table` RENAME TO `$old`")
+    spark.sql(s"ALTER TABLE `$staged` RENAME TO `$table`")
+    spark.sql(s"DROP TABLE `$old`")
+    spark.catalog.refreshTable(table)
+    // refreshTable alone is NOT enough after a rename swap: persisted
+    // plans READING this table are cache-keyed on the old relation
+    // instance and survive it, still pinning the pre-swap file listing
+    // (an Overwrite write invalidated them by PATH as a side effect —
+    // the rename path must do so explicitly or replay FileNotFound)
+    spark.catalog.refreshByPath(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location.toString)
+  }
+
   /** End-to-end training-data EXPORT: assign every doc its token-budget
     * shard ([[graft.operators.TextAnalysis.shardAssign]] — one bounded
     * window, text carried through so no second corpus join) and write

@@ -598,4 +598,17 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Boolean]("no_false_negatives"))
     assert(r.getAs[Boolean]("fp_rate_ok"))
   }
+
+  test("repeat same-JVM invocations of the diff-merge query do not pin stale file listings") {
+    // regression: drop → rebuild → staged-swap leaves a canonically-equal
+    // plan whose tracked shingle-cache handle pinned the PREVIOUS build's
+    // file listing; re-persisting that stale handle replayed
+    // FileNotFound on every invocation after the first (Bench masked it
+    // by clearing session state between retries — a long-lived query
+    // service does not get that luxury)
+    val fn = SparkEntry.queries("incremental_dedup_after_diff")
+    val r1 = fn(spark, Sf0001).collect().map(_.getLong(0)).toSet
+    val r2 = fn(spark, Sf0001).collect().map(_.getLong(0)).toSet
+    assert(r1.nonEmpty && r1 === r2)
+  }
 }

@@ -249,4 +249,42 @@ class FileFormatsSpec extends SparkSpec {
     assert(zFilesHit * 2 <= zBoxes.size,
       s"a mid-domain day hits $zFilesHit of ${zBoxes.size} z files — no pruning win")
   }
+
+  test("writeBucketedSwap: rewrite keeps location + bucket spec, 1x IO, old readers healed") {
+    import spark.implicits._
+    val t = "ffs_swap_t"
+    FileFormats.dropTableAndLocation(spark, t)
+    FileFormats.writeBucketed(
+      (0 until 100).map(i => (i.toLong, s"v$i")).toDF("k", "v"), t, "k", 4)
+    val locBefore = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(t)).location
+    // self-read rewrite (the compaction shape): drop odd keys
+    FileFormats.writeBucketedSwap(
+      spark.table(t).filter(col("k") % 2 === 0), t, "k", 4)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(t))
+    assert(meta.location === locBefore, "swap must land at the table's own location")
+    assert(meta.bucketSpec.map(_.numBuckets) === Some(4), "bucket spec must survive the swap")
+    assert(spark.table(t).count() === 50)
+    // no leftover staged/old tables
+    assert(!spark.catalog.tableExists(s"${t}__staged"))
+    assert(!spark.catalog.tableExists(s"${t}__old"))
+  }
+
+  test("healTornSwap restores a table stranded between the swap's two renames") {
+    import spark.implicits._
+    val t = "ffs_torn_t"
+    FileFormats.dropTableAndLocation(spark, t)
+    FileFormats.dropTableAndLocation(spark, s"${t}__old")
+    FileFormats.writeBucketed(
+      (0 until 40).map(i => (i.toLong, s"v$i")).toDF("k", "v"), t, "k", 4)
+    // simulate the crash window: first rename done, second never ran
+    spark.sql(s"ALTER TABLE `$t` RENAME TO `${t}__old`")
+    assert(!spark.catalog.tableExists(t))
+    FileFormats.healTornSwap(spark, t)
+    assert(spark.catalog.tableExists(t) && !spark.catalog.tableExists(s"${t}__old"))
+    assert(spark.table(t).count() === 40)
+    FileFormats.healTornSwap(spark, t) // healthy-table no-op
+    assert(spark.table(t).count() === 40)
+  }
 }
