@@ -208,7 +208,7 @@ object GraftSql {
     // named parameter markers (Spark 4 parameterized SQL): the literals
     // bind server-side instead of being spliced into the text — the
     // SQL-injection-proof form a query service exposes
-    spark.sql(
+    val out = spark.sql(
       s"""WITH RECURSIVE reach AS (
         |  SELECT DISTINCT src AS part, 0 AS hop FROM $edgesView WHERE src < :seedCap
         |  UNION ALL
@@ -217,5 +217,11 @@ object GraftSql {
         |SELECT CAST(part AS LONG) AS part, CAST(min(hop) AS LONG) AS hops
         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
       Map("seedCap" -> 50, "maxHop" -> 3))
+    // the view is INLINED into `out`'s analyzed plan above — drop it now
+    // so the catalog holds no reference and the checkpointed edge blocks
+    // free with the returned plan (a per-invocation view that outlives
+    // the call would pin one edge relation per invocation forever)
+    spark.catalog.dropTempView(edgesView)
+    out
   }
 }

@@ -389,15 +389,11 @@ object Dedup {
     // it scans the raw corpus, not the cache, and keeping one writer
     // serial bounds the build's peak concurrent shuffle footprint)
     shingleArraysCached(existing).count()
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    Await.result(Future.sequence(Seq(
-      Future(writeBucketed(bandTable(existing), s"${name}_bands", "band_key", buckets)),
-      Future(writeBucketed(
+    graft.Par.runAll(
+      () => writeBucketed(bandTable(existing), s"${name}_bands", "band_key", buckets),
+      () => writeBucketed(
         shingleArraysCached(existing).select(col("doc_id"), col("n_g"), col("gs")),
-        s"${name}_shingles", "doc_id", buckets)))),
-      scala.concurrent.duration.Duration.Inf)
-    ()
+        s"${name}_shingles", "doc_id", buckets))
   }
 
   /** Drop a persisted index completely — catalog entries AND any
@@ -426,9 +422,11 @@ object Dedup {
     // relations cache per session — invalidate this session's entries so
     // a load always sees the current files. Best-effort: a missing table
     // surfaces as a meaningful error from spark.table below, not here.
-    Seq("_fp", "_bands", "_shingles").foreach(s =>
+    Seq("_fp", "_bands", "_shingles").foreach { s =>
+      graft.sources.FileFormats.healTornSwap(spark, name + s)
       try spark.catalog.refreshTable(name + s)
-      catch { case _: org.apache.spark.sql.AnalysisException => () })
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
     DedupIndex(
       spark.table(s"${name}_fp"),
       spark.table(s"${name}_bands"),
@@ -456,6 +454,12 @@ object Dedup {
     // [[saveDedupIndex]] was called with (an index saved at buckets=32
     // would otherwise fail every maintenance append at runtime)
     val catalog = admitted.sparkSession.sessionState.catalog
+    // a compaction crash between swap renames must not wedge the
+    // streaming maintenance path: the replayed trigger appends FIRST
+    // (before the cadence compaction that would heal), so the append
+    // verb itself restores a torn table before reading its metadata
+    for (s <- Seq("_fp", "_bands", "_shingles"))
+      graft.sources.FileFormats.healTornSwap(admitted.sparkSession, name + s)
     def bucketsOf(table: String): Int =
       catalog.getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
         .bucketSpec.map(_.numBuckets).getOrElse(8)
@@ -489,17 +493,14 @@ object Dedup {
       // that dies mid-append leaves some tables appended and some not,
       // and the at-least-once replay re-appends all three; duplicate
       // index rows cannot change an anti-join/candidate outcome.
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      Await.result(Future.sequence(Seq(
-        Future(app(
+      graft.Par.runAll(
+        () => app(
           admitted.select(md5(normText(col("text"))).as("fp"), col("doc_id")).distinct(),
-          s"${name}_fp", "fp")),
-        Future(app(bandTableFrom(sh.select(col("doc_id"), explode(col("gs")).as("g"))),
-          s"${name}_bands", "band_key")),
-        Future(app(sh.select(col("doc_id"), col("n_g"), col("gs")),
-          s"${name}_shingles", "doc_id")))),
-        scala.concurrent.duration.Duration.Inf)
+          s"${name}_fp", "fp"),
+        () => app(bandTableFrom(sh.select(col("doc_id"), explode(col("gs")).as("g"))),
+          s"${name}_bands", "band_key"),
+        () => app(sh.select(col("doc_id"), col("n_g"), col("gs")),
+          s"${name}_shingles", "doc_id"))
     } finally sh.unpersist()
     // readers cache a table's resolved relation (file listing included)
     // PER SESSION — and a streaming foreachBatch hands this code a CLONED
@@ -536,17 +537,15 @@ object Dedup {
     * per-file open cost. Rewrite all three tables in place — one
     * bucketed write each (the same shuffle a fresh [[saveDedupIndex]]
     * pays, WITHOUT re-reading or re-sketching the corpus: the inputs are
-    * the index tables themselves), staged under a temp table first: a
-    * table can't overwrite itself, and the staged copy means a crash
-    * mid-rewrite leaves either the old table or a complete staged one.
-    * The live table is then rewritten FROM the staged copy with the same
-    * saveAsTable(Overwrite) command every other writer here uses — that
-    * command invalidates its own path's file-status entries, where a
-    * DROP + catalog-RENAME swap (tried first) leaves the session's
-    * path-keyed FileStatusCache serving the dropped files' listing and
-    * the next scan dies on FILE_NOT_EXIST. The index pays 2× write IO;
-    * the index is a few percent of the corpus, so that is the cheap side
-    * of the trade. Each table keeps its own catalog bucket spec.
+    * the index tables themselves), via
+    * [[graft.sources.FileFormats.writeBucketedSwap]]: the new content is
+    * written ONCE to a staged table and swapped into place with catalog
+    * renames (1× write IO; a naive earlier rename attempt died on stale
+    * cached listings — the swap's explicit `refreshByPath` plus the
+    * fresh-plan re-persist in the tracked shingle cache are what make
+    * the rename form safe, both spec-pinned). A crash between the two
+    * renames leaves `<t>__old`, which every rewrite/append verb heals at
+    * entry. Each table keeps its own catalog bucket spec.
     *
     * Compaction also folds the duplicate rows at-least-once maintenance
     * may have appended (a replayed micro-batch appends its rows twice):
@@ -558,10 +557,9 @@ object Dedup {
     * whenever per-bucket file counts pass the warehouse's small-file
     * threshold ([[TrainingPipeline]]'s maintained index after N
     * micro-batches is the canonical caller). */
-  /** The staged in-place rewrite all three index tables share (see
-    * [[compactDedupIndex]] for why it is staged-then-overwrite rather
-    * than a rename swap): `canon` is the per-table canonicalization the
-    * caller wants folded into the rewrite. */
+  /** The staged-swap rewrite all three index tables share: `canon` is
+    * the per-table canonicalization the caller wants folded into the
+    * rewrite. */
   private def rewriteIndexTables(spark: org.apache.spark.sql.SparkSession, name: String,
                                  canon: String => DataFrame => DataFrame): Unit = {
     val catalog = spark.sessionState.catalog

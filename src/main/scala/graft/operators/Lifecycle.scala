@@ -19,6 +19,28 @@ import org.apache.spark.sql.functions._
   */
 object Lifecycle {
 
+  // one JVM shutdown hook deletes every pid-namespaced scratch tree this
+  // process created (idempotent per path; the set is tiny — one per
+  // (sfDir) this JVM swept)
+  private val scratchPaths = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  private lazy val scratchHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchPaths.keySet().forEach { p =>
+        try {
+          def rm(f: java.io.File): Unit = {
+            val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(); ()
+          }
+          rm(new java.io.File(p))
+        } catch { case _: Throwable => () }
+      }))
+    ()
+  }
+  private def registerScratchCleanup(path: String): Unit = {
+    scratchHook
+    scratchPaths.put(path, true)
+    ()
+  }
+
   /** Remove `doomed` documents from all three index families. `doomed`
     * must carry the document columns (doc_id, text, source): the dedup
     * diff uses the ids, the search removal projects per-doc lengths,
@@ -35,15 +57,11 @@ object Lifecycle {
     // (and is why concurrency is safe to expose): a crash between OR
     // during families leaves some rewritten and some not, and the
     // recovery is "run it again" because every member is idempotent
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    Await.result(Future.sequence(Seq(
-      Future(Dedup.applyCorpusDiff(spark, dedupName, pinned, pinned.filter(lit(false)))),
-      Future(Search.removeFromSearchIndex(spark, searchName, pinned)),
-      Future(Similarity.removeFromIvfIndex(spark, ivfPath,
-        pinned.select(col("doc_id").as("vec_id")))))),
-      scala.concurrent.duration.Duration.Inf)
-    ()
+    graft.Par.runAll(
+      () => Dedup.applyCorpusDiff(spark, dedupName, pinned, pinned.filter(lit(false))),
+      () => Search.removeFromSearchIndex(spark, searchName, pinned),
+      () => Similarity.removeFromIvfIndex(spark, ivfPath,
+        pinned.select(col("doc_id").as("vec_id"))))
   }
 
   /** The oracle-gated cascade check: build all three index families over
@@ -72,6 +90,9 @@ object Lifecycle {
     val ivfPath = s"${System.getProperty("java.io.tmpdir")}/graft_fgtivf_" +
       sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
       s"_p${ProcessHandle.current().pid()}"
+    // the pid suffix means no LATER process can reuse/overwrite this
+    // tree — without cleanup every JVM leaks one IVF tree in tmpdir
+    registerScratchCleanup(ivfPath)
     Dedup.dropDedupIndex(spark, dedupName)
     Search.dropSearchIndex(spark, searchName)
     // materialize the shared shingle cache BEFORE the concurrent
@@ -80,14 +101,11 @@ object Lifecycle {
     // families as concurrent jobs — same disjoint-target argument as
     // [[forget]], same idempotent-rebuild crash story
     Dedup.shingleArraysCached(docs).count()
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    Await.result(Future.sequence(Seq(
-      Future(Dedup.saveDedupIndex(docs, dedupName)),
-      Future(Search.saveSearchIndex(docs, searchName)),
-      Future(Similarity.saveIvfIndex(TextAnalysis.lexicalVectors(docs), ivfPath,
-        slot = "fgtcascade")))),
-      scala.concurrent.duration.Duration.Inf)
+    graft.Par.runAll(
+      () => Dedup.saveDedupIndex(docs, dedupName),
+      () => Search.saveSearchIndex(docs, searchName),
+      () => Similarity.saveIvfIndex(TextAnalysis.lexicalVectors(docs), ivfPath,
+        slot = "fgtcascade"))
 
     val doomed = docs.filter(col("doc_id") % forgetMod === forgetRem).localCheckpoint()
     forget(spark, doomed, dedupName, searchName, ivfPath)

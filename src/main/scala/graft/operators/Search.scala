@@ -169,6 +169,10 @@ object Search {
   def appendToSearchIndex(documents: DataFrame, name: String,
                           batchId: Option[Long] = None): Unit = {
     val spark = documents.sparkSession
+    // heal BEFORE the ledger read: a compaction crash between swap
+    // renames must not wedge the replayed trigger's append (which runs
+    // before the cadence compaction that would otherwise heal)
+    graft.sources.FileFormats.healTornSwap(spark, s"${name}_postings")
     val committed = ledger(spark, name).collect().map(_.getLong(0)).toSet
     val id = batchId.getOrElse(if (committed.isEmpty) 1L else committed.max + 1L)
     if (committed.contains(id)) return

@@ -61,8 +61,15 @@ object FileFormats {
     try spark.sql(s"DROP TABLE IF EXISTS `$table`")
     catch { case _: Throwable => () }
     try {
+      // the leftover-location path must account for the session's
+      // CURRENT database: a managed table outside `default` lives under
+      // <warehouse>/<db>.db/<table>, and deleting <warehouse>/<table>
+      // would both miss the orphan and risk an unrelated default-db dir
+      val db = spark.sessionState.catalog.getCurrentDatabase
+        .toLowerCase(java.util.Locale.ROOT)
       val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
-      val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase(java.util.Locale.ROOT))
+      val parent = if (db == "default") wh else new org.apache.hadoop.fs.Path(wh, s"$db.db")
+      val loc = new org.apache.hadoop.fs.Path(parent, table.toLowerCase(java.util.Locale.ROOT))
       loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
     } catch { case _: Throwable => () }
   }
@@ -107,12 +114,21 @@ object FileFormats {
     spark.sql(s"ALTER TABLE `$table` RENAME TO `$old`")
     spark.sql(s"ALTER TABLE `$staged` RENAME TO `$table`")
     spark.sql(s"DROP TABLE `$old`")
-    spark.catalog.refreshTable(table)
     // refreshTable alone is NOT enough after a rename swap: persisted
     // plans READING this table are cache-keyed on the old relation
     // instance and survive it, still pinning the pre-swap file listing
     // (an Overwrite write invalidated them by PATH as a side effect —
-    // the rename path must do so explicitly or replay FileNotFound)
+    // the rename path must do so explicitly or replay FileNotFound).
+    // The table-name relation cache is PER SESSION, so refresh every
+    // session this process exposes (a foreachBatch clone compacting an
+    // index must not leave the parent session scanning moved files);
+    // the path refresh hits the SHARED CacheManager once.
+    val sessions = (Seq(spark) ++
+      org.apache.spark.sql.SparkSession.getDefaultSession.toSeq ++
+      org.apache.spark.sql.SparkSession.getActiveSession.toSeq).distinct
+    for (s <- sessions)
+      try s.catalog.refreshTable(table)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
     spark.catalog.refreshByPath(
       spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(table)).location.toString)

@@ -299,17 +299,27 @@ object StreamingUniqueUsers {
     * `MERGE INTO ... ON t.key = s.key` (this form needs no table-format
     * dependency). */
   def writeKeyDeduped(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                      outDir: String): Unit = {
-    val session = batch.sparkSession
-    val prev = try Some(session.conf.get("spark.sql.sources.partitionOverwriteMode"))
-    catch { case _: Exception => None }
-    session.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try batch.dropDuplicates("key")
-      .write.mode("overwrite").partitionBy("key").parquet(outDir)
-    finally prev match {
-      case Some(v) => session.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => session.conf.unset("spark.sql.sources.partitionOverwriteMode")
+                      outDir: String, orderCol: Option[String] = None): Unit = {
+    // WITHIN a delivery: keep the max-orderCol row per key when the
+    // records carry an ordering column (a Kafka consumer has offset/
+    // timestamp — that is the true last-wins fold); with no ordering
+    // column, same-key rows within one delivery are collapsed
+    // arbitrarily, which is exact for this pipeline's append-mode
+    // output (one final row per key per query run) — cross-delivery
+    // supersession is what the partition overwrite provides either way
+    val one = orderCol match {
+      case Some(c) =>
+        import org.apache.spark.sql.expressions.Window
+        batch.withColumn("__rn", row_number().over(
+          Window.partitionBy(col("key")).orderBy(col(c).desc)))
+          .filter(col("__rn") === 1).drop("__rn", c)
+      case None => batch.dropDuplicates("key")
     }
+    // writer-scoped option, NOT a session-conf mutation: concurrent
+    // writers on this session must not race a global overwrite mode
+    one.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("key").parquet(outDir)
   }
 
   /** [[writeKeyDeduped]] as a streaming sink: the at-least-once →

@@ -271,15 +271,13 @@ object TrainingPipeline {
           // during each small write's planning/commit tail (the
           // dominant per-trigger cost after round 10's persist fix).
           // Order INSIDE a family (append, then cadence compaction) is
-          // preserved by keeping the family inside one Future. Crash
+          // preserved by keeping the family inside one thunk (graft.Par). Crash
           // atomicity is unchanged: a batch that dies with some families
           // landed and others not is exactly the sequential form's crash
           // state, and the at-least-once replay re-runs all four (export
           // overwrites its batch_id dir; each index family has its own
           // replay contract — ledger skip, duplicate-tolerant rows).
-          import scala.concurrent.{Await, Future}
-          import scala.concurrent.ExecutionContext.Implicits.global
-          val exportF = Future {
+          val exportT = () => {
             graft.sources.FileFormats.writeTrainingShards(
               admitted, s"$outDir/batch_id=$batchId", budget,
               writerTasks = Some(math.min(32, 1 + (nAdmitted / 1000)).toInt))
@@ -292,7 +290,7 @@ object TrainingPipeline {
           // maintains correctly too.
           val forIndex = admitted.select(col("doc_id")).join(
             batch.select(col("doc_id"), col("orig_text").as("text"), col("source")), Seq("doc_id"))
-          val dedupF = Future { maintainIndexName.foreach { name =>
+          val dedupT = () => { maintainIndexName.foreach { name =>
             graft.operators.Dedup.appendToDedupIndex(forIndex, name)
             if (compactEvery.exists(n => (batchId + 1) % n == 0))
               graft.operators.Dedup.compactDedupIndex(batch.sparkSession, name)
@@ -304,7 +302,7 @@ object TrainingPipeline {
           // arrivals will hash. Keyed on batchId: the postings ledger
           // skips a re-delivered batch, so the at-least-once foreachBatch
           // replay cannot double tf/df (Search.appendToSearchIndex).
-          val searchF = Future { maintainSearchIndexName.foreach { name =>
+          val searchT = () => { maintainSearchIndexName.foreach { name =>
             graft.operators.Search.appendToSearchIndex(
               admitted.select(col("doc_id"), col("text"), col("source")),
               name, Some(batchId))
@@ -326,7 +324,7 @@ object TrainingPipeline {
           // slots in a top-k tail until the cadence compaction's
           // dropDuplicates(vec_id) folds them — run a cadence when
           // replays are possible.
-          val vectorF = Future { maintainVectorIndexPath.foreach { path =>
+          val vectorT = () => { maintainVectorIndexPath.foreach { path =>
             graft.operators.Similarity.appendToPqIndex(
               graft.operators.TextAnalysis.lexicalVectors(
                 admitted.select(col("doc_id"), col("text"))), path)
@@ -336,9 +334,7 @@ object TrainingPipeline {
           // the trigger does not complete until every family has landed
           // (same completion point as the sequential form); Inf is the
           // foreachBatch contract — the streaming engine owns timeouts
-          Await.result(
-            Future.sequence(Seq(exportF, dedupF, searchF, vectorF)),
-            scala.concurrent.duration.Duration.Inf)
+          graft.Par.runAll(exportT, dedupT, searchT, vectorT)
           admitted.unpersist()
           ()
         }

@@ -83,6 +83,24 @@ class KafkaMainSpec extends SparkSpec {
     assert(got((w0 + 60).toString) === """{"unique_users":1}""") // untouched partition survives
   }
 
+  test("key dedup with an ordering column: the highest-offset record wins WITHIN one delivery") {
+    val out = Files.createTempDirectory("graft_eo_ord").toString
+    // one consumer micro-batch spanning a window's original record AND
+    // its later re-emission (real Kafka consumers see both; offset is
+    // the true last-wins order)
+    val d = Seq(
+      (w0.toString, """{"unique_users":2}""", 10L),
+      (w0.toString, """{"unique_users":3}""", 11L),
+      ((w0 + 60).toString, """{"unique_users":1}""", 12L)
+    ).toDF("key", "value", "offset")
+    StreamingUniqueUsers.writeKeyDeduped(d, out, orderCol = Some("offset"))
+    val got = spark.read.parquet(out)
+      .select(col("key").cast("string"), col("value"))
+      .as[(String, String)].collect().toMap
+    assert(got.size === 2)
+    assert(got(w0.toString) === """{"unique_users":3}""")
+  }
+
   test("streaming key-dedup sink: full reprocessing replay leaves one logical row per window") {
     implicit val sqlCtx = spark.sqlContext
     val out = Files.createTempDirectory("graft_eo_stream").toString
