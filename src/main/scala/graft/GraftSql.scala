@@ -203,6 +203,11 @@ object GraftSql {
         |  GROUP BY 1, 2 HAVING count(*) >= 2)
         |SELECT u AS src, v AS dst FROM ue
         |UNION ALL SELECT v AS src, u AS dst FROM ue""".stripMargin)
+      // localCheckpoint (EAGER), not the driver-loop operators' persist
+      // discipline: the engine-owned recursion does not reliably route
+      // per-step scans through a lazily-registered cache entry —
+      // measured 3× slower with persist (the co-purchase join re-ran
+      // inside the recursion) vs the eagerly materialized checkpoint
       .localCheckpoint()
       .createOrReplaceTempView(edgesView)
     // named parameter markers (Spark 4 parameterized SQL): the literals
