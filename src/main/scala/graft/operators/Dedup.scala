@@ -579,9 +579,12 @@ object Dedup {
       graft.sources.FileFormats.writeBucketedSwap(
         canon(suffix)(spark.table(t)), t, key, buckets)
     }
-    rewriteOne("_fp", "fp")
-    rewriteOne("_bands", "band_key")
-    rewriteOne("_shingles", "doc_id")
+    // three disjoint tables, three independent staged swaps — the same
+    // concurrent-families discipline as every other multi-table verb
+    graft.Par.runAll(
+      () => rewriteOne("_fp", "fp"),
+      () => rewriteOne("_bands", "band_key"),
+      () => rewriteOne("_shingles", "doc_id"))
     // same cross-session visibility contract as the append path: a
     // rewrite run from a foreachBatch clone must not leave the parent
     // session's listing cache serving the pre-rewrite files
