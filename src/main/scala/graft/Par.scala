@@ -12,17 +12,25 @@ package graft
   *  - every thunk targets a DISJOINT table/path (concurrency never
   *    reorders writes within one artifact family — keep a family's
   *    append→compact sequence inside ONE thunk);
-  *  - a thunk failure propagates after all complete or fail — the
-  *    crash state equals some prefix of the sequential form's, and
-  *    every caller's documented recovery is an idempotent re-run. */
+  *  - a thunk failure propagates only after EVERY thunk has settled —
+  *    no thunk outlives the call, so the caller's idempotent re-run
+  *    recovery can never race a still-in-flight orphan writer on the
+  *    same table (a `Future.sequence` here would be fail-fast and
+  *    violate exactly that). The first failure, in argument order, is
+  *    rethrown; later failures are attached as suppressed. */
 object Par {
   import scala.concurrent.{Await, Future}
   import scala.concurrent.ExecutionContext.Implicits.global
+  import scala.util.{Failure, Try}
 
   def runAll(thunks: (() => Unit)*): Unit = {
-    Await.result(
-      Future.sequence(thunks.map(t => Future(t()))),
+    val settled: Seq[Try[Unit]] = Await.result(
+      Future.traverse(thunks)(t => Future(t()).transform(scala.util.Success(_))),
       scala.concurrent.duration.Duration.Inf)
-    ()
+    val failures = settled.collect { case Failure(e) => e }
+    failures.headOption.foreach { first =>
+      failures.drop(1).foreach { e => if (e ne first) first.addSuppressed(e) }
+      throw first
+    }
   }
 }

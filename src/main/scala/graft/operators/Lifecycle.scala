@@ -81,18 +81,29 @@ object Lifecycle {
     // tracked cache entry — a per-call localCheckpoint would defeat
     // that reuse AND leak one never-reused cache entry per call
     val docs = graft.Tables.documents(spark, sfDir)
-    val dedupName = "fgt_dix"
-    val searchName = "fgt_srch"
-    // pid-namespaced scratch path: two JVMs sweeping the same scale
-    // factor must not collide on one IVF cell tree mid staged-rename
-    // (within a process the path is stable, so bench re-invocations
-    // still reuse/rebuild the same tree)
+    // pid-namespaced EVERYWHERE: two JVMs sweeping the same scale factor
+    // share the warehouse dir (catalogs are per-JVM, locations are not),
+    // so fixed table names would collide on disk exactly like a shared
+    // IVF tree would — the dedup/search families get the same pid suffix
+    // as the scratch path (within a process the names are stable, so
+    // bench re-invocations still reuse/rebuild the same tables)
+    val pidTag = s"p${ProcessHandle.current().pid()}"
+    val dedupName = s"fgt_dix_$pidTag"
+    val searchName = s"fgt_srch_$pidTag"
     val ivfPath = s"${System.getProperty("java.io.tmpdir")}/graft_fgtivf_" +
-      sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
-      s"_p${ProcessHandle.current().pid()}"
-    // the pid suffix means no LATER process can reuse/overwrite this
-    // tree — without cleanup every JVM leaks one IVF tree in tmpdir
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_") + s"_$pidTag"
+    // the pid suffix means no LATER process can reuse/overwrite these
+    // artifacts — without cleanup every JVM leaks an IVF tree in tmpdir
+    // and five bucketed tables' directories in the shared warehouse
     registerScratchCleanup(ivfPath)
+    locally {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:").stripSuffix("/")
+      for (t <- Seq(s"${dedupName}_fp", s"${dedupName}_bands", s"${dedupName}_shingles",
+                    s"${searchName}_postings", s"${searchName}_totals");
+           v <- Seq("", "__staged", "__old"))
+        registerScratchCleanup(s"$wh/${(t + v).toLowerCase(java.util.Locale.ROOT)}")
+    }
     Dedup.dropDedupIndex(spark, dedupName)
     Search.dropSearchIndex(spark, searchName)
     // materialize the shared shingle cache BEFORE the concurrent

@@ -97,13 +97,28 @@ object FileFormats {
     * the table name missing, so a caller that builds its rewrite input
     * from `spark.table(table)` would otherwise fail ahead of the
     * in-swap heal. Idempotent no-op when the table is healthy. */
-  def healTornSwap(spark: SparkSession, table: String): Unit = {
+  // Per-table-name monitors serializing swap+heal WITHIN this process:
+  // between writeBucketedSwap's two renames the table is absent from the
+  // catalog, and a concurrently running verb's entry-time healTornSwap
+  // (e.g. a query racing a streaming cadence compaction in one JVM)
+  // would read that window as a torn swap and rename `__old` back into
+  // place, failing the writer's staged→table rename and discarding the
+  // completed staged rewrite. Cross-verb concurrency on ONE table is
+  // excluded by taking the table's monitor around both the full swap and
+  // the heal; disjoint tables keep distinct monitors, so Par fan-out
+  // across index families is unaffected. (The monitor is reentrant, so
+  // the swap's own in-line heal call is fine.)
+  private val tableLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(table: String): Object =
+    tableLocks.computeIfAbsent(table, _ => new Object)
+
+  def healTornSwap(spark: SparkSession, table: String): Unit = lockFor(table).synchronized {
     val old = s"${table}__old"
     if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(old))
       spark.sql(s"ALTER TABLE `$old` RENAME TO `$table`")
   }
 
-  def writeBucketedSwap(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+  def writeBucketedSwap(df: DataFrame, table: String, key: String, buckets: Int): Unit = lockFor(table).synchronized {
     val spark = df.sparkSession
     val staged = s"${table}__staged"
     val old = s"${table}__old"

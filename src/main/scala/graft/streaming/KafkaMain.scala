@@ -82,14 +82,19 @@ object KafkaMain {
     val checkpoint = args.lift(3).getOrElse(
       s"${System.getProperty("java.io.tmpdir")}/graft_kafka_ckpt_" +
         s"${inputTopic}_$outputTopic")
-    val spark = SparkSession.builder()
+    // standalone-run default ONLY when the ambient conf (spark-submit
+    // --conf / spark-defaults) didn't set it: builder().config() would
+    // otherwise take precedence over spark-submit and silently defeat
+    // the documented cluster-side override path. SPARK_GRAFT_CPUS
+    // remains the env-var override for bare `java -cp` runs.
+    val builder = SparkSession.builder()
       .appName(s"graft-unique-users $inputTopic->$outputTopic")
-      // cluster deploys override master/shuffle via spark-submit conf;
-      // these are the standalone-run defaults only
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    val ambient = new org.apache.spark.SparkConf(true)
+    if (!ambient.contains("spark.sql.shuffle.partitions"))
+      builder.config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val spark = builder.getOrCreate()
     val query = kafkaWriter(spark, bootstrap, inputTopic, outputTopic,
       checkpoint).start()
     query.awaitTermination()

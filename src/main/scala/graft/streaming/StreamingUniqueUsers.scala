@@ -43,14 +43,14 @@ object StreamingUniqueUsers {
   /** The event record's Avro wire schema — Avro is the CONVENTIONAL
     * Kafka value encoding the reference's pass-through JsonSerde stands
     * in for (a schema-registry deployment serializes exactly this
-    * record). Spark's native `to_avro`/`from_avro` column functions are
-    * unusable in this distribution (the serde expression classes
-    * `CatalystDataToAvro`/`AvroDataToCatalyst` are omitted from the
-    * bundled jars — AVRO_NOT_LOADED at analysis), so the serde below
-    * rides the bundled public avro-1.12 library through the same
-    * per-partition codec-init `mapPartitions` pattern the multimodal
-    * decoders use; swap to the native expressions when the packaging
-    * includes them. */
+    * record). The serde below uses Spark's NATIVE `to_avro`/`from_avro`
+    * column expressions: this distribution bundles the whole Avro
+    * connector but omits the two thin expression classes the functions
+    * resolve to by reflection, so those are vendored at
+    * `org.apache.spark.sql.avro.AvroExpressions.scala` — the native
+    * path stays inside whole-stage codegen where the previous
+    * `mapPartitions` stand-in (kept below as the `*ViaMapPartitions`
+    * interop twins) broke the codegen span. */
   val EventAvroSchemaJson: String =
     """{"type":"record","name":"event","fields":[
       |  {"name":"uid","type":"string"},{"name":"ts","type":"long"}]}""".stripMargin
@@ -61,11 +61,37 @@ object StreamingUniqueUsers {
   /** S3 in Avro: `(uid, ts)` columns → one binary Avro `value` per
     * record (single-record wire form, no container framing — what a
     * Kafka producer puts on the topic). Null-field rows are filtered
-    * up front: the serializer contract requires both fields, and the
-    * reference's NPE-on-missing-uid is exactly the failure mode this
-    * engine refuses to reproduce. Writer + encoder init once per
-    * partition, zero shuffle. */
-  def toAvroRecords(events: DataFrame): DataFrame = {
+    * up front: the declared non-union schema requires both fields, and
+    * the reference's NPE-on-missing-uid is exactly the failure mode
+    * this engine refuses to reproduce. The schema is DECLARED on the
+    * encode side too — inference from the nullable catalyst struct
+    * would emit union-framed bytes no plain consumer expects. */
+  def toAvroRecords(events: DataFrame): DataFrame =
+    events.filter(col("uid").isNotNull && col("ts").isNotNull)
+      .select(org.apache.spark.sql.avro.functions.to_avro(
+        struct(col("uid"), unix_timestamp(col("ts")).as("ts")),
+        EventAvroSchemaJson).as("value"))
+
+  /** S2 in Avro: binary Avro `value` → typed columns, the
+    * [[parseEvents]] twin for Avro-encoded topics. Same corrupt-record
+    * policy as the JSON path: an undecodable payload becomes a null row
+    * (PERMISSIVE mode) and DROPS at the filter — never a downstream
+    * NPE. */
+  def parseAvroEvents(raw: DataFrame, valueCol: String = "value"): DataFrame =
+    raw.select(org.apache.spark.sql.avro.functions.from_avro(
+        col(valueCol).cast("binary"), EventAvroSchemaJson,
+        java.util.Map.of("mode", "PERMISSIVE")).as("e"))
+      .select(col("e.uid").as("uid"), timestamp_seconds(col("e.ts")).as("ts"))
+      .filter(col("uid").isNotNull && col("ts").isNotNull)
+
+  /** The pre-vendoring `mapPartitions` serde pair, kept as the
+    * INTEROP WITNESS: FileFormatsSpec decodes the native expressions'
+    * bytes with this independent avro-1.12 reader (and vice versa), so
+    * a regression in either implementation is a cross-decode mismatch,
+    * not a silent self-consistent drift. Also the documented fallback
+    * for a deployment whose spark-sql jar lacks the connector
+    * classes entirely. */
+  def toAvroRecordsViaMapPartitions(events: DataFrame): DataFrame = {
     val session = events.sparkSession
     import session.implicits._
     events.filter(col("uid").isNotNull && col("ts").isNotNull)
@@ -90,12 +116,7 @@ object StreamingUniqueUsers {
       }.toDF("value")
   }
 
-  /** S2 in Avro: binary Avro `value` → typed columns, the
-    * [[parseEvents]] twin for Avro-encoded topics. Same corrupt-record
-    * policy as the JSON path: an undecodable payload DROPS here (the
-    * explicit analogue of the JSON path's null filter), never a
-    * downstream NPE. */
-  def parseAvroEvents(raw: DataFrame, valueCol: String = "value"): DataFrame = {
+  def parseAvroEventsViaMapPartitions(raw: DataFrame, valueCol: String = "value"): DataFrame = {
     val session = raw.sparkSession
     import session.implicits._
     raw.select(col(valueCol).cast("binary")).as[Array[Byte]]

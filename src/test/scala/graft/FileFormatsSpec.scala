@@ -106,6 +106,42 @@ class FileFormatsSpec extends SparkSpec {
     assert(StreamingUniqueUsers.parseAvroEvents(corrupt).count() === 0L)
   }
 
+  test("Avro native/mapPartitions serde interop: each implementation decodes the other's bytes") {
+    import graft.streaming.StreamingUniqueUsers
+    val ev = Tables.events(spark, Sf0001).limit(300)
+      .select(col("user_id").cast("string").as("uid"),
+        org.apache.spark.sql.functions.date_trunc("second", col("ts")).as("ts"))
+    // native to_avro bytes read by the independent avro-1.12 reader…
+    val nativeBytes = StreamingUniqueUsers.toAvroRecords(ev)
+    val crossA = StreamingUniqueUsers.parseAvroEventsViaMapPartitions(nativeBytes)
+    assert(crossA.except(ev).count() === 0L && ev.except(crossA).count() === 0L)
+    // …and mapPartitions bytes read by the native from_avro expression
+    val mpBytes = StreamingUniqueUsers.toAvroRecordsViaMapPartitions(ev)
+    val crossB = StreamingUniqueUsers.parseAvroEvents(mpBytes)
+    assert(crossB.except(ev).count() === 0L && ev.except(crossB).count() === 0L)
+    // the wire form is identical byte-for-byte, not merely inter-readable
+    assert(nativeBytes.except(mpBytes).count() === 0L &&
+      mpBytes.except(nativeBytes).count() === 0L)
+    // the native serde is an EXPRESSION: encode+decode stays inside one
+    // WholeStageCodegen span (the mapPartitions stand-in broke the span —
+    // the reason the native path is the primary)
+    val plan = StreamingUniqueUsers.parseAvroEvents(nativeBytes)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("MapPartitions"),
+      s"native avro serde plan unexpectedly contains MapPartitions:\n$plan")
+  }
+
+  test("native from_avro/to_avro work through the SQL function surface too") {
+    import graft.streaming.StreamingUniqueUsers
+    val schemaSql = StreamingUniqueUsers.EventAvroSchemaJson.replace("\n", " ")
+    Seq(("u1", 100L), ("u2", 200L)).toDF("uid", "ts")
+      .createOrReplaceTempView("avro_sql_in")
+    val out = spark.sql(
+      s"""SELECT from_avro(to_avro(struct(uid, ts), '$schemaSql'), '$schemaSql', map()).uid AS uid
+         |FROM avro_sql_in""".stripMargin).collect().map(_.getString(0)).sorted
+    assert(out.toSeq === Seq("u1", "u2"))
+  }
+
   test("JSONL reader routes malformed lines to the corrupt column, never drops them") {
     val dir = tmp("graft-corrupt")
     Seq("""{"a": 1, "b": "x"}""", """{"a": oops""", """{"a": 3, "b": "y"}""")
