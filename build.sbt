@@ -5,12 +5,18 @@ name := "kafkastreamprocessingspark"
 unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything
 // else is intentionally not resolvable (COURSIER_MODE=offline).
-// Kafka-connector attempt (2026-08-12): adding
+// Kafka-connector attempts (2026-08-12, re-attempted 2026-08-15): adding
 //   "org.apache.spark" %% "spark-sql-kafka-0-10" % "4.1.2"
-// fails with coursier "Not found" — the offline cache carries no Kafka
-// artifacts and /opt/spark/jars ships none, so the graft.streaming Kafka
-// source/sink builders stay compile-checked only; the file/memory-source
-// topology (StreamingDemo, StreamingSpec) is the runnable stand-in.
+// fails `sbt update` with coursier ResolveException "Not found" against
+// every offline location (local ivy layout and the cached maven layout
+// both miss the artifact); kafka-clients is equally absent, and a
+// filesystem-wide search finds no kafka jar to vendor from. CLOSED
+// PERMANENTLY for this sandbox: the Kafka edges (KafkaMain,
+// StreamingUniqueUsers.kafkaSource/kafkaSink) stay compile-checked and
+// spec-pinned to the data-source-resolution point; the file/memory-source
+// topology (StreamingDemo, StreamingSpec) is the runnable stand-in. On a
+// real deployment ship spark-sql-kafka-0-10 + kafka-clients with
+// spark-submit --packages and the same code runs unchanged.
 libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,

@@ -1,0 +1,137 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.apache.spark.sql.functions._
+
+/** The crash contract of [[Par.runAll]] and the heal-on-re-run recovery
+  * every caller's documentation leans on: a failure must propagate only
+  * after EVERY sibling thunk has settled (no orphan writer can outlive
+  * the call and race the idempotent re-run), and each index family's
+  * rewrite verbs must recover a crash injected into a concurrent
+  * fan-out — including the torn-swap window between
+  * `writeBucketedSwap`'s two renames. */
+class ParSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("runAll propagates a failure only after every sibling thunk settled") {
+    val slowDone = new AtomicBoolean(false)
+    val ex = intercept[RuntimeException] {
+      Par.runAll(
+        () => throw new RuntimeException("boom"),
+        () => { Thread.sleep(500); slowDone.set(true) })
+    }
+    assert(ex.getMessage === "boom")
+    assert(slowDone.get,
+      "runAll returned while a sibling thunk was still in flight — " +
+        "an idempotent re-run could race the orphan writer")
+  }
+
+  test("runAll rethrows the first failure in ARGUMENT order, later ones suppressed") {
+    // the temporally-first failure is the second argument; argument
+    // order wins so the rethrown exception is deterministic
+    val ex = intercept[RuntimeException] {
+      Par.runAll(
+        () => { Thread.sleep(300); throw new RuntimeException("first-arg") },
+        () => throw new IllegalStateException("second-arg"))
+    }
+    assert(ex.getMessage === "first-arg")
+    assert(ex.getSuppressed.map(_.getMessage).toSeq === Seq("second-arg"))
+  }
+
+  test("runAll with no failures runs every thunk exactly once") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    Par.runAll((1 to 5).map(_ => () => { hits.incrementAndGet(); () }): _*)
+    assert(hits.get === 5)
+  }
+
+  test("crash injected into the three-family forget fan-out: survivors commit, re-run completes all three") {
+    import graft.operators.{Dedup, Lifecycle, Search, Similarity, TextAnalysis}
+    val docs = Tables.documents(spark, Sf0001)
+    val ivfPath = java.nio.file.Files.createTempDirectory("parspec_ivf").toString
+    Dedup.dropDedupIndex(spark, "par_dix")
+    Search.dropSearchIndex(spark, "par_srch")
+    Dedup.saveDedupIndex(docs, "par_dix")
+    Search.saveSearchIndex(docs, "par_srch")
+    Similarity.saveIvfIndex(TextAnalysis.lexicalVectors(docs), ivfPath, slot = "parspec")
+    val doomed = docs.filter("doc_id % 5 = 1").localCheckpoint()
+    // the forget() fan-out with the third family's thunk crashing: the
+    // two real rewrites must COMMIT (settle-all), the failure must
+    // surface, and the documented recovery — run the verb again — must
+    // leave all three families exactly as a clean forget would
+    val ex = intercept[RuntimeException] {
+      Par.runAll(
+        () => Dedup.applyCorpusDiff(spark, "par_dix", doomed, doomed.filter(lit(false))),
+        () => Search.removeFromSearchIndex(spark, "par_srch", doomed),
+        () => throw new RuntimeException("ivf-crash"))
+    }
+    assert(ex.getMessage === "ivf-crash")
+    val ids = doomed.select("doc_id")
+    // survivors committed before the failure propagated
+    assert(spark.table("par_dix_fp").join(ids, "doc_id").count() === 0L)
+    assert(spark.table("par_srch_postings").join(ids, "doc_id").count() === 0L)
+    // recovery: the full verb re-runs idempotently and completes the
+    // crashed family too
+    Lifecycle.forget(spark, doomed, "par_dix", "par_srch", ivfPath)
+    assert(spark.read.parquet(s"$ivfPath/cells")
+      .join(ids.withColumnRenamed("doc_id", "vec_id"), "vec_id").count() === 0L)
+    val expected = docs.count() - doomed.count()
+    assert(spark.table("par_dix_fp").select("doc_id").distinct().count() === expected)
+    assert(spark.table("par_srch_postings").select("doc_id").distinct().count() === expected)
+    assert(spark.read.parquet(s"$ivfPath/cells").count() === expected)
+    Dedup.dropDedupIndex(spark, "par_dix")
+    Search.dropSearchIndex(spark, "par_srch")
+  }
+
+  test("search-index swap torn mid-crash heals at the next verb entry") {
+    import graft.operators.Search
+    val docs = Tables.documents(spark, Sf0001)
+    Search.dropSearchIndex(spark, "par_torn")
+    Search.saveSearchIndex(docs, "par_torn")
+    val before = spark.table("par_torn_postings").count()
+    // simulate the crash window between writeBucketedSwap's two renames:
+    // the live table is gone, only __old remains
+    spark.sql("ALTER TABLE par_torn_postings RENAME TO par_torn_postings__old")
+    assert(!spark.catalog.tableExists("par_torn_postings"))
+    // the removal verb heals at entry and completes against the restored
+    // pre-swap state
+    val doomed = docs.filter("doc_id % 9 = 4").localCheckpoint()
+    Search.removeFromSearchIndex(spark, "par_torn", doomed)
+    val ids = doomed.select("doc_id")
+    assert(spark.table("par_torn_postings").join(ids, "doc_id").count() === 0L)
+    assert(spark.table("par_torn_postings").count() < before)
+    // and the healed index equals a clean remove: same doc set as a
+    // fresh save over the surviving corpus
+    val survivors = docs.join(ids, Seq("doc_id"), "left_anti")
+    assert(spark.table("par_torn_postings").select("doc_id").distinct().count()
+      === survivors.count())
+    Search.dropSearchIndex(spark, "par_torn")
+  }
+
+  test("forget-cascade family torn at entry: the cascade heals and completes") {
+    import graft.operators.{Dedup, Lifecycle, Search, Similarity, TextAnalysis}
+    val docs = Tables.documents(spark, Sf0001)
+    val ivfPath = java.nio.file.Files.createTempDirectory("parspec_ivf2").toString
+    Dedup.dropDedupIndex(spark, "par_cx")
+    Search.dropSearchIndex(spark, "par_cxs")
+    Dedup.saveDedupIndex(docs, "par_cx")
+    Search.saveSearchIndex(docs, "par_cxs")
+    Similarity.saveIvfIndex(TextAnalysis.lexicalVectors(docs), ivfPath, slot = "parspec2")
+    // tear TWO families at once (dedup fp + search postings) — the
+    // cascade's per-family verbs each heal their own table at entry
+    spark.sql("ALTER TABLE par_cx_fp RENAME TO par_cx_fp__old")
+    spark.sql("ALTER TABLE par_cxs_postings RENAME TO par_cxs_postings__old")
+    val doomed = docs.filter("doc_id % 6 = 3").localCheckpoint()
+    Lifecycle.forget(spark, doomed, "par_cx", "par_cxs", ivfPath)
+    val ids = doomed.select("doc_id")
+    assert(spark.table("par_cx_fp").join(ids, "doc_id").count() === 0L)
+    assert(spark.table("par_cxs_postings").join(ids, "doc_id").count() === 0L)
+    assert(spark.read.parquet(s"$ivfPath/cells")
+      .join(ids.withColumnRenamed("doc_id", "vec_id"), "vec_id").count() === 0L)
+    val expected = docs.count() - doomed.count()
+    assert(spark.table("par_cx_fp").select("doc_id").distinct().count() === expected)
+    assert(spark.table("par_cxs_postings").select("doc_id").distinct().count() === expected)
+    Dedup.dropDedupIndex(spark, "par_cx")
+    Search.dropSearchIndex(spark, "par_cxs")
+  }
+}
