@@ -68,6 +68,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // LOADAVG GATE (round-11 judge ask): the r11 official record started
+    // at loadavg 7.27 and inflated the driver-facing total ~15% over the
+    // quiet artifact. Refuse to start while the host is visibly loaded:
+    // loop-wait until loadavg drops under the bar (default 2.0) or the
+    // wait budget runs out, and disclose how long we waited. This is the
+    // run-level twin of the per-query quiet gate below — loadavg misses
+    // external core steal (which the busy-loop probes catch), but a HIGH
+    // loadavg is still a sufficient reason not to begin.
+    val LoadavgBar = sys.env.getOrElse("SPARK_GRAFT_LOADAVG_BAR", "2.0").toDouble
+    val LoadavgWaitSec = sys.env.getOrElse("SPARK_GRAFT_LOADAVG_WAIT", "600").toInt
+    val waitT0 = System.nanoTime()
+    while (loadavg() > LoadavgBar &&
+        (System.nanoTime() - waitT0) / 1e9 < LoadavgWaitSec) {
+      System.err.println(f"[bench] loadavg ${loadavg()}%.2f > $LoadavgBar%.1f — waiting for a quiet host")
+      Thread.sleep(10000)
+    }
+    val loadavgWaitSec = (System.nanoTime() - waitT0) / 1e9
     val loadStart = loadavg()
     // untimed probe warmup: the first busy-loop execution in a fresh JVM
     // measures its own JIT compilation (observed ≈0.14 s vs ≈0.03 s
@@ -197,7 +214,7 @@ object Bench {
     val requietedJson = requieted.map { case (n, p) =>
       "\"" + n + "\":" + r3(p)
     }.mkString("{", ",", "}")
-    val quietFields = s""""quiet":$quiet,"quiet_probe_bar_sec":$QuietProbeSec,"quiet_rounds_used":$round,"requieted_first_probe_sec":$requietedJson"""
+    val quietFields = s""""quiet":$quiet,"quiet_probe_bar_sec":$QuietProbeSec,"quiet_rounds_used":$round,"loadavg_wait_sec":${r3(loadavgWaitSec)},"requieted_first_probe_sec":$requietedJson"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_probes_sec":$probes,"errors":$errs,"retried_first_pass_sec":$retriedJson,$quietFields,"warmup_sec":$warmupSec,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"cpu_probe_start_sec":$probeStart,"cpu_probe_end_sec":$probeEnd,"max_query_probe_sec":${r3(maxProbe)},"sf":"$sfDir"}"""
     // the full line (~2.5 KB at 76 queries) outgrew the driver's 2000-char
     // stdout tail, which cut its head off and made BENCH parse null. Two

@@ -36,6 +36,81 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object TrainingPipeline {
 
+  /** Per-family ASYNC compaction slots — the off-critical-path form of
+    * the cadence compaction (round-11 streambench finding: the in-sink
+    * `compactEvery` stalled the trigger ~25%; quiet8 1288 rows/s
+    * cadence-off vs 961 cadence-4). A cadence boundary now SCHEDULES the
+    * family's compaction on a background thread and returns; the rewrite
+    * overlaps (a) the same trigger's sibling-family appends still inside
+    * `Par.runAll`, and (b) the next trigger's source read, watermark
+    * dedup, gates and admitted materialization — everything up to the
+    * moment that family is touched again, where [[await]] joins it.
+    *
+    * Safety is the single-writer argument, per family: at most ONE
+    * compaction is in flight per key ([[schedule]] awaits the previous),
+    * and every same-family touch — the next append, the sink-side fresh
+    * fp read — awaits first, so no append can land under a rewrite that
+    * would discard it and no scan can pin a listing the swap is about to
+    * move. A compaction failure surfaces at the next await (the
+    * following trigger, or the drain), exactly one batch later than the
+    * sequential form — and the recovery is the same documented one
+    * (torn swaps heal at the next verb entry; re-compaction is a no-op
+    * rewrite). */
+  private final class AsyncCompactions {
+    private val pending =
+      new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.FutureTask[Unit]]()
+    def await(key: String): Unit = {
+      val f = pending.remove(key)
+      if (f != null) {
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
+    }
+    def schedule(key: String)(body: => Unit): Unit = {
+      await(key) // never two in flight for one family
+      val task = new java.util.concurrent.FutureTask[Unit](() => body)
+      pending.put(key, task)
+      val t = new Thread(task, s"graft-compact-$key")
+      t.setDaemon(true)
+      t.start()
+    }
+    def drainAll(): Unit = {
+      val keys = java.util.Collections.list(pending.keys())
+      keys.forEach(k => await(k))
+    }
+  }
+
+  /** The returned handle: delegates everything to the real query, and
+    * DRAINS pending async compactions at every termination point — so
+    * `start(...).awaitTermination()` still means "all maintenance has
+    * landed", the contract every caller and spec relied on when
+    * compaction was synchronous. */
+  private final class DrainingQuery(inner: StreamingQuery, comps: AsyncCompactions)
+      extends StreamingQuery {
+    override def name: String = inner.name
+    override def id: java.util.UUID = inner.id
+    override def runId: java.util.UUID = inner.runId
+    override def sparkSession: org.apache.spark.sql.SparkSession = inner.sparkSession
+    override def isActive: Boolean = inner.isActive
+    override def exception: Option[org.apache.spark.sql.streaming.StreamingQueryException] =
+      inner.exception
+    override def status: org.apache.spark.sql.streaming.StreamingQueryStatus = inner.status
+    override def recentProgress: Array[org.apache.spark.sql.streaming.StreamingQueryProgress] =
+      inner.recentProgress
+    override def lastProgress: org.apache.spark.sql.streaming.StreamingQueryProgress =
+      inner.lastProgress
+    override def awaitTermination(): Unit = { inner.awaitTermination(); comps.drainAll() }
+    override def awaitTermination(timeoutMs: Long): Boolean = {
+      val done = inner.awaitTermination(timeoutMs)
+      if (done) comps.drainAll()
+      done
+    }
+    override def processAllAvailable(): Unit = { inner.processAllAvailable(); comps.drainAll() }
+    override def stop(): Unit = { inner.stop(); comps.drainAll() }
+    override def explain(): Unit = inner.explain()
+    override def explain(extended: Boolean): Unit = inner.explain(extended)
+  }
+
   /** The transform chain (stages 1–3), sink-agnostic — reusable against
     * a memory sink in tests or the shard exporter in [[start]]. Input
     * needs (doc_id, text, source, ts); any extra column survives. */
@@ -121,17 +196,20 @@ object TrainingPipeline {
     * more of". Same contracts as the other two gates: pre-redaction
     * text is scored, docs with < 2 tokens ride through to the quality
     * gate, both models are broadcast static sides — no stream state. */
-  /** With `compactEvery = Some(n)` (requires `maintainIndexName`), the
-    * sink runs [[graft.operators.Dedup.compactDedupIndex]] on the
-    * maintained index after every n-th micro-batch's append — the
-    * automatic form of the snapshot-cadence recommendation above, placed
-    * where it is provably safe: foreachBatch bodies execute sequentially,
-    * so the rewrite always runs BETWEEN batches, never under a concurrent
-    * scan. Keyed on batchId (monotonic across restarts), so
-    * the cadence survives checkpoint recovery; a replayed batch at a
-    * cadence boundary just re-compacts — a no-op rewrite. Results are
-    * unaffected either way (spec-pinned); the cadence only bounds the
-    * per-bucket small-file pileup at O(n) instead of O(total batches).
+  /** With `compactEvery = Some(n)` (requires a maintain*Index* option),
+    * the sink SCHEDULES each maintained family's compaction after every
+    * n-th micro-batch's append — asynchronously, off the trigger's
+    * critical path (see [[AsyncCompactions]]): the rewrite overlaps the
+    * sibling families' appends and the next trigger's work, and the next
+    * same-family touch (or the returned handle's termination drain)
+    * joins it before proceeding, which preserves exactly the
+    * between-batches safety the old in-line form had — no append under a
+    * rewrite, no scan across a swap. Keyed on batchId (monotonic across
+    * restarts), so the cadence survives checkpoint recovery; a replayed
+    * batch at a cadence boundary just re-compacts — a no-op rewrite.
+    * Results are unaffected either way (spec-pinned); the cadence only
+    * bounds the per-bucket small-file pileup at O(n) instead of O(total
+    * batches).
     *
     * Under a cadence the index anti-join MOVES from the query plan's
     * static side into the sink, re-resolved from the catalog each batch:
@@ -176,6 +254,9 @@ object TrainingPipeline {
     var freqModel: Option[(DataFrame, Long)] = None
     var lmModel: Option[(DataFrame, DataFrame, DataFrame)] = None
     var dsirModels: Option[((DataFrame, DataFrame, DataFrame), (DataFrame, DataFrame, DataFrame))] = None
+    // per-family async compaction slots (see AsyncCompactions) — the
+    // query handle returned below drains them at termination
+    val comps = new AsyncCompactions
     def cacheLm(t: (DataFrame, DataFrame, DataFrame)) = {
       t._1.persist(); t._2.persist(); t._3.persist(); t
     }
@@ -208,6 +289,12 @@ object TrainingPipeline {
           // query plan's pinned listing
           val curated = if (!dedupCompacts) batch.select("doc_id", "text", "source")
           else {
+            // any in-flight dedup compaction must land before this
+            // trigger touches the fp table (resolution here, scan at the
+            // admitted materialization below — both must see a settled
+            // table, never a mid-swap absent window or a listing the
+            // swap is about to move)
+            comps.await("dedup")
             val fresh = batch.sparkSession.table(s"${maintainIndexName.get}_fp")
             batch.select("doc_id", "text", "source").join(
               StreamingDedup.againstIndex(original, fresh).select(col("doc_id")),
@@ -291,9 +378,15 @@ object TrainingPipeline {
           val forIndex = admitted.select(col("doc_id")).join(
             batch.select(col("doc_id"), col("orig_text").as("text"), col("source")), Seq("doc_id"))
           val dedupT = () => { maintainIndexName.foreach { name =>
+            comps.await("dedup") // no-op when the fresh-read above already joined it
             graft.operators.Dedup.appendToDedupIndex(forIndex, name)
+            // cadence boundary: SCHEDULE the rewrite off the trigger's
+            // critical path (see AsyncCompactions — the next same-family
+            // touch or the terminal drain joins it)
             if (compactEvery.exists(n => (batchId + 1) % n == 0))
-              graft.operators.Dedup.compactDedupIndex(batch.sparkSession, name)
+              comps.schedule("dedup") {
+                graft.operators.Dedup.compactDedupIndex(batch.sparkSession, name)
+              }
           } }
           // search-index maintenance indexes the EXPORTED (redacted)
           // text — what the shards actually contain and what a corpus
@@ -303,6 +396,8 @@ object TrainingPipeline {
           // skips a re-delivered batch, so the at-least-once foreachBatch
           // replay cannot double tf/df (Search.appendToSearchIndex).
           val searchT = () => { maintainSearchIndexName.foreach { name =>
+            comps.await("search") // postings are never in the streaming plan;
+            // the append is this family's only in-run touch point
             graft.operators.Search.appendToSearchIndex(
               admitted.select(col("doc_id"), col("text"), col("source")),
               name, Some(batchId))
@@ -311,7 +406,9 @@ object TrainingPipeline {
             // query), so the rewrite needs no per-batch anti-join fallback
             // — it only reclaims append-born files and crash orphans
             if (compactEvery.exists(n => (batchId + 1) % n == 0))
-              graft.operators.Search.compactSearchIndex(batch.sparkSession, name)
+              comps.schedule("search") {
+                graft.operators.Search.compactSearchIndex(batch.sparkSession, name)
+              }
           } }
           // vector-index maintenance: admitted docs become ANN-searchable
           // online — hashed-TF lexical vectors (no model, no vocabulary)
@@ -325,11 +422,14 @@ object TrainingPipeline {
           // dropDuplicates(vec_id) folds them — run a cadence when
           // replays are possible.
           val vectorT = () => { maintainVectorIndexPath.foreach { path =>
+            comps.await("vector")
             graft.operators.Similarity.appendToPqIndex(
               graft.operators.TextAnalysis.lexicalVectors(
                 admitted.select(col("doc_id"), col("text"))), path)
             if (compactEvery.exists(n => (batchId + 1) % n == 0))
-              graft.operators.Similarity.compactIvfIndex(batch.sparkSession, path)
+              comps.schedule("vector") {
+                graft.operators.Similarity.compactIvfIndex(batch.sparkSession, path)
+              }
           } }
           // the trigger does not complete until every family has landed
           // (same completion point as the sequential form); Inf is the
@@ -341,6 +441,6 @@ object TrainingPipeline {
         } finally { batch.unpersist(); () }
       }
       .trigger(Trigger.AvailableNow())
-      .start()
+      .start() match { case inner => new DrainingQuery(inner, comps) }
   }
 }

