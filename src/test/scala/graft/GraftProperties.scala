@@ -402,4 +402,29 @@ object GraftProperties extends Properties("graft") {
     fwd.keySet.map(-_) == rev.keySet &&
       fwd.forall { case (k, v) => rev(-k) == v }
   }
+
+  // arbitrary uids (unicode, empties, quotes) and full-range second
+  // timestamps — the Avro wire serde must round-trip EVERY row the
+  // filter admits, through the vendored native expressions, and agree
+  // byte-for-byte with the independent avro-1.12 mapPartitions writer
+  private val avroEventGen: Gen[List[(String, Long)]] =
+    Gen.listOfN(20, Gen.zip(
+      Gen.oneOf(Gen.alphaNumStr, Gen.asciiPrintableStr,
+        Gen.listOfN(5, Gen.choose('Ā', '퟿')).map(_.mkString)),
+      Gen.choose(0L, 4102444800L))) // 1970..2100 in seconds
+
+  property("avro wire serde round-trips arbitrary events; native == independent writer bytes") =
+    forAll(avroEventGen) { evs =>
+      import graft.streaming.StreamingUniqueUsers
+      val df = evs.toDF("uid", "sec")
+        .selectExpr("uid", "CAST(sec AS TIMESTAMP) AS ts")
+      val back = StreamingUniqueUsers.parseAvroEvents(
+        StreamingUniqueUsers.toAvroRecords(df))
+        .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000)).sorted.toSeq
+      def hex(df2: org.apache.spark.sql.DataFrame): Seq[String] = df2
+        .collect().map(_.getAs[Array[Byte]](0).map("%02x".format(_)).mkString).sorted.toSeq
+      val nativeBytes = hex(StreamingUniqueUsers.toAvroRecords(df))
+      val mpBytes = hex(StreamingUniqueUsers.toAvroRecordsViaMapPartitions(df))
+      back == evs.map { case (u, s) => (u, s) }.sorted && nativeBytes == mpBytes
+    }
 }
