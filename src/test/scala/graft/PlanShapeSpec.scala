@@ -245,6 +245,40 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("plan lint over EVERY query: unpartitioned windows only over domain-bounded aggregates") {
+    // the executable form of PLANS.md's round-11 unpartitioned-window
+    // audit: a window with no partitionBy collapses its input to ONE
+    // task, which is fine over a day/hour/value-bucket/step domain and a
+    // scale-killer over fact rows. Each allowlisted query routes through
+    // an audited site (PLANS.md inventory) whose window input is bounded
+    // by construction; a NEW unpartitioned window anywhere else fails
+    // here and must either partition or justify itself in the audit.
+    val unpartAllowed = Map(
+      "daily_revenue_cusum" -> "day-domain revenue rows (MAD fences + CUSUM recursion)",
+      "daily_revenue_range7d" -> "day-domain revenue rows (7d range frame)",
+      "daily_revenue_rank_stats" -> "day-domain revenue rows (rank/ntile/pct)",
+      "daily_revenue_running" -> "day-domain revenue rows (running total)",
+      "daily_revenue_seasonal" -> "day-domain residuals (weekday medians join)",
+      "event_funnel_windowed" -> "one row per funnel step (model-sized)",
+      "ivf_cell_stats" -> "per-cell counts (nCells=16 domain, med2 cum counts)",
+      "orders_price_histogram" -> "counts per coarsened price value (bounded range)",
+      "pareto_days" -> "one row per distinct daily order count (≤ day domain)",
+      "revenue_forecast_eval" -> "day-domain revenue rows (forecast lag)",
+      "session_concurrency" -> "per-hour start/end deltas (hour domain)",
+      "user_rfm_segments" -> "counts per RFM bucket value (bucket domains)",
+      "vocab_growth" -> "per-bucket doc/token counts (VocabGrowthBucket domain)")
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val unpart = fn(spark, Sf0001).queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }
+      if (!unpartAllowed.contains(name))
+        assert(unpart.isEmpty,
+          s"$name plans ${unpart.size} unpartitioned window(s) outside the audited allowlist — " +
+            "partition it, or bound its input and add it to PLANS.md's audit + this allowlist")
+    }
+  }
+
   test("rarity-score joins are skew-proof: reference model broadcasts, self-scoring splits the Zipf head") {
     // a plain hash join keyed on `tok` piles every occurrence of the
     // Zipf head ("the" ≈ percent of ALL occurrences) onto one reducer;
