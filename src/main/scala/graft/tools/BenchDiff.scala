@@ -1,0 +1,44 @@
+package graft.tools
+
+/** Round-over-round bench adjudicator: diff two FULL-map bench records
+  * (`BENCH_LOCAL_r{N}_quiet.json` — the reason task "restore the full
+  * queries map" exists) and separate real regressions from uniform host
+  * noise. Host steal inflates every query by roughly the same factor;
+  * a code regression inflates specific queries. So the report centers
+  * on the MEDIAN ratio (the noise estimate) and flags queries whose
+  * ratio exceeds median × bar — "slower than the run's own noise floor
+  * explains". No Spark session; jackson rides the Spark classpath.
+  *
+  * Usage: runMain graft.tools.BenchDiff <baseline.json> <candidate.json> [flagBar]
+  */
+object BenchDiff {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: BenchDiff <baseline.json> <candidate.json> [flagBar]")
+    val flagBar = if (args.length > 2) args(2).toDouble else 1.3
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def queryMap(path: String): Map[String, Double] = {
+      val root = om.readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+      val q = root.get("queries")
+      require(q != null, s"$path carries no \"queries\" map (compact record? use the full artifact)")
+      val it = q.fields()
+      val b = Map.newBuilder[String, Double]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+      b.result()
+    }
+    val base = queryMap(args(0))
+    val cand = queryMap(args(1))
+    val common = (base.keySet & cand.keySet).toSeq
+      .filter(k => base(k) > 0 && cand(k) > 0)
+    val ratios = common.map(k => k -> cand(k) / base(k)).sortBy(-_._2)
+    val median = ratios.map(_._2).sorted.apply(ratios.size / 2)
+    println(f"common=${common.size} added=${(cand.keySet -- base.keySet).size} " +
+      f"removed=${(base.keySet -- cand.keySet).size} median_ratio=$median%.3f " +
+      f"subtotal ${common.map(base).sum}%.1f -> ${common.map(cand).sum}%.1f s")
+    val flagged = ratios.filter { case (k, r) => r > median * flagBar && cand(k) > 0.3 }
+    println(s"flagged (> median x $flagBar AND candidate > 0.3 s): ${flagged.size}")
+    for ((k, r) <- flagged)
+      println(f"  REGRESSED $k%-40s ${base(k)}%6.2f -> ${cand(k)}%6.2f  x${r}%.2f (x${r / median}%.2f over noise)")
+    for ((k, r) <- ratios.reverse.take(5))
+      println(f"  improved  $k%-40s ${base(k)}%6.2f -> ${cand(k)}%6.2f  x${r}%.2f")
+  }
+}

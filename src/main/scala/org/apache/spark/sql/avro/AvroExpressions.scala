@@ -82,7 +82,11 @@ case class AvroDataToCatalyst(
 
   @transient private lazy val parseMode: ParseMode = avroOptions.parseMode match {
     case PermissiveMode => PermissiveMode
-    case _ => FailFastMode // DROPMALFORMED has no row shape to emit here
+    case FailFastMode => FailFastMode
+    case other => // match the public connector: DROPMALFORMED has no
+      // per-row shape to emit from a scalar expression — loud, not coerced
+      throw new IllegalArgumentException(
+        s"from_avro supports mode PERMISSIVE or FAILFAST, got ${other.name}")
   }
 
   @transient private lazy val nullResultRow: Any = dataType match {
