@@ -110,7 +110,6 @@ object Graph {
       .distinct()
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // pre-partition the loop-INVARIANT edge relation on the join key and
     // PERSIST it (not localCheckpoint: the checkpoint's ExistingRDD scan
     // drops outputPartitioning — probed — while InMemoryRelation keeps
@@ -120,9 +119,18 @@ object Graph {
     // every iteration (the dominant per-round cost at 10⁹ edges, where
     // the score side is |V| and never broadcastable). The cache entry is
     // canonical-plan-keyed, so repeat invocations share one copy.
-    val withDeg = edges.join(deg, "src").repartition(col("src"))
+    // Out-degrees come from the already-src-clustered CACHED relation:
+    // cluster+persist the edges first, then the degree aggregate and the
+    // back-join both ride that one cache co-partitioned (no second
+    // derivation of the pairs join, no exchange under the groupBy or the
+    // join — the build's only exchange is the repartition itself).
+    val edgesP = edges.repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edgesP.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val withDeg = edgesP.join(deg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     withDeg.count() // materialize once, outside the first round's timing
+    edgesP.unpersist() // withDeg materialized; the staging cache is done
 
     // seed scores FROM the cached edge relation (same node set: every
     // deg src survives the join) — seeding from `deg` would re-run the
