@@ -108,6 +108,12 @@ object Graph {
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
       .distinct()
+      // materialize the pair set ONCE before the both-directions union
+      // (the triangleStats discipline): unionAll's two branches would
+      // otherwise each run the distinct's final aggregation over the
+      // reused shuffle — 2× the reduce work on the build's widest
+      // relation. Bounded: this is the post-distinct pair set.
+      .localCheckpoint()
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
     // pre-partition the loop-INVARIANT edge relation on the join key and
@@ -190,6 +196,10 @@ object Graph {
       .agg(count(lit(1)).as("nb"))
       .filter(col("nb") >= minSupport)
       .select("u", "v")
+      // same single-materialization rule as pagerank's pair set: both
+      // union branches below read this RDD instead of re-running the
+      // support aggregation over the reused shuffle
+      .localCheckpoint()
     val edges = und.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
       // same src-clustered persisted form as [[pagerank]]: the loop
