@@ -184,6 +184,10 @@ object Sessionize {
       col("user_id"),
       col("session_start_sec").as("start_sec"),
       (col("session_start_sec") + col("duration_sec")).as("end_sec"))
+      // one row per session, materialized ONCE before the start/end
+      // union — both branches would otherwise re-run the whole
+      // sessionization (the graph pair-set rule, event edition)
+      .localCheckpoint()
     val deltas = s.select(col("start_sec").as("t"), lit(1L).as("d"), col("user_id"))
       .unionAll(s.select(col("end_sec").as("t"), lit(-1L).as("d"), col("user_id")))
       .withColumn("hour", (col("t") - pmod(col("t"), lit(3600L))))
