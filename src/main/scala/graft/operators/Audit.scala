@@ -125,6 +125,9 @@ object Audit {
     val scored = daily
       .withColumn("f_naive", lag(col("x"), 1).over(w))
       .join(snaive, Seq("day_sec"), "left")
+      // day-domain rows, materialized once — both method evals below
+      // would otherwise re-run the daily aggregation pipeline
+      .localCheckpoint()
     def eval(f: String, name: String) =
       scored.filter(col(f).isNotNull)
         .agg(
