@@ -1056,7 +1056,9 @@ object Similarity {
     * single-probe row honestly reads ~0 — the number that tells an
     * operator to probe wider or rebuild, which is the audit's job.) */
   def lshRecall(embeddings: DataFrame, nQueries: Int = 5, k: Int = 3): DataFrame = {
-    val exact = bruteForceTopK(embeddings, nQueries, k)
+    // nQueries×k rows, materialized once — both variants' recall joins
+    // would otherwise re-run the whole brute-force corpus scan
+    val exact = bruteForceTopK(embeddings, nQueries, k).localCheckpoint()
     val single = recallAgainst(exact, lshTopK(embeddings, nQueries, k), k)
       .withColumn("variant", lit("lsh_single"))
     val multi = recallAgainst(exact, lshMultiProbeTopK(embeddings, nQueries, k), k)
