@@ -56,7 +56,7 @@ object TrainingPipeline {
     * sequential form — and the recovery is the same documented one
     * (torn swaps heal at the next verb entry; re-compaction is a no-op
     * rewrite). */
-  private final class AsyncCompactions {
+  private[graft] final class AsyncCompactions {
     private val pending =
       new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.FutureTask[Unit]]()
     def await(key: String): Unit = {
@@ -99,14 +99,40 @@ object TrainingPipeline {
       inner.recentProgress
     override def lastProgress: org.apache.spark.sql.streaming.StreamingQueryProgress =
       inner.lastProgress
-    override def awaitTermination(): Unit = { inner.awaitTermination(); comps.drainAll() }
+    // drain EVEN WHEN the inner call throws (query failed): the caller's
+    // natural recovery is a same-JVM restart replaying the batch, and an
+    // undrained orphan compaction thread would overlap that restart's
+    // appends — its staged rewrite, snapshotted before the replayed
+    // append, would discard it at swap time. Draining first means the
+    // restart never shares a table with a prior run's writer. A drain
+    // failure rides as suppressed; the query's own failure stays primary.
+    private def drainAfter[A](body: => A): A = {
+      val out =
+        try body
+        catch { case e: Throwable =>
+          try comps.drainAll()
+          catch { case d: Throwable => if (d ne e) e.addSuppressed(d) }
+          throw e
+        }
+      comps.drainAll()
+      out
+    }
+    override def awaitTermination(): Unit = drainAfter { inner.awaitTermination() }
     override def awaitTermination(timeoutMs: Long): Boolean = {
-      val done = inner.awaitTermination(timeoutMs)
+      val done =
+        try inner.awaitTermination(timeoutMs)
+        catch { case e: Throwable =>
+          try comps.drainAll()
+          catch { case d: Throwable => if (d ne e) e.addSuppressed(d) }
+          throw e
+        }
+      // drain only when the query actually terminated — a timed-out wait
+      // leaves the query running and its pending compactions in flight
       if (done) comps.drainAll()
       done
     }
-    override def processAllAvailable(): Unit = { inner.processAllAvailable(); comps.drainAll() }
-    override def stop(): Unit = { inner.stop(); comps.drainAll() }
+    override def processAllAvailable(): Unit = drainAfter { inner.processAllAvailable() }
+    override def stop(): Unit = drainAfter { inner.stop() }
     override def explain(): Unit = inner.explain()
     override def explain(extended: Boolean): Unit = inner.explain(extended)
   }

@@ -83,6 +83,30 @@ class ParSpec extends SparkSpec {
     Search.dropSearchIndex(spark, "par_srch")
   }
 
+  test("AsyncCompactions: one in flight per family, awaits join, failures surface at the next touch") {
+    val comps = new graft.streaming.TrainingPipeline.AsyncCompactions
+    val done = new AtomicBoolean(false)
+    comps.schedule("fam") { Thread.sleep(300); done.set(true) }
+    // a second schedule for the SAME family joins the first before starting
+    val secondSawFirst = new AtomicBoolean(false)
+    comps.schedule("fam") { secondSawFirst.set(done.get) }
+    comps.await("fam")
+    assert(done.get && secondSawFirst.get,
+      "schedule must join the family's in-flight compaction before starting the next")
+    // a failing compaction surfaces at the NEXT await of that family…
+    comps.schedule("boom") { throw new IllegalStateException("compaction failed") }
+    val ex = intercept[IllegalStateException] { comps.await("boom") }
+    assert(ex.getMessage === "compaction failed")
+    // …and the slot is then clear: the family is re-usable (heal-on-re-run)
+    comps.await("boom") // no-op, does not rethrow
+    // drainAll joins every family
+    val a = new AtomicBoolean(false); val b = new AtomicBoolean(false)
+    comps.schedule("fa") { Thread.sleep(150); a.set(true) }
+    comps.schedule("fb") { Thread.sleep(150); b.set(true) }
+    comps.drainAll()
+    assert(a.get && b.get, "drainAll must join every pending family")
+  }
+
   test("search-index swap torn mid-crash heals at the next verb entry") {
     import graft.operators.Search
     val docs = Tables.documents(spark, Sf0001)
