@@ -97,12 +97,26 @@ object Lifecycle {
     // and five bucketed tables' directories in the shared warehouse
     registerScratchCleanup(ivfPath)
     locally {
-      val wh = spark.conf.get("spark.sql.warehouse.dir")
-        .stripPrefix("file:").stripSuffix("/")
-      for (t <- Seq(s"${dedupName}_fp", s"${dedupName}_bands", s"${dedupName}_shingles",
+      // resolve the warehouse dir as a URI, not a stripPrefix("file:")
+      // hack: the config value may be a bare path, a file: URI, or a
+      // percent-encoded URI — getPath decodes all of those to the real
+      // filesystem path. A NON-local scheme (hdfs:, s3a:) can't be swept
+      // by the File-based shutdown hook at all, so registration is
+      // skipped outright instead of registering strings that match no
+      // local directory (the silent per-JVM leak this block exists to
+      // prevent would otherwise just move into the derivation).
+      val raw = spark.conf.get("spark.sql.warehouse.dir")
+      val localRoot = scala.util.Try(new java.net.URI(raw)).toOption match {
+        case Some(u) if u.getScheme == null || u.getScheme == "file" =>
+          Option(u.getPath).filter(_.nonEmpty).orElse(Some(raw))
+        case Some(_) => None // remote warehouse: hook can't reach it
+        case None => Some(raw.stripPrefix("file:")) // unparseable: treat as a plain local path
+      }
+      for (wh0 <- localRoot.map(_.stripSuffix("/")).toSeq;
+           t <- Seq(s"${dedupName}_fp", s"${dedupName}_bands", s"${dedupName}_shingles",
                     s"${searchName}_postings", s"${searchName}_totals");
            v <- Seq("", "__staged", "__old"))
-        registerScratchCleanup(s"$wh/${(t + v).toLowerCase(java.util.Locale.ROOT)}")
+        registerScratchCleanup(s"$wh0/${(t + v).toLowerCase(java.util.Locale.ROOT)}")
     }
     Dedup.dropDedupIndex(spark, dedupName)
     Search.dropSearchIndex(spark, searchName)

@@ -60,10 +60,25 @@ object TrainingPipeline {
     private val pending =
       new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.FutureTask[Unit]]()
     def await(key: String): Unit = {
-      val f = pending.remove(key)
+      // JOIN without removing, remove only after the join lands: removing
+      // first made two concurrent awaiters of one family non-exclusive —
+      // the second saw an empty slot and proceeded while the rewrite was
+      // still in flight. (Current call sites are all on the sequential
+      // stream thread, but the "every same-family touch awaits" invariant
+      // shouldn't depend on that.) remove(key, f) is value-matched, so a
+      // slot already replaced by a newer schedule is left alone; a failed
+      // task is cleared too — the failure surfaces at every await that
+      // was already waiting, then the slot is empty (re-await is a no-op).
+      val f = pending.get(key)
       if (f != null) {
         try f.get()
-        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            pending.remove(key, f)
+            throw e.getCause
+        }
+        pending.remove(key, f)
+        ()
       }
     }
     def schedule(key: String)(body: => Unit): Unit = {

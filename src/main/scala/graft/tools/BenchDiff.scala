@@ -29,6 +29,10 @@ object BenchDiff {
     val cand = queryMap(args(1))
     val common = (base.keySet & cand.keySet).toSeq
       .filter(k => base(k) > 0 && cand(k) > 0)
+    require(common.nonEmpty,
+      s"no common positive-time queries between ${args(0)} (${base.size} queries) and " +
+        s"${args(1)} (${cand.size} queries) — disjoint query sets, or an empty/compact " +
+        "\"queries\" map; diff two FULL bench artifacts")
     val ratios = common.map(k => k -> cand(k) / base(k)).sortBy(-_._2)
     val median = ratios.map(_._2).sorted.apply(ratios.size / 2)
     println(f"common=${common.size} added=${(cand.keySet -- base.keySet).size} " +

@@ -262,8 +262,17 @@ object StreamBench {
     // FileNotFoundException stack at WARN
     val admittedDf = spark.read.parquet(outDir)
     val admitted = admittedDf.count()
-    // every attempt must admit the identical deterministic set
+    // every attempt must admit the identical deterministic set — ASSERTED,
+    // not just recorded: with repeats the headline is the fastest attempt,
+    // and a nondeterministic attempt could otherwise silently headline a
+    // wrong-count run. The expected count is the mix's exact answer:
+    // classes 0,1,2,4 die entirely (4 of every 25), class 3 dies except
+    // its batch-0 roots (which fall through to unique good text).
+    val admittedExpected =
+      rowsTotal - 4 * (rowsTotal / 25) - (rowsTotal / 25 - batchRows / 25)
     val attemptAdmitted = attempts.map(a => spark.read.parquet(a._3).count())
+    require(attemptAdmitted.forall(_ == admittedExpected),
+      s"nondeterministic run: attempt admitted counts $attemptAdmitted != expected $admittedExpected")
     // ground truth per doc class (doc_id % 25 encodes the mix): junk=0,
     // gibberish=1, seed-dup=2, cross-batch-dup=3, else unique good
     val admittedByClass = admittedDf
@@ -283,7 +292,12 @@ object StreamBench {
         s""""state_bytes":${st.map(_.memoryUsedBytes).sum}}"""
     }
 
-    // index growth + compaction payoff
+    // index growth + compaction payoff — measured on the LAST attempt's
+    // index state (each attempt rebuilds sb_dix from the seed corpus, so
+    // with repeats these stats describe attempt N, while the headline
+    // time/outDir come from the fastest attempt; the growth shape is
+    // identical across attempts because the admitted set is asserted
+    // deterministic above)
     val filesBefore = indexFiles()
     val (_, compactSec) = timed(graft.operators.Dedup.compactDedupIndex(spark, "sb_dix"))
     val filesAfter = indexFiles()
@@ -303,7 +317,7 @@ object StreamBench {
     json ++= s""""rarity_scored":$scored,"lm_scored":$lmScored},"""
     json ++= s""""rarity_gate_ppm_thr":$rarityThr,"rarity_sep_ppm":${minPassPpm - maxGibPpm},"""
     json ++= s""""lm_gate_milli_thr":$lmThr,"lm_sep_milli":${minSalad - maxGood},"""
-    json ++= s""""admitted_expected":${rowsTotal - 4 * (rowsTotal / 25) - (rowsTotal / 25 - batchRows / 25)},"""
+    json ++= s""""admitted_expected":$admittedExpected,"""
     json ++= s""""per_batch":[${perBatch.mkString(",")}],"""
     json ++= s""""compact_every":${compactEvery.getOrElse(0)},"""
     json ++= s""""state_store":"${stateStore.split('.').last}","""

@@ -107,6 +107,26 @@ class ParSpec extends SparkSpec {
     assert(a.get && b.get, "drainAll must join every pending family")
   }
 
+  test("AsyncCompactions: concurrent awaiters of one family are BOTH excluded until the rewrite lands") {
+    // the round-12 advisor finding: await used to remove-then-join, so a
+    // second concurrent awaiter saw an empty slot and proceeded while the
+    // rewrite was still in flight. Now both join; removal happens after.
+    val comps = new graft.streaming.TrainingPipeline.AsyncCompactions
+    val done = new AtomicBoolean(false)
+    comps.schedule("fam") { Thread.sleep(300); done.set(true) }
+    val sawDone = new java.util.concurrent.atomic.AtomicInteger(0)
+    val awaiters = (1 to 2).map { _ =>
+      new Thread(() => { comps.await("fam"); if (done.get) sawDone.incrementAndGet(); () })
+    }
+    awaiters.foreach(_.start()); awaiters.foreach(_.join())
+    assert(sawDone.get === 2,
+      "every concurrent awaiter must observe the completed rewrite, not an empty slot")
+    // and a failure still clears the slot after surfacing (heal-on-re-run)
+    comps.schedule("fam") { throw new IllegalStateException("x") }
+    intercept[IllegalStateException] { comps.await("fam") }
+    comps.await("fam") // no-op
+  }
+
   test("search-index swap torn mid-crash heals at the next verb entry") {
     import graft.operators.Search
     val docs = Tables.documents(spark, Sf0001)
