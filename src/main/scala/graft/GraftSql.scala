@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Pin.PinnedOps
 
 /** SQL front end: register the driver tables as temp views so queries can
   * be written as ANSI SQL through `spark.sql` — the query-surface the
@@ -208,7 +209,7 @@ object GraftSql {
       // per-step scans through a lazily-registered cache entry —
       // measured 3× slower with persist (the co-purchase join re-ran
       // inside the recursion) vs the eagerly materialized checkpoint
-      .localCheckpoint()
+      .pinned()
       .createOrReplaceTempView(edgesView)
     // named parameter markers (Spark 4 parameterized SQL): the literals
     // bind server-side instead of being spliced into the text — the

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Pin.PinnedOps
 
 /** Data-contract and anomaly audits — the validation pass a training-data
   * pipeline runs BEFORE admitting a snapshot (the deequ/Great-Expectations
@@ -127,7 +128,7 @@ object Audit {
       .join(snaive, Seq("day_sec"), "left")
       // day-domain rows, materialized once — both method evals below
       // would otherwise re-run the daily aggregation pipeline
-      .localCheckpoint()
+      .pinned()
     def eval(f: String, name: String) =
       scored.filter(col(f).isNotNull)
         .agg(

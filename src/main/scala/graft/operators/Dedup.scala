@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+import graft.Pin.PinnedOps
 
 import graft.functions.TextFunctions.{normText, qualityScore}
 
@@ -281,7 +282,7 @@ object Dedup {
     verifyOverlap(candidates, documents)
       .filter(col("shared") * 3 >= col("na") + col("nb"))
       .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
+      .pinned()
   }
 
   /** MinHash + LSH near-dup pairs, with an exact-Jaccard verify step.
@@ -630,8 +631,8 @@ object Dedup {
     // guarantees the three table rewrites (and a caller whose diff
     // derives from the index itself) all see one consistent snapshot
     val gone = removed.select(col("doc_id"))
-      .union(changed.select(col("doc_id"))).distinct().localCheckpoint()
-    val changedC = changed.localCheckpoint()
+      .union(changed.select(col("doc_id"))).distinct().pinned()
+    val changedC = changed.pinned()
     rewriteIndexTables(spark, name,
       suffix => df => {
         // the equi-join hoists doc_id to the front — re-select the
@@ -1184,11 +1185,11 @@ object Dedup {
       .select(greatest(col("doc_a"), col("doc_b")).as("hi"),
         least(col("doc_a"), col("doc_b")).as("lo"))
       .filter(col("hi") =!= col("lo"))
-      .distinct().localCheckpoint()
+      .distinct().pinned()
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = smallStar(largeStar(edges)).pinned()
       // exact fixpoint test on two checkpointed frames: equal counts +
       // empty difference ⟺ identical edge sets (both are distinct) ⟺
       // the star-graph fixpoint — no stall heuristic to mis-fire

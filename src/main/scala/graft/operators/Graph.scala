@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Pin.PinnedOps
 
 /** Iterative graph analytics over relational edge lists — the Pregel
   * message-passing pattern expressed as join + re-aggregate rounds, the
@@ -40,7 +41,7 @@ object Graph {
       .agg(count(lit(1)).as("nb"))
       .filter(col("nb") >= minSupport)
       .select("u", "v")
-      .localCheckpoint()
+      .pinned()
     val deg = edges.select(col("u").as("x")).unionAll(edges.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("d"))
     // the total order is LEXICOGRAPHIC (degree, id) carried as two
@@ -56,7 +57,7 @@ object Graph {
         when(lower, col("u")).otherwise(col("v")).as("s"),
         when(lower, col("v")).otherwise(col("u")).as("t"),
         when(lower, col("dv")).otherwise(col("du")).as("dt"))
-      .localCheckpoint()
+      .pinned()
     val wedgeOrder = (col("a.dt") < col("b.dt")) ||
       (col("a.dt") === col("b.dt") && col("a.t") < col("b.t"))
     val wedges = oriented.as("a")
@@ -113,7 +114,7 @@ object Graph {
       // otherwise each run the distinct's final aggregation over the
       // reused shuffle — 2× the reduce work on the build's widest
       // relation. Bounded: this is the post-distinct pair set.
-      .localCheckpoint()
+      .pinned()
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
     // pre-partition the loop-INVARIANT edge relation on the join key and
@@ -149,7 +150,7 @@ object Graph {
         .agg(sum(expr("pr div outdeg")).as("in_mass"))
         .select(col("dst").as("node"),
           (lit(150000L) + expr("(85 * in_mass) div 100")).as("pr"))
-        .localCheckpoint()
+        .pinned()
     }
     // every round is already materialized (eager checkpoints), so the
     // edge cache has no remaining consumer in the returned plan
@@ -199,7 +200,7 @@ object Graph {
       // same single-materialization rule as pagerank's pair set: both
       // union branches below read this RDD instead of re-running the
       // support aggregation over the reused shuffle
-      .localCheckpoint()
+      .pinned()
     val edges = und.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
       // same src-clustered persisted form as [[pagerank]]: the loop
@@ -217,7 +218,7 @@ object Graph {
         .groupBy(col("dst"))
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("w"))
         .select(col("dst").as("node"), (-col("w.nl")).as("label"))
-        .localCheckpoint()
+        .pinned()
     }
     edges.unpersist() // all rounds materialized; no consumer remains
     lab.groupBy(col("label"))
@@ -258,7 +259,7 @@ object Graph {
       .agg(count(lit(1)).as("nb"))
       .filter(col("nb") >= minSupport)
       .select("u", "v")
-      .localCheckpoint()
+      .pinned()
     val adj = und.select(col("u").as("ctr"), col("v").as("nbr"))
       .unionAll(und.select(col("v").as("ctr"), col("u").as("nbr")))
     val deg = adj.groupBy(col("nbr").as("x")).agg(count(lit(1)).as("d"))

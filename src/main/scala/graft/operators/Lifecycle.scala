@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Pin.PinnedOps
 
 /** Cross-family index lifecycle: the right-to-be-forgotten verb.
   *
@@ -50,7 +51,7 @@ object Lifecycle {
              dedupName: String, searchName: String, ivfPath: String): Unit = {
     // one consistent snapshot of the kill list for all three rewrites
     // (already-checkpointed input is a no-op re-pin, not a second scan)
-    val pinned = doomed.localCheckpoint()
+    val pinned = doomed.pinned()
     // the three families rewrite DISJOINT tables/paths: run them as
     // concurrent Spark jobs — sequentially each family's staged-rename
     // commit tail idles the cluster. The crash contract is unchanged
@@ -132,7 +133,7 @@ object Lifecycle {
       () => Similarity.saveIvfIndex(TextAnalysis.lexicalVectors(docs), ivfPath,
         slot = "fgtcascade"))
 
-    val doomed = docs.filter(col("doc_id") % forgetMod === forgetRem).localCheckpoint()
+    val doomed = docs.filter(col("doc_id") % forgetMod === forgetRem).pinned()
     forget(spark, doomed, dedupName, searchName, ivfPath)
     val forgotten = doomed.select(col("doc_id"))
     def report(family: String, ids: DataFrame): DataFrame =

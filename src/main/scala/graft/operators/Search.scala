@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Pin.PinnedOps
 
 import graft.functions.TextFunctions.{normText, tokenCount}
 
@@ -264,14 +265,14 @@ object Search {
       .select(col("doc_id")).distinct()
     val toDrop = docsProjected(removed)
       .join(present, "doc_id")
-      .select(col("doc_id"), col("dl")).localCheckpoint()
+      .select(col("doc_id"), col("dl")).pinned()
     val emptyRemoved = docsProjected(removed)
       .join(present, Seq("doc_id"), "left_anti")
       .filter(col("dl").isNull || col("dl") === 0L)
-      .select(col("doc_id"), col("dl")).localCheckpoint()
+      .select(col("doc_id"), col("dl")).pinned()
     val delta = toDrop.unionAll(emptyRemoved)
       .agg(count(lit(1)).as("rm_docs"),
-        coalesce(sum(col("dl")), lit(0L)).as("rm_dl")).localCheckpoint()
+        coalesce(sum(col("dl")), lit(0L)).as("rm_dl")).pinned()
     // staged swap: 1x postings IO + two renames (writeBucketedSwap)
     graft.sources.FileFormats.writeBucketedSwap(
       spark.table(pt).join(broadcast(led), "batch_id")

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Pin.PinnedOps
 
 /** Session windows and as-of (time-travel) joins — event-time operators
   * beyond the reference's tumbling/hopping windows (SURVEY.md §2 streaming
@@ -187,7 +188,7 @@ object Sessionize {
       // one row per session, materialized ONCE before the start/end
       // union — both branches would otherwise re-run the whole
       // sessionization (the graph pair-set rule, event edition)
-      .localCheckpoint()
+      .pinned()
     val deltas = s.select(col("start_sec").as("t"), lit(1L).as("d"), col("user_id"))
       .unionAll(s.select(col("end_sec").as("t"), lit(-1L).as("d"), col("user_id")))
       .withColumn("hour", (col("t") - pmod(col("t"), lit(3600L))))

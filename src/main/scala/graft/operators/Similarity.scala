@@ -5,6 +5,7 @@ import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Pin.PinnedOps
 
 import graft.plans.CosineSimilarity
 
@@ -466,7 +467,7 @@ object Similarity {
     * occupancy, never geometry. */
   def removeFromIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                          removed: DataFrame): Unit = {
-    val gone = removed.select(col("vec_id")).distinct().localCheckpoint()
+    val gone = removed.select(col("vec_id")).distinct().pinned()
     rewriteCellTree(spark, path, _.join(gone, Seq("vec_id"), "left_anti"))
   }
 
@@ -1058,7 +1059,7 @@ object Similarity {
   def lshRecall(embeddings: DataFrame, nQueries: Int = 5, k: Int = 3): DataFrame = {
     // nQueries×k rows, materialized once — both variants' recall joins
     // would otherwise re-run the whole brute-force corpus scan
-    val exact = bruteForceTopK(embeddings, nQueries, k).localCheckpoint()
+    val exact = bruteForceTopK(embeddings, nQueries, k).pinned()
     val single = recallAgainst(exact, lshTopK(embeddings, nQueries, k), k)
       .withColumn("variant", lit("lsh_single"))
     val multi = recallAgainst(exact, lshMultiProbeTopK(embeddings, nQueries, k), k)

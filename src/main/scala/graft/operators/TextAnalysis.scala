@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Pin.PinnedOps
 
 import graft.functions.MisraGriesAggregator
 import graft.functions.TextFunctions._
@@ -770,7 +771,7 @@ object TextAnalysis {
     // (the thing being persisted anyway), never wider than the write it
     // feeds; at 100 TB the build is a once-per-snapshot job where this
     // staging is exactly what a pipeline would persist first.
-    val vecs = lexicalVectors(documents).localCheckpoint()
+    val vecs = lexicalVectors(documents).pinned()
     Similarity.savePqIndex(vecs, indexPath, slot = LexicalSlot)
     Similarity.pqSearchIndexed(documents.sparkSession, indexPath,
       vecs.filter(col("vec_id") < nQueries)

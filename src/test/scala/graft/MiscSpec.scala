@@ -171,4 +171,32 @@ class MiscSpec extends SparkSpec {
     // and the transform itself: constant payload → zero AC energy → all-zero bands
     assert(Multimodal.phashOf(Array.fill[Byte](64)(7)).toSeq === Seq(0L, 0L, 0L, 0L))
   }
+
+  test("Pin: reliable-checkpoint flag swaps every pin site to checkpoint() against the configured dir") {
+    // default mode: localCheckpoint — no checkpoint dir involved
+    val df = (1 to 100).toDF("x")
+    assert(Pin.reliableDir.isEmpty, "test JVM must not inherit the deployment flag")
+    assert(Pin.pin(df).count() === 100)
+    // deployment mode (sysprop form of SPARK_GRAFT_RELIABLE_CHECKPOINT):
+    // pin() must produce a RELIABLE checkpoint — files under the dir that
+    // survive executor loss — with identical results
+    val dir = java.nio.file.Files.createTempDirectory("graft-relck").toString
+    System.setProperty("spark.graft.reliableCheckpointDir", dir)
+    try {
+      val pinned = Pin.pin(df.withColumn("y", org.apache.spark.sql.functions.col("x") * 2))
+      assert(pinned.count() === 100)
+      assert(pinned.agg(org.apache.spark.sql.functions.sum("y")).as[Long].head === 10100L)
+      assert(spark.sparkContext.getCheckpointDir.exists(_.contains(
+        java.nio.file.Paths.get(dir).getFileName.toString)))
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      val nFiles = try files.filter(p => java.nio.file.Files.isRegularFile(p)).count()
+                   finally files.close()
+      assert(nFiles > 0, "reliable mode must write checkpoint files under the configured dir")
+      // and an ITERATIVE operator runs end-to-end on the reliable path
+      // (pagerank pins every superstep — the cluster-deployment shape)
+      val orders = Tables.orders(spark, Sf0001)
+      val li = Tables.lineitem(spark, Sf0001)
+      assert(operators.Graph.pagerank(orders, li, iters = 2, k = 10).count() === 10)
+    } finally System.clearProperty("spark.graft.reliableCheckpointDir")
+  }
 }
