@@ -68,7 +68,18 @@ case class AvroDataToCatalyst(
   @transient private lazy val avroSchema: Schema =
     new Schema.Parser().setValidateDefaults(false).parse(jsonFormatSchema)
 
-  @transient private lazy val reader = new GenericDatumReader[Any](avroSchema)
+  /** Schema evolution (the public connector's SPARK-27506 contract): the
+    * `actualSchema` option carries the WRITER's schema when it differs
+    * from `jsonFormatSchema` (the READER's schema the result conforms
+    * to) — Avro schema resolution then fills added-with-default fields
+    * and drops removed ones during decode. Absent the option, writer ==
+    * reader, the original single-schema behavior. */
+  @transient private lazy val writerSchema: Schema =
+    options.collectFirst { case (k, v) if k.equalsIgnoreCase("actualSchema") => v }
+      .map(new Schema.Parser().setValidateDefaults(false).parse)
+      .getOrElse(avroSchema)
+
+  @transient private lazy val reader = new GenericDatumReader[Any](writerSchema, avroSchema)
 
   @transient private lazy val deserializer = new AvroDeserializer(
     avroSchema, dataType,

@@ -142,6 +142,65 @@ class FileFormatsSpec extends SparkSpec {
     assert(out.toSeq === Seq("u1", "u2"))
   }
 
+  test("Avro schema evolution: reader/writer mismatch via actualSchema (added + dropped fields)") {
+    // production Avro pipelines live on reader != writer schema: the
+    // public connector contract (SPARK-27506) is that jsonFormatSchema is
+    // the READER's schema and the `actualSchema` option carries the
+    // WRITER's — Avro resolution fills added-with-default fields and
+    // drops removed ones during decode
+    import org.apache.spark.sql.avro.functions.{from_avro, to_avro}
+    val writerSchema =
+      """{"type":"record","name":"ev","fields":[
+        |{"name":"uid","type":"string"},{"name":"ts","type":"long"}]}""".stripMargin
+    val bytes = Seq(("u1", 100L), ("u2", 200L)).toDF("uid", "ts")
+      .select(col("uid"),
+        to_avro(struct(col("uid"), col("ts")), writerSchema).as("value"))
+    // v2 reader ADDS a nullable field with a default: v1 bytes decode to
+    // the new shape with the default filled in
+    val readerAdded =
+      """{"type":"record","name":"ev","fields":[
+        |{"name":"uid","type":"string"},{"name":"ts","type":"long"},
+        |{"name":"region","type":["null","string"],"default":null}]}""".stripMargin
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("actualSchema", writerSchema)
+    val added = bytes.select(from_avro(col("value"), readerAdded, opts).as("r"))
+      .select(col("r.uid"), col("r.ts"), col("r.region"))
+    val addedRows = added.collect().map(r => (r.getString(0), r.getLong(1), r.isNullAt(2))).sorted
+    assert(addedRows.toSeq === Seq(("u1", 100L, true), ("u2", 200L, true)))
+    // v2 reader DROPS a field: v1 bytes decode to the narrower shape
+    val readerDropped =
+      """{"type":"record","name":"ev","fields":[{"name":"uid","type":"string"}]}""".stripMargin
+    val dropped = bytes.select(from_avro(col("value"), readerDropped, opts).as("r"))
+      .select(col("r.uid"))
+    assert(dropped.collect().map(_.getString(0)).sorted.toSeq === Seq("u1", "u2"))
+    // and absent the option the original single-schema behavior holds
+    val same = bytes.select(from_avro(col("value"), writerSchema,
+      new java.util.HashMap[String, String]()).as("r")).select(col("r.uid"), col("r.ts"))
+    assert(same.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq ===
+      Seq(("u1", 100L), ("u2", 200L)))
+  }
+
+  test("Avro parse modes: FAILFAST throws on undecodable bytes, PERMISSIVE emits the null row") {
+    import org.apache.spark.sql.avro.functions.from_avro
+    val schema =
+      """{"type":"record","name":"ev","fields":[
+        |{"name":"uid","type":"string"},{"name":"ts","type":"long"}]}""".stripMargin
+    val garbage = Seq(Array[Byte](9, 9, 9)).toDF("value")
+    val ff = new java.util.HashMap[String, String](); ff.put("mode", "FAILFAST")
+    val thrown = intercept[Throwable] {
+      garbage.select(from_avro(col("value"), schema, ff).as("r")).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(String.valueOf(_)).toSeq
+    assert(chain(thrown).exists(_.contains("Malformed Avro")),
+      s"FAILFAST must surface the malformed-record error, got: ${chain(thrown).mkString(" | ")}")
+    val pm = new java.util.HashMap[String, String](); pm.put("mode", "PERMISSIVE")
+    val rows = garbage.select(from_avro(col("value"), schema, pm).as("r"))
+      .select(col("r.uid"), col("r.ts")).collect()
+    assert(rows.length === 1 && rows(0).isNullAt(0) && rows(0).isNullAt(1),
+      "PERMISSIVE must emit an all-null row for an undecodable payload")
+  }
+
   test("JSONL reader routes malformed lines to the corrupt column, never drops them") {
     val dir = tmp("graft-corrupt")
     Seq("""{"a": 1, "b": "x"}""", """{"a": oops""", """{"a": 3, "b": "y"}""")
