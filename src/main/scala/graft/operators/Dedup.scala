@@ -600,6 +600,65 @@ object Dedup {
     case _ => _.distinct()
   }
 
+  /** Removal-only rewrite with TOUCHED-BUCKET pruning: when the doomed
+    * set is small enough that probing pays (see the coupon-collector
+    * gate below), locate the buckets actually holding doomed rows and
+    * rewrite ONLY those via
+    * [[graft.sources.FileFormats.writeBucketedSwapPartial]] — untouched
+    * buckets' files MOVE, unread and unwritten, so a takedown of k docs
+    * costs IO proportional to the buckets they touch, not the index.
+    * `_shingles` buckets on doc_id, so its affected set comes straight
+    * from the diff (no scan); `_fp`/`_bands` bucket on content keys a
+    * doc_id-only diff can't hash, so those locate by one broadcast
+    * semi-join scan (read-only — the expensive half of a rewrite is the
+    * shuffle+write, which partial pruning skips). Falls back to the full
+    * staged swap when every bucket is touched. */
+  private def removalRewrite(spark: org.apache.spark.sql.SparkSession, name: String,
+                             gone: DataFrame, goneCount: Long): Unit = {
+    import graft.sources.FileFormats
+    val catalog = spark.sessionState.catalog
+    def one(suffix: String, key: String): Unit = {
+      val t = name + suffix
+      FileFormats.healTornSwap(spark, t)
+      try spark.catalog.refreshTable(t)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+      val buckets = catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+        .bucketSpec.map(_.numBuckets).getOrElse(8)
+      def dropGone(df: DataFrame): DataFrame = {
+        val cols = df.columns.map(col)
+        indexCanon(suffix)(df).join(gone, Seq("doc_id"), "left_anti").select(cols: _*)
+      }
+      // coupon-collector gate: ≥ 16×buckets random keys hit every bucket
+      // with probability ≈ 1 − buckets·(1−1/buckets)^(16·buckets) — the
+      // probe job would be a wasted scan, go straight to the full swap
+      val affected: Option[Set[Int]] =
+        if (goneCount >= buckets.toLong * 16) None
+        else Some(suffix match {
+          case "_shingles" => gone
+            .select(FileFormats.bucketIdCol(col("doc_id"), buckets).as("b"))
+            .distinct().collect().map(_.getInt(0)).toSet
+          case _ => spark.table(t)
+            .join(broadcast(gone), Seq("doc_id"), "left_semi")
+            .select(FileFormats.bucketIdCol(col(key), buckets).as("b"))
+            .distinct().collect().map(_.getInt(0)).toSet
+        })
+      affected match {
+        case Some(a) if a.isEmpty => () // the diff touches nothing here
+        case Some(a) if a.size < buckets =>
+          FileFormats.writeBucketedSwapPartial(
+            dropGone(FileFormats.readBuckets(spark, t, a)), t, key, buckets, a)
+        case _ =>
+          FileFormats.writeBucketedSwap(dropGone(spark.table(t)), t, key, buckets)
+      }
+    }
+    graft.Par.runAll(
+      () => one("_fp", "fp"),
+      () => one("_bands", "band_key"),
+      () => one("_shingles", "doc_id"))
+    refreshIndexAcrossSessions(spark, name)
+  }
+
   def compactDedupIndex(spark: org.apache.spark.sql.SparkSession, name: String): Unit =
     rewriteIndexTables(spark, name, indexCanon)
 
@@ -633,6 +692,21 @@ object Dedup {
     val gone = removed.select(col("doc_id"))
       .union(changed.select(col("doc_id"))).distinct().pinned()
     val changedC = changed.pinned()
+    // removal-only fast path (the takedown/forget shape): with no changed
+    // docs, skip the fresh-sketch branches entirely — unioning an empty
+    // frame still costs each table rewrite the whole shingling/banding
+    // plan (scan, normalize, explode, hash) for zero rows, a fixed tax
+    // the forget cascade paid three times per call. The pin above makes
+    // the emptiness probe a metadata-cheap read of the materialized diff.
+    val hasChanged = changedC.limit(1).count() > 0
+    if (!hasChanged) {
+      // removal-only diffs additionally get touched-bucket pruning (the
+      // changed-doc path keeps the full rewrite: fresh sketches land in
+      // buckets only their own hashing can name, and a diff that big is
+      // compaction-adjacent anyway)
+      removalRewrite(spark, name, gone, gone.count())
+      return
+    }
     rewriteIndexTables(spark, name,
       suffix => df => {
         // the equi-join hoists doc_id to the front — re-select the

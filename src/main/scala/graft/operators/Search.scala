@@ -219,15 +219,15 @@ object Search {
         .select(col("tok"), col("doc_id"), col("dl"), col("tf"))
         .withColumn("batch_id", lit(BaseSegment)),
       pt, "tok", buckets)
-    val stagedT = s"${tt}__compact"
-    spark.table(tt)
+    // same single-row collect-and-write as the removal path: the folded
+    // totals are one row, the staged-table two-step was pure catalog tax
+    val tot = spark.table(tt)
       .agg(sum(col("n_docs")).cast("long").as("n_docs"),
         sum(col("sum_dl")).cast("long").as("sum_dl"))
-      .withColumn("batch_id", lit(BaseSegment))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(stagedT)
-    spark.table(stagedT)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(tt)
-    spark.sql(s"DROP TABLE `$stagedT`")
+      .head()
+    writeTotalsRow(spark, tt,
+      if (tot.isNullAt(0)) 0L else tot.getLong(0),
+      if (tot.isNullAt(1)) 0L else tot.getLong(1))
     Seq(pt, tt).foreach(t => try spark.catalog.refreshTable(t) catch { case _: Throwable => () })
   }
 
@@ -261,38 +261,107 @@ object Search {
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(pt))
       .bucketSpec.map(_.numBuckets).getOrElse(8)
     val led = ledger(spark, name)
-    val present = spark.table(pt).join(broadcast(led), "batch_id")
+    // ONE diff-sized materialization instead of three (toDrop /
+    // emptyRemoved / delta each paid their own eager job — at takedown
+    // sizes the fixed job cost dominated the removal): probe which
+    // removed docs still have ledgered postings (semi-join the postings
+    // scan down to the removal set FIRST — distinct runs over removed-
+    // sized rows, not the whole corpus), tag the projection once, pin
+    // once, and derive the drop set and the totals delta from the pin.
+    val rmProj = docsProjected(removed)
+    val presentIds = spark.table(pt).join(broadcast(led), "batch_id")
+      .join(broadcast(rmProj.select(col("doc_id"))), Seq("doc_id"), "left_semi")
       .select(col("doc_id")).distinct()
-    val toDrop = docsProjected(removed)
-      .join(present, "doc_id")
-      .select(col("doc_id"), col("dl")).pinned()
-    val emptyRemoved = docsProjected(removed)
-      .join(present, Seq("doc_id"), "left_anti")
-      .filter(col("dl").isNull || col("dl") === 0L)
-      .select(col("doc_id"), col("dl")).pinned()
-    val delta = toDrop.unionAll(emptyRemoved)
+    val rm = rmProj
+      .join(presentIds.withColumn("present", lit(true)), Seq("doc_id"), "left_outer")
+      .withColumn("present", coalesce(col("present"), lit(false)))
+      .filter(col("present") || col("dl").isNull || col("dl") === 0L)
+      .select(col("doc_id"), col("dl"), col("present")).pinned()
+    val toDropIds = rm.filter(col("present")).select(col("doc_id"))
+    val cnt = rm.agg(count(lit(1)).as("all"),
+      coalesce(sum(when(col("present"), 1L).otherwise(0L)), lit(0L)).as("p")).head()
+    val (nRemoved, nPresent) = (cnt.getLong(0), cnt.getLong(1))
+    if (nRemoved == 0) return // replayed/absent removal: index already clean
+    // lazy: the delta aggregate rides the totals write off the pin
+    val delta = rm
       .agg(count(lit(1)).as("rm_docs"),
-        coalesce(sum(col("dl")), lit(0L)).as("rm_dl")).pinned()
-    // staged swap: 1x postings IO + two renames (writeBucketedSwap)
-    graft.sources.FileFormats.writeBucketedSwap(
-      spark.table(pt).join(broadcast(led), "batch_id")
-        .join(toDrop.select(col("doc_id")), Seq("doc_id"), "left_anti")
-        .select(col("tok"), col("doc_id"), col("dl"), col("tf"))
-        .withColumn("batch_id", lit(BaseSegment)),
-      pt, "tok", buckets)
-    val stagedT = s"${tt}__remove"
-    spark.table(tt)
-      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
-        sum(col("sum_dl")).cast("long").as("sum_dl"))
-      .crossJoin(broadcast(delta))
-      .select((col("n_docs") - col("rm_docs")).as("n_docs"),
-        (col("sum_dl") - col("rm_dl")).as("sum_dl"))
-      .withColumn("batch_id", lit(BaseSegment))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(stagedT)
-    spark.table(stagedT)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(tt)
-    spark.sql(s"DROP TABLE `$stagedT`")
+        coalesce(sum(when(col("present"), col("dl"))), lit(0L)).as("rm_dl"))
+    // TOUCHED-BUCKET pruning: a removed doc's postings live exactly in
+    // the buckets of its own tokens, which the removal's text names
+    // without any index scan — probe those (gated by the same
+    // coupon-collector bound the dedup family uses) and rewrite only the
+    // touched buckets, moving the rest's files unread. The partial path
+    // deliberately does NOT fold batch_ids or drop unledgered orphans
+    // (that is compaction's job); the full path keeps the fold.
+    val affected: Option[Set[Int]] =
+      if (nPresent == 0) Some(Set.empty)
+      else if (nPresent >= buckets.toLong * 16) None
+      else Some(explodedTokens(docsProjected(removed))
+        .join(broadcast(toDropIds), Seq("doc_id"), "left_semi")
+        .select(graft.sources.FileFormats.bucketIdCol(col("tok"), buckets).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet)
+    affected match {
+      case Some(a) if a.isEmpty => () // nothing ledgered to drop — totals-only
+      case Some(a) if a.size < buckets =>
+        val base = graft.sources.FileFormats.readBuckets(spark, pt, a)
+        val cols = base.columns.map(col)
+        graft.sources.FileFormats.writeBucketedSwapPartial(
+          base.join(broadcast(toDropIds), Seq("doc_id"), "left_anti").select(cols: _*),
+          pt, "tok", buckets, a)
+      case _ =>
+        // full staged swap: 1x postings IO + two renames, ledger folded
+        graft.sources.FileFormats.writeBucketedSwap(
+          spark.table(pt).join(broadcast(led), "batch_id")
+            .join(broadcast(toDropIds), Seq("doc_id"), "left_anti")
+            .select(col("tok"), col("doc_id"), col("dl"), col("tf"))
+            .withColumn("batch_id", lit(BaseSegment)),
+          pt, "tok", buckets)
+    }
+    val dRow = delta.head()
+    val (rmDocs, rmDl) = (dRow.getLong(0), if (dRow.isNullAt(1)) 0L else dRow.getLong(1))
+    if (affected.exists(_.size < buckets)) {
+      // partial path: the ledger (distinct batch_id of totals) must keep
+      // every id the untouched buckets' rows still carry — adjust the
+      // base row in place instead of collapsing (totals are O(appends)
+      // rows by construction, a bounded driver-side rewrite)
+      val totRows = spark.table(tt)
+        .select(col("n_docs").cast("long"), col("sum_dl").cast("long"), col("batch_id").cast("long"))
+        .collect().toSeq
+      val hasBase = totRows.exists(_.getLong(2) == BaseSegment)
+      val adjusted = totRows.map { r =>
+        if (r.getLong(2) == BaseSegment)
+          (r.getLong(0) - rmDocs, r.getLong(1) - rmDl, BaseSegment)
+        else (r.getLong(0), r.getLong(1), r.getLong(2))
+      } ++ (if (hasBase) Nil else Seq((-rmDocs, -rmDl, BaseSegment)))
+      import spark.implicits._
+      adjusted.toDF("n_docs", "sum_dl", "batch_id").coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(tt)
+    } else {
+      // full path: the merged totals row is ONE row by construction —
+      // collect it and write from the driver-side literal instead of the
+      // staged-table two-step (three catalog round-trips for a
+      // single-row table; the crash window is the same final overwrite
+      // either way)
+      val tot = spark.table(tt)
+        .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+          sum(col("sum_dl")).cast("long").as("sum_dl"))
+        .head()
+      writeTotalsRow(spark, tt,
+        (if (tot.isNullAt(0)) 0L else tot.getLong(0)) - rmDocs,
+        (if (tot.isNullAt(1)) 0L else tot.getLong(1)) - rmDl)
+    }
     Seq(pt, tt).foreach(t => try spark.catalog.refreshTable(t) catch { case _: Throwable => () })
+  }
+
+  /** Overwrite the totals table with its single folded base row (used by
+    * compaction and removal, whose merged totals are one row by
+    * construction). */
+  private def writeTotalsRow(spark: org.apache.spark.sql.SparkSession, tt: String,
+                             nDocs: Long, sumDl: Long): Unit = {
+    import spark.implicits._
+    Seq((nDocs, sumDl, BaseSegment)).toDF("n_docs", "sum_dl", "batch_id")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(tt)
   }
 
   /** Drop the persisted search index (catalog + leftover managed

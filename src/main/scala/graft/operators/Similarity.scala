@@ -411,7 +411,12 @@ object Similarity {
                    slot: String = DefaultSlot): Unit = {
     val model = quantizerFor(embeddings, nCells, slot)
     saveQuantizer(embeddings, s"$path/quantizer", nCells, slot)
+    // one hash repartition on cell → one file per cell directory (the
+    // compacted shape compactIvfIndex restores), instead of every input
+    // task writing a sliver into every cell — tasks × nCells tiny files
+    // whose commit cost dominated the fresh save
     assignCells(embeddings, model)
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
 
@@ -428,6 +433,7 @@ object Similarity {
     * should silently paper over. */
   def appendToIvfIndex(newVectors: DataFrame, path: String): Unit = {
     val model = loadQuantizer(newVectors.sparkSession, s"$path/quantizer")
+    healPartialCells(newVectors.sparkSession, path) // see healPartialCells: appends heal first
     assignCells(newVectors, model)
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("cell").parquet(s"$path/cells")
@@ -468,7 +474,133 @@ object Similarity {
   def removeFromIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                          removed: DataFrame): Unit = {
     val gone = removed.select(col("vec_id")).distinct().pinned()
-    rewriteCellTree(spark, path, _.join(gone, Seq("vec_id"), "left_anti"))
+    healPartialCells(spark, path)
+    val live = new org.apache.hadoop.fs.Path(s"$path/cells")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nCells =
+      if (!fs.exists(live)) 0
+      else fs.listStatus(live).count(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+    val goneCount = gone.count()
+    // TOUCHED-CELL pruning (the IVF edition of the bucketed tables'
+    // touched-bucket swap): locate the cells actually holding doomed
+    // vectors with one column-pruned (vec_id, cell) scan, then rewrite
+    // ONLY those cell directories — the rest of the tree is never read
+    // or written. Same coupon-collector gate as the other families: a
+    // doomed set much larger than the cell count touches everything.
+    val affected: Option[Set[String]] =
+      if (nCells == 0 || goneCount >= nCells.toLong * 16) None
+      else {
+        val a = spark.read.parquet(live.toString)
+          .join(broadcast(gone), Seq("vec_id"), "left_semi")
+          .select(col("cell").cast("string")).distinct()
+          .collect().map(r => s"cell=${r.getString(0)}").toSet
+        if (a.size >= nCells) None else Some(a)
+      }
+    affected match {
+      case Some(a) if a.isEmpty => () // nothing present: replay / absent ids
+      case Some(a) =>
+        partialRewriteCells(spark, path, a, _.join(gone, Seq("vec_id"), "left_anti"))
+      case None =>
+        rewriteCellTree(spark, path, _.join(gone, Seq("vec_id"), "left_anti"))
+    }
+  }
+
+  /** Marker a partial cell rewrite writes into its staged tree AFTER the
+    * staged write completes and BEFORE any live directory moves: one
+    * `<dirName>:<1|0>` line per affected cell (0 = the cell emptied, its
+    * removal IS the swap). Heal resumes FORWARD from it. */
+  private[graft] val CellMarker = "_GRAFT_PARTIAL_CELLS"
+
+  /** Resume (or clear) a crashed partial cell swap. Called at every
+    * cell-tree verb entry — rewrites, removals, appends: an append that
+    * recreated a mid-swap cell directory before heal ran would lose its
+    * rows to the resumed move, so append verbs heal first too. */
+  private[graft] def healPartialCells(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(s"$path/cells")
+    val staged = new org.apache.hadoop.fs.Path(s"$path/cells__pstaged")
+    val pold = new org.apache.hadoop.fs.Path(s"$path/cells__pold")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(staged, CellMarker)
+    if (fs.exists(marker)) {
+      // marker present ⇒ the staged content is complete: finish the
+      // per-cell swaps exactly as the crashed run would have (idempotent
+      // — already-moved cells are simply absent from their source)
+      val in = fs.open(marker)
+      val entries =
+        try scala.io.Source.fromInputStream(in).getLines()
+          .filter(_.nonEmpty).map { l =>
+            val i = l.lastIndexOf(':'); (l.substring(0, i), l.substring(i + 1) == "1")
+          }.toSeq
+        finally in.close()
+      finishCellMoves(fs, live, staged, pold, entries)
+    }
+    // debris without (or after) a marker: a crash before the marker never
+    // touched the live tree; a finished resume leaves only empty shells
+    fs.delete(staged, true)
+    fs.delete(pold, true)
+    ()
+  }
+
+  private def finishCellMoves(fs: org.apache.hadoop.fs.FileSystem,
+                              live: org.apache.hadoop.fs.Path,
+                              staged: org.apache.hadoop.fs.Path,
+                              pold: org.apache.hadoop.fs.Path,
+                              entries: Seq[(String, Boolean)]): Unit = {
+    fs.mkdirs(pold)
+    for ((dirName, hasStaged) <- entries) {
+      val liveDir = new org.apache.hadoop.fs.Path(live, dirName)
+      val stagedDir = new org.apache.hadoop.fs.Path(staged, dirName)
+      if (hasStaged) {
+        if (fs.exists(stagedDir)) { // not yet swapped in
+          if (fs.exists(liveDir) &&
+              !fs.rename(liveDir, new org.apache.hadoop.fs.Path(pold, dirName)))
+            sys.error(s"partial cell swap: could not stage out $liveDir")
+          if (!fs.rename(stagedDir, liveDir))
+            sys.error(s"partial cell swap: could not swap in $stagedDir")
+        } // else: this cell's swap already completed
+      } else {
+        // the cell emptied: staging it out IS the swap
+        if (fs.exists(liveDir) &&
+            !fs.rename(liveDir, new org.apache.hadoop.fs.Path(pold, dirName)))
+          sys.error(s"partial cell swap: could not remove emptied $liveDir")
+      }
+    }
+  }
+
+  /** TOUCHED-CELL staged rewrite: rewrite only `affectedDirs`
+    * (`cell=<v>` directory names); every other cell directory is never
+    * read, written, or moved. Per-cell swap via a resumable marker
+    * protocol ([[healPartialCells]]): the staged tree is written
+    * completely first, so a crash anywhere in the move window heals
+    * FORWARD at the next verb entry. */
+  private[graft] def partialRewriteCells(spark: org.apache.spark.sql.SparkSession, path: String,
+                                  affectedDirs: Set[String],
+                                  canon: DataFrame => DataFrame): Unit = {
+    val live = new org.apache.hadoop.fs.Path(s"$path/cells")
+    val staged = new org.apache.hadoop.fs.Path(s"$path/cells__pstaged")
+    val pold = new org.apache.hadoop.fs.Path(s"$path/cells__pold")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(staged, true)
+    fs.delete(pold, true)
+    // read ONLY the affected cell directories (basePath keeps the cell
+    // partition column); replay-fold + canon exactly like the full path
+    val dirs = affectedDirs.toSeq.sorted.map(d => s"$live/$d")
+    canon(spark.read.option("basePath", live.toString).parquet(dirs: _*)
+        .dropDuplicates("vec_id"))
+      .repartition(col("cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell").parquet(staged.toString)
+    val entries = affectedDirs.toSeq.sorted.map { d =>
+      d -> fs.exists(new org.apache.hadoop.fs.Path(staged, d))
+    }
+    val out = fs.create(new org.apache.hadoop.fs.Path(staged, CellMarker), true)
+    try out.write(entries.map { case (d, h) => s"$d:${if (h) 1 else 0}" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    finishCellMoves(fs, live, staged, pold, entries)
+    fs.delete(staged, true)
+    fs.delete(pold, true)
+    spark.catalog.refreshByPath(live.toString)
   }
 
   /** The staged rewrite-and-swap [[compactIvfIndex]] and
@@ -478,6 +610,7 @@ object Similarity {
     * untouched. */
   private def rewriteCellTree(spark: org.apache.spark.sql.SparkSession, path: String,
                               canon: DataFrame => DataFrame): Unit = {
+    healPartialCells(spark, path) // a crashed partial swap leaves moved-out cells
     val live = new org.apache.hadoop.fs.Path(s"$path/cells")
     val staged = new org.apache.hadoop.fs.Path(s"$path/cells__compact")
     val old = new org.apache.hadoop.fs.Path(s"$path/cells__old")
@@ -868,6 +1001,7 @@ object Similarity {
     val spark = newVectors.sparkSession
     val model = loadQuantizer(spark, s"$path/quantizer")
     val books = loadPqBooks(spark, s"$path/books")
+    healPartialCells(spark, path) // see healPartialCells: appends heal first
     withCell(newVectors.filter(size(col("embedding")) === dim), model)
       .select(col("vec_id"), col("embedding"),
         pqCodesCol(books).as("codes"),

@@ -49,7 +49,18 @@ object FileFormats {
     * exchange-free plan). Registered as a catalog table because bucket
     * metadata lives in the catalog, not in the parquet footers. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write.mode(SaveMode.Overwrite)
+    // repartition to the bucket count ON the bucket key first: without
+    // it every input task writes a sliver into every bucket (tasks ×
+    // buckets files — ~500 files for an 8-bucket index written at 32
+    // shuffle partitions), and both the write commit and every later
+    // scan pay per-file open cost. Hash-repartitioning on the bucket key
+    // puts exactly one bucket's rows in each task → one file per bucket,
+    // the compacted shape, at the cost of one shuffle the fresh save can
+    // afford (production bucket counts are sized to the cluster width,
+    // so this is also the right write parallelism at scale — the same
+    // discipline appendToSearchIndex documents).
+    df.repartition(buckets, col(key))
+      .write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
 
@@ -112,10 +123,158 @@ object FileFormats {
   private def lockFor(table: String): Object =
     tableLocks.computeIfAbsent(table, _ => new Object)
 
+  // ---- touched-bucket (partial) staged swap machinery ----
+
+  /** Marker file a partial swap writes into the staged location BEFORE
+    * its first rename, holding the affected bucket ids. Its presence is
+    * how [[healTornSwap]] tells a partial swap's move window (resume
+    * FORWARD: staged content is complete) from the full swap's rename
+    * window (roll BACK to `__old`). Underscore-prefixed, so parquet
+    * readers ignore it if observed mid-protocol. */
+  private[graft] val PartialMarker = "_GRAFT_PARTIAL"
+
+  private[graft] def tableLocation(spark: SparkSession, table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+
+  /** Bucket id from a Spark bucketed-table file name
+    * (`part-00000-<uuid>_00003.c000.snappy.parquet` → 3). */
+  private[graft] def bucketIdOfFile(fileName: String): Option[Int] =
+    "_([0-9]{5})\\.c000".r.findFirstMatchIn(fileName).map(_.group(1).toInt)
+
+  /** The bucket id Spark's bucketed writer assigns a key — bucketing uses
+    * `HashPartitioning.partitionIdExpression` = pmod(murmur3(key), n),
+    * and `functions.hash` IS that murmur3 (seed 42). Spec-pinned against
+    * actual file placement in BucketingSpec. */
+  def bucketIdCol(key: org.apache.spark.sql.Column, buckets: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.pmod(org.apache.spark.sql.functions.hash(key),
+      org.apache.spark.sql.functions.lit(buckets))
+
+  /** Read ONLY the named buckets' files of a bucketed table — the scan
+    * half of a touched-bucket rewrite: IO proportional to the affected
+    * buckets, not the table. (Bucket metadata is lost on a raw file
+    * read; callers rewrite/shuffle the rows anyway.) */
+  private[graft] def readBuckets(spark: SparkSession, table: String,
+                                 affected: Set[Int]): DataFrame = {
+    val loc = tableLocation(spark, table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(loc).toSeq
+      .filter(_.isFile)
+      .filter(st => bucketIdOfFile(st.getPath.getName).exists(affected.contains))
+      .map(_.getPath.toString)
+    if (files.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        spark.table(table).schema)
+    else spark.read.schema(spark.table(table).schema).parquet(files: _*)
+  }
+
+  private def moveUntouched(fs: org.apache.hadoop.fs.FileSystem,
+                            from: org.apache.hadoop.fs.Path,
+                            to: org.apache.hadoop.fs.Path,
+                            affected: Set[Int]): Unit =
+    fs.listStatus(from).foreach { st =>
+      if (st.isFile) bucketIdOfFile(st.getPath.getName) match {
+        case Some(b) if !affected.contains(b) =>
+          if (!fs.rename(st.getPath, new org.apache.hadoop.fs.Path(to, st.getPath.getName)))
+            sys.error(s"partial swap: could not move ${st.getPath} to $to")
+        case _ => ()
+      }
+    }
+
+  private def readMarker(fs: org.apache.hadoop.fs.FileSystem,
+                         marker: org.apache.hadoop.fs.Path): Set[Int] = {
+    val in = fs.open(marker)
+    try scala.io.Source.fromInputStream(in).mkString.split(",").filter(_.nonEmpty)
+      .map(_.trim.toInt).toSet
+    finally in.close()
+  }
+
   def healTornSwap(spark: SparkSession, table: String): Unit = lockFor(table).synchronized {
+    val staged = s"${table}__staged"
     val old = s"${table}__old"
-    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(old))
-      spark.sql(s"ALTER TABLE `$old` RENAME TO `$table`")
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(old)) {
+      // a PARTIAL swap's move window (staged table complete + marker
+      // present) resumes FORWARD: finish moving the untouched buckets'
+      // files and swap the staged table in — rolling back would discard
+      // files already moved out of __old. Every other torn state rolls
+      // back to __old (the full swap's documented recovery).
+      val resumed = spark.catalog.tableExists(staged) && {
+        val stagedLoc = tableLocation(spark, staged)
+        val fs = stagedLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(stagedLoc, PartialMarker)
+        fs.exists(marker) && {
+          moveUntouched(fs, tableLocation(spark, old), stagedLoc, readMarker(fs, marker))
+          spark.sql(s"ALTER TABLE `$staged` RENAME TO `$table`")
+          fs.delete(new org.apache.hadoop.fs.Path(tableLocation(spark, table), PartialMarker), false)
+          spark.sql(s"DROP TABLE `$old`")
+          refreshAfterSwap(spark, table)
+          true
+        }
+      }
+      if (!resumed) spark.sql(s"ALTER TABLE `$old` RENAME TO `$table`")
+    } else if (spark.catalog.tableExists(table) && spark.catalog.tableExists(old)) {
+      // crash AFTER a swap-in but before cleanup: the live table is
+      // correct; __old holds stale bucket files (and the marker may
+      // still sit in the table location). Best-effort debris removal.
+      try {
+        val loc = tableLocation(spark, table)
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(loc, PartialMarker), false)
+      } catch { case _: Throwable => () }
+      try spark.sql(s"DROP TABLE `$old`") catch { case _: Throwable => () }
+      ()
+    }
+  }
+
+  private def refreshAfterSwap(spark: SparkSession, table: String): Unit = {
+    val sessions = (Seq(spark) ++
+      org.apache.spark.sql.SparkSession.getDefaultSession.toSeq ++
+      org.apache.spark.sql.SparkSession.getActiveSession.toSeq).distinct
+    for (s <- sessions)
+      try s.catalog.refreshTable(table)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    spark.catalog.refreshByPath(tableLocation(spark, table).toString)
+  }
+
+  /** TOUCHED-BUCKET staged swap: rewrite only `affected` buckets' content
+    * (`df` must hold exactly the new rows of those buckets — every row's
+    * [[bucketIdCol]] in `affected` — and nothing else); every other
+    * bucket's files MOVE from the old directory into the staged one
+    * (per-file rename — no read, no decode, no shuffle, no write), so a
+    * takedown touching k of N buckets costs IO ∝ k/N of the table
+    * instead of a full rewrite. At 100 TB with per-bucket files this is
+    * the difference between a bounded maintenance op and re-writing the
+    * corpus for every takedown.
+    *
+    * Crash contract (the marker protocol): the affected-bucket content
+    * is staged COMPLETELY and the marker (affected ids) written before
+    * the first rename, so the move window is resumable — a crash
+    * anywhere between the renames heals FORWARD at the next verb entry
+    * ([[healTornSwap]] finishes the move and swaps in); a crash before
+    * the first rename leaves the live table untouched (staged debris is
+    * dropped at the next swap's entry). File moves are idempotent
+    * (a moved file is simply absent from `__old` on resume). */
+  def writeBucketedSwapPartial(df: DataFrame, table: String, key: String, buckets: Int,
+                               affected: Set[Int]): Unit = lockFor(table).synchronized {
+    val spark = df.sparkSession
+    require(affected.nonEmpty && affected.forall(b => b >= 0 && b < buckets),
+      s"affected bucket ids must be within [0, $buckets): $affected")
+    val staged = s"${table}__staged"
+    val old = s"${table}__old"
+    healTornSwap(spark, table)
+    dropTableAndLocation(spark, staged)
+    dropTableAndLocation(spark, old)
+    writeBucketed(df, staged, key, buckets)
+    val stagedLoc = tableLocation(spark, staged)
+    val fs = stagedLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(stagedLoc, PartialMarker), true)
+    try out.write(affected.toSeq.sorted.mkString(",").getBytes("UTF-8")) finally out.close()
+    spark.sql(s"ALTER TABLE `$table` RENAME TO `$old`")
+    moveUntouched(fs, tableLocation(spark, old), tableLocation(spark, staged), affected)
+    spark.sql(s"ALTER TABLE `$staged` RENAME TO `$table`")
+    fs.delete(new org.apache.hadoop.fs.Path(tableLocation(spark, table), PartialMarker), false)
+    spark.sql(s"DROP TABLE `$old`")
+    refreshAfterSwap(spark, table)
   }
 
   def writeBucketedSwap(df: DataFrame, table: String, key: String, buckets: Int): Unit = lockFor(table).synchronized {
@@ -138,15 +297,7 @@ object FileFormats {
     // session this process exposes (a foreachBatch clone compacting an
     // index must not leave the parent session scanning moved files);
     // the path refresh hits the SHARED CacheManager once.
-    val sessions = (Seq(spark) ++
-      org.apache.spark.sql.SparkSession.getDefaultSession.toSeq ++
-      org.apache.spark.sql.SparkSession.getActiveSession.toSeq).distinct
-    for (s <- sessions)
-      try s.catalog.refreshTable(table)
-      catch { case _: org.apache.spark.sql.AnalysisException => () }
-    spark.catalog.refreshByPath(
-      spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(table)).location.toString)
+    refreshAfterSwap(spark, table)
   }
 
   /** End-to-end training-data EXPORT: assign every doc its token-budget

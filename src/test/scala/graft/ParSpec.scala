@@ -83,6 +83,102 @@ class ParSpec extends SparkSpec {
     Search.dropSearchIndex(spark, "par_srch")
   }
 
+  test("small takedown rides the TOUCHED-BUCKET path in all three families: contract holds, untouched files move verbatim") {
+    import graft.operators.{Dedup, Lifecycle, Search, Similarity, TextAnalysis}
+    import graft.sources.FileFormats
+    val docs = Tables.documents(spark, Sf0001)
+    val ivfPath = java.nio.file.Files.createTempDirectory("parspec_tb_ivf").toString
+    Dedup.dropDedupIndex(spark, "tb_dix")
+    Search.dropSearchIndex(spark, "tb_srch")
+    Dedup.saveDedupIndex(docs, "tb_dix")
+    // postings bucket by TOKEN: a single doc's ~100 distinct tokens cover
+    // any 8-bucket layout entirely (correctly forcing the full path), so
+    // the partial-path evidence needs a production-shaped bucket count
+    // where 2 docs' tokens cannot touch everything
+    Search.saveSearchIndex(docs, "tb_srch", buckets = 256)
+    Similarity.saveIvfIndex(TextAnalysis.lexicalVectors(docs), ivfPath, slot = "parspec_tb")
+    def files(table: String): Map[String, Long] = {
+      val loc = FileFormats.tableLocation(spark, table)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(loc).filter(_.isFile)
+        .filter(st => FileFormats.bucketIdOfFile(st.getPath.getName).isDefined)
+        .map(st => st.getPath.getName -> st.getLen).toMap
+    }
+    def cellDirs(): Map[String, Long] = {
+      val root = new org.apache.hadoop.fs.Path(s"$ivfPath/cells")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(root).filter(_.isDirectory).map { d =>
+        d.getPath.getName -> fs.listStatus(d.getPath).filter(_.isFile).map(_.getLen).sum
+      }.toMap
+    }
+    val fpBefore = files("tb_dix_fp")
+    val postBefore = files("tb_srch_postings")
+    val cellsBefore = cellDirs()
+    // a 2-document takedown — far under every family's coupon-collector
+    // gate, so all three MUST take the partial path
+    val doomed = docs.filter(col("doc_id").isin(11L, 23L)).localCheckpoint()
+    Lifecycle.forget(spark, doomed, "tb_dix", "tb_srch", ivfPath)
+    val ids = doomed.select("doc_id")
+    // the contract oracle: forgotten-present == 0 and remaining == docs − 2
+    val expected = docs.count() - 2
+    assert(spark.table("tb_dix_fp").join(ids, "doc_id").count() === 0L)
+    assert(spark.table("tb_srch_postings").join(ids, "doc_id").count() === 0L)
+    assert(spark.read.parquet(s"$ivfPath/cells")
+      .join(ids.withColumnRenamed("doc_id", "vec_id"), "vec_id").count() === 0L)
+    assert(spark.table("tb_dix_fp").select("doc_id").distinct().count() === expected)
+    assert(spark.table("tb_srch_postings").select("doc_id").distinct().count() === expected)
+    assert(spark.read.parquet(s"$ivfPath/cells").count() === expected)
+    // touched-bucket evidence: at least one bucket/cell in each family
+    // kept its ORIGINAL file (name and size — moved, never rewritten)
+    val fpAfter = files("tb_dix_fp")
+    val postAfter = files("tb_srch_postings")
+    val cellsAfter = cellDirs()
+    assert((fpAfter.toSet & fpBefore.toSet).nonEmpty,
+      "fp: a 2-doc takedown must leave most buckets' files untouched")
+    assert((postAfter.toSet & postBefore.toSet).nonEmpty,
+      "postings: untouched token buckets must move verbatim")
+    assert((cellsAfter.toSet & cellsBefore.toSet).nonEmpty,
+      "ivf: untouched cells must keep their directories byte-identical")
+    // and the verb stays idempotent on the partial path
+    Lifecycle.forget(spark, doomed, "tb_dix", "tb_srch", ivfPath)
+    assert(spark.table("tb_dix_fp").select("doc_id").distinct().count() === expected)
+    Dedup.dropDedupIndex(spark, "tb_dix")
+    Search.dropSearchIndex(spark, "tb_srch")
+  }
+
+  test("IVF partial cell swap heals FORWARD from its marker after a crash in the move window") {
+    import graft.operators.{Similarity, TextAnalysis}
+    val docs = Tables.documents(spark, Sf0001)
+    val ivfPath = java.nio.file.Files.createTempDirectory("parspec_heal_ivf").toString
+    Similarity.saveIvfIndex(TextAnalysis.lexicalVectors(docs), ivfPath, slot = "parspec_heal")
+    val live = new org.apache.hadoop.fs.Path(s"$ivfPath/cells")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = spark.read.parquet(live.toString)
+    val total = before.count()
+    // pick a victim vector and its cell; stage a rewrite of that one cell
+    // with the victim dropped, write the marker, and "crash" before any
+    // move — the torn state a partial rewrite's move window can leave
+    val victim = before.select("vec_id", "cell").head()
+    val victimId = victim.getLong(0)
+    val cellDir = s"cell=${victim.get(1)}"
+    val staged = new org.apache.hadoop.fs.Path(s"$ivfPath/cells__pstaged")
+    spark.read.option("basePath", live.toString).parquet(s"$live/$cellDir")
+      .filter(col("vec_id") =!= victimId)
+      .repartition(col("cell"))
+      .write.partitionBy("cell").parquet(staged.toString)
+    val out = fs.create(new org.apache.hadoop.fs.Path(staged, Similarity.CellMarker), true)
+    out.write(s"$cellDir:1".getBytes("UTF-8")); out.close()
+    // next verb entry heals forward: the victim is gone, bystanders stay
+    Similarity.healPartialCells(spark, ivfPath)
+    val after = spark.read.parquet(live.toString)
+    assert(after.count() === total - 1)
+    assert(after.filter(col("vec_id") === victimId).count() === 0L)
+    assert(!fs.exists(staged) && !fs.exists(new org.apache.hadoop.fs.Path(s"$ivfPath/cells__pold")))
+    // and a second heal is a no-op
+    Similarity.healPartialCells(spark, ivfPath)
+    assert(spark.read.parquet(live.toString).count() === total - 1)
+  }
+
   test("AsyncCompactions: one in flight per family, awaits join, failures surface at the next touch") {
     val comps = new graft.streaming.TrainingPipeline.AsyncCompactions
     val done = new AtomicBoolean(false)
