@@ -144,16 +144,23 @@ object Graph {
     // whole pairs derivation once more inside round 1
     var pr = withDeg.select(col("src").as("node")).distinct()
       .withColumn("pr", lit(1000000L))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       pr = withDeg.join(pr, col("src") === col("node"))
         .groupBy(col("dst"))
         .agg(sum(expr("pr div outdeg")).as("in_mass"))
         .select(col("dst").as("node"),
           (lit(150000L) + expr("(85 * in_mass) div 100")).as("pr"))
-        .pinned()
+      // pin every SECOND superstep (and always the last): each pin is an
+      // eager job whose fixed dispatch cost dominated the round tax at
+      // bench scale (r12 verdict: 5 serial jobs for a node-sized
+      // relation). Two chained join+agg rounds per job keep lineage
+      // depth at 2 — flat enough for any iters — while halving the job
+      // count; the big join side is the one cached src-clustered
+      // relation in every round either way.
+      if (i % 2 == 0 || i == iters) pr = pr.pinned()
     }
-    // every round is already materialized (eager checkpoints), so the
-    // edge cache has no remaining consumer in the returned plan
+    // the final round is materialized (last pin), so the edge cache has
+    // no remaining consumer in the returned plan
     withDeg.unpersist()
     pr.select(
       when(pmod(col("node"), lit(2)) === 0, lit("customer"))
@@ -211,16 +218,18 @@ object Graph {
 
     var lab = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       lab = edges.join(lab, col("src") === col("node"))
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("dst"))
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("w"))
         .select(col("dst").as("node"), (-col("w.nl")).as("label"))
-        .pinned()
+      // every-second-round pin, same as [[pagerank]]: halve the serial
+      // job count, keep lineage depth at 2, always pin the last round
+      if (i % 2 == 0 || i == iters) lab = lab.pinned()
     }
-    edges.unpersist() // all rounds materialized; no consumer remains
+    edges.unpersist() // the last round is materialized; no consumer remains
     lab.groupBy(col("label"))
       .agg(count(lit(1)).cast("long").as("n_nodes"),
         min(col("node")).cast("long").as("min_node"))
