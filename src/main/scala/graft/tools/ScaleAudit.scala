@@ -2,35 +2,55 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Empirical scale-exponent audit (round-11 judge ask): time every
-  * registered query at TWO scale factors in one JVM and report the
-  * per-query ratio t(big)/t(small) against the data-size ratio. The
-  * 100×-scale claims in PLANS.md rest on plan inspection (pushdown,
-  * banding, bounded pair generation); this makes them empirical — a
-  * query whose cost grows faster than the data (pair blowup a df-cut
-  * missed, a window that stopped partitioning, an accidental rescan)
-  * shows up as ratio ≫ data ratio regardless of what its plan claims.
+/** Empirical scale-exponent audit: time every registered query at N ≥ 2
+  * scale points in one JVM and report per-interval growth ratios plus a
+  * log-log least-squares exponent per query. The 100×-scale claims in
+  * PLANS.md rest on plan inspection (pushdown, banding, bounded pair
+  * generation); this makes them empirical — a query whose cost grows
+  * faster than the data (pair blowup a df-cut missed, a window that
+  * stopped partitioning, an accidental rescan) shows up as interval
+  * ratio ≫ size ratio regardless of what its plan claims.
   *
-  * Reading the ratio honestly requires two corrections, both applied:
+  * Points come from SPARK_GRAFT_SF_POINTS ("path=relsize,path=relsize,…",
+  * ascending). Default: sf0.01=1, sf0.1=10, plus localdata/sf0.5=50 when
+  * present (generate it with `runMain graft.tools.ScaleUp
+  * /root/testdata/sf0.1 localdata/sf0.5` — the round-12 audit spanned one
+  * overhead-padded 10× interval; the third point turns the tripwire into
+  * a measured exponent).
+  *
+  * Reading ratios honestly requires two corrections, both applied:
   *  - fixed per-query overhead (planning, job dispatch — ~0.1-0.3 s)
-  *    dominates small-SF times, DEFLATING ratios; so the flag bar is on
-  *    the ratio of times with big_sec also above a floor (a query whose
-  *    big-SF cost is under MinBigSec cannot be a scale problem).
+  *    dominates small-SF times, DEFLATING ratios AND the fitted
+  *    exponent; the flag bar therefore sits on per-interval time ratios
+  *    with the interval's big side above a floor (a query whose big-SF
+  *    cost is under MinBigSec cannot be a scale problem), and the
+  *    exponent is reported alongside `top_exponent` (largest interval
+  *    only — the least overhead-biased single reading).
   *  - host noise inflates either side; per-query mini-probes (the Bench
-  *    machinery) gate both passes, noisy queries re-timed from a cleared
+  *    machinery) gate every pass, noisy queries re-timed from a cleared
   *    session up to the same bounded rounds.
   *
-  * Flag rule: big_sec ≥ MinBigSec AND ratio > FlagRatio (default
-  * data-ratio × 1.5 — superlinear beyond window/log factors). Output:
-  * one JSON line + SCALEAUDIT file with every query's (small, big,
-  * ratio, flag).
+  * Flag rule, per adjacent interval: t_hi ≥ MinBigSec AND t_hi/t_lo >
+  * (s_hi/s_lo) × 1.5 — superlinear beyond window/log factors. Output:
+  * one JSON line + SCALEAUDIT file with per-query (secs, ratios,
+  * exponent, flag).
   */
 object ScaleAudit {
   def main(args: Array[String]): Unit = {
-    val sfSmall = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")
-    val sfBig = sys.env.getOrElse("SPARK_GRAFT_SF_BIG", "/root/testdata/sf0.1")
-    val dataRatio = sys.env.getOrElse("SPARK_GRAFT_SF_RATIO", "10.0").toDouble
-    val FlagRatio = sys.env.getOrElse("SPARK_GRAFT_FLAG_RATIO", (dataRatio * 1.5).toString).toDouble
+    val defaultHuge = "localdata/sf0.5"
+    val defaultPoints = {
+      val base = "/root/testdata/sf0.01=1,/root/testdata/sf0.1=10"
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(defaultHuge, "_SCALEUP_MANIFEST")))
+        base + s",$defaultHuge=50"
+      else base
+    }
+    val points: Seq[(String, Double)] = sys.env.getOrElse("SPARK_GRAFT_SF_POINTS", defaultPoints)
+      .split(",").toSeq.map { p =>
+        val Array(dir, r) = p.split("="); (dir.trim, r.trim.toDouble)
+      }
+    require(points.size >= 2, s"need at least two scale points, got $points")
+    require(points.map(_._2) == points.map(_._2).sorted, "points must be ascending in size")
+    val FlagFactor = sys.env.getOrElse("SPARK_GRAFT_FLAG_FACTOR", "1.5").toDouble
     val MinBigSec = sys.env.getOrElse("SPARK_GRAFT_MIN_BIG_SEC", "0.5").toDouble
     val QuietProbeSec = sys.env.getOrElse("SPARK_GRAFT_QUIET_PROBE", "0.05").toDouble
     val QuietRounds = sys.env.getOrElse("SPARK_GRAFT_QUIET_ROUNDS", "3").toInt
@@ -89,39 +109,62 @@ object ScaleAudit {
       (times, errs, quiet)
     }
 
-    val (smallT, smallE, smallQuiet) = pass(sfSmall)
-    val (bigT, bigE, bigQuiet) = pass(sfBig)
+    val passes = points.map { case (dir, size) =>
+      val (t, e, q) = pass(dir); (dir, size, t, e, q)
+    }
 
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
+    val sizes = points.map(_._2)
+    case class Row(name: String, secs: Seq[Double], ratios: Seq[Double],
+                   exponent: Double, topExponent: Double, flags: Seq[Boolean])
     val rows = names.flatMap { n =>
-      (smallT.get(n), bigT.get(n)) match {
-        case (Some(s), Some(b)) =>
-          val ratio = if (s > 0) b / s else Double.PositiveInfinity
-          val flagged = b >= MinBigSec && ratio > FlagRatio
-          Some((n, s, b, ratio, flagged))
-        case _ => None
+      val secs = passes.map(_._3.get(n))
+      if (secs.exists(_.isEmpty)) None
+      else {
+        val t = secs.map(_.get)
+        val ratios = t.sliding(2).map { case Seq(a, b) => if (a > 0) b / a else Double.PositiveInfinity }.toSeq
+        val sRatios = sizes.sliding(2).map { case Seq(a, b) => b / a }.toSeq
+        val flags = ratios.zip(sRatios).zip(t.tail).map { case ((r, sr), hi) =>
+          hi >= MinBigSec && r > sr * FlagFactor
+        }
+        // least-squares slope of log t over log s (all points), plus the
+        // top interval alone — the least overhead-biased single reading
+        val xs = sizes.map(math.log); val ys = t.map(x => math.log(math.max(x, 1e-4)))
+        val mx = xs.sum / xs.size; val my = ys.sum / ys.size
+        val slope = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+          math.max(xs.map(x => (x - mx) * (x - mx)).sum, 1e-12)
+        val topExp = math.log(math.max(t.last, 1e-4) / math.max(t(t.size - 2), 1e-4)) /
+          math.log(sizes.last / sizes(sizes.size - 2))
+        Some(Row(n, t, ratios, slope, topExp, flags))
       }
     }
-    val flagged = rows.filter(_._5).map(_._1)
-    val qJson = rows.map { case (n, s, b, r, f) =>
-      s""""$n":{"small_sec":${r3(s)},"big_sec":${r3(b)},"ratio":${r3(r)},"flag":$f}"""
+    val flagged = rows.filter(_.flags.exists(identity)).map(_.name)
+    val qJson = rows.map { r =>
+      s""""${r.name}":{"secs":[${r.secs.map(r3).mkString(",")}],""" +
+        s""""ratios":[${r.ratios.map(r3).mkString(",")}],""" +
+        s""""exponent":${r3(r.exponent)},"top_exponent":${r3(r.topExponent)},""" +
+        s""""flag":${r.flags.exists(identity)}}"""
     }.mkString("{", ",", "}")
-    val errJson = (smallE.map { case (n, e) => s""""$n(small)":"${e.replace("\"", "'")}"""" } ++
-      bigE.map { case (n, e) => s""""$n(big)":"${e.replace("\"", "'")}"""" })
-      .mkString("{", ",", "}")
+    val errJson = passes.flatMap { case (dir, _, _, errs, _) =>
+      errs.map { case (n, e) => s""""$n($dir)":"${e.replace("\"", "'")}"""" }
+    }.mkString("{", ",", "}")
     val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val maxRatio = if (rows.isEmpty) 0.0 else rows.map(_._4).max
-    val full = s"""{"metric":"scale_audit","sf_small":"$sfSmall","sf_big":"$sfBig","data_ratio":$dataRatio,"flag_ratio":$FlagRatio,"min_big_sec":$MinBigSec,"n_queries":${rows.size},"n_flagged":${flagged.size},"flagged":$flaggedJson,"max_ratio":${r3(maxRatio)},"quiet_small":$smallQuiet,"quiet_big":$bigQuiet,"errors":$errJson,"queries":$qJson}"""
+    val maxTopExp = if (rows.isEmpty) 0.0
+      else rows.filter(_.secs.last >= MinBigSec).map(_.topExponent).maxOption.getOrElse(0.0)
+    val pointsJson = points.map { case (d, s) => s"""{"dir":"$d","rel_size":$s}""" }
+      .mkString("[", ",", "]")
+    val quietJson = passes.map(p => s""""${p._1}":${p._5}""").mkString("{", ",", "}")
+    val full = s"""{"metric":"scale_audit","points":$pointsJson,"flag_factor":$FlagFactor,"min_big_sec":$MinBigSec,"n_queries":${rows.size},"n_flagged":${flagged.size},"flagged":$flaggedJson,"max_top_exponent":${r3(maxTopExp)},"quiet":$quietJson,"errors":$errJson,"queries":$qJson}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALEAUDIT_OUT", "/tmp/graft_scaleaudit.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     catch { case e: Throwable => System.err.println(s"[scaleaudit] write failed: ${e.getMessage}") }
     println(full)
     // compact last line for tail windows (same discipline as Bench)
-    val worst = rows.sortBy(-_._4).take(10).map { case (n, _, b, r, f) =>
-      s""""$n":{"big_sec":${r3(b)},"ratio":${r3(r)},"flag":$f}"""
+    val worst = rows.sortBy(-_.topExponent).take(10).map { r =>
+      s""""${r.name}":{"big_sec":${r3(r.secs.last)},"top_exponent":${r3(r.topExponent)},"flag":${r.flags.exists(identity)}}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_audit_compact","n_queries":${rows.size},"n_flagged":${flagged.size},"flagged":$flaggedJson,"worst_ratios":$worst,"quiet_small":$smallQuiet,"quiet_big":$bigQuiet,"note":"full record in $outPath"}""")
+    println(s"""{"metric":"scale_audit_compact","n_points":${points.size},"n_queries":${rows.size},"n_flagged":${flagged.size},"flagged":$flaggedJson,"max_top_exponent":${r3(maxTopExp)},"worst_top_exponents":$worst,"quiet":$quietJson,"note":"full record in $outPath"}""")
     spark.stop()
   }
 }
