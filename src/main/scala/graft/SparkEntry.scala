@@ -1017,7 +1017,11 @@ object SparkEntry {
     val bandKeys = (0 until Dedup.EmbBands).map(bandKey).mkString("[", ", ", "]")
     val bandIdxs = (0 until Dedup.EmbBands).mkString("[", ", ", "]")
     s"""WITH nz AS (SELECT * FROM embeddings WHERE ${dotSql("embeddings", "embeddings")} > 0),
-       |bands AS (SELECT vec_id, unnest($bandKeys) AS band_key, unnest($bandIdxs) AS band_idx FROM nz),
+       |bands0 AS (SELECT vec_id, unnest($bandKeys) AS band_key, unnest($bandIdxs) AS band_idx FROM nz),
+       |bands AS (SELECT vec_id, band_key, band_idx FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY band_idx, band_key ORDER BY vec_id) AS brk
+       |    FROM bands0)
+       |  WHERE brk <= ${Dedup.EmbMaxBucket}),
        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b FROM bands a
        |  JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id),
        |p AS (SELECT vec_a, vec_b,

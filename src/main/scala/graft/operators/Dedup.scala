@@ -1453,15 +1453,33 @@ object Dedup {
       .map(j => when(try_element_at(emb, lit(band * bits + j + 1)) >= 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
 
+  /** Disclosed hot-bucket participation cap for [[embeddingNearDup]] —
+    * the sign-LSH edition of [[SimhashMaxBucket]]/[[SemanticMaxCell]],
+    * added when the round-13 three-point scale audit measured the fixed
+    * 12×5 keyspace going quadratic (top-interval exponent ≈ 1.07 at 5×
+    * sf0.1): a (band, key) bucket's population grows ∝ N under a fixed
+    * keyspace, so per-bucket pairs grow ∝ N². Only the first `maxBucket`
+    * vec_ids of a bucket participate in candidate generation
+    * (deterministic, oracle-mirrored), bounding per-bucket pairs at
+    * cap²/2; `ann_bucket_stats` is the occupancy monitor that shows when
+    * buckets approach the cap — the signal to widen the band geometry
+    * (cos ≥ 0.9 passes run 8×8 = 256 keys/band) rather than raise the
+    * cap. The low-threshold (0.5) contract is inherently candidate-heavy
+    * — at that boundary LSH needs short bands for recall, so the cap is
+    * the honest scale bound, not a free lunch. */
+  val EmbMaxBucket = 1000
+
   /** Embedding-cosine near-dup pairs: banded sign-LSH candidate
     * generation (equi-join on 1-byte band keys), then exact cosine verify
     * (codegen'd fused dot, double accumulation) within candidates only.
     * Norms are computed once per vector, before the pair join.
     * `bands`×`bits` is the recall/selectivity dial (see the banding note
     * above): the 12×5 default suits boundary recall at cos 0.5; a
-    * cos ≥ 0.9 production pass should pass bands=8, bits=8. */
+    * cos ≥ 0.9 production pass should pass bands=8, bits=8. Hot buckets
+    * are capped at `maxBucket` participants (see [[EmbMaxBucket]]). */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.5,
-                       bands: Int = EmbBands, bits: Int = EmbBandBits): DataFrame = {
+                       bands: Int = EmbBands, bits: Int = EmbBandBits,
+                       maxBucket: Int = EmbMaxBucket): DataFrame = {
     import graft.plans.DotProduct.dot
     val base = embeddings.select(col("vec_id"), col("embedding"),
       dot(col("embedding"), col("embedding")).as("nrm"))
@@ -1472,6 +1490,10 @@ object Dedup {
     val bandCols = array((0 until bands).map(b => embBandKey(col("embedding"), b, bits)): _*)
     val bandRows = base.select(col("vec_id"), posexplode(bandCols))
       .toDF("vec_id", "band_idx", "band_key")
+      .withColumn("brk", row_number().over(
+        Window.partitionBy(col("band_idx"), col("band_key")).orderBy(col("vec_id"))))
+      .filter(col("brk") <= maxBucket)
+      .drop("brk")
     val candidates = bandRows.as("a")
       .join(bandRows.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -1499,6 +1521,23 @@ object Dedup {
     * re-train with more cells rather than to raise the cap. */
   val SemanticMaxCell = 1000
 
+  /** Data-adaptive cell count for [[semanticDedup]]: hold per-cell
+    * occupancy near `SemanticTargetPerCell` so in-cell pairs grow
+    * LINEARLY with the corpus instead of quadratically. The round-13
+    * three-point scale audit caught exactly this: at a FIXED 16 cells,
+    * 5× the vectors meant 5× per cell and 25× the pairs (measured
+    * top-interval exponent 1.31 — the audit's first real flag). The cell
+    * count is the SemDeDup paper's own scale knob (k ∝ corpus size);
+    * [[SemanticMaxCell]] stays as the skew backstop for a density mode
+    * that outgrows its cell between re-trainings. The floor keeps tiny
+    * corpora at the 16-cell geometry the oracle gates (sf0.01 and sf0.1
+    * both resolve to 16, so adaptivity changes nothing the oracle or the
+    * round-over-round bench compares). */
+  val SemanticTargetPerCell = 125L
+  def semanticCellsFor(n: Long, minCells: Int = 16): Int =
+    math.max(minCells.toLong,
+      (n + SemanticTargetPerCell - 1) / SemanticTargetPerCell).toInt
+
   /** SemDeDup-style CLUSTER-SCOPED semantic dedup (Abbas et al. 2023,
     * arXiv:2303.09540 — public literature): coarse-quantize the
     * embedding space with the SAME spherical k-means quantizer the IVF
@@ -1520,11 +1559,14 @@ object Dedup {
     * broadcast-centroid codegen map pass; the pair join is an equi-join
     * on `cell` over capped cells; norms computed once per vector before
     * pairing; no nested loops, no all-pairs. */
-  def semanticDedup(embeddings: DataFrame, nCells: Int = 16,
+  def semanticDedup(embeddings: DataFrame, nCells: Int = 0,
                     threshold: Double = 0.5,
                     maxCell: Int = SemanticMaxCell): DataFrame = {
     import graft.plans.DotProduct.dot
-    val model = Similarity.quantizerFor(embeddings, nCells)
+    // nCells = 0 (the default) is DATA-ADAPTIVE: see [[semanticCellsFor]]
+    // — a fixed cell count makes in-cell pairs quadratic in the corpus
+    val cells = if (nCells > 0) nCells else semanticCellsFor(embeddings.count())
+    val model = Similarity.quantizerFor(embeddings, cells)
     val spark = embeddings.sparkSession
     if (model.isEmpty) {
       import org.apache.spark.sql.types._
