@@ -1018,10 +1018,11 @@ object SparkEntry {
     val bandIdxs = (0 until Dedup.EmbBands).mkString("[", ", ", "]")
     s"""WITH nz AS (SELECT * FROM embeddings WHERE ${dotSql("embeddings", "embeddings")} > 0),
        |bands0 AS (SELECT vec_id, unnest($bandKeys) AS band_key, unnest($bandIdxs) AS band_idx FROM nz),
-       |bands AS (SELECT vec_id, band_key, band_idx FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY band_idx, band_key ORDER BY vec_id) AS brk
-       |    FROM bands0)
-       |  WHERE brk <= ${Dedup.EmbMaxBucket}),
+       |hot AS (SELECT band_idx, band_key FROM bands0
+       |  GROUP BY 1, 2 HAVING count(*) > ${Dedup.EmbMaxBucket}),
+       |bands AS (SELECT b.vec_id, b.band_key, b.band_idx FROM bands0 b
+       |  WHERE NOT EXISTS (SELECT 1 FROM hot h
+       |    WHERE h.band_idx = b.band_idx AND h.band_key = b.band_key)),
        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b FROM bands a
        |  JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id),
        |p AS (SELECT vec_a, vec_b,

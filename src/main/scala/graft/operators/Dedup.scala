@@ -1453,20 +1453,25 @@ object Dedup {
       .map(j => when(try_element_at(emb, lit(band * bits + j + 1)) >= 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
 
-  /** Disclosed hot-bucket participation cap for [[embeddingNearDup]] —
-    * the sign-LSH edition of [[SimhashMaxBucket]]/[[SemanticMaxCell]],
+  /** Disclosed hot-bucket cap for [[embeddingNearDup]] — the sign-LSH
+    * edition of [[SimhashMaxBucket]] (same mechanism: a bucket holding
+    * more than this many vectors is DROPPED from candidate generation),
     * added when the round-13 three-point scale audit measured the fixed
     * 12×5 keyspace going quadratic (top-interval exponent ≈ 1.07 at 5×
     * sf0.1): a (band, key) bucket's population grows ∝ N under a fixed
-    * keyspace, so per-bucket pairs grow ∝ N². Only the first `maxBucket`
-    * vec_ids of a bucket participate in candidate generation
-    * (deterministic, oracle-mirrored), bounding per-bucket pairs at
-    * cap²/2; `ann_bucket_stats` is the occupancy monitor that shows when
-    * buckets approach the cap — the signal to widen the band geometry
-    * (cos ≥ 0.9 passes run 8×8 = 256 keys/band) rather than raise the
-    * cap. The low-threshold (0.5) contract is inherently candidate-heavy
-    * — at that boundary LSH needs short bands for recall, so the cap is
-    * the honest scale bound, not a free lunch. */
+    * keyspace, so per-bucket pairs grow ∝ N². A bucket that hot means
+    * ≥ cap vectors share one band's sign pattern — a near-constant
+    * direction mode whose pairs the OTHER eleven bands still recall
+    * individually, and whose population is exactly what
+    * [[semanticDedup]]'s density-adaptive cells handle. Implemented as a
+    * broadcast anti-join against the (usually empty) hot-bucket list —
+    * one cheap aggregate, no per-row window — and mirrored in the DuckDB
+    * oracle; `ann_bucket_stats` is the occupancy monitor that says when
+    * to widen the band geometry (cos ≥ 0.9 passes run 8×8 = 256
+    * keys/band) rather than lean on the cap. The low-threshold (0.5)
+    * contract is inherently candidate-heavy — at that boundary LSH needs
+    * short bands for recall, so the cap is the honest scale bound, not a
+    * free lunch. */
   val EmbMaxBucket = 1000
 
   /** Embedding-cosine near-dup pairs: banded sign-LSH candidate
@@ -1475,8 +1480,9 @@ object Dedup {
     * Norms are computed once per vector, before the pair join.
     * `bands`×`bits` is the recall/selectivity dial (see the banding note
     * above): the 12×5 default suits boundary recall at cos 0.5; a
-    * cos ≥ 0.9 production pass should pass bands=8, bits=8. Hot buckets
-    * are capped at `maxBucket` participants (see [[EmbMaxBucket]]). */
+    * cos ≥ 0.9 production pass should pass bands=8, bits=8. Buckets
+    * holding more than `maxBucket` vectors are dropped from candidate
+    * generation (see [[EmbMaxBucket]]). */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.5,
                        bands: Int = EmbBands, bits: Int = EmbBandBits,
                        maxBucket: Int = EmbMaxBucket): DataFrame = {
@@ -1488,12 +1494,15 @@ object Dedup {
       // mirrors the nrm > 0 guard.
       .filter(col("nrm") > 0)
     val bandCols = array((0 until bands).map(b => embBandKey(col("embedding"), b, bits)): _*)
-    val bandRows = base.select(col("vec_id"), posexplode(bandCols))
+    val bandRows0 = base.select(col("vec_id"), posexplode(bandCols))
       .toDF("vec_id", "band_idx", "band_key")
-      .withColumn("brk", row_number().over(
-        Window.partitionBy(col("band_idx"), col("band_key")).orderBy(col("vec_id"))))
-      .filter(col("brk") <= maxBucket)
-      .drop("brk")
+    // hot-bucket cut (see [[EmbMaxBucket]]): the hot list is tiny —
+    // usually empty — so the cut is a broadcast anti-join, never a
+    // per-row window sort
+    val hot = bandRows0.groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > maxBucket)
+      .select(col("band_idx"), col("band_key"))
+    val bandRows = bandRows0.join(broadcast(hot), Seq("band_idx", "band_key"), "left_anti")
     val candidates = bandRows.as("a")
       .join(bandRows.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
