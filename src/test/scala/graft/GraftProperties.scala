@@ -427,4 +427,46 @@ object GraftProperties extends Properties("graft") {
       val mpBytes = hex(StreamingUniqueUsers.toAvroRecordsViaMapPartitions(df))
       back == evs.map { case (u, s) => (u, s) }.sorted && nativeBytes == mpBytes
     }
+
+  // corpora with heavy shared-text structure (identical-text survivors
+  // are the subtle removal case) and arbitrary doomed subsets — small
+  // ones ride the touched-bucket partial path, big ones the full swap;
+  // the property must hold on BOTH
+  private val textPool: Seq[String] = Seq(
+    "the quick brown fox", "lorem ipsum dolor sit", "pack my box with jugs",
+    "sphinx of black quartz", "the quick brown fox", "data quality at scale",
+    "spark shuffles the keys", "bucketed tables move files", "a b c d e",
+    "tiny", "repeated repeated repeated", "final text of the pool")
+  private val takedownGen: Gen[(List[(Long, String)], Set[Long])] = for {
+    n <- Gen.choose(8, 30)
+    texts <- Gen.listOfN(n, Gen.oneOf(textPool))
+    k <- Gen.choose(0, n)
+    doomed <- Gen.pick(k, 0 until n)
+  } yield ((0L until n.toLong).map(i => (i, texts(i.toInt))).toList,
+    doomed.map(_.toLong).toSet)
+
+  property("takedown rewrite (partial OR full path) == fresh-save of the remaining corpus") =
+    forAll(takedownGen) { case (docs, doomed) =>
+      import org.apache.spark.sql.functions.{col, lit}
+      val df = docs.toDF("doc_id", "text").withColumn("source", lit("p"))
+      val remaining = df.filter(!col("doc_id").isin(doomed.toSeq: _*))
+      Dedup.dropDedupIndex(spark, "prop_tb")
+      Dedup.dropDedupIndex(spark, "prop_tb_ref")
+      Dedup.saveDedupIndex(df, "prop_tb")
+      Dedup.applyCorpusDiff(spark, "prop_tb",
+        df.filter(col("doc_id").isin(doomed.toSeq: _*)), df.filter(lit(false)))
+      Dedup.saveDedupIndex(remaining, "prop_tb_ref")
+      def fpRows(t: String): Set[(String, Long)] = spark.table(t)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      def ids(t: String): Set[Long] = spark.table(t)
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      val ok =
+        fpRows("prop_tb_fp") == fpRows("prop_tb_ref_fp") &&
+          ids("prop_tb_bands") == ids("prop_tb_ref_bands") &&
+          ids("prop_tb_shingles") == ids("prop_tb_ref_shingles") &&
+          spark.table("prop_tb_bands").count() == spark.table("prop_tb_ref_bands").count()
+      Dedup.dropDedupIndex(spark, "prop_tb")
+      Dedup.dropDedupIndex(spark, "prop_tb_ref")
+      ok
+    }
 }
