@@ -1936,14 +1936,21 @@ object SparkEntry {
          |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
          |SELECT cell, n, CAST((n * 1000000) // total AS BIGINT) AS share_ppm
          |FROM g, t ORDER BY cell""".stripMargin
-    // dedup_semantic shares the inlined quantizer too: the same argmax
-    // assignment (nrm > 0 guard first, as in embeddingNearDup), the
-    // SemanticMaxCell participation cap, in-cell pairs at cos >= 0.5,
-    // and the min-qualifying-neighbor keeper per dropped vector
+    // dedup_semantic inlines its OWN slot's quantizer (the adaptive cell
+    // count diverges from the default IVF slot on larger corpora — see
+    // Dedup.SemanticSlot): the same argmax assignment (nrm > 0 guard
+    // first, as in embeddingNearDup), the SemanticMaxCell participation
+    // cap, in-cell pairs at cos >= 0.5, and the min-qualifying-neighbor
+    // keeper per dropped vector
     def dotFF(a: String, b: String) =
       s"list_sum(list_transform(range(64), i -> $a.embedding[i+1]::DOUBLE * $b.embedding[i+1]::DOUBLE))"
+    val semModel = graft.operators.Similarity.slotQuantizer(graft.operators.Dedup.SemanticSlot)
+    val semCells = semModel.indices.mkString("[", ", ", "]")
+    val semCents = semModel
+      .map(_.map(f => s"'${f.toDouble}'::DOUBLE").mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
     val semanticSql =
-      s"""WITH cents AS (SELECT unnest($cells) AS cell, unnest($cents) AS centroid),
+      s"""WITH cents AS (SELECT unnest($semCells) AS cell, unnest($semCents) AS centroid),
          |nz AS (SELECT vec_id, embedding, ${dotEE("embedding")} AS nrm
          |  FROM embeddings WHERE ${dotEE("embedding")} > 0),
          |asgs AS (SELECT e.vec_id, e.embedding, e.nrm, c.cell,
@@ -1965,11 +1972,12 @@ object SparkEntry {
          |SELECT vec_id, dup_of, CAST(cell AS BIGINT) AS cell, round(cos, 4) AS cos_sim
          |FROM f WHERE rk = 1 ORDER BY vec_id""".stripMargin
     Map("ann_ivf_topk" -> sql, "ivf_cell_stats" -> cellStatsSql,
-      "dedup_semantic" -> semanticSql,
       // the persisted-tree removal variant: identical search arithmetic,
       // candidates restricted to the post-diff corpus (removal must make
       // a vector UNRETURNABLE — hash-gated, not just spec-pinned)
-      "ann_ivf_after_remove" -> searchSql(" AND a.vec_id % 7 != 4"))
+      "ann_ivf_after_remove" -> searchSql(" AND a.vec_id % 7 != 4")) ++
+      (if (semModel.isEmpty) Map.empty[String, String]
+       else Map("dedup_semantic" -> semanticSql))
   }
 
   /** ann_ivfpq_topk / pq_code_stats oracles, generated AFTER the queries

@@ -1547,6 +1547,15 @@ object Dedup {
     math.max(minCells.toLong,
       (n + SemanticTargetPerCell - 1) / SemanticTargetPerCell).toInt
 
+  /** [[semanticDedup]]'s own oracle slot: with the ADAPTIVE cell count
+    * its quantizer key (plan, nCells) diverges from the embeddings
+    * table's default IVF slot on larger corpora, and a shared slot with
+    * two keys reports empty — which silently degraded six post-run
+    * inlined-model oracles to rows-only at sf0.5 (caught by the r13
+    * dual-scale sweep). Same isolation rule as
+    * [[TextAnalysis.LexicalSlot]]. */
+  val SemanticSlot = "semdedup"
+
   /** SemDeDup-style CLUSTER-SCOPED semantic dedup (Abbas et al. 2023,
     * arXiv:2303.09540 — public literature): coarse-quantize the
     * embedding space with the SAME spherical k-means quantizer the IVF
@@ -1575,7 +1584,7 @@ object Dedup {
     // nCells = 0 (the default) is DATA-ADAPTIVE: see [[semanticCellsFor]]
     // — a fixed cell count makes in-cell pairs quadratic in the corpus
     val cells = if (nCells > 0) nCells else semanticCellsFor(embeddings.count())
-    val model = Similarity.quantizerFor(embeddings, cells)
+    val model = Similarity.quantizerFor(embeddings, cells, slot = SemanticSlot)
     val spark = embeddings.sparkSession
     if (model.isEmpty) {
       import org.apache.spark.sql.types._

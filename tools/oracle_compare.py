@@ -5,6 +5,7 @@ on the same sf parquet tables.
 
 Usage: python3 tools/oracle_compare.py <sfDir> <outDir> [query ...]
 """
+import os
 import sys, json
 import duckdb
 
@@ -26,8 +27,11 @@ def main():
         names = sorted(oracle.keys())
     con = duckdb.connect()
     for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):  # Spark-written table dirs (localdata/sf0.5)
+            path += "/*.parquet"
         con.execute(f"CREATE OR REPLACE VIEW {t} AS "
-                    f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+                    f"SELECT * FROM read_parquet('{path}')")
     fails = 0
     for name in names:
         try:
