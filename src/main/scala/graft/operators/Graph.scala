@@ -104,19 +104,22 @@ object Graph {
     * never a full-graph sort. */
   def pagerank(orders: DataFrame, lineitem: DataFrame,
                iters: Int = 5, k: Int = 100): DataFrame = {
-    val pairs = orders.select(col("o_orderkey"), col("o_custkey"))
+    // both edge directions come from ONE pass over the distinct pair set
+    // via explode — the pair relation appears exactly once in the plan,
+    // so it needs no materialization pin (the union-of-two-selects shape
+    // this replaced scanned the distinct twice and needed an eager
+    // localCheckpoint of the pair set to avoid re-running its final
+    // aggregation per branch; A/B-profiled in tools/ProfileGraphAB, the
+    // explode shape wins at every rep and writes nothing)
+    val edges = orders.select(col("o_orderkey"), col("o_custkey"))
       .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
       .distinct()
-      // materialize the pair set ONCE before the both-directions union
-      // (the triangleStats discipline): unionAll's two branches would
-      // otherwise each run the distinct's final aggregation over the
-      // reused shuffle — 2× the reduce work on the build's widest
-      // relation. Bounded: this is the post-distinct pair set.
-      .pinned()
-    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
-      .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+      .select(explode(array(
+        struct(col("c").as("src"), col("s").as("dst")),
+        struct(col("s").as("src"), col("c").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     // pre-partition the loop-INVARIANT edge relation on the join key and
     // PERSIST it (not localCheckpoint: the checkpoint's ExistingRDD scan
     // drops outputPartitioning — probed — while InMemoryRelation keeps
@@ -126,18 +129,17 @@ object Graph {
     // every iteration (the dominant per-round cost at 10⁹ edges, where
     // the score side is |V| and never broadcastable). The cache entry is
     // canonical-plan-keyed, so repeat invocations share one copy.
-    // Out-degrees come from the already-src-clustered CACHED relation:
-    // cluster+persist the edges first, then the degree aggregate and the
-    // back-join both ride that one cache co-partitioned (no second
-    // derivation of the pairs join, no exchange under the groupBy or the
-    // join — the build's only exchange is the repartition itself).
+    // SINGLE cache fill (A/B-profiled, tools/ProfileGraphAB): the degree
+    // aggregate and the back-join both consume the SAME repartition
+    // exchange (ReuseExchange), co-partitioned on src with no further
+    // shuffle, and only the joined withDeg relation is cached — staging
+    // the bare edge list in a second cache first was a full extra 2|E|
+    // write+scan for nothing.
     val edgesP = edges.repartition(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = edgesP.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val withDeg = edgesP.join(deg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     withDeg.count() // materialize once, outside the first round's timing
-    edgesP.unpersist() // withDeg materialized; the staging cache is done
 
     // seed scores FROM the cached edge relation (same node set: every
     // deg src survives the join) — seeding from `deg` would re-run the
@@ -196,20 +198,21 @@ object Graph {
   def labelPropagation(lineitem: DataFrame, iters: Int = 4,
                        minSupport: Long = 2, k: Int = 50): DataFrame = {
     val baskets = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
-    val und = baskets.as("a")
+    val edges = baskets.as("a")
       .join(baskets.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
       .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
       .agg(count(lit(1)).as("nb"))
       .filter(col("nb") >= minSupport)
-      .select("u", "v")
-      // same single-materialization rule as pagerank's pair set: both
-      // union branches below read this RDD instead of re-running the
-      // support aggregation over the reused shuffle
-      .pinned()
-    val edges = und.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+      // both directions in ONE pass via explode (pagerank's discipline):
+      // the support aggregate appears once in the plan, so it needs no
+      // materialization pin — the union-of-two-selects shape scanned it
+      // twice and pinned it to compensate
+      .select(explode(array(
+        struct(col("u").as("src"), col("v").as("dst")),
+        struct(col("v").as("src"), col("u").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       // same src-clustered persisted form as [[pagerank]]: the loop
       // joins on src every round, so only the label relation shuffles
       // per step (persist, not checkpoint — partitioning survives)
