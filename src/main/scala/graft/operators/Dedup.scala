@@ -157,19 +157,28 @@ object Dedup {
   val MinhashSeeds = 8
   val MinhashBands = 4 // 2 rows per band
 
-  /** Signature build from an exploded (doc_id, g) shingle relation —
-    * shared by the corpus path (cached shingles) and the streaming
-    * append path (a batch-local shingle relation, see
-    * [[appendToDedupIndex]]). */
-  private def minhashSignaturesFrom(shingleRows: DataFrame): DataFrame = {
-    val aggs = (0 until MinhashSeeds).map { i =>
-      min(md5(concat_ws(":", lit(i.toString), col("g")))).as(s"h$i")
-    }
-    shingleRows.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  /** Signature build from a (doc_id, …, gs) shingle-ARRAY relation —
+    * shared by the corpus path (the cached arrays) and the streaming
+    * append path (a batch-local array relation, see
+    * [[appendToDedupIndex]]). One native pass per document
+    * (graft.plans.MinHashHex), zero shuffle — replacing the exploded
+    * k-column min aggregate (min(md5(i":"g)) per seed over
+    * (docs × shingles) rows), which profiled at ~1.1-1.6 s of the
+    * minhash family's cost at sf0.1 (tools/ProfileSimhash). The
+    * size > 0 filter keeps the exploded form's contract: a zero-shingle
+    * doc produced no vote rows and so no signature. The 8 element_at
+    * projections collapse to ONE compute call via whole-stage codegen's
+    * subexpression elimination (timing-checked in tools/ProfileSimhash:
+    * the build reads ~0.5 s, not 8× the single-pass md5 work). */
+  private def minhashSignaturesFrom(arrRows: DataFrame): DataFrame = {
+    val mh = graft.plans.MinHashHex.minhashHex(col("gs"), MinhashSeeds)
+    val cols = (0 until MinhashSeeds).map(i => element_at(mh, i + 1).as(s"h$i"))
+    arrRows.filter(size(col("gs")) > 0)
+      .select(col("doc_id") +: cols: _*)
   }
 
   def minhashSignatures(documents: DataFrame): DataFrame =
-    minhashSignaturesFrom(shingles(documents))
+    minhashSignaturesFrom(shingleArraysCached(documents))
 
   /** Exact-overlap verify: attach both docs' cached shingle arrays to each
     * candidate pair and count the intersection in-place
@@ -207,9 +216,11 @@ object Dedup {
       computeMinhashPairs(documents))
 
   /** (doc_id, band_idx, band_key) — the LSH band table both the pair
-    * join and the skew monitor read. */
-  private def bandTableFrom(shingleRows: DataFrame): DataFrame = {
-    val sig = minhashSignaturesFrom(shingleRows)
+    * join and the skew monitor read. Input is the shingle-ARRAY
+    * relation (doc_id, …, gs), same contract as
+    * [[minhashSignaturesFrom]]. */
+  private def bandTableFrom(arrRows: DataFrame): DataFrame = {
+    val sig = minhashSignaturesFrom(arrRows)
     val bandCols = array((0 until MinhashBands).map { b =>
       md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")))
     }: _*)
@@ -218,7 +229,7 @@ object Dedup {
   }
 
   private def bandTable(documents: DataFrame): DataFrame =
-    bandTableFrom(shingles(documents))
+    bandTableFrom(shingleArraysCached(documents))
 
   /** LSH bucket-skew monitor: the most-populated colliding band buckets.
     * A hot bucket generates O(n²) candidate pairs — this is the view a
@@ -498,7 +509,7 @@ object Dedup {
         () => app(
           admitted.select(md5(normText(col("text"))).as("fp"), col("doc_id")).distinct(),
           s"${name}_fp", "fp"),
-        () => app(bandTableFrom(sh.select(col("doc_id"), explode(col("gs")).as("g"))),
+        () => app(bandTableFrom(sh.select(col("doc_id"), col("gs"))),
           s"${name}_bands", "band_key"),
         () => app(sh.select(col("doc_id"), col("n_g"), col("gs")),
           s"${name}_shingles", "doc_id"))
@@ -761,21 +772,19 @@ object Dedup {
     * Long.MinValue (two's complement), so band extraction and hamming are
     * pure bit arithmetic, reproducible in any engine with signed 64-bit
     * ints (the DuckDB oracle mirrors this bit-for-bit). */
-  def simhashSignatures(documents: DataFrame): DataFrame = {
-    val sh = shingles(documents).withColumn("m", md5(col("g")))
-    def nibble(i: Int): Column =
-      conv(substring(col("m"), i + 1, 1), 16, 10).cast("int")
-    val votes = (0 until SimhashBits).map { j =>
-      sum(when(nibble(j >> 1).bitwiseAND(lit(1 << (j & 1))) =!= 0, 1).otherwise(-1)).as(s"s$j")
-    }
-    val summed = sh.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-    // ascending-j addition keeps every partial sum in long range: bits
-    // 0..62 sum to at most 2^63-1, then bit 63 adds Long.MinValue
-    val sim = (0 until SimhashBits)
-      .map(j => when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    summed.select(col("doc_id"), sim.as("simhash"))
-  }
+  def simhashSignatures(documents: DataFrame): DataFrame =
+    // one native pass per document over the cached shingle ARRAY
+    // (graft.plans.SimHash64) — zero shuffle, replacing the exploded
+    // md5-hex-string + 32 substring/conv casts per shingle row + the
+    // 64-column grouped vote sum (profiled as dedup_simhash's dominant
+    // cost: tools/ProfileSimhash). The n_g > 0 filter keeps the exploded
+    // form's contract: a zero-shingle doc produced no vote rows and so
+    // no signature (the native form would otherwise emit the all-ties
+    // signature for it).
+    shingleArraysCached(documents)
+      .filter(col("n_g") > 0)
+      .select(col("doc_id"),
+        graft.plans.SimHash64.simhash64(col("gs")).as("simhash"))
 
   /** (doc_id, simhash, band_idx, band_key) — the 4 × 16-bit band table
     * [[simhashPairs]] joins on and [[simhashBandStats]] monitors.
