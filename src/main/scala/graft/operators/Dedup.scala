@@ -862,19 +862,40 @@ object Dedup {
     * against it). */
   def ngramJaccard(documents: DataFrame, maxDf: Int = 1000): DataFrame = {
     val sh = shingles(documents)
-    val rare = sh.groupBy(col("source"), col("g"))
+    // bucket-local pair generation: group the exploded shingle rows by
+    // (source, shingle), collect each sub-cutoff bucket's doc list, and
+    // emit its C(n,2) ordered pairs from the sorted list in place. The
+    // join formulation this replaced shuffled the exploded relation
+    // TWICE (df aggregate, then the index re-shuffle feeding a
+    // self-join) for the same pair set; here the full-volume shuffle
+    // happens ONCE (the collect), and pair emission is an in-place
+    // explode bounded by Σ C(min(df, maxDf), 2) — row-for-row the old
+    // join output (measured 62.6k at sf0.1).
+    //
+    // The df cut is applied BEFORE the collect, not after: the cheap
+    // map-reduced df aggregate yields the over-cutoff shingle head —
+    // boilerplate, tiny by the same Zipf argument as the
+    // [[TextAnalysis.HotVocab]] split and the [[SimhashMaxBucket]] hot
+    // list — which broadcast-anti-joins the exploded rows. Filtering
+    // after the collect instead would materialize an UNBOUNDED doc list
+    // per hot bucket inside the aggregation buffer (df ~10⁷ boilerplate
+    // shingles at corpus scale ⇒ ~100 MB single buffers) just to throw
+    // it away.
+    val hot = sh.groupBy(col("source"), col("g"))
       .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-      .select(col("source").as("r_source"), col("g").as("r_g"))
-    val idx = sh
-      .join(rare, col("source") === col("r_source") && col("g") === col("r_g"))
-      .select(col("doc_id"), col("source"), col("g"))
-    val candidates = idx.as("a")
-      .join(idx.as("b"),
-        col("a.source") === col("b.source") &&
-          col("a.g") === col("b.g") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .filter(col("df") > maxDf)
+      .select(col("source"), col("g"))
+    val buckets = sh.select(col("doc_id"), col("source"), col("g"))
+      .join(broadcast(hot), Seq("source", "g"), "left_anti")
+      .groupBy(col("source"), col("g"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val candidates = buckets
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids) - i - 1), y -> " +
+          "named_struct('doc_a', x, 'doc_b', y))))")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
     verifyOverlap(candidates, documents)
       .withColumn("union_n", col("na") + col("nb") - col("shared"))
@@ -978,15 +999,20 @@ object Dedup {
   /** (doc_id, pos, g): md5 digests of the `gramLen`-token grams at every
     * position — one codegen'd transform over the token array; text
     * leaves the scan only as 16-byte digests + positions. Shared by
-    * [[substringDup]] and its hot-gram monitor. */
+    * [[substringDup]] and its hot-gram monitor, and persisted through
+    * the same session-tracked cache as the shingle arrays: the pairs
+    * query alone consumes this relation three times (the df-cut
+    * aggregate and both sides of the aligned-hit self-join), and the
+    * monitor query re-derives it from scratch — one gram pass per
+    * corpus, not one per consumer. */
   private def positionalGrams(documents: DataFrame, gramLen: Int): DataFrame =
-    documents
+    persistTracked(documents
       .select(col("doc_id"), split(normText(col("text")), " ").as("toks"))
       .filter(size(col("toks")) >= gramLen)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(1, size(toks) - ${gramLen - 1})," +
           s" i -> md5(array_join(slice(toks, i, $gramLen), ' ')))")).as(Seq("pos0", "g")))
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("g"))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("g")))
 
   def substringDup(documents: DataFrame, gramLen: Int = SubstringGramLen,
                    minRunGrams: Int = SubstringMinRun, maxDf: Int = SubstringMaxDf): DataFrame = {
