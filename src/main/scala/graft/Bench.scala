@@ -175,6 +175,7 @@ object Bench {
       graft.operators.Dedup.clearSessionState()
       graft.operators.Similarity.clearSessionState()
       graft.operators.QualityModel.clearSessionState()
+      graft.operators.Graph.clearSessionState()
       retried.foreach { name =>
         val (sec0, _, probe0) = bestOfN(name)
         val (sec2, err2, probe2) = timeOne(name, SparkEntry.queries(name))
@@ -205,6 +206,7 @@ object Bench {
       graft.operators.Dedup.clearSessionState()
       graft.operators.Similarity.clearSessionState()
       graft.operators.QualityModel.clearSessionState()
+      graft.operators.Graph.clearSessionState()
       noisy.foreach { name =>
         val (sec0, _, probe0) = kept(name)
         requieted.getOrElseUpdate(name, probe0)

@@ -192,23 +192,23 @@ object GraftSql {
     // CTE referenced inside the recursive member is re-evaluated every
     // iteration, so leaving the basket self-join inline multiplies the
     // most expensive stage by the recursion depth (measured 14.5 s →
-    // 5.0 s cold at sf0.1 from this change alone — the remainder is the
-    // one-time edge build itself). The checkpoint blocks are reclaimed
-    // by the ContextCleaner when the plan's RDD references drop, same
-    // as every iterative operator here; the view name is namespaced to
-    // this query so no other operator can cross-wire with it
-    spark.sql(
-      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |ue AS (SELECT a.l_partkey AS u, bb.l_partkey AS v
-        |  FROM b a JOIN b bb ON a.l_orderkey = bb.l_orderkey AND a.l_partkey < bb.l_partkey
-        |  GROUP BY 1, 2 HAVING count(*) >= 2)
-        |SELECT u AS src, v AS dst FROM ue
-        |UNION ALL SELECT v AS src, u AS dst FROM ue""".stripMargin)
-      // localCheckpoint (EAGER), not the driver-loop operators' persist
-      // discipline: the engine-owned recursion does not reliably route
-      // per-step scans through a lazily-registered cache entry —
-      // measured 3× slower with persist (the co-purchase join re-ran
-      // inside the recursion) vs the eagerly materialized checkpoint
+    // 5.0 s cold at sf0.1 from this change alone — the remainder was the
+    // one-time edge build, which now comes from the co-purchase family's
+    // SHARED memoized pair set (graft.operators.Graph.coPurchasePairs —
+    // triangles/communities/link-prediction amortize the same build;
+    // only the both-directions explode is this query's own). The
+    // recursion itself stays pure SQL below; pinning stays EAGER, not
+    // persist — the engine-owned recursion does not reliably route
+    // per-step scans through a lazily-registered cache entry (measured
+    // 3× slower with persist: the co-purchase join re-ran inside the
+    // recursion). The checkpoint blocks are reclaimed by the
+    // ContextCleaner when the plan's RDD references drop; the view name
+    // is namespaced to this query so no other operator can cross-wire
+    // with it
+    graft.operators.Graph.coPurchasePairs(graft.Tables.lineitem(spark, sfDir))
+      .selectExpr("explode(array(named_struct('src', u, 'dst', v)," +
+        " named_struct('src', v, 'dst', u))) AS e")
+      .selectExpr("e.src AS src", "e.dst AS dst")
       .pinned()
       .createOrReplaceTempView(edgesView)
     // named parameter markers (Spark 4 parameterized SQL): the literals

@@ -16,6 +16,41 @@ import graft.Pin.PinnedOps
   */
 object Graph {
 
+  /** Co-purchase part pair set — THE shared relation of the co-purchase
+    * graph family: parts (u < v) adjacent when they co-occur in ≥
+    * `minSupport` baskets. [[triangleStats]], [[labelPropagation]],
+    * [[linkPrediction]] and the recursive-reachability SQL surface
+    * (graft.GraftSql) all start from exactly this build (basket
+    * self-join + support aggregate — the family's most expensive
+    * stage), so it is memoized per (session, corpus plan, minSupport)
+    * and pinned ONCE, the same session-scoped discipline as
+    * Dedup.minhashPairs' pair-graph cache: at 100 TB this is the edge
+    * list a pipeline materializes to storage once per corpus snapshot
+    * and every graph job reads. Cleared by [[clearSessionState]]
+    * (wired into Bench/ScaleAudit retry clears, so re-timed queries
+    * re-pay the build honestly). */
+  private val pairCache = scala.collection.concurrent.TrieMap[
+    (org.apache.spark.sql.SparkSession,
+     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long), DataFrame]()
+
+  def coPurchasePairs(lineitem: DataFrame, minSupport: Long = 2): DataFrame =
+    pairCache.getOrElseUpdate(
+      (lineitem.sparkSession, lineitem.queryExecution.analyzed.canonicalized, minSupport), {
+        val baskets = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+        baskets.as("a")
+          .join(baskets.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+          .agg(count(lit(1)).as("nb"))
+          .filter(col("nb") >= minSupport)
+          .select("u", "v")
+          .pinned()
+      })
+
+  /** Drop the memoized pair sets (bench/audit retry hygiene). */
+  def clearSessionState(): Unit = pairCache.clear()
+
   /** Triangle census of the co-purchase graph (parts adjacent when they
     * co-occur in ≥ `minSupport` baskets), via DEGREE-ORDERED edge
     * orientation — the trick that makes distributed triangle counting
@@ -32,16 +67,7 @@ object Graph {
     * Σ C(deg,2), triangles, and the global clustering coefficient as
     * ppm (3·triangles·10⁶ div wedges) — all exact integers. */
   def triangleStats(lineitem: DataFrame, minSupport: Long = 2): DataFrame = {
-    val baskets = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
-    val edges = baskets.as("a")
-      .join(baskets.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-      .agg(count(lit(1)).as("nb"))
-      .filter(col("nb") >= minSupport)
-      .select("u", "v")
-      .pinned()
+    val edges = coPurchasePairs(lineitem, minSupport)
     val deg = edges.select(col("u").as("x")).unionAll(edges.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("d"))
     // the total order is LEXICOGRAPHIC (degree, id) carried as two
@@ -197,25 +223,18 @@ object Graph {
     * dump. */
   def labelPropagation(lineitem: DataFrame, iters: Int = 4,
                        minSupport: Long = 2, k: Int = 50): DataFrame = {
-    val baskets = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
-    val edges = baskets.as("a")
-      .join(baskets.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-      .agg(count(lit(1)).as("nb"))
-      .filter(col("nb") >= minSupport)
-      // both directions in ONE pass via explode (pagerank's discipline):
-      // the support aggregate appears once in the plan, so it needs no
-      // materialization pin — the union-of-two-selects shape scanned it
-      // twice and pinned it to compensate
+    // both directions in ONE explode pass over the SHARED memoized pair
+    // set ([[coPurchasePairs]] — already pinned, so this is one cheap
+    // scan of a materialized RDD, amortized across the whole co-purchase
+    // family), then the same src-clustered persisted form as
+    // [[pagerank]]: the loop joins on src every round, so only the
+    // label relation shuffles per step (persist, not checkpoint —
+    // partitioning survives)
+    val edges = coPurchasePairs(lineitem, minSupport)
       .select(explode(array(
         struct(col("u").as("src"), col("v").as("dst")),
         struct(col("v").as("src"), col("u").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      // same src-clustered persisted form as [[pagerank]]: the loop
-      // joins on src every round, so only the label relation shuffles
-      // per step (persist, not checkpoint — partitioning survives)
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -262,16 +281,7 @@ object Graph {
     * never a full pair dump. */
   def linkPrediction(lineitem: DataFrame, minSupport: Long = 2,
                      maxMediatorDeg: Long = 64, k: Int = 50): DataFrame = {
-    val baskets = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
-    val und = baskets.as("a")
-      .join(baskets.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-      .agg(count(lit(1)).as("nb"))
-      .filter(col("nb") >= minSupport)
-      .select("u", "v")
-      .pinned()
+    val und = coPurchasePairs(lineitem, minSupport)
     val adj = und.select(col("u").as("ctr"), col("v").as("nbr"))
       .unionAll(und.select(col("v").as("ctr"), col("u").as("nbr")))
     val deg = adj.groupBy(col("nbr").as("x")).agg(count(lit(1)).as("d"))

@@ -68,6 +68,7 @@ object ScaleAudit {
       graft.operators.Dedup.clearSessionState()
       graft.operators.Similarity.clearSessionState()
       graft.operators.QualityModel.clearSessionState()
+      graft.operators.Graph.clearSessionState()
     }
 
     def timeOne(name: String, sfDir: String): (Double, Option[String], Double) = {

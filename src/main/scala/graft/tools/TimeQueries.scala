@@ -24,6 +24,7 @@ object TimeQueries {
       graft.operators.Dedup.clearSessionState()
       graft.operators.Similarity.clearSessionState()
       graft.operators.QualityModel.clearSessionState()
+      graft.operators.Graph.clearSessionState()
     }
     val results = names.map { name =>
       val times = (1 to reps).map { _ =>
