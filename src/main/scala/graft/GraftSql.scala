@@ -205,10 +205,8 @@ object GraftSql {
     // ContextCleaner when the plan's RDD references drop; the view name
     // is namespaced to this query so no other operator can cross-wire
     // with it
-    graft.operators.Graph.coPurchasePairs(graft.Tables.lineitem(spark, sfDir))
-      .selectExpr("explode(array(named_struct('src', u, 'dst', v)," +
-        " named_struct('src', v, 'dst', u))) AS e")
-      .selectExpr("e.src AS src", "e.dst AS dst")
+    graft.operators.Graph.bothDirections(
+      graft.operators.Graph.coPurchasePairs(graft.Tables.lineitem(spark, sfDir)))
       .pinned()
       .createOrReplaceTempView(edgesView)
     // named parameter markers (Spark 4 parameterized SQL): the literals

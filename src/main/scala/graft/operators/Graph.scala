@@ -51,6 +51,20 @@ object Graph {
   /** Drop the memoized pair sets (bench/audit retry hygiene). */
   def clearSessionState(): Unit = pairCache.clear()
 
+  /** Both edge directions from an undirected (u, v) pair relation in ONE
+    * pass via explode — the pair relation appears exactly once in the
+    * plan, so it needs no materialization pin (the union-of-two-selects
+    * shape this replaced scanned its input twice and pinned it to
+    * compensate; A/B-profiled in tools/ProfileGraphAB). Shared by
+    * [[pagerank]], [[labelPropagation]], and the recursive-reachability
+    * SQL surface's edge-view prep (graft.GraftSql). */
+  def bothDirections(pairs: DataFrame, u: String = "u", v: String = "v"): DataFrame =
+    pairs
+      .select(explode(array(
+        struct(col(u).as("src"), col(v).as("dst")),
+        struct(col(v).as("src"), col(u).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+
   /** Triangle census of the co-purchase graph (parts adjacent when they
     * co-occur in ≥ `minSupport` baskets), via DEGREE-ORDERED edge
     * orientation — the trick that makes distributed triangle counting
@@ -131,21 +145,18 @@ object Graph {
   def pagerank(orders: DataFrame, lineitem: DataFrame,
                iters: Int = 5, k: Int = 100): DataFrame = {
     // both edge directions come from ONE pass over the distinct pair set
-    // via explode — the pair relation appears exactly once in the plan,
-    // so it needs no materialization pin (the union-of-two-selects shape
-    // this replaced scanned the distinct twice and needed an eager
-    // localCheckpoint of the pair set to avoid re-running its final
-    // aggregation per branch; A/B-profiled in tools/ProfileGraphAB, the
-    // explode shape wins at every rep and writes nothing)
-    val edges = orders.select(col("o_orderkey"), col("o_custkey"))
-      .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
-      .distinct()
-      .select(explode(array(
-        struct(col("c").as("src"), col("s").as("dst")),
-        struct(col("s").as("src"), col("c").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    // ([[bothDirections]]) — the pair relation appears exactly once in
+    // the plan, so it needs no materialization pin (the
+    // union-of-two-selects shape this replaced scanned the distinct
+    // twice and needed an eager localCheckpoint of the pair set to
+    // avoid re-running its final aggregation per branch)
+    val edges = bothDirections(
+      orders.select(col("o_orderkey"), col("o_custkey"))
+        .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+        .distinct(),
+      u = "c", v = "s")
     // pre-partition the loop-INVARIANT edge relation on the join key and
     // PERSIST it (not localCheckpoint: the checkpoint's ExistingRDD scan
     // drops outputPartitioning — probed — while InMemoryRelation keeps
@@ -230,11 +241,7 @@ object Graph {
     // [[pagerank]]: the loop joins on src every round, so only the
     // label relation shuffles per step (persist, not checkpoint —
     // partitioning survives)
-    val edges = coPurchasePairs(lineitem, minSupport)
-      .select(explode(array(
-        struct(col("u").as("src"), col("v").as("dst")),
-        struct(col("v").as("src"), col("u").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val edges = bothDirections(coPurchasePairs(lineitem, minSupport))
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 

@@ -70,24 +70,38 @@ object MinHashHex {
 
   private val HexChars = "0123456789abcdef".toCharArray
 
-  /** Static forwarder called from generated code. */
+  // seed prefixes "<i>:" as UTF-8 bytes — constant per `seeds` value
+  // (fixed per expression instance), cached so the hot per-row path
+  // allocates nothing but digests
+  private val prefixCache =
+    scala.collection.concurrent.TrieMap[Int, Array[Array[Byte]]]()
+  private def prefixesFor(seeds: Int): Array[Array[Byte]] =
+    prefixCache.getOrElseUpdate(seeds,
+      Array.tabulate(seeds)(i => (i.toString + ":").getBytes("UTF-8")))
+
+  /** Static forwarder called from generated code. Null array elements
+    * are SKIPPED — the min aggregate the grouped form used ignores
+    * nulls, and this keeps that contract for any future caller whose
+    * array type carries containsNull=true (the shingle producers here
+    * never emit null elements). */
   def compute(arr: ArrayData, seeds: Int): ArrayData = {
     val digest = md5.get()
     val mins = new Array[Array[Byte]](seeds)
-    // seed prefixes "<i>:" as UTF-8 bytes, tiny and per-call
-    val prefixes = Array.tabulate(seeds)(i => (i.toString + ":").getBytes("UTF-8"))
+    val prefixes = prefixesFor(seeds)
     val n = arr.numElements()
     var k = 0
     while (k < n) {
-      val g = arr.getUTF8String(k).getBytes
-      var i = 0
-      while (i < seeds) {
-        digest.update(prefixes(i))
-        digest.update(g)
-        val d = digest.digest()
-        val cur = mins(i)
-        if (cur == null || unsignedLess(d, cur)) mins(i) = d
-        i += 1
+      if (!arr.isNullAt(k)) {
+        val g = arr.getUTF8String(k).getBytes
+        var i = 0
+        while (i < seeds) {
+          digest.update(prefixes(i))
+          digest.update(g)
+          val d = digest.digest()
+          val cur = mins(i)
+          if (cur == null || unsignedLess(d, cur)) mins(i) = d
+          i += 1
+        }
       }
       k += 1
     }

@@ -74,26 +74,32 @@ object SimHash64 {
 
   /** Static forwarder called from generated code. One pass: per shingle
     * an md5 over its UTF-8 bytes, 64 bit-tests into the vote array; per
-    * document one sign pass packing the signature long. */
+    * document one sign pass packing the signature long. Null array
+    * elements are SKIPPED — the grouped vote sum the old form used
+    * ignores null rows, and this keeps that contract for any caller
+    * whose array type carries containsNull=true (the shingle producers
+    * here never emit null elements). */
   def compute(arr: ArrayData): Long = {
     val digest = md5.get()
     val votes = new Array[Int](64)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val d = digest.digest(arr.getUTF8String(i).getBytes)
-      var j = 0
-      while (j < 64) {
-        // hex-nibble (j >> 1) of the digest: even index = high nibble of
-        // byte (j >> 2)... spelled via the hex-character order contract:
-        // nibble index i2 = j >> 1; byte = d(i2 >> 1); even i2 takes the
-        // high nibble, odd the low. Bit selector is 1 << (j & 1).
-        val i2 = j >> 1
-        val nib =
-          if ((i2 & 1) == 0) (d(i2 >> 1) >> 4) & 0xF
-          else d(i2 >> 1) & 0xF
-        if ((nib & (1 << (j & 1))) != 0) votes(j) += 1 else votes(j) -= 1
-        j += 1
+      if (!arr.isNullAt(i)) {
+        val d = digest.digest(arr.getUTF8String(i).getBytes)
+        var j = 0
+        while (j < 64) {
+          // hex-nibble (j >> 1) of the digest, spelled via the
+          // hex-character order contract: nibble index i2 = j >> 1;
+          // byte = d(i2 >> 1); even i2 takes the high nibble, odd the
+          // low. Bit selector is 1 << (j & 1).
+          val i2 = j >> 1
+          val nib =
+            if ((i2 & 1) == 0) (d(i2 >> 1) >> 4) & 0xF
+            else d(i2 >> 1) & 0xF
+          if ((nib & (1 << (j & 1))) != 0) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
       }
       i += 1
     }

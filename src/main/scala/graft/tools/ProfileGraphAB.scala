@@ -5,10 +5,13 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 /** A/B harness for pagerank build variants (scratch measurement tool).
-  * Variant A = current production shape (two staged persists).
-  * Variant B = single persist: the degree aggregate and the back-join
-  * both consume the SAME repartition exchange (ReuseExchange), only the
-  * joined withDeg relation is cached.
+  * Variant A = the PRE-round-13 shape (pinned pair set + two staged
+  * persists). Variant B = single persist (degree aggregate and
+  * back-join consume the SAME repartition exchange). Variant C =
+  * 2-col edge cache + per-round node-side contribution join (measured
+  * WORSE — extra per-round query stage). Variant D = B's loop + the
+  * explode both-directions edge build with no pair pin — the shape
+  * ADOPTED as production in Graph.pagerank (won every rep).
   * `runMain graft.tools.ProfileGraphAB <sfDir> [reps]`. */
 object ProfileGraphAB {
   def main(args: Array[String]): Unit = {
