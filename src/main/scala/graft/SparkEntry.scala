@@ -281,6 +281,25 @@ object SparkEntry {
     "q18_large_orders" -> ((s, d) =>
       Relational.largeVolumeOrders(Tables.customer(s, d), Tables.orders(s, d),
         Tables.lineitem(s, d))),
+    // ---- derived-partsupp completion: the five TPC-H shapes the driver
+    // schema could not express (no partsupp table, no shipmode/commit
+    // dates). The missing attributes are key-derived md5 integers the
+    // DuckDB oracle reconstructs identically from the same parquet —
+    // with these EVERY TPC-H query shape has a green correctness entry.
+    "q2_min_cost_supp" -> ((s, d) =>
+      Relational.minCostSupplier(Tables.part(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d), Tables.region(s, d), Tables.lineitem(s, d))),
+    "q9_product_profit" -> ((s, d) =>
+      Relational.productTypeProfit(Tables.part(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q12_shipmode_priority" -> ((s, d) =>
+      Relational.shipmodePriority(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q16_supplier_cnt" -> ((s, d) =>
+      Relational.supplierCountByPart(Tables.part(s, d), Tables.supplier(s, d),
+        Tables.lineitem(s, d))),
+    "q20_promo_suppliers" -> ((s, d) =>
+      Relational.promoSuppliers(Tables.part(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d), Tables.lineitem(s, d))),
     // out-of-fold categorical target encoding: one aggregate, K-fold
     // exclusion by subtraction — the leakage-safe ML prep step
     "segment_target_encoding" -> ((s, d) =>
@@ -1311,6 +1330,29 @@ object SparkEntry {
     def nib(i: Int) = s"(strpos('0123456789abcdef', substr($m, $i, 1)) - 1)"
     s"(${nib(1)}*65536 + ${nib(2)}*4096 + ${nib(3)}*256 + ${nib(4)}*16 + ${nib(5)}) % 1000000"
   }
+
+  /** 5 leading md5 hex nibbles → long in [0, 16^5) — mirrors
+    * Relational.keyHash5 (conv(substr(md5,1,5),16,10)) for the
+    * derived-partsupp family. */
+  private def psVal(m: String): String = {
+    def nib(i: Int) = s"(strpos('0123456789abcdef', substr($m, $i, 1)) - 1)"
+    s"(${nib(1)}*65536 + ${nib(2)}*4096 + ${nib(3)}*256 + ${nib(4)}*16 + ${nib(5)})"
+  }
+
+  /** Shared oracle fragment reconstructing Relational.derivedPartsupp in
+    * DuckDB: distinct (l_partkey, l_suppkey) decorated with the same
+    * salted-md5 availqty/supplycost integers. */
+  private def partsuppCte: String =
+    s"""ps0 AS (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+       |  FROM lineitem),
+       |psh AS (SELECT ps_partkey, ps_suppkey,
+       |    md5('psa:' || CAST(ps_partkey AS VARCHAR) || ':' || CAST(ps_suppkey AS VARCHAR)) AS ma,
+       |    md5('psc:' || CAST(ps_partkey AS VARCHAR) || ':' || CAST(ps_suppkey AS VARCHAR)) AS mc
+       |  FROM ps0),
+       |partsupp AS (SELECT ps_partkey, ps_suppkey,
+       |    CAST(${psVal("ma")} % 10000 + 1 AS BIGINT) AS ps_availqty,
+       |    CAST(${psVal("mc")} % 99901 + 100 AS BIGINT) AS ps_supplycost_cents
+       |  FROM psh)""".stripMargin
 
   /** Mirrors TextAnalysis.temperatureSample: sqrt is correctly-rounded
     * IEEE in both engines, floored to milli before any sum, so every
@@ -3236,6 +3278,95 @@ object SparkEntry {
         |FROM big JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q2_min_cost_supp" ->
+      s"""WITH $partsuppCte,
+         |cand AS (
+         |  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+         |         ps_supplycost_cents
+         |  FROM partsupp
+         |  JOIN part ON ps_partkey = p_partkey
+         |    AND p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
+         |  JOIN supplier ON ps_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'),
+         |mc AS (SELECT p_partkey AS mk, min(ps_supplycost_cents) AS min_cost
+         |       FROM cand GROUP BY 1)
+         |SELECT CAST(round(s_acctbal*100) AS BIGINT) AS s_acctbal_cents,
+         |       s_name, n_name, p_partkey, p_name, ps_supplycost_cents
+         |FROM cand JOIN mc ON p_partkey = mk AND ps_supplycost_cents = min_cost
+         |ORDER BY s_acctbal_cents DESC, n_name, s_name, p_partkey
+         |LIMIT 100""".stripMargin,
+    "q9_product_profit" ->
+      s"""WITH $partsuppCte
+         |SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)
+         |       - ps_supplycost_cents * CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+         |    AS profit_cents
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+         |JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q12_shipmode_priority" ->
+      s"""WITH h AS (
+         |  SELECT l_orderkey, l_shipdate,
+         |    md5('sm:' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)) AS msm,
+         |    md5('cd:' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)) AS mcd,
+         |    md5('rd:' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)) AS mrd
+         |  FROM lineitem),
+         |d AS (
+         |  SELECT l_orderkey, l_shipdate,
+         |    CASE ${psVal("msm")} % 7 WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP'
+         |      WHEN 2 THEN 'AIR' WHEN 3 THEN 'RAIL' WHEN 4 THEN 'TRUCK'
+         |      WHEN 5 THEN 'REG AIR' ELSE 'FOB' END AS shipmode,
+         |    ${psVal("mcd")} % 61 - 30 AS commit_d,
+         |    ${psVal("mrd")} % 30 + 1 AS receipt_d
+         |  FROM h),
+         |f AS (
+         |  SELECT shipmode, l_orderkey FROM d
+         |  WHERE shipmode IN ('MAIL', 'SHIP') AND commit_d > 0 AND commit_d < receipt_d
+         |    AND CAST(epoch(l_shipdate) AS BIGINT) + receipt_d * 86400
+         |        >= CAST(epoch(TIMESTAMP '1996-01-01') AS BIGINT)
+         |    AND CAST(epoch(l_shipdate) AS BIGINT) + receipt_d * 86400
+         |        < CAST(epoch(TIMESTAMP '1997-01-01') AS BIGINT))
+         |SELECT shipmode,
+         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |       THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         |FROM f JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q16_supplier_cnt" ->
+      s"""WITH $partsuppCte
+         |SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+         |  CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+         |FROM partsupp
+         |JOIN part ON ps_partkey = p_partkey
+         |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+         |  AND p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+         |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         |GROUP BY 1, 2, 3
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q20_promo_suppliers" ->
+      s"""WITH $partsuppCte,
+         |shipped AS (
+         |  SELECT l_partkey, l_suppkey,
+         |         CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  GROUP BY 1, 2),
+         |qual AS (
+         |  SELECT DISTINCT ps_suppkey FROM partsupp
+         |  JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+         |  WHERE ps_availqty * 2 > qty
+         |    AND ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'))
+         |SELECT s_suppkey, s_name FROM supplier
+         |WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_1')
+         |  AND s_suppkey IN (SELECT ps_suppkey FROM qual)
+         |ORDER BY s_suppkey""".stripMargin,
     "daily_revenue_running" ->
       """WITH d AS (SELECT CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) AS day,
         |    CAST(sum(round(o_totalprice*100)) AS BIGINT) AS revenue_cents FROM orders GROUP BY 1)
@@ -3798,7 +3929,9 @@ object SparkEntry {
     "tpch-remainder" -> Seq(
       "q6_discount_band", "q7_nation_trade", "q8_market_share",
       "q10_returned_customers", "q14_promo_share", "q15_top_supplier",
-      "q18_large_orders", "q19_bracket_revenue"),
+      "q18_large_orders", "q19_bracket_revenue",
+      "q2_min_cost_supp", "q9_product_profit", "q12_shipmode_priority",
+      "q16_supplier_cnt", "q20_promo_suppliers"),
     "aqp" -> Seq("aqp_revenue_estimate_check", "aqp_segment_revenue_check",
       "pareto_days"),
     "window-functions" -> Seq(

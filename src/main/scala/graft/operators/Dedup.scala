@@ -78,7 +78,13 @@ object Dedup {
     documents
       .select(col("doc_id"), col("source"),
         graft.plans.WordShingles.shingles(normText(col("text"))).as("gs"))
-      .select(col("doc_id"), col("source"), size(col("gs")).as("n_g"), col("gs"))
+      // hs: the sorted xxhash64 view of the same shingle set, computed
+      // once into the cache — the verify joins count overlap with a
+      // native long merge instead of per-pair string intersection
+      // (graft.plans.ShingleHashes), and ngram candidate generation
+      // explodes these 8-byte keys instead of the shingle strings
+      .select(col("doc_id"), col("source"), size(col("gs")).as("n_g"), col("gs"),
+        graft.plans.ShingleHashes.sortedHashArray(col("gs")).as("hs"))
 
   /** [[shingleArrays]], persisted MEMORY_AND_DISK. The per-doc shingle
     * relation is the shared input of the MinHash signature build, the
@@ -189,11 +195,16 @@ object Dedup {
   private def verifyOverlap(candidates: DataFrame, documents: DataFrame): DataFrame = {
     val arr = shingleArraysCached(documents)
     candidates
-      .join(arr.select(col("doc_id"), col("n_g").as("na"), col("gs").as("ga")),
+      .join(arr.select(col("doc_id"), col("n_g").as("na"), col("hs").as("ha")),
         col("doc_a") === col("doc_id")).drop("doc_id")
-      .join(arr.select(col("doc_id"), col("n_g").as("nb"), col("gs").as("gb")),
+      .join(arr.select(col("doc_id"), col("n_g").as("nb"), col("hs").as("hb")),
         col("doc_b") === col("doc_id")).drop("doc_id")
-      .withColumn("shared", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      // native sorted-long merge (see graft.plans.ShingleHashes): exact
+      // modulo xxhash64 collisions within one pair's shingle sets, the
+      // documented trade; the string-array intersection this replaces
+      // re-hashed every shingle of both docs per candidate pair
+      .withColumn("shared",
+        graft.plans.ShingleHashes.intersectCount(col("ha"), col("hb")))
       .select(col("doc_a"), col("doc_b"), col("na"), col("nb"), col("shared"))
   }
 
@@ -209,11 +220,16 @@ object Dedup {
     (org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]()
 
   /** Unordered verified near-dup pair graph (doc_a < doc_b), memoized per
-    * corpus per session. */
-  def minhashPairs(documents: DataFrame): DataFrame =
-    pairCache.getOrElseUpdate(
-      (documents.sparkSession, documents.queryExecution.analyzed.canonicalized),
-      computeMinhashPairs(documents))
+    * corpus per session. Miss path serializes on the map (same
+    * build-once discipline as Graph.coPurchasePairs): TrieMap's by-name
+    * default is non-atomic, and a doubly-run eager build leaks the
+    * loser's checkpoint blocks until GC. */
+  def minhashPairs(documents: DataFrame): DataFrame = {
+    val key = (documents.sparkSession, documents.queryExecution.analyzed.canonicalized)
+    pairCache.get(key).getOrElse(pairCache.synchronized {
+      pairCache.getOrElseUpdate(key, computeMinhashPairs(documents))
+    })
+  }
 
   /** (doc_id, band_idx, band_key) — the LSH band table both the pair
     * join and the skew monitor read. Input is the shingle-ARRAY
@@ -861,11 +877,22 @@ object Dedup {
     * result is identical to the exact all-pairs oracle (and checked
     * against it). */
   def ngramJaccard(documents: DataFrame, maxDf: Int = 1000): DataFrame = {
-    val sh = shingles(documents)
-    // bucket-local pair generation: group the exploded shingle rows by
-    // (source, shingle), collect each sub-cutoff bucket's doc list, and
-    // emit its C(n,2) ordered pairs from the sorted list in place. The
-    // join formulation this replaced shuffled the exploded relation
+    // candidate generation runs over the HASHED shingle view (the hs
+    // column of the shingle cache — sorted distinct xxhash64 longs, see
+    // graft.plans.ShingleHashes): every shuffle below ships 8-byte keys
+    // instead of ~25-byte shingle strings. A hash collision can only
+    // MERGE two buckets — extra candidate pairs that the exact verify
+    // join filters, and (theoretically) a merged df crossing the cut;
+    // at df ≤ 25 measured vs cutoff 1000 that would take ~40 colliding
+    // boilerplate shingles, probability ~2⁻⁶⁴-scale — the documented
+    // trade, and the DuckDB oracle still computes the exact all-pairs
+    // answer the result is gated against.
+    val sh = shingleArraysCached(documents)
+      .select(col("doc_id"), col("source"), explode(col("hs")).as("hk"))
+    // bucket-local pair generation: group the exploded hashed-shingle
+    // rows by (source, hash), collect each sub-cutoff bucket's doc list,
+    // and emit its C(n,2) ordered pairs from the sorted list in place.
+    // The join formulation this replaced shuffled the exploded relation
     // TWICE (df aggregate, then the index re-shuffle feeding a
     // self-join) for the same pair set; here the full-volume shuffle
     // happens ONCE (the collect), and pair emission is an in-place
@@ -876,18 +903,29 @@ object Dedup {
     // map-reduced df aggregate yields the over-cutoff shingle head —
     // boilerplate, tiny by the same Zipf argument as the
     // [[TextAnalysis.HotVocab]] split and the [[SimhashMaxBucket]] hot
-    // list — which broadcast-anti-joins the exploded rows. Filtering
-    // after the collect instead would materialize an UNBOUNDED doc list
-    // per hot bucket inside the aggregation buffer (df ~10⁷ boilerplate
+    // list — which anti-joins the exploded rows. Filtering after the
+    // collect instead would materialize an UNBOUNDED doc list per hot
+    // bucket inside the aggregation buffer (df ~10⁷ boilerplate
     // shingles at corpus scale ⇒ ~100 MB single buffers) just to throw
     // it away.
-    val hot = sh.groupBy(col("source"), col("g"))
+    val hot = sh.groupBy(col("source"), col("hk"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
-      .select(col("source"), col("g"))
-    val buckets = sh.select(col("doc_id"), col("source"), col("g"))
-      .join(broadcast(hot), Seq("source", "g"), "left_anti")
-      .groupBy(col("source"), col("g"))
+      .select(col("source"), col("hk"))
+    // No forced broadcast on the hot head: its COUNT is corpus-dependent
+    // (the Zipf argument bounds its mass share, not its cardinality), so
+    // the anti join is left to AQE — it broadcasts the head while it fits
+    // (the measured shape at every tested scale) and falls back to a
+    // shuffled anti join past the driver-safe bound, the safety valve a
+    // forced hint removes. Blocking key contract: `source` is NON-NULL
+    // (generated data and the oracle share this); the old inner-join
+    // formulation silently dropped null-source rows, the grouped form
+    // would bucket them together — the explicit filter pins the contract
+    // instead of leaving it to data luck.
+    val buckets = sh
+      .filter(col("source").isNotNull)
+      .join(hot, Seq("source", "hk"), "left_anti")
+      .groupBy(col("source"), col("hk"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
     val candidates = buckets
@@ -1007,28 +1045,45 @@ object Dedup {
     * corpus, not one per consumer. */
   private def positionalGrams(documents: DataFrame, gramLen: Int): DataFrame =
     persistTracked(documents
-      .select(col("doc_id"), split(normText(col("text")), " ").as("toks"))
-      .filter(size(col("toks")) >= gramLen)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, size(toks) - ${gramLen - 1})," +
-          s" i -> md5(array_join(slice(toks, i, $gramLen), ' ')))")).as(Seq("pos0", "g")))
+      .select(col("doc_id"),
+        // native one-pass digest array (hex-for-hex the HOF chain the
+        // oracle mirrors — see graft.plans.PositionalGramHashes; a
+        // sub-gramLen doc yields an empty array, which posexplode drops,
+        // the same contract as the size filter this replaces)
+        graft.plans.PositionalGramHashes.grams(normText(col("text")), gramLen).as("gsh"))
+      .select(col("doc_id"), posexplode(col("gsh")).as(Seq("pos0", "g")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("g")))
 
   def substringDup(documents: DataFrame, gramLen: Int = SubstringGramLen,
                    minRunGrams: Int = SubstringMinRun, maxDf: Int = SubstringMaxDf): DataFrame = {
+    // the df cut and the aligned self-join key on xxhash64 of the md5
+    // digest, not the 32-char hex string: both shuffles ship 8-byte
+    // keys (the hex digests stay in the shared gram cache — the
+    // substringGramStats monitor reports them verbatim, oracle-mirrored).
+    // A collision merges two gram digests, which can only ADD an aligned
+    // hit; a false hit becomes a reported pair only if it tiles a full
+    // ≥ minRunGrams interval at one offset — beyond-astronomical on top
+    // of the 2⁻⁶⁴-scale collision itself (same documented md5/xxhash
+    // trade as the fingerprints).
     val grams = positionalGrams(documents, gramLen)
-    val rare = grams.groupBy(col("g"))
+      .select(col("doc_id"), col("pos"), xxhash64(col("g")).as("hk"))
+    val rare = grams.groupBy(col("hk"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") <= maxDf)
-      .select(col("g"))
-    val idx = grams.join(rare, "g")
+      .select(col("hk"))
+    val idx = grams.join(rare, "hk")
     val hits = idx.as("a")
-      .join(idx.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .join(idx.as("b"), col("a.hk") === col("b.hk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.pos").as("pa"), col("b.pos").as("pb"))
     hits
       .groupBy(col("doc_a"), col("doc_b"), (col("pa") - col("pb")).as("off"))
-      .agg(countDistinct(col("pa")).as("n"),
+      // count, not countDistinct: within a (doc_a, doc_b, off) group pa
+      // is distinct by construction — each position holds exactly one
+      // gram and pb = pa − off is determined, so a duplicate (pa, pb)
+      // hit cannot exist — and dropping the distinct removes a full
+      // dedup pass over the hits relation, the largest intermediate here
+      .agg(count(lit(1)).as("n"),
         (max(col("pa")) - min(col("pa")) + 1).as("span"))
       .filter(col("n") === col("span") && col("span") >= minRunGrams)
       .groupBy(col("doc_a"), col("doc_b"))
@@ -1247,9 +1302,14 @@ object Dedup {
     (org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), DataFrame]()
 
   def dedupClusters(documents: DataFrame, maxRounds: Int = 50): DataFrame = {
-    val planKey = documents.queryExecution.analyzed.canonicalized
-    clusterCache.getOrElseUpdate((documents.sparkSession, planKey, maxRounds),
-      computeClusters(documents, maxRounds))
+    val key = (documents.sparkSession,
+      documents.queryExecution.analyzed.canonicalized, maxRounds)
+    // build-once under the map lock, like [[minhashPairs]]: the
+    // contraction pins per-round checkpoints a losing duplicate build
+    // would strand until GC
+    clusterCache.get(key).getOrElse(clusterCache.synchronized {
+      clusterCache.getOrElseUpdate(key, computeClusters(documents, maxRounds))
+    })
   }
 
   private def computeClusters(documents: DataFrame, maxRounds: Int): DataFrame =

@@ -33,9 +33,16 @@ object Graph {
     (org.apache.spark.sql.SparkSession,
      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long), DataFrame]()
 
-  def coPurchasePairs(lineitem: DataFrame, minSupport: Long = 2): DataFrame =
-    pairCache.getOrElseUpdate(
-      (lineitem.sparkSession, lineitem.queryExecution.analyzed.canonicalized, minSupport), {
+  def coPurchasePairs(lineitem: DataFrame, minSupport: Long = 2): DataFrame = {
+    val key = (lineitem.sparkSession,
+      lineitem.queryExecution.analyzed.canonicalized, minSupport)
+    // TrieMap.getOrElseUpdate evaluates its by-name default NON-atomically:
+    // two concurrent first callers would both run the eager pinned build
+    // and the loser's localCheckpoint blocks would linger until GC. Fast
+    // path stays lock-free; only a miss serializes on the map, inside
+    // which getOrElseUpdate is single-threaded and therefore build-once.
+    pairCache.get(key).getOrElse(pairCache.synchronized {
+      pairCache.getOrElseUpdate(key, {
         val baskets = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
         baskets.as("a")
           .join(baskets.as("b"),
@@ -47,9 +54,22 @@ object Graph {
           .select("u", "v")
           .pinned()
       })
+    })
+  }
 
-  /** Drop the memoized pair sets (bench/audit retry hygiene). */
+  /** Drop the memoized pair sets (bench/audit retry hygiene). Dropping
+    * the map reference is what un-leaks the SparkSession keys; the
+    * pinned localCheckpoint BLOCKS free lazily via GC + ContextCleaner,
+    * so a retry's "cold" rebuild can briefly overlap the stale blocks in
+    * executor storage — acceptable at bench scale, and at cluster scale
+    * the reliable-checkpoint switch (Pin.scala) moves the blocks off
+    * executors entirely. */
   def clearSessionState(): Unit = pairCache.clear()
+
+  /** Test seam: entry count currently memoized for `session` (asserts
+    * both cache identity and that clears drop session references). */
+  private[graft] def cachedEntriesFor(session: org.apache.spark.sql.SparkSession): Int =
+    pairCache.keys.count(_._1 eq session)
 
   /** Both edge directions from an undirected (u, v) pair relation in ONE
     * pass via explode — the pair relation appears exactly once in the

@@ -611,4 +611,32 @@ class DedupSpec extends SparkSpec {
     val r2 = fn(spark, Sf0001).collect().map(_.getLong(0)).toSet
     assert(r1.nonEmpty && r1 === r2)
   }
+
+  test("PositionalGramHashes is hex-for-hex the HOF chain it replaced (real docs + edges)") {
+    import spark.implicits._
+    val gramLen = Dedup.SubstringGramLen
+    val edges = Seq(
+      (90001L, "one two three four five six seven eight nine"), // 2 grams
+      (90002L, "exactly eight tokens in this doc right here"),  // 1 gram
+      (90003L, "too short"),                                    // 0 grams
+      (90004L, ""),                                             // empty text
+      (90005L, "repeat repeat repeat repeat repeat repeat repeat repeat repeat")
+    ).toDF("doc_id", "text")
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text")
+      .unionAll(edges)
+      .withColumn("t", graft.functions.TextFunctions.normText(col("text")))
+    val native = docs.select(col("doc_id"),
+      graft.plans.PositionalGramHashes.grams(col("t"), gramLen).as("gs"))
+    val hof = docs
+      .select(col("doc_id"), split(col("t"), " ").as("toks"))
+      .select(col("doc_id"), when(size(col("toks")) >= gramLen, expr(
+        s"transform(sequence(1, size(toks) - ${gramLen - 1})," +
+          s" i -> md5(array_join(slice(toks, i, $gramLen), ' ')))"))
+        .otherwise(array()).as("gs"))
+    val diffs = native.as("a")
+      .join(hof.as("b"), col("a.doc_id") === col("b.doc_id"))
+      .filter(not(col("a.gs") <=> col("b.gs")))
+      .count()
+    assert(diffs === 0L)
+  }
 }

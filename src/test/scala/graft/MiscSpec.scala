@@ -199,4 +199,31 @@ class MiscSpec extends SparkSpec {
       assert(operators.Graph.pagerank(orders, li, iters = 2, k = 10).count() === 10)
     } finally System.clearProperty("spark.graft.reliableCheckpointDir")
   }
+
+  test("coPurchasePairs memo: cache identity, per-session isolation, clear drops sessions and re-derives identically") {
+    import spark.implicits._
+    val li = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 2L))
+      .toDF("l_orderkey", "l_partkey")
+    operators.Graph.clearSessionState()
+    val a = operators.Graph.coPurchasePairs(li)
+    assert(operators.Graph.coPurchasePairs(li) eq a) // memoized instance, no rebuild
+    assert(operators.Graph.cachedEntriesFor(spark) === 1)
+    // a sibling session never shares an entry (key includes the session)
+    val s2 = spark.newSession()
+    val li2 = s2.createDataFrame(li.rdd, li.schema)
+    val a2 = operators.Graph.coPurchasePairs(li2)
+    assert(!(a2 eq a))
+    assert(operators.Graph.cachedEntriesFor(spark) === 1)
+    assert(operators.Graph.cachedEntriesFor(s2) === 1)
+    val rowsA = a.collect().map(_.toSeq).toSet
+    // Bench's retry clear: session references dropped (no long-lived
+    // harness leak), and a cold rebuild re-derives the identical pair set
+    operators.Graph.clearSessionState()
+    assert(operators.Graph.cachedEntriesFor(spark) === 0)
+    assert(operators.Graph.cachedEntriesFor(s2) === 0)
+    val b = operators.Graph.coPurchasePairs(li)
+    assert(!(b eq a))
+    assert(b.collect().map(_.toSeq).toSet === rowsA)
+    operators.Graph.clearSessionState()
+  }
 }

@@ -1453,4 +1453,54 @@ class OperatorSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq === Seq(("A", 1L, 50000L)))
   }
+
+  test("derivedPartsupp: one row per distinct pair, ranged values, deterministic") {
+    val li = Seq((1L, 10L), (1L, 10L), (1L, 11L), (2L, 10L))
+      .toDF("l_partkey", "l_suppkey")
+    val ps = Relational.derivedPartsupp(li).collect()
+    assert(ps.length === 3) // duplicates collapse
+    ps.foreach { r =>
+      val (aq, sc) = (r.getAs[Long]("ps_availqty"), r.getAs[Long]("ps_supplycost_cents"))
+      assert(aq >= 1 && aq <= 10000)
+      assert(sc >= 100 && sc <= 100000)
+    }
+    // key-derived, not row-derived: a second build yields identical values
+    val again = Relational.derivedPartsupp(li).collect()
+    assert(ps.map(_.toSeq).toSet === again.map(_.toSeq).toSet)
+  }
+
+  test("supplierCountByPart: flagged (negative-balance) suppliers never counted") {
+    val li = Seq((1L, 10L), (1L, 11L), (1L, 12L)).toDF("l_partkey", "l_suppkey")
+    val part = Seq((1L, "Brand#2", "LARGE", 5)).toDF("p_partkey", "p_brand", "p_type", "p_size")
+    val supp = Seq((10L, 50.0), (11L, -5.0), (12L, 0.0))
+      .toDF("s_suppkey", "s_acctbal")
+    val got = Relational.supplierCountByPart(part, supp, li).collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[Long]("supplier_cnt") === 2L) // 11 anti-joined away
+  }
+
+  test("shipmodePriority: derived modes confined to MAIL/SHIP; date algebra honored") {
+    val li = Tables.lineitem(spark, Sf0001)
+    val orders = Tables.orders(spark, Sf0001)
+    val got = Relational.shipmodePriority(orders, li).collect()
+    assert(got.nonEmpty && got.length <= 2)
+    got.foreach { r =>
+      assert(Set("MAIL", "SHIP").contains(r.getString(0)))
+      assert(r.getAs[Long]("high_line_count") + r.getAs[Long]("low_line_count") > 0)
+    }
+  }
+
+  test("minCostSupplier: every emitted (part, supplier) cost is that part's regional min, ties included") {
+    val got = Relational.minCostSupplier(
+      Tables.part(spark, Sf0001), Tables.supplier(spark, Sf0001),
+      Tables.nation(spark, Sf0001), Tables.region(spark, Sf0001),
+      Tables.lineitem(spark, Sf0001), k = 1000)
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    // within the emitted relation every part appears only at one cost: its min
+    val byPart = rows.groupBy(_.getAs[Long]("p_partkey"))
+    byPart.values.foreach { g =>
+      assert(g.map(_.getAs[Long]("ps_supplycost_cents")).distinct.length === 1)
+    }
+  }
 }
