@@ -110,8 +110,34 @@ object ScaleAudit {
       (times, errs, quiet)
     }
 
-    val passes = points.map { case (dir, size) =>
+    val passes0 = points.map { case (dir, size) =>
       val (t, e, q) = pass(dir); (dir, size, t, e, q)
+    }
+    // min-of-N on the TOP point's slow tail (round-13 judge ask): the
+    // audit's most expensive readings were single measurements, and one
+    // adjudication (dedup_embedding_cosine at sf0.5) ended up resting on
+    // two single readings of the same code. Every query whose kept top
+    // time is ≥ TopRepeatSec is re-timed from a cleared session up to
+    // TopRepeats total attempts, the MIN feeds the ratios/exponents (the
+    // same noise-stripping argument as Bench's slow-tail retry), and
+    // every attempt is disclosed under top_attempt_sec.
+    val TopRepeatSec = sys.env.getOrElse("SPARK_GRAFT_TOP_REPEAT_SEC", "2.0").toDouble
+    val TopRepeats = math.max(1, sys.env.getOrElse("SPARK_GRAFT_TOP_REPEATS", "3").toInt)
+    val topAttempts = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    val passes = if (TopRepeats <= 1) passes0 else {
+      val (dir, size, t0map, errs, quiet) = passes0.last
+      val slow = t0map.collect { case (n, s) if s >= TopRepeatSec => n }.toSeq.sorted
+      val best = scala.collection.mutable.Map(t0map.toSeq: _*)
+      slow.foreach(n => topAttempts(n) = Vector(t0map(n)))
+      for (_ <- 2 to TopRepeats if slow.nonEmpty) {
+        clearSession()
+        slow.foreach { n =>
+          val (sec2, err2, _) = timeOne(n, dir)
+          topAttempts(n) = topAttempts(n) :+ sec2
+          if (err2.isEmpty && sec2 < best(n)) best(n) = sec2
+        }
+      }
+      passes0.init :+ ((dir, size, best.toMap, errs, quiet))
     }
 
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
@@ -156,7 +182,10 @@ object ScaleAudit {
     val pointsJson = points.map { case (d, s) => s"""{"dir":"$d","rel_size":$s}""" }
       .mkString("[", ",", "]")
     val quietJson = passes.map(p => s""""${p._1}":${p._5}""").mkString("{", ",", "}")
-    val full = s"""{"metric":"scale_audit","points":$pointsJson,"flag_factor":$FlagFactor,"min_big_sec":$MinBigSec,"n_queries":${rows.size},"n_flagged":${flagged.size},"flagged":$flaggedJson,"max_top_exponent":${r3(maxTopExp)},"quiet":$quietJson,"errors":$errJson,"queries":$qJson}"""
+    val topAttemptsJson = topAttempts.map { case (n, v) =>
+      s""""$n":[${v.map(r3).mkString(",")}]"""
+    }.mkString("{", ",", "}")
+    val full = s"""{"metric":"scale_audit","points":$pointsJson,"flag_factor":$FlagFactor,"min_big_sec":$MinBigSec,"top_repeat_sec_bar":$TopRepeatSec,"top_repeats":$TopRepeats,"top_attempt_sec":$topAttemptsJson,"n_queries":${rows.size},"n_flagged":${flagged.size},"flagged":$flaggedJson,"max_top_exponent":${r3(maxTopExp)},"quiet":$quietJson,"errors":$errJson,"queries":$qJson}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALEAUDIT_OUT", "/tmp/graft_scaleaudit.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     catch { case e: Throwable => System.err.println(s"[scaleaudit] write failed: ${e.getMessage}") }
