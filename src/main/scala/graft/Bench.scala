@@ -161,7 +161,11 @@ object Bench {
           Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
         }
       val sec = (System.nanoTime() - t0) / 1e9
-      (sec, err, miniProbe(), gcSec() - g0)
+      // close the GC window BEFORE the mini-probe: the probe's busy-loop
+      // threads allocate and can trigger a collection that would
+      // otherwise be attributed to the query
+      val gcDelta = gcSec() - g0
+      (sec, err, miniProbe(), gcDelta)
     }
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> timeOne(name, fn)

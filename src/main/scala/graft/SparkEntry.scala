@@ -1326,10 +1326,7 @@ object SparkEntry {
   /** 5 leading md5 hex nibbles → value mod 1e6 (mirrors
     * conv(substr(md5,1,5),16,10) % 1000000) — the ppm-precision
     * hash-threshold shared by the temperature and source-cap samplers. */
-  private def hpPpm(m: String): String = {
-    def nib(i: Int) = s"(strpos('0123456789abcdef', substr($m, $i, 1)) - 1)"
-    s"(${nib(1)}*65536 + ${nib(2)}*4096 + ${nib(3)}*256 + ${nib(4)}*16 + ${nib(5)}) % 1000000"
-  }
+  private def hpPpm(m: String): String = s"${psVal(m)} % 1000000"
 
   /** 5 leading md5 hex nibbles → long in [0, 16^5) — mirrors
     * Relational.keyHash5 (conv(substr(md5,1,5),16,10)) for the

@@ -54,8 +54,8 @@ object Dedup {
     * hygiene: lets a re-measurement start cold, so repeated timings are
     * comparable to first runs. */
   def clearSessionState(): Unit = {
-    pairCache.clear()
-    clusterCache.clear()
+    graft.Memo.clear(pairCache, pairLocks)
+    graft.Memo.clear(clusterCache, clusterLocks)
     bloomCache.clear()
     synchronized {
       tracked.values.foreach(df => try df.unpersist(blocking = false) catch { case _: Throwable => () })
@@ -218,17 +218,15 @@ object Dedup {
     * snapshot. */
   private val pairCache = scala.collection.concurrent.TrieMap[
     (org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]()
+  private val pairLocks = scala.collection.concurrent.TrieMap[
+    (org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), AnyRef]()
 
   /** Unordered verified near-dup pair graph (doc_a < doc_b), memoized per
-    * corpus per session. Miss path serializes on the map (same
-    * build-once discipline as Graph.coPurchasePairs): TrieMap's by-name
-    * default is non-atomic, and a doubly-run eager build leaks the
-    * loser's checkpoint blocks until GC. */
+    * corpus per session with per-key build serialization (graft.Memo —
+    * build-once without convoying unrelated corpora behind one lock). */
   def minhashPairs(documents: DataFrame): DataFrame = {
     val key = (documents.sparkSession, documents.queryExecution.analyzed.canonicalized)
-    pairCache.get(key).getOrElse(pairCache.synchronized {
-      pairCache.getOrElseUpdate(key, computeMinhashPairs(documents))
-    })
+    graft.Memo.buildOnce(pairCache, pairLocks, key)(computeMinhashPairs(documents))
   }
 
   /** (doc_id, band_idx, band_key) — the LSH band table both the pair
@@ -510,7 +508,13 @@ object Dedup {
     // tracked cache would grow by one never-reused entry per micro-batch
     // in a streaming sink (each batch is a fresh plan), and the uncached
     // path would shingle the batch twice
-    val sh = shingleArrays(admitted).persist(StorageLevel.MEMORY_AND_DISK)
+    // prune to the columns the two consumers read BEFORE persisting:
+    // the bands append needs (doc_id, gs), the shingles append
+    // (doc_id, n_g, gs) — without the select every micro-batch would
+    // compute and cache the hashed-shingle view (hs) no appended table
+    // stores (the persisted index schema stays gs-only on purpose)
+    val sh = shingleArrays(admitted).select(col("doc_id"), col("n_g"), col("gs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       sh.count() // materialize once before the three writers race to fill it
       // the three appends hit three DIFFERENT tables: run them as
@@ -1060,11 +1064,16 @@ object Dedup {
     // digest, not the 32-char hex string: both shuffles ship 8-byte
     // keys (the hex digests stay in the shared gram cache — the
     // substringGramStats monitor reports them verbatim, oracle-mirrored).
-    // A collision merges two gram digests, which can only ADD an aligned
-    // hit; a false hit becomes a reported pair only if it tiles a full
-    // ≥ minRunGrams interval at one offset — beyond-astronomical on top
-    // of the 2⁻⁶⁴-scale collision itself (same documented md5/xxhash
-    // trade as the fingerprints).
+    // Collision honesty — a merged pair of gram digests can err in BOTH
+    // directions, each needing the 2⁻⁶⁴-scale collision first: (a) a
+    // false aligned hit inside an existing (doc_a, doc_b, off) group
+    // inflates span without count, FAILING the n == span tiling test for
+    // a genuinely tiling run (drops a true pair); (b) a merged df
+    // crossing maxDf drops a genuinely rare gram from the index (can
+    // break a true run below minRunGrams). Same accepted md5/xxhash
+    // trade as the fingerprints, and the DuckDB oracle computes the
+    // exact hex-keyed answer, so an actual collision surfaces as a hash
+    // mismatch rather than passing silently.
     val grams = positionalGrams(documents, gramLen)
       .select(col("doc_id"), col("pos"), xxhash64(col("g")).as("hk"))
     val rare = grams.groupBy(col("hk"))
@@ -1300,16 +1309,16 @@ object Dedup {
     * hit across a session restart would return unusable frames). */
   private val clusterCache = scala.collection.concurrent.TrieMap[
     (org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), DataFrame]()
+  private val clusterLocks = scala.collection.concurrent.TrieMap[
+    (org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), AnyRef]()
 
   def dedupClusters(documents: DataFrame, maxRounds: Int = 50): DataFrame = {
     val key = (documents.sparkSession,
       documents.queryExecution.analyzed.canonicalized, maxRounds)
-    // build-once under the map lock, like [[minhashPairs]]: the
-    // contraction pins per-round checkpoints a losing duplicate build
-    // would strand until GC
-    clusterCache.get(key).getOrElse(clusterCache.synchronized {
-      clusterCache.getOrElseUpdate(key, computeClusters(documents, maxRounds))
-    })
+    // build-once per key (graft.Memo): the contraction pins per-round
+    // checkpoints a losing duplicate build would strand until GC
+    graft.Memo.buildOnce(clusterCache, clusterLocks, key)(
+      computeClusters(documents, maxRounds))
   }
 
   private def computeClusters(documents: DataFrame, maxRounds: Int): DataFrame =

@@ -32,29 +32,28 @@ object Graph {
   private val pairCache = scala.collection.concurrent.TrieMap[
     (org.apache.spark.sql.SparkSession,
      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long), DataFrame]()
+  private val pairLocks = scala.collection.concurrent.TrieMap[
+    (org.apache.spark.sql.SparkSession,
+     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long), AnyRef]()
 
   def coPurchasePairs(lineitem: DataFrame, minSupport: Long = 2): DataFrame = {
     val key = (lineitem.sparkSession,
       lineitem.queryExecution.analyzed.canonicalized, minSupport)
-    // TrieMap.getOrElseUpdate evaluates its by-name default NON-atomically:
-    // two concurrent first callers would both run the eager pinned build
-    // and the loser's localCheckpoint blocks would linger until GC. Fast
-    // path stays lock-free; only a miss serializes on the map, inside
-    // which getOrElseUpdate is single-threaded and therefore build-once.
-    pairCache.get(key).getOrElse(pairCache.synchronized {
-      pairCache.getOrElseUpdate(key, {
-        val baskets = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
-        baskets.as("a")
-          .join(baskets.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") < col("b.l_partkey"))
-          .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-          .agg(count(lit(1)).as("nb"))
-          .filter(col("nb") >= minSupport)
-          .select("u", "v")
-          .pinned()
-      })
-    })
+    // build-once per key with per-key serialization (graft.Memo): a
+    // doubly-run eager build strands the loser's checkpoint blocks, and
+    // a global lock would convoy unrelated corpora behind one build
+    graft.Memo.buildOnce(pairCache, pairLocks, key) {
+      val baskets = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+      baskets.as("a")
+        .join(baskets.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .agg(count(lit(1)).as("nb"))
+        .filter(col("nb") >= minSupport)
+        .select("u", "v")
+        .pinned()
+    }
   }
 
   /** Drop the memoized pair sets (bench/audit retry hygiene). Dropping
@@ -64,7 +63,7 @@ object Graph {
     * executor storage — acceptable at bench scale, and at cluster scale
     * the reliable-checkpoint switch (Pin.scala) moves the blocks off
     * executors entirely. */
-  def clearSessionState(): Unit = pairCache.clear()
+  def clearSessionState(): Unit = graft.Memo.clear(pairCache, pairLocks)
 
   /** Test seam: entry count currently memoized for `session` (asserts
     * both cache identity and that clears drop session references). */
