@@ -1848,10 +1848,11 @@ object Relational {
 
   /** 5 leading md5 hex nibbles of the salted ':'-joined key → long in
     * [0, 16^5). Mirrored in the oracle by the strpos-nibble expansion
-    * (SparkEntry.psVal). */
+    * (SparkEntry.psVal); computed natively off the digest bytes
+    * (graft.plans.Md5Nibble5 — bit-identical to the
+    * conv(substring(md5(x),1,5),16,10) column algebra, spec-pinned). */
   private[operators] def keyHash5(salt: String, cols: Column*): Column =
-    conv(substring(md5(concat_ws(":", (lit(salt) +: cols): _*)), 1, 5), 16, 10)
-      .cast("long")
+    graft.plans.Md5Nibble5.md5Nibble5(concat_ws(":", (lit(salt) +: cols): _*))
 
   /** Deterministic derived partsupp: the distinct (l_partkey, l_suppkey)
     * pairs observed in lineitem, decorated with key-derived availqty in

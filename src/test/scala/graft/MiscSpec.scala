@@ -200,6 +200,39 @@ class MiscSpec extends SparkSpec {
     } finally System.clearProperty("spark.graft.reliableCheckpointDir")
   }
 
+  test("Memo.buildOnce: concurrent same-key callers build once; different keys build concurrently") {
+    import scala.collection.concurrent.TrieMap
+    val cache = TrieMap[String, Int]()
+    val locks = TrieMap[String, AnyRef]()
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    // 8 threads race the same key: exactly one build may run
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val done = (1 to 8).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = {
+            gate.await()
+            graft.Memo.buildOnce(cache, locks, "k") {
+              builds.incrementAndGet(); Thread.sleep(50); 42
+            }
+          }
+        })
+      }
+      gate.countDown()
+      assert(done.map(_.get()).toSet === Set(42))
+      assert(builds.get() === 1, "same-key race must build exactly once")
+      // a different key is not convoyed behind k's monitor and builds its own value
+      assert(graft.Memo.buildOnce(cache, locks, "k2") { builds.incrementAndGet(); 7 } === 7)
+      assert(builds.get() === 2)
+      // clear drops both values and monitors; rebuild happens
+      graft.Memo.clear(cache, locks)
+      assert(cache.isEmpty && locks.isEmpty)
+      assert(graft.Memo.buildOnce(cache, locks, "k") { builds.incrementAndGet(); 43 } === 43)
+      assert(builds.get() === 3)
+    } finally pool.shutdown()
+  }
+
   test("coPurchasePairs memo: cache identity, per-session isolation, clear drops sessions and re-derives identically") {
     import spark.implicits._
     val li = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 2L))

@@ -1454,6 +1454,18 @@ class OperatorSpec extends SparkSpec {
     assert(got.toSeq === Seq(("A", 1L, 50000L)))
   }
 
+  test("Md5Nibble5 is bit-identical to the conv(substring(md5)) column algebra") {
+    val keys = Tables.lineitem(spark, Sf0001)
+      .select(concat_ws(":", lit("psa"), col("l_partkey"), col("l_suppkey")).as("s"))
+      .unionAll(Seq("", ":", "x", "psa:0:0", "a b c").toDF("s"))
+    val diffs = keys.select(
+      graft.plans.Md5Nibble5.md5Nibble5(col("s")).as("native"),
+      conv(substring(md5(col("s")), 1, 5), 16, 10).cast("long").as("algebra"))
+      .filter(col("native") =!= col("algebra"))
+      .count()
+    assert(diffs === 0L)
+  }
+
   test("derivedPartsupp: one row per distinct pair, ranged values, deterministic") {
     val li = Seq((1L, 10L), (1L, 10L), (1L, 11L), (2L, 10L))
       .toDF("l_partkey", "l_suppkey")
