@@ -1076,11 +1076,18 @@ object Dedup {
     // mismatch rather than passing silently.
     val grams = positionalGrams(documents, gramLen)
       .select(col("doc_id"), col("pos"), xxhash64(col("g")).as("hk"))
-    val rare = grams.groupBy(col("hk"))
+    // df cut as an anti join against the HOT head (df > maxDf), not an
+    // inner join against the rare set: the two are the same set algebra,
+    // but the rare set is nearly ALL grams (a full shuffle join of the
+    // gram relation against itself-sized keys) while the hot head is
+    // Zipf-tiny — AQE broadcasts it (usually empty) and the gram
+    // relation reaches the self-join without an extra exchange. Same
+    // discipline as ngramJaccard's hot head.
+    val hot = grams.groupBy(col("hk"))
       .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") <= maxDf)
+      .filter(col("df") > maxDf)
       .select(col("hk"))
-    val idx = grams.join(rare, "hk")
+    val idx = grams.join(hot, Seq("hk"), "left_anti")
     val hits = idx.as("a")
       .join(idx.as("b"), col("a.hk") === col("b.hk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
