@@ -469,4 +469,54 @@ object GraftProperties extends Properties("graft") {
       Dedup.dropDedupIndex(spark, "prop_tb_ref")
       ok
     }
+
+  // ---- native-expression references (driver-side, no Spark jobs) ----
+
+  import org.apache.spark.unsafe.types.UTF8String
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** normText-shaped strings: single-space-separated lowercase words
+    * (possibly empty) — the precondition the gram expressions document. */
+  private val normedGen: Gen[String] =
+    Gen.listOf(Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString))
+      .map(_.mkString(" "))
+
+  property("Md5Nibble5.compute == hex-parse reference on arbitrary strings") =
+    forAll(Gen.asciiPrintableStr) { s =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      graft.plans.Md5Nibble5.compute(UTF8String.fromString(s)) ==
+        java.lang.Long.parseLong(hex.take(5), 16)
+    }
+
+  property("PositionalGramHashes.compute == slice-join-md5 reference") =
+    forAll(normedGen, Gen.choose(1, 5)) { (t, n) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val toks = t.split(" ", -1) // split-at-every-space (spaces+1 tokens)
+      val expect =
+        if (toks.length < n) Seq.empty
+        else (0 to toks.length - n).map { i =>
+          md.digest(toks.slice(i, i + n).mkString(" ").getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+        }
+      val got = graft.plans.PositionalGramHashes
+        .compute(UTF8String.fromString(t), n)
+      (0 until got.numElements()).map(got.getUTF8String(_).toString) == expect
+    }
+
+  property("sorted-hash merge count == exact set-intersection of xxhash64 values") =
+    forAll(Gen.listOf(Gen.identifier), Gen.listOf(Gen.identifier)) { (a, b) =>
+      def arr(xs: List[String]) = new GenericArrayData(
+        xs.map(x => UTF8String.fromString(x): Any).toArray)
+      def hset(xs: List[String]): Set[Long] = xs.map { x =>
+        val u = UTF8String.fromString(x)
+        org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes,
+            graft.plans.ShingleHashes.Seed)
+      }.toSet
+      val ha = graft.plans.ShingleHashes.sortedHashes(arr(a))
+      val hb = graft.plans.ShingleHashes.sortedHashes(arr(b))
+      graft.plans.ShingleHashes.intersectCount(ha, hb) ==
+        (hset(a) intersect hset(b)).size.toLong
+    }
 }
