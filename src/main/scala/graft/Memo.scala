@@ -16,23 +16,50 @@ import scala.collection.concurrent.TrieMap
   * (Par.runAll consumers). Here each key gets its own monitor via
   * putIfAbsent (atomic, unlike getOrElseUpdate), so same-key callers
   * serialize and different-key builds run concurrently.
+  *
+  * clear() vs buildOnce atomicity (round-14 advice): without coordination
+  * a clear could run in the middle of a build — the builder's insert
+  * would land AFTER cache.clear() (a pre-clear artifact surviving the
+  * clear), and two same-key callers straddling locks.clear() could hold
+  * DIFFERENT monitors and double-build, stranding one pinned checkpoint
+  * until GC — the exact leak this class exists to prevent. Builds
+  * therefore hold a shared read lock and clear() takes the write lock:
+  * clear waits for in-flight builds to finish and then empties both maps
+  * atomically w.r.t. any build; the hit path stays lock-free (a hit
+  * concurrent with clear linearizes before it). Different-key builds
+  * still run concurrently (the read lock is shared). Do NOT call clear()
+  * from inside a build closure — read→write is not upgradable and would
+  * self-deadlock (no current caller does; builds are plan/checkpoint
+  * constructions).
   */
 object Memo {
 
+  private val guard = new java.util.concurrent.locks.ReentrantReadWriteLock()
+
   def buildOnce[K, V](cache: TrieMap[K, V], locks: TrieMap[K, AnyRef], key: K)
-                     (build: => V): V =
-    cache.get(key).getOrElse {
+                     (build: => V): V = {
+    val hit = cache.get(key)
+    if (hit.isDefined) return hit.get
+    val r = guard.readLock()
+    r.lock()
+    try {
       val fresh = new Object
       val lock = locks.putIfAbsent(key, fresh).getOrElse(fresh)
       // inside the per-key monitor getOrElseUpdate is single-threaded for
-      // this key; TrieMap handles concurrent different-key inserts
-      lock.synchronized(cache.getOrElseUpdate(key, build))
-    }
+      // this key; TrieMap handles concurrent different-key inserts. A
+      // FAILED build leaves its (tiny, reusable) monitor in the locks map
+      // — deliberate: the next same-key attempt serializes on it. The
+      // build is clocked for Bench's query_cache_build_sec disclosure.
+      lock.synchronized(cache.getOrElseUpdate(key, CacheBuild.timed(build)))
+    } finally r.unlock()
+  }
 
   /** Clear both maps (bench/audit retry hygiene — dropping the lock map
-    * is what un-leaks the session-bearing keys). */
+    * is what un-leaks the session-bearing keys). Blocks until in-flight
+    * builds complete so no build can straddle the clear. */
   def clear[K, V](cache: TrieMap[K, V], locks: TrieMap[K, AnyRef]): Unit = {
-    cache.clear()
-    locks.clear()
+    val w = guard.writeLock()
+    w.lock()
+    try { cache.clear(); locks.clear() } finally w.unlock()
   }
 }

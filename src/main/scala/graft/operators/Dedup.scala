@@ -103,21 +103,32 @@ object Dedup {
     * CacheManager entry while the tracked handle lives on — storageLevel
     * reads the CacheManager, so this re-persists exactly when the entry
     * is actually gone. */
-  private def persistTracked(df: DataFrame): DataFrame = synchronized {
-    val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized)
-    val handle = tracked.getOrElseUpdate(key, df)
-    if (handle.storageLevel == StorageLevel.NONE) {
-      // the entry is gone (clearCache, or a DROP TABLE uncached it).
-      // Re-persist the CALLER's df, not the stale handle: two plans can
-      // canonicalize equal while pinning DIFFERENT file-listing
-      // instances of the same table (drop → rebuild → swap leaves the
-      // old handle listing files that no longer exist — re-persisting
-      // it replays FileNotFound on the next materialization; this was a
-      // real bug the N-invocation-per-JVM path hit, not a theoretical)
-      tracked.put(key, df)
-      df.persist(StorageLevel.MEMORY_AND_DISK)
-      df
-    } else handle
+  private def persistTracked(df: DataFrame): DataFrame = {
+    val (chosen, fresh) = synchronized {
+      val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized)
+      val handle = tracked.getOrElseUpdate(key, df)
+      if (handle.storageLevel == StorageLevel.NONE) {
+        // the entry is gone (clearCache, or a DROP TABLE uncached it).
+        // Re-persist the CALLER's df, not the stale handle: two plans can
+        // canonicalize equal while pinning DIFFERENT file-listing
+        // instances of the same table (drop → rebuild → swap leaves the
+        // old handle listing files that no longer exist — re-persisting
+        // it replays FileNotFound on the next materialization; this was a
+        // real bug the N-invocation-per-JVM path hit, not a theoretical)
+        tracked.put(key, df)
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+        (df, true)
+      } else (handle, false)
+    }
+    // eager timed fill on a fresh persist (outside the monitor — a slow
+    // fill must not convoy unrelated artifacts): the build cost lands in
+    // ONE attributable job instead of fusing invisibly into whichever
+    // consumer acts first, and Bench discloses it per query as
+    // query_cache_build_sec — the round-14 dedup_substring cold-retry
+    // adjudication channel. Total work is unchanged (the first consumer
+    // paid this exact pass before; now it reads cached blocks).
+    if (fresh) graft.CacheBuild.timed { chosen.count(); () }
+    chosen
   }
 
   def shingleArraysCached(documents: DataFrame): DataFrame =

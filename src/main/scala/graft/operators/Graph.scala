@@ -195,7 +195,9 @@ object Graph {
     val deg = edgesP.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val withDeg = edgesP.join(deg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    withDeg.count() // materialize once, outside the first round's timing
+    // materialize once, outside the first round's timing; clocked as an
+    // artifact build for Bench's query_cache_build_sec disclosure
+    graft.CacheBuild.timed { withDeg.count(); () }
 
     // seed scores FROM the cached edge relation (same node set: every
     // deg src survives the join) — seeding from `deg` would re-run the

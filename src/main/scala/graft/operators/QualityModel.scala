@@ -94,7 +94,7 @@ object QualityModel {
 
   private def fit(documents: DataFrame): (Array[Double], Double) = {
     val planKey = (documents.queryExecution.analyzed.canonicalized, FeatureDim)
-    val m = modelCache.getOrElseUpdate(planKey, {
+    val m = modelCache.getOrElseUpdate(planKey, graft.CacheBuild.timed {
       // prune to the sample BEFORE featurizing: at 100 TB the fit must
       // not pay a corpus-wide featurize pass for a 10k-doc sample
       val train = featurize(documents.orderBy(col("doc_id")).limit(TrainSample))

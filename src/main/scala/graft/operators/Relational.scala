@@ -1897,12 +1897,17 @@ object Relational {
           .select(col("p_partkey"), col("p_name")),
         col("ps_partkey") === col("p_partkey"))
       .join(regionSupp, col("ps_suppkey") === col("s_suppkey"))
-    val minCost = cand
-      .groupBy(col("p_partkey").as("mk"))
-      .agg(min(col("ps_supplycost_cents")).as("min_cost"))
+    // per-part window min instead of aggregate+join-back: the round-14
+    // advice flagged that the un-persisted candidate join subtree was
+    // referenced twice (min side + join-back side), recomputing the
+    // partsupp+part+supplier+nation join unless AQE exchange reuse fired.
+    // The window form reads the candidates ONCE — one shuffle on
+    // p_partkey (partition width = suppliers per part within the region,
+    // bounded), tie rows kept, identical output algebra.
     cand
-      .join(minCost, col("p_partkey") === col("mk") &&
-        col("ps_supplycost_cents") === col("min_cost"))
+      .withColumn("min_cost",
+        min(col("ps_supplycost_cents")).over(Window.partitionBy(col("p_partkey"))))
+      .filter(col("ps_supplycost_cents") === col("min_cost"))
       .select(cents(col("s_acctbal")).cast("long").as("s_acctbal_cents"),
         col("s_name"), col("n_name"), col("p_partkey"), col("p_name"),
         col("ps_supplycost_cents"))

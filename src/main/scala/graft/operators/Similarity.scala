@@ -295,7 +295,8 @@ object Similarity {
   def quantizerFor(embeddings: DataFrame, nCells: Int = 16,
                    slot: String = DefaultSlot): Array[Array[Float]] = {
     val planKey = embeddings.queryExecution.analyzed.canonicalized
-    val m = ivfModelCache.getOrElseUpdate((planKey, nCells), trainQuantizer(embeddings, nCells))
+    val m = ivfModelCache.getOrElseUpdate((planKey, nCells),
+      graft.CacheBuild.timed(trainQuantizer(embeddings, nCells)))
     if (m.nonEmpty) synchronized {
       val keys = quantSlots.get(slot).map(_._1).getOrElse(Set.empty[Any])
       quantSlots(slot) = (keys + ((planKey, nCells)), m)
@@ -792,7 +793,8 @@ object Similarity {
   def pqBooksFor(embeddings: DataFrame,
                  slot: String = DefaultSlot): Array[Array[Array[Float]]] = {
     val planKey = embeddings.queryExecution.analyzed.canonicalized
-    val m = pqModelCache.getOrElseUpdate(planKey, trainPqBooks(embeddings))
+    val m = pqModelCache.getOrElseUpdate(planKey,
+      graft.CacheBuild.timed(trainPqBooks(embeddings)))
     if (m.nonEmpty) synchronized {
       val keys = pqSlots.get(slot).map(_._1).getOrElse(Set.empty[Any])
       pqSlots(slot) = (keys + planKey, m)

@@ -9,17 +9,32 @@ package graft.tools
   * ratio exceeds median × bar — "slower than the run's own noise floor
   * explains". No Spark session; jackson rides the Spark classpath.
   *
-  * Usage: runMain graft.tools.BenchDiff <baseline.json> <candidate.json> [flagBar]
+  * A second axis (round-14 judge task 7): pass `cpu` as the 4th arg to
+  * diff `query_cpu_sec` (process-CPU seconds, steal-proof — host heat
+  * inflates wall ratios but not CPU ratios) instead of wall `queries`;
+  * `gc` diffs `query_gc_sec`, `build` diffs `query_cache_build_sec`.
+  * Round-over-round claims should cite BOTH wall and cpu modes: a real
+  * regression moves both, window heat moves only wall.
+  *
+  * Usage: runMain graft.tools.BenchDiff <baseline.json> <candidate.json> [flagBar] [wall|cpu|gc|build]
   */
 object BenchDiff {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: BenchDiff <baseline.json> <candidate.json> [flagBar]")
+    require(args.length >= 2, "usage: BenchDiff <baseline.json> <candidate.json> [flagBar] [wall|cpu|gc|build]")
     val flagBar = if (args.length > 2) args(2).toDouble else 1.3
+    val field = (if (args.length > 3) args(3) else "wall") match {
+      case "wall" => "queries"
+      case "cpu" => "query_cpu_sec"
+      case "gc" => "query_gc_sec"
+      case "build" => "query_cache_build_sec"
+      case other => sys.error(s"unknown mode '$other' (wall|cpu|gc|build)")
+    }
+    println(s"[benchdiff] axis: $field")
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     def queryMap(path: String): Map[String, Double] = {
       val root = om.readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
-      val q = root.get("queries")
-      require(q != null, s"$path carries no \"queries\" map (compact record? use the full artifact)")
+      val q = root.get(field)
+      require(q != null, s"$path carries no \"$field\" map (compact record, or a pre-r15 artifact without this axis? use the full artifact)")
       val it = q.fields()
       val b = Map.newBuilder[String, Double]
       while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }

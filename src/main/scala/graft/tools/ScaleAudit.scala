@@ -37,12 +37,14 @@ import org.apache.spark.sql.SparkSession
   */
 object ScaleAudit {
   def main(args: Array[String]): Unit = {
-    val defaultHuge = "localdata/sf0.5"
     val defaultPoints = {
       val base = "/root/testdata/sf0.01=1,/root/testdata/sf0.1=10"
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(defaultHuge, "_SCALEUP_MANIFEST")))
-        base + s",$defaultHuge=50"
-      else base
+      // generated decades join the default ladder when present: sf0.5
+      // (50×) and sf1.0 (100× — the literal design-brief scale span)
+      base + Seq("localdata/sf0.5" -> 50, "localdata/sf1.0" -> 100).collect {
+        case (d, s) if java.nio.file.Files.exists(java.nio.file.Paths.get(d, "_SCALEUP_MANIFEST")) =>
+          s",$d=$s"
+      }.mkString
     }
     val points: Seq[(String, Double)] = sys.env.getOrElse("SPARK_GRAFT_SF_POINTS", defaultPoints)
       .split(",").toSeq.map { p =>

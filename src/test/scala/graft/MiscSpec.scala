@@ -233,6 +233,37 @@ class MiscSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("Memo.clear vs buildOnce: clear waits for an in-flight build, no post-clear repopulation, no double-build across a clear") {
+    import scala.collection.concurrent.TrieMap
+    val cache = TrieMap[String, Int]()
+    val locks = TrieMap[String, AnyRef]()
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val started = new java.util.concurrent.CountDownLatch(1)
+    // a slow build in flight...
+    val builder = new Thread(() => {
+      graft.Memo.buildOnce(cache, locks, "k") {
+        started.countDown(); builds.incrementAndGet(); Thread.sleep(200); 1
+      }
+      ()
+    })
+    builder.start()
+    started.await()
+    // ...and racers that arrive while a clear is pending: none may run a
+    // second build of the pre-clear generation (the stranded-checkpoint
+    // leak the round-14 advice flagged)
+    val racer = new Thread(() => { graft.Memo.buildOnce(cache, locks, "k") { builds.incrementAndGet(); 2 }; () })
+    // clear must BLOCK until the in-flight build finishes, then leave the
+    // maps empty — the build's insert cannot land after the clear
+    graft.Memo.clear(cache, locks)
+    assert(builder.getState != Thread.State.NEW)
+    assert(cache.isEmpty && locks.isEmpty,
+      "an in-flight build's insert must not survive clear()")
+    racer.start(); racer.join(); builder.join()
+    // the racer rebuilt the post-clear generation exactly once
+    assert(builds.get() === 2)
+    assert(cache.get("k") === Some(2))
+  }
+
   test("coPurchasePairs memo: cache identity, per-session isolation, clear drops sessions and re-derives identically") {
     import spark.implicits._
     val li = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 2L))
