@@ -134,21 +134,46 @@ object Lifecycle {
         slot = "fgtcascade"))
 
     val doomed = docs.filter(col("doc_id") % forgetMod === forgetRem).pinned()
-    forget(spark, doomed, dedupName, searchName, ivfPath)
     val forgotten = doomed.select(col("doc_id"))
-    def report(family: String, ids: DataFrame): DataFrame =
-      ids.select(col("doc_id")).distinct()
+    // removal + report FUSED per family (round-15: the report used to run
+    // as a fourth serial phase after all three removals — max(removals) +
+    // report_total; fusing each family's verification aggregate into its
+    // own concurrent task makes the tail max(removal_f + report_f), and
+    // the slowest family's report overlaps the others' removals). Each
+    // task still touches only its own family's tables, so the
+    // disjoint-target contract of [[forget]]/Par.runAll is intact, and a
+    // crash recovery is unchanged (re-run; removals idempotent). The
+    // aggregate itself is identical algebra to the pre-fusion report, so
+    // the oracle hash is untouched — it just runs eagerly inside the
+    // task and the returned frame is the collected 3-row result.
+    def reportRow(family: String, ids: DataFrame): (String, Long, Long) = {
+      val r = ids.select(col("doc_id")).distinct()
         .join(broadcast(forgotten.withColumn("hit", lit(1L))),
           Seq("doc_id"), "left_outer")
         .agg(
           count(lit(1)).cast("long").as("n_remaining"),
           coalesce(sum(col("hit")), lit(0L)).cast("long").as("n_forgotten_present"))
-        .select(lit(family).as("family"), col("n_remaining"),
-          col("n_forgotten_present"))
-    report("bm25_postings", spark.table(s"${searchName}_postings"))
-      .unionByName(report("dedup_fp", spark.table(s"${dedupName}_fp")))
-      .unionByName(report("ivf_cells",
-        spark.read.parquet(s"$ivfPath/cells").select(col("vec_id").as("doc_id"))))
+        .head()
+      (family, r.getLong(0), r.getLong(1))
+    }
+    val rows = new Array[(String, Long, Long)](3)
+    graft.Par.runAll(
+      () => {
+        Dedup.applyCorpusDiff(spark, dedupName, doomed, doomed.filter(lit(false)))
+        rows(1) = reportRow("dedup_fp", spark.table(s"${dedupName}_fp"))
+      },
+      () => {
+        Search.removeFromSearchIndex(spark, searchName, doomed)
+        rows(0) = reportRow("bm25_postings", spark.table(s"${searchName}_postings"))
+      },
+      () => {
+        Similarity.removeFromIvfIndex(spark, ivfPath,
+          doomed.select(col("doc_id").as("vec_id")))
+        rows(2) = reportRow("ivf_cells",
+          spark.read.parquet(s"$ivfPath/cells").select(col("vec_id").as("doc_id")))
+      })
+    import spark.implicits._
+    rows.toSeq.toDF("family", "n_remaining", "n_forgotten_present")
       .orderBy("family")
   }
 }

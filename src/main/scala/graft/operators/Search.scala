@@ -278,14 +278,17 @@ object Search {
       .filter(col("present") || col("dl").isNull || col("dl") === 0L)
       .select(col("doc_id"), col("dl"), col("present")).pinned()
     val toDropIds = rm.filter(col("present")).select(col("doc_id"))
+    // ONE aggregate job over the pin for everything the driver needs —
+    // path choice (nRemoved/nPresent) AND the totals delta (rm_docs/
+    // rm_dl). These were two separate head() jobs over the same
+    // checkpointed relation; at takedown sizes each job is dominated by
+    // its fixed dispatch, so folding them halves that tax (the
+    // forget_search floor the round-14 profile flagged).
     val cnt = rm.agg(count(lit(1)).as("all"),
-      coalesce(sum(when(col("present"), 1L).otherwise(0L)), lit(0L)).as("p")).head()
+      coalesce(sum(when(col("present"), 1L).otherwise(0L)), lit(0L)).as("p"),
+      coalesce(sum(when(col("present"), col("dl"))), lit(0L)).as("rm_dl")).head()
     val (nRemoved, nPresent) = (cnt.getLong(0), cnt.getLong(1))
     if (nRemoved == 0) return // replayed/absent removal: index already clean
-    // lazy: the delta aggregate rides the totals write off the pin
-    val delta = rm
-      .agg(count(lit(1)).as("rm_docs"),
-        coalesce(sum(when(col("present"), col("dl"))), lit(0L)).as("rm_dl"))
     // TOUCHED-BUCKET pruning: a removed doc's postings live exactly in
     // the buckets of its own tokens, which the removal's text names
     // without any index scan — probe those (gated by the same
@@ -317,8 +320,7 @@ object Search {
             .withColumn("batch_id", lit(BaseSegment)),
           pt, "tok", buckets)
     }
-    val dRow = delta.head()
-    val (rmDocs, rmDl) = (dRow.getLong(0), if (dRow.isNullAt(1)) 0L else dRow.getLong(1))
+    val (rmDocs, rmDl) = (nRemoved, if (cnt.isNullAt(2)) 0L else cnt.getLong(2))
     if (affected.exists(_.size < buckets)) {
       // partial path: the ledger (distinct batch_id of totals) must keep
       // every id the untouched buckets' rows still carry — adjust the
