@@ -79,6 +79,12 @@ class ParSpec extends SparkSpec {
     assert(spark.table("par_dix_fp").select("doc_id").distinct().count() === expected)
     assert(spark.table("par_srch_postings").select("doc_id").distinct().count() === expected)
     assert(spark.read.parquet(s"$ivfPath/cells").count() === expected)
+    // housekeeping rides the cascade: after a CLEAN forget every swap
+    // already reclaimed its own old generation, so vacuum finds nothing —
+    // and the families it healed/inspected still answer identically
+    assert(Lifecycle.vacuum(spark, "par_dix", "par_srch", ivfPath).isEmpty)
+    assert(spark.table("par_dix_fp").select("doc_id").distinct().count() === expected)
+    assert(spark.read.parquet(s"$ivfPath/cells").count() === expected)
     Dedup.dropDedupIndex(spark, "par_dix")
     Search.dropSearchIndex(spark, "par_srch")
   }
