@@ -1028,15 +1028,34 @@ object SparkEntry {
     * float sign arithmetic, bit-identical in both engines, so candidates
     * (and therefore results) now match deterministically on ANY corpus.
     * The recall claim is enforced separately by a measured property test
-    * (DedupSpec "sign-LSH banding recall"). */
+    * (DedupSpec "sign-LSH banding recall").
+    *
+    * Round-15: the geometry is scale-ADAPTIVE ([[Dedup.embGeometryFor]] —
+    * the four-decade audit measured the fixed 12×5 keyspace quadratic at
+    * sf1.0), so the oracle's bands CTE is a UNION of the ladder's
+    * geometry branches, each gated by the same corpus count the operator
+    * switches on: exactly one branch is non-empty for any corpus, and
+    * both engines pick it from the identical integer. */
   private def embeddingNearDupOracle: String = {
-    def bandKey(b: Int) = (0 until Dedup.EmbBandBits)
-      .map(j => s"(CASE WHEN embedding[${b * Dedup.EmbBandBits + j + 1}] >= 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)")
+    def bandKey(b: Int, bits: Int) = (0 until bits)
+      .map(j => s"(CASE WHEN embedding[${b * bits + j + 1}] >= 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)")
       .mkString(" + ")
-    val bandKeys = (0 until Dedup.EmbBands).map(bandKey).mkString("[", ", ", "]")
-    val bandIdxs = (0 until Dedup.EmbBands).mkString("[", ", ", "]")
+    // (lo, hi, bands, bits) rungs — mirror embGeometryFor exactly
+    val ladder = Seq(
+      (0L, 6400L, 12, 5), (6400L, 12800L, 10, 6),
+      (12800L, 25600L, 9, 7), (25600L, Long.MaxValue, 8, 8))
+    val branches = ladder.map { case (lo, hi, bands, bits) =>
+      val keys = (0 until bands).map(bandKey(_, bits)).mkString("[", ", ", "]")
+      val idxs = (0 until bands).mkString("[", ", ", "]")
+      val hiPred = if (hi == Long.MaxValue) "" else s" AND (SELECT n FROM ncnt) <= $hi"
+      s"""SELECT vec_id, unnest($keys) AS band_key, unnest($idxs) AS band_idx
+         |  FROM nz WHERE (SELECT n FROM ncnt) > $lo$hiPred""".stripMargin
+    }.mkString("\n  UNION ALL\n")
     s"""WITH nz AS (SELECT * FROM embeddings WHERE ${dotSql("embeddings", "embeddings")} > 0),
-       |bands0 AS (SELECT vec_id, unnest($bandKeys) AS band_key, unnest($bandIdxs) AS band_idx FROM nz),
+       |ncnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+       |bands0 AS (
+       |$branches
+       |),
        |hot AS (SELECT band_idx, band_key FROM bands0
        |  GROUP BY 1, 2 HAVING count(*) > ${Dedup.EmbMaxBucket}),
        |bands AS (SELECT b.vec_id, b.band_key, b.band_idx FROM bands0 b

@@ -1568,6 +1568,40 @@ object Dedup {
   val EmbBandBits = 5
   val EmbBands = 12
 
+  /** Scale-ADAPTIVE band geometry for [[embeddingNearDup]] (round-15):
+    * the r15 four-decade scale audit caught the fixed 12×5 keyspace
+    * going quadratic at the new sf1.0 point — 384 buckets with
+    * near-uniform occupancy (sign bits on isotropic vectors) means
+    * per-bucket population ∝ N and candidate pairs ∝ N² (measured:
+    * 18.7M pairs at 10k vectors → 75.0M at 20k, top-interval exponent
+    * 2.2), while the [[EmbMaxBucket]] skew cap never fires because ALL
+    * buckets grow together — and once they cross it, recall cliffs to
+    * zero. Same cure as [[semanticCellsFor]]: grow the KEYSPACE with the
+    * corpus. Within the 64-dim sign-bit budget the ladder widens bands
+    * (fewer, longer) to hold per-bucket occupancy ≤ ~200:
+    *
+    *   n ≤ 6400   → 12×5 (32 keys/band)  boundary recall ≈81% at cos 0.5
+    *   n ≤ 12800  → 10×6 (64 keys/band)  ≈60%
+    *   n ≤ 25600  →  9×7 (128 keys/band) ≈40%
+    *   n > 25600  →  8×8 (256 keys/band) ≈27%  (the cos≥0.9 production
+    *                                            geometry; cap backstop)
+    *
+    * The declining BOUNDARY recall is LSH theory, not a defect: at a
+    * fixed dimension budget no sign-LSH family is simultaneously
+    * selective and complete at cos 0.5 — near-dup recall (the operator's
+    * purpose) stays ≥93% at 8×8 (DedupSpec pins both ends of the
+    * ladder), and the scalable low-threshold path is [[semanticDedup]]'s
+    * density-adaptive cells. The DuckDB oracle replicates the ladder
+    * (each geometry branch gated by the same corpus count), so every
+    * decade stays hash-gated; sf0.01/sf0.1 resolve to 12×5 — adaptivity
+    * changes nothing the driver gate or the round-over-round bench
+    * compares. */
+  def embGeometryFor(n: Long): (Int, Int) =
+    if (n <= 6400L) (12, 5)
+    else if (n <= 12800L) (10, 6)
+    else if (n <= 25600L) (9, 7)
+    else (8, 8)
+
   private def embBandKey(emb: Column, band: Int, bits: Int): Column =
     (0 until bits)
       // try_element_at: a vector shorter than the band range contributes 0
@@ -1606,16 +1640,23 @@ object Dedup {
     * holding more than `maxBucket` vectors are dropped from candidate
     * generation (see [[EmbMaxBucket]]). */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.5,
-                       bands: Int = EmbBands, bits: Int = EmbBandBits,
+                       bands: Int = -1, bits: Int = -1,
                        maxBucket: Int = EmbMaxBucket): DataFrame = {
     import graft.plans.DotProduct.dot
+    // adaptive geometry unless the caller pins one: the corpus count is
+    // a parquet-metadata job (no column read), the same eager-model-
+    // artifact class as semanticCellsFor's count — oracle mirrors the
+    // count-gated ladder branch selection
+    val (bnd, bts) =
+      if (bands > 0 && bits > 0) (bands, bits)
+      else embGeometryFor(embeddings.count())
     val base = embeddings.select(col("vec_id"), col("embedding"),
       dot(col("embedding"), col("embedding")).as("nrm"))
       // zero/null vectors have no direction — excluded by contract (and
       // the cosine division would be an ANSI divide-by-zero). The oracle
       // mirrors the nrm > 0 guard.
       .filter(col("nrm") > 0)
-    val bandCols = array((0 until bands).map(b => embBandKey(col("embedding"), b, bits)): _*)
+    val bandCols = array((0 until bnd).map(b => embBandKey(col("embedding"), b, bts)): _*)
     val bandRows0 = base.select(col("vec_id"), posexplode(bandCols))
       .toDF("vec_id", "band_idx", "band_key")
     // hot-bucket cut (see [[EmbMaxBucket]]): the hot list is tiny —

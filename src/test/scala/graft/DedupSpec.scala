@@ -493,6 +493,31 @@ class DedupSpec extends SparkSpec {
       recallLo = 0.85, recallHi = 0.99, unrelatedMax = 0.10)
   }
 
+  test("embGeometryFor ladder: rung thresholds, 64-dim budget, and adaptive == pinned on a rung-1 corpus") {
+    // exact rung boundaries (the oracle's count-gated branches mirror
+    // these integers — a drift here is a cross-engine hash mismatch)
+    assert(Dedup.embGeometryFor(0L) === ((12, 5)))
+    assert(Dedup.embGeometryFor(6400L) === ((12, 5)))
+    assert(Dedup.embGeometryFor(6401L) === ((10, 6)))
+    assert(Dedup.embGeometryFor(12800L) === ((10, 6)))
+    assert(Dedup.embGeometryFor(12801L) === ((9, 7)))
+    assert(Dedup.embGeometryFor(25600L) === ((9, 7)))
+    assert(Dedup.embGeometryFor(25601L) === ((8, 8)))
+    // every rung fits the 64-dim sign-bit budget and grows the keyspace
+    val rungs = Seq(0L, 10000L, 20000L, 30000L).map(Dedup.embGeometryFor)
+    assert(rungs.forall { case (b, k) => b * k <= 64 })
+    assert(rungs.map { case (_, k) => k }.sliding(2).forall { case Seq(a, b) => b > a })
+    // a small corpus resolves to rung 1: the adaptive default is
+    // bit-identical to the pinned 12×5 call (the driver-gated decades)
+    val vecs = (0L until 50L).map { i =>
+      (i, Array.tabulate(64)(d => math.sin(i * 17.0 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val adaptive = Dedup.embeddingNearDup(vecs, 0.3).collect().map(_.toSeq).toSet
+    val pinned = Dedup.embeddingNearDup(vecs, 0.3, bands = 12, bits = 5)
+      .collect().map(_.toSeq).toSet
+    assert(adaptive === pinned)
+  }
+
   test("embeddingNearDup with 8×8 bands finds parallel vectors at threshold 0.9") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),
