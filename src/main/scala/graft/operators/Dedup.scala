@@ -1226,8 +1226,19 @@ object Dedup {
     candidates
       .join(n.select(col("doc_id"), col("p").as("pa")), col("doc_a") === col("doc_id")).drop("doc_id")
       .join(n.select(col("doc_id"), col("p").as("pb")), col("doc_b") === col("doc_id")).drop("doc_id")
-      .withColumn("lev_dist", levenshtein(col("pa"), col("pb")).cast("long"))
-      .filter(col("lev_dist") <= maxDist)
+      // BOUNDED verify (round-15): the threshold form early-exits the DP
+      // above maxDist — O(maxDist·len) banded cells instead of len² per
+      // candidate. Measured NEUTRAL at the synthetic top decade (11.2 →
+      // 11.6 s, inside noise): the stage there is bound by the 3.27M-pair
+      // distinct + payload joins, not the DP (SCALEAUDIT_r15
+      // adjudication) — kept because it is strictly less work per pair
+      // at any scale where the DP does dominate (longer prefixes, CPU-
+      // bound executors). Returns −1 above the bound, so the keep-filter
+      // is between(0, maxDist); kept rows carry the exact distance —
+      // output identical to the unbounded form, and the exact all-pairs
+      // oracle is unchanged.
+      .withColumn("lev_dist", levenshtein(col("pa"), col("pb"), maxDist).cast("long"))
+      .filter(col("lev_dist").between(0, maxDist))
       .select(col("doc_a"), col("doc_b"), col("lev_dist"))
       .orderBy("doc_a", "doc_b")
   }
