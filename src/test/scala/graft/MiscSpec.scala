@@ -233,6 +233,27 @@ class MiscSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("CacheBuild: outermost-frame accounting (nested sections don't double-count), concurrent builds sum") {
+    val t0 = graft.CacheBuild.totalSec
+    // nested timed sections: only the OUTER frame accrues — a memoized
+    // build that fills a tracked cache must not count its seconds twice
+    graft.CacheBuild.timed {
+      graft.CacheBuild.timed { Thread.sleep(60) }
+      Thread.sleep(60)
+    }
+    val afterNested = graft.CacheBuild.totalSec - t0
+    assert(afterNested >= 0.110 && afterNested < 0.40,
+      s"nested sections must count once (outer wall ~0.12 s), got $afterNested")
+    // two concurrent builds on separate threads both accrue (the counter
+    // is a sum of build seconds, not a wall-clock interval)
+    val t1 = graft.CacheBuild.totalSec
+    val ts = (1 to 2).map(_ => new Thread(() => graft.CacheBuild.timed { Thread.sleep(80) }))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    val afterPar = graft.CacheBuild.totalSec - t1
+    assert(afterPar >= 0.150 && afterPar < 0.60,
+      s"two concurrent 80 ms builds must sum to ~0.16 s, got $afterPar")
+  }
+
   test("Memo.clear vs buildOnce: clear waits for an in-flight build, no post-clear repopulation, no double-build across a clear") {
     import scala.collection.concurrent.TrieMap
     val cache = TrieMap[String, Int]()
