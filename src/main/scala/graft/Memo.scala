@@ -27,20 +27,38 @@ import scala.collection.concurrent.TrieMap
   * clear waits for in-flight builds to finish and then empties both maps
   * atomically w.r.t. any build; the hit path stays lock-free (a hit
   * concurrent with clear linearizes before it). Different-key builds
-  * still run concurrently (the read lock is shared). Do NOT call clear()
-  * from inside a build closure — read→write is not upgradable and would
-  * self-deadlock (no current caller does; builds are plan/checkpoint
-  * constructions).
+  * still run concurrently (the read lock is shared). The guard is scoped
+  * PER CACHE (see [[guardFor]]), and clear() from inside the same cache's
+  * build closure throws IllegalStateException instead of self-deadlocking
+  * (no current caller does; builds are plan/checkpoint constructions).
   */
 object Memo {
 
-  private val guard = new java.util.concurrent.locks.ReentrantReadWriteLock()
+  private val guards =
+    new java.util.IdentityHashMap[AnyRef, java.util.concurrent.locks.ReentrantReadWriteLock]()
+
+  /** The guard is PER CACHE (round-16, advisor): a single global
+    * read/write lock made clear() of any cache wait on in-flight builds
+    * of ALL caches, and a queued writer then stalled unrelated
+    * different-key builds behind the longest running build. Guards live
+    * in an identity map keyed by the cache instance (TrieMap equality is
+    * structural — two empty caches compare equal — so reference identity
+    * is required), one tiny lock per cache for the JVM's lifetime. */
+  private def guardFor(cache: AnyRef): java.util.concurrent.locks.ReentrantReadWriteLock =
+    guards.synchronized {
+      var g = guards.get(cache)
+      if (g == null) {
+        g = new java.util.concurrent.locks.ReentrantReadWriteLock()
+        guards.put(cache, g)
+      }
+      g
+    }
 
   def buildOnce[K, V](cache: TrieMap[K, V], locks: TrieMap[K, AnyRef], key: K)
                      (build: => V): V = {
     val hit = cache.get(key)
     if (hit.isDefined) return hit.get
-    val r = guard.readLock()
+    val r = guardFor(cache).readLock()
     r.lock()
     try {
       val fresh = new Object
@@ -56,8 +74,17 @@ object Memo {
 
   /** Clear both maps (bench/audit retry hygiene — dropping the lock map
     * is what un-leaks the session-bearing keys). Blocks until in-flight
-    * builds complete so no build can straddle the clear. */
+    * builds OF THIS CACHE complete so no build can straddle the clear;
+    * other caches' builds and clears are unaffected. Calling it from
+    * inside this cache's own build closure is a read→write upgrade that
+    * can never succeed — detected via this thread's read-hold count and
+    * thrown as IllegalStateException instead of deadlocking. */
   def clear[K, V](cache: TrieMap[K, V], locks: TrieMap[K, AnyRef]): Unit = {
+    val guard = guardFor(cache)
+    if (guard.getReadHoldCount > 0)
+      throw new IllegalStateException(
+        "Memo.clear() called from inside the same cache's build closure — " +
+          "a read->write upgrade that can never succeed")
     val w = guard.writeLock()
     w.lock()
     try { cache.clear(); locks.clear() } finally w.unlock()

@@ -359,6 +359,12 @@ object SparkEntry {
     "substring_gram_stats" -> ((s, d) => Dedup.substringGramStats(Tables.documents(s, d))),
     "dedup_levenshtein" -> ((s, d) => Dedup.levenshteinPrefix(Tables.documents(s, d))),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
+    // threshold 0.5, like the adaptive ladder: the synthetic embeddings
+    // are isotropic — no pair anywhere reaches cos 0.8 — so a 0.9 gate
+    // would compare empty-vs-empty at every decade
+    "dedup_embedding_hyperplane" -> ((s, d) => Dedup.embeddingNearDup(
+      Tables.embeddings(s, d), threshold = 0.5,
+      bands = Dedup.EmbHyperBands, bits = 8, hyperplane = true)),
     // SemDeDup: cluster-scoped semantic dedup sharing the session IVF
     // quantizer (oracle inlines the same centroid table post-run).
     // Registered at threshold 0.4: the synthetic embeddings are
@@ -1036,22 +1042,36 @@ object SparkEntry {
     * geometry branches, each gated by the same corpus count the operator
     * switches on: exactly one branch is non-empty for any corpus, and
     * both engines pick it from the identical integer. */
-  private def embeddingNearDupOracle: String = {
-    def bandKey(b: Int, bits: Int) = (0 until bits)
-      .map(j => s"(CASE WHEN embedding[${b * bits + j + 1}] >= 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)")
-      .mkString(" + ")
-    // (lo, hi, bands, bits) rungs — mirror embGeometryFor exactly
-    val ladder = Seq(
-      (0L, 6400L, 12, 5), (6400L, 12800L, 10, 6),
-      (12800L, 25600L, 9, 7), (25600L, Long.MaxValue, 8, 8))
-    val branches = ladder.map { case (lo, hi, bands, bits) =>
-      val keys = (0 until bands).map(bandKey(_, bits)).mkString("[", ", ", "]")
-      val idxs = (0 until bands).mkString("[", ", ", "]")
-      val hiPred = if (hi == Long.MaxValue) "" else s" AND (SELECT n FROM ncnt) <= $hi"
-      s"""SELECT vec_id, unnest($keys) AS band_key, unnest($idxs) AS band_idx
-         |  FROM nz WHERE (SELECT n FROM ncnt) > $lo$hiPred""".stripMargin
-    }.mkString("\n  UNION ALL\n")
-    s"""WITH nz AS (SELECT * FROM embeddings WHERE ${dotSql("embeddings", "embeddings")} > 0),
+  /** Axis-aligned sign-band key: bit j of band b is the sign of raw
+    * component b·bits+j — pure float sign arithmetic, bit-identical in
+    * both engines. */
+  private def embAxisBandKeySql(b: Int, bits: Int): String = (0 until bits)
+    .map(j => s"(CASE WHEN embedding[${b * bits + j + 1}] >= 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)")
+    .mkString(" + ")
+
+  /** Random-hyperplane sign-band key over the quantized lattice `qe`
+    * (see [[Dedup.EmbQuantScale]]): bit j is the sign of
+    * Σ_d ±qe[d], signs inlined from [[Dedup.embHyperSign]] — all-int64
+    * arithmetic, exact and order-independent in both engines. */
+  private def embHyperBandKeySql(b: Int, bits: Int): String = (0 until bits).map { j =>
+    val terms = (0 until Dedup.EmbDim).map { d =>
+      val s = if (Dedup.embHyperSign(b, j, d) > 0) "+" else "-"
+      s"$s COALESCE(qe[${d + 1}], 0)"
+    }.mkString(" ")
+    s"(CASE WHEN ($terms) >= 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)"
+  }.mkString(" + ")
+
+  /** The integer-lattice quantization both engines share: floor(x·1024)
+    * per component — exact in IEEE double (power-of-two scale). */
+  private def embQuantSql: String =
+    s"list_transform(embedding, x -> CAST(FLOOR(x::DOUBLE * ${Dedup.EmbQuantScale}) AS BIGINT))"
+
+  /** The shared LSH-pairs skeleton of the embedding-dedup oracles:
+    * `branches` fills bands0 (one SELECT per geometry branch),
+    * `threshold` the final cosine gate. */
+  private def embPairsOracle(branches: String, threshold: Double): String =
+    s"""WITH nz AS (SELECT *, $embQuantSql AS qe FROM embeddings
+       |  WHERE ${dotSql("embeddings", "embeddings")} > 0),
        |ncnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
        |bands0 AS (
        |$branches
@@ -1067,7 +1087,42 @@ object SparkEntry {
        |    ${dotSql("a", "b")} AS dp, ${dotSql("a", "a")} AS na, ${dotSql("b", "b")} AS nb
        |  FROM cand JOIN nz a ON vec_a = a.vec_id JOIN nz b ON vec_b = b.vec_id)
        |SELECT vec_a, vec_b, round(dp / sqrt(na * nb), 4) AS cos_sim
-       |FROM p WHERE dp / sqrt(na * nb) >= 0.5 ORDER BY 1, 2""".stripMargin
+       |FROM p WHERE dp / sqrt(na * nb) >= $threshold ORDER BY 1, 2""".stripMargin
+
+  private def embeddingNearDupOracle: String = {
+    // (lo, hi, bands, bits, hyperplane) rungs — mirror embGeometryFor
+    // exactly. The hyperplane rung's bits grow with the corpus
+    // (embHyperBitsFor); the oracle inlines the two rungs reachable
+    // below 102400 vectors — extending the committed decades past that
+    // means appending the next (hi·2, bits+1) entry here.
+    val ladder = Seq(
+      (0L, 6400L, 12, 5, false), (6400L, 12800L, 10, 6, false),
+      (12800L, 25600L, 9, 7, false),
+      (25600L, 51200L, Dedup.EmbHyperBands, 8, true),
+      (51200L, 102400L, Dedup.EmbHyperBands, 9, true))
+    val branches = ladder.map { case (lo, hi, bands, bits, hyper) =>
+      val keys = (0 until bands)
+        .map(b => if (hyper) embHyperBandKeySql(b, bits) else embAxisBandKeySql(b, bits))
+        .mkString("[", ", ", "]")
+      val idxs = (0 until bands).mkString("[", ", ", "]")
+      s"""SELECT vec_id, unnest($keys) AS band_key, unnest($idxs) AS band_idx
+         |  FROM nz WHERE (SELECT n FROM ncnt) > $lo AND (SELECT n FROM ncnt) <= $hi""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    embPairsOracle(branches, 0.5)
+  }
+
+  /** Oracle for the PINNED hyperplane geometry (the fifth-rung key
+    * family forced on the gated corpora): a single 12×8 hyperplane
+    * branch, no count gating, same 0.5 boundary threshold as the
+    * adaptive ladder. */
+  private def embeddingHyperplaneOracle: String = {
+    val bands = Dedup.EmbHyperBands
+    val keys = (0 until bands).map(embHyperBandKeySql(_, 8)).mkString("[", ", ", "]")
+    val idxs = (0 until bands).mkString("[", ", ", "]")
+    val branch =
+      s"""SELECT vec_id, unnest($keys) AS band_key, unnest($idxs) AS band_idx
+         |  FROM nz""".stripMargin
+    embPairsOracle(branch, 0.5)
   }
 
   /** Mirrors Search.bm25TopK step for step — same integer units
@@ -3499,6 +3554,7 @@ object SparkEntry {
         |SELECT doc_a, doc_b, CAST(max(span + 7) AS BIGINT) AS overlap_tokens
         |FROM runs WHERE n = span AND span >= 5 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dedup_embedding_cosine" -> embeddingNearDupOracle,
+    "dedup_embedding_hyperplane" -> embeddingHyperplaneOracle,
     // ---- similarity search ----
     "ann_bruteforce_topk" -> annBruteForceOracle,
     // the SQL-surface spelling computes the identical result, so it shares
@@ -3978,7 +4034,8 @@ object SparkEntry {
       "dedup_exact", "dedup_exact_norm", "dedup_exact_norm_sql", "dedup_minhash_lsh",
       "dedup_minhash_sql", "dedup_simhash", "dedup_ngram_jaccard", "dedup_sparse_cosine",
       "dedup_substring", "substring_gram_stats", "dedup_levenshtein",
-      "dedup_embedding_cosine", "dedup_semantic", "dedup_clusters", "dedup_cluster_sizes",
+      "dedup_embedding_cosine", "dedup_embedding_hyperplane",
+      "dedup_semantic", "dedup_clusters", "dedup_cluster_sizes",
       "dedup_keep_best", "dedup_bloom_check", "dedup_chunks", "incremental_dedup",
       "incremental_dedup_after_diff", "corpus_diff", "cross_source_dup_matrix",
       "minhash_band_stats", "simhash_band_stats", "benchmark_contamination",

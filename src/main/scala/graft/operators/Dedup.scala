@@ -127,6 +127,16 @@ object Dedup {
     // query_cache_build_sec — the round-14 dedup_substring cold-retry
     // adjudication channel. Total work is unchanged (the first consumer
     // paid this exact pass before; now it reads cached blocks).
+    // KNOWN LAZINESS TRADE (advisor, round 16): the fill makes
+    // plan-BUILDER calls (shingleArraysCached etc.) run a materialization
+    // job at DataFrame-construction time, fill failures surface from the
+    // builder rather than the first consumer, and a concurrent same-plan
+    // caller returns before the fill completes (it re-scans uncached
+    // blocks — correct, just unshared work). All current callers are
+    // serial per plan; if construction-time jobs ever become a problem,
+    // the fix is awaiting an in-flight fill per key, not dropping the
+    // eager fill (the attribution it buys is load-bearing for BenchDiff's
+    // wall−build axis).
     if (fresh) graft.CacheBuild.timed { chosen.count(); () }
     chosen
   }
@@ -482,8 +492,15 @@ object Dedup {
     * compaction (rewrite via [[saveDedupIndex]] over the full corpus at
     * the next snapshot) — the dedup RESULTS are unaffected either way
     * (duplicate/fragmented index rows cannot change an anti-join or
-    * candidate-distinct outcome). */
+    * candidate-distinct outcome).
+    *
+    * Schema evolution (see [[IndexSchemaException]]): the batch must
+    * carry `doc_id` and `text`; anything else it grew is ignored (the
+    * fp/bands/shingles writers project their canonical columns), and a
+    * missing required column throws the named contract error before any
+    * table is touched. */
   def appendToDedupIndex(admitted: DataFrame, name: String): Unit = {
+    IndexSchema.requireColumns(admitted, "dedup", Seq("doc_id", "text"))
     // the append MUST use the existing tables' own bucket spec — Spark
     // rejects an Append whose bucketBy disagrees with the table's — so
     // read the bucket count out of each table's catalog metadata instead
@@ -1594,24 +1611,91 @@ object Dedup {
     *   n ≤ 6400   → 12×5 (32 keys/band)  boundary recall ≈81% at cos 0.5
     *   n ≤ 12800  → 10×6 (64 keys/band)  ≈60%
     *   n ≤ 25600  →  9×7 (128 keys/band) ≈40%
-    *   n > 25600  →  8×8 (256 keys/band) ≈27%  (the cos≥0.9 production
-    *                                            geometry; cap backstop)
+    *   n > 25600  → 12 RANDOM-HYPERPLANE bands × [[embHyperBitsFor]] bits
+    *                (round-16 fifth rung — see below)
     *
     * The declining BOUNDARY recall is LSH theory, not a defect: at a
     * fixed dimension budget no sign-LSH family is simultaneously
     * selective and complete at cos 0.5 — near-dup recall (the operator's
-    * purpose) stays ≥93% at 8×8 (DedupSpec pins both ends of the
-    * ladder), and the scalable low-threshold path is [[semanticDedup]]'s
-    * density-adaptive cells. The DuckDB oracle replicates the ladder
-    * (each geometry branch gated by the same corpus count), so every
-    * decade stays hash-gated; sf0.01/sf0.1 resolve to 12×5 — adaptivity
-    * changes nothing the driver gate or the round-over-round bench
-    * compares. */
-  def embGeometryFor(n: Long): (Int, Int) =
-    if (n <= 6400L) (12, 5)
-    else if (n <= 12800L) (10, 6)
-    else if (n <= 25600L) (9, 7)
-    else (8, 8)
+    * purpose) stays ≥93% at the wide rungs (DedupSpec pins both ends of
+    * the ladder), and the scalable low-threshold path is
+    * [[semanticDedup]]'s density-adaptive cells. The DuckDB oracle
+    * replicates the ladder (each geometry branch gated by the same
+    * corpus count), so every decade stays hash-gated; sf0.01/sf0.1
+    * resolve to 12×5 — adaptivity changes nothing the driver gate or
+    * the round-over-round bench compares.
+    *
+    * ROUND-16 fifth rung — the ladder's last axis-aligned rung (8×8, 64
+    * sign bits total) exhausted the dimension budget: past ~25.6k
+    * vectors per-bucket occupancy grows ∝ N again and nothing wider is
+    * expressible with axis signs. The fifth rung switches to RANDOM
+    * HYPERPLANES (Charikar 2002, STOC — sign of 〈w, x〉 for a random w),
+    * which are not confined to 64 planes: bands stay at 12 (recall
+    * headroom) and bits grow with the corpus so per-bucket occupancy
+    * stays ≤ ~[[EmbHyperTarget]] FOREVER. Cross-engine exactness — the
+    * reason this was deferred in r15 — comes from the INTEGER lattice:
+    * components quantize to `floor(x·1024)` (exact in IEEE double: the
+    * scale is a power of two), hyperplane weights are ±1 from a
+    * deterministic integer mix ([[embHyperSign]]), and the projection is
+    * a pure int64 sum — associative, overflow-free, bit-identical in
+    * Spark and DuckDB regardless of evaluation order. Same discipline as
+    * pagerank's and BM25's integer units. */
+  def embGeometryFor(n: Long): EmbGeometry =
+    if (n <= 6400L) EmbAxisGeometry(12, 5)
+    else if (n <= 12800L) EmbAxisGeometry(10, 6)
+    else if (n <= 25600L) EmbAxisGeometry(9, 7)
+    else EmbHyperGeometry(EmbHyperBands, embHyperBitsFor(n))
+
+  /** Band geometry resolved by [[embGeometryFor]]: axis-aligned sign
+    * bits (rungs 1–3, ≤ 64 total bits) or random-hyperplane sign bits
+    * (rung 4+, unbounded keyspace). */
+  sealed trait EmbGeometry { def bands: Int; def bits: Int }
+  final case class EmbAxisGeometry(bands: Int, bits: Int) extends EmbGeometry
+  final case class EmbHyperGeometry(bands: Int, bits: Int) extends EmbGeometry
+
+  /** Fifth-rung targets: hold per-band bucket occupancy near
+    * [[EmbHyperTarget]] by growing band LENGTH — smallest bits ≥ 8 with
+    * n ≤ target·2^bits (8 bits ≤ 51.2k vectors, 9 ≤ 102.4k, 10 ≤ 204.8k,
+    * …). Boundary recall at cos 0.5 declines with bits (12 bands × 8
+    * bits ≈ 38%); near-dup recall at cos 0.9 stays ≥86% even at 12 bits
+    * (per-bit sign-agreement p≈0.856 ⇒ 1−(1−p^bits)^12). */
+  val EmbHyperBands = 12
+  val EmbHyperTarget = 200L
+  def embHyperBitsFor(n: Long): Int = {
+    var b = 8
+    while (b < 62 && n > (EmbHyperTarget << b)) b += 1
+    b
+  }
+
+  /** Fixed-point scale for the hyperplane integer lattice: a power of
+    * two, so `x.toDouble * 1024` is EXACT for every float x and
+    * `floor` of it is engine-independent. */
+  val EmbQuantScale = 1024
+
+  /** Embedding dimension budget the hyperplane signs span. Shorter
+    * vectors contribute 0 for the missing dims (coalesce) — mirrored in
+    * the oracle. */
+  val EmbDim = 64
+
+  /** Deterministic ±1 hyperplane weight for (band, bit, dim): murmur3's
+    * 64-bit finalizer (public avalanche constants) over a collision-free
+    * plane×dim index, parity of the mixed value. A cheap linear-
+    * congruential bit is NOT enough here — with k stepping by 1 per dim
+    * and by 64 per plane, bit m of (k·C) is one fixed sequence sampled
+    * at shifted phases, so planes came out as shifted copies of each
+    * other (measured max inter-plane |corr| 1.0, near-dup recall 0.82
+    * instead of the independent-bands 0.98); the avalanche mix
+    * decorrelates them (max |corr| 0.5 — the random-matrix ambient level
+    * at d=64 — recall 0.99, DedupSpec measures it). Pure wrapping-Long
+    * arithmetic, identical on any JVM; the oracle inlines the RESULTING
+    * ±1 literals, so no other engine ever recomputes this. */
+  def embHyperSign(band: Int, bit: Int, d: Int): Int = {
+    var h = (band.toLong * 64 + bit) * 64 + d
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    if ((h & 1L) == 0L) 1 else -1
+  }
 
   private def embBandKey(emb: Column, band: Int, bits: Int): Column =
     (0 until bits)
@@ -1619,6 +1703,28 @@ object Dedup {
       // bits (null comparison is falsy) instead of an ANSI index error
       .map(j => when(try_element_at(emb, lit(band * bits + j + 1)) >= 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
+
+  /** Random-hyperplane band key over the QUANTIZED vector `q` (int64
+    * components, see [[EmbQuantScale]]): bit j set iff
+    * Σ_d [[embHyperSign]](band,j,d)·q_d ≥ 0. All-integer, so the sum is
+    * exact and ORDER-INDEPENDENT (no-overflow int64 addition is
+    * associative, unlike floats) — the DuckDB oracle inlines the same
+    * ±q_d terms as explicit SQL and agrees bit-for-bit even though its
+    * summation shape differs. Each bit's projection is one zip_with
+    * against a 64-long literal sign vector folded by `aggregate`, not a
+    * 64-term expression tree: the term-per-node form serialized ~26 MiB
+    * task binaries at 12×8 (6144 expression nodes through whole-stage
+    * codegen). coalesce(x*s, 0): a vector shorter than [[EmbDim]]
+    * contributes 0 for its missing dims (zip_with null-pads), mirroring
+    * the oracle's COALESCE(qe[d], 0). */
+  private def embHyperKey(q: Column, band: Int, bits: Int): Column =
+    (0 until bits).map { j =>
+      val signs = (0 until EmbDim).map(d => embHyperSign(band, j, d).toLong)
+      val proj = aggregate(
+        zip_with(q, typedLit(signs), (x, s) => coalesce(x * s, lit(0L))),
+        lit(0L), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** Disclosed hot-bucket cap for [[embeddingNearDup]] — the sign-LSH
     * edition of [[SimhashMaxBucket]] (same mechanism: a bucket holding
@@ -1649,25 +1755,46 @@ object Dedup {
     * above): the 12×5 default suits boundary recall at cos 0.5; a
     * cos ≥ 0.9 production pass should pass bands=8, bits=8. Buckets
     * holding more than `maxBucket` vectors are dropped from candidate
-    * generation (see [[EmbMaxBucket]]). */
+    * generation (see [[EmbMaxBucket]]).
+    *
+    * Pinning a geometry requires BOTH `bands` and `bits` (a half-pinned
+    * call fails loudly rather than silently falling through to the
+    * adaptive ladder); `hyperplane = true` pins the RANDOM-HYPERPLANE
+    * key family instead of axis signs (see [[embGeometryFor]]'s fifth
+    * rung) and is only meaningful with a pinned geometry. */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.5,
                        bands: Int = -1, bits: Int = -1,
-                       maxBucket: Int = EmbMaxBucket): DataFrame = {
+                       maxBucket: Int = EmbMaxBucket,
+                       hyperplane: Boolean = false): DataFrame = {
     import graft.plans.DotProduct.dot
+    require((bands > 0) == (bits > 0),
+      s"pin both bands and bits or neither (got bands=$bands, bits=$bits)")
+    require(!hyperplane || bands > 0,
+      "hyperplane=true pins the key family — pass bands and bits with it")
     // adaptive geometry unless the caller pins one: the corpus count is
     // a parquet-metadata job (no column read), the same eager-model-
     // artifact class as semanticCellsFor's count — oracle mirrors the
     // count-gated ladder branch selection
-    val (bnd, bts) =
-      if (bands > 0 && bits > 0) (bands, bits)
-      else embGeometryFor(embeddings.count())
+    val geom: EmbGeometry =
+      if (bands > 0) {
+        if (hyperplane) EmbHyperGeometry(bands, bits) else EmbAxisGeometry(bands, bits)
+      } else embGeometryFor(embeddings.count())
     val base = embeddings.select(col("vec_id"), col("embedding"),
       dot(col("embedding"), col("embedding")).as("nrm"))
       // zero/null vectors have no direction — excluded by contract (and
       // the cosine division would be an ANSI divide-by-zero). The oracle
       // mirrors the nrm > 0 guard.
       .filter(col("nrm") > 0)
-    val bandCols = array((0 until bnd).map(b => embBandKey(col("embedding"), b, bts)): _*)
+    val bandCols = geom match {
+      case EmbAxisGeometry(bnd, bts) =>
+        array((0 until bnd).map(b => embBandKey(col("embedding"), b, bts)): _*)
+      case EmbHyperGeometry(bnd, bts) =>
+        // quantize once per row (exact: power-of-two scale), then 12
+        // integer projections over the int64 lattice
+        val q = transform(col("embedding"),
+          x => floor(x.cast("double") * lit(EmbQuantScale.toDouble)))
+        array((0 until bnd).map(b => embHyperKey(q, b, bts)): _*)
+    }
     val bandRows0 = base.select(col("vec_id"), posexplode(bandCols))
       .toDF("vec_id", "band_idx", "band_key")
     // hot-bucket cut (see [[EmbMaxBucket]]): the hot list is tiny —

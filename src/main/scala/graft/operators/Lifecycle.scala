@@ -86,7 +86,13 @@ object Lifecycle {
     *      the closed list of superseded-location names only.
     *   3. `keepGenerations` newest candidates (by modification time) are
     *      retained per artifact for manual forensics; default 0 reclaims
-    *      everything superseded.
+    *      everything superseded. Retention applies to the residue the
+    *      RETENTION SCAN sees — i.e. what survives step 1: heal itself
+    *      reclaims CATALOG-REGISTERED post-swap debris (a healthy table
+    *      plus a committed `__old` registration is a torn tail of the
+    *      swap protocol, and heal finishes the swap) regardless of
+    *      keepGenerations, so the knob retains bare-directory residue
+    *      and staged generations, never a half-committed catalog state.
     *   4. Idempotent and crash-tolerant: deletes are independent, a
     *      re-run reclaims whatever a crashed vacuum left, and a vacuum
     *      racing nothing (the single-writer lifecycle contract all swap
@@ -101,7 +107,19 @@ object Lifecycle {
     * callers can log/assert what was reclaimed. */
   def vacuum(spark: SparkSession, dedupName: String, searchName: String,
              ivfPath: String, revenuePath: Option[String] = None,
-             keepGenerations: Int = 0): Seq[(String, String, Long)] = {
+             keepGenerations: Int = 0): Seq[(String, String, Long)] =
+    vacuumSome(spark, Some(dedupName), Some(searchName), Some(ivfPath),
+      revenuePath, keepGenerations)
+
+  /** Per-family form of [[vacuum]]: sweep only the families a caller
+    * actually maintains (None skips that family entirely — no heal, no
+    * scan). The online pipeline's `vacuumEvery` cadence uses this, since
+    * its maintain options are independent. Same contract per family as
+    * [[vacuum]]. */
+  def vacuumSome(spark: SparkSession, dedupName: Option[String] = None,
+                 searchName: Option[String] = None, ivfPath: Option[String] = None,
+                 revenuePath: Option[String] = None,
+                 keepGenerations: Int = 0): Seq[(String, String, Long)] = {
     require(keepGenerations >= 0, s"keepGenerations must be >= 0: $keepGenerations")
     import graft.sources.FileFormats
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -141,14 +159,15 @@ object Lifecycle {
       }
     }
 
-    sweepTables("dedup",
-      Seq(s"${dedupName}_fp", s"${dedupName}_bands", s"${dedupName}_shingles"))
-    sweepTables("search", Seq(s"${searchName}_postings", s"${searchName}_totals"))
+    dedupName.foreach(n => sweepTables("dedup",
+      Seq(s"${n}_fp", s"${n}_bands", s"${n}_shingles")))
+    searchName.foreach(n => sweepTables("search",
+      Seq(s"${n}_postings", s"${n}_totals")))
 
     // vector tree: heal the partial-swap protocol (clears __pstaged/
     // __pold debris itself), roll a torn FULL swap back (live missing +
     // __old present = the only copy), then sweep superseded trees
-    locally {
+    ivfPath.foreach { ivfPath =>
       val live = new org.apache.hadoop.fs.Path(s"$ivfPath/cells")
       val fs = live.getFileSystem(hconf)
       if (fs.exists(new org.apache.hadoop.fs.Path(ivfPath))) {

@@ -166,9 +166,16 @@ object Search {
     * already ledgered (re-delivered micro-batch), otherwise postings
     * first, ledger row LAST as the commit point. `batchId = None` takes
     * max(ledger)+1 (an unkeyed manual append — still ledgered, just not
-    * replay-addressable). */
+    * replay-addressable).
+    *
+    * Schema evolution (see [[IndexSchemaException]]): the batch must
+    * carry `doc_id` and `text`; added columns are ignored (the postings
+    * writer projects tok/doc_id/dl/tf/batch_id), a missing required
+    * column throws the named contract error before the ledger or any
+    * table is touched. */
   def appendToSearchIndex(documents: DataFrame, name: String,
                           batchId: Option[Long] = None): Unit = {
+    IndexSchema.requireColumns(documents, "search", Seq("doc_id", "text"))
     val spark = documents.sparkSession
     // heal BEFORE the ledger read: a compaction crash between swap
     // renames must not wedge the replayed trigger's append (which runs

@@ -431,8 +431,15 @@ object Similarity {
     * batch — the corpus is never rewritten. Quantizer drift (a reference
     * distribution that moved) is a re-index decision, visible via
     * [[bucketStats]]-style cell occupancy, not something an append
-    * should silently paper over. */
+    * should silently paper over.
+    *
+    * Schema evolution (see [[IndexSchemaException]]): the batch must
+    * carry `vec_id` and `embedding`; added columns are ignored
+    * (assignCells projects the canonical (vec_id, embedding, cell), so
+    * the cell tree's file schemas never drift), a missing required
+    * column throws the named contract error before any file lands. */
   def appendToIvfIndex(newVectors: DataFrame, path: String): Unit = {
+    IndexSchema.requireColumns(newVectors, "ivf", Seq("vec_id", "embedding"))
     val model = loadQuantizer(newVectors.sparkSession, s"$path/quantizer")
     healPartialCells(newVectors.sparkSession, path) // see healPartialCells: appends heal first
     assignCells(newVectors, model)
@@ -997,8 +1004,12 @@ object Similarity {
     * either would invalidate every stored code/cell — the same geometry
     * contract as [[appendToIvfIndex]]) and append into the cell tree.
     * Distribution drift shows up in [[pqCodeStats]]-style occupancy, and
-    * re-indexing is an explicit decision, never an implicit retrain. */
+    * re-indexing is an explicit decision, never an implicit retrain.
+    * Same schema-evolution contract as [[appendToIvfIndex]]
+    * ([[IndexSchemaException]]): requires `vec_id` + `embedding`,
+    * ignores added columns via the canonical projection below. */
   def appendToPqIndex(newVectors: DataFrame, path: String): Unit = {
+    IndexSchema.requireColumns(newVectors, "ivf-pq", Seq("vec_id", "embedding"))
     val dim = PqSubspaces * PqSubDim
     val spark = newVectors.sparkSession
     val model = loadQuantizer(spark, s"$path/quantizer")

@@ -266,6 +266,21 @@ object TrainingPipeline {
     * (an index-dup that transiently occupies watermark state only
     * shadows LATER copies of itself — docs the index filter would drop
     * anyway). */
+  /** With `vacuumEvery = Some(m)` (requires a maintain*Index* option),
+    * each maintained family's storage-generation residue is additionally
+    * reclaimed after every m-th micro-batch ([[graft.operators.Lifecycle
+    * .vacuumSome]]), scheduled on the SAME per-family async slot as the
+    * cadence compaction — so a vacuum can never race an in-flight rewrite
+    * of its own family (the slot serializes append → compact → vacuum; a
+    * vacuum that saw a compaction's live `__staged` mid-build would
+    * delete the generation about to be swapped in). Runs with
+    * keepGenerations = 1: the pipeline is not the only possible reader,
+    * and a concurrent scan may still hold the newest superseded listing —
+    * residue therefore stays bounded at O(1) generations per family
+    * instead of O(crashes), and a standalone keep=0 [[graft.operators
+    * .Lifecycle.vacuum]] at maintenance windows reclaims the last one.
+    * Results are unaffected (vacuum touches superseded generations only
+    * — spec-pinned mid-stream). */
   def start(docs: DataFrame, fpIndex: DataFrame, outDir: String, checkpointDir: String,
             budget: Long = graft.operators.TextAnalysis.PackBudgetTokens,
             watermark: String = "10 minutes", keepAt: Double = 0.5,
@@ -275,10 +290,14 @@ object TrainingPipeline {
             rarityGate: Option[(String, Long)] = None,
             lmGate: Option[(String, Long)] = None,
             dsirGate: Option[(String, String, Long)] = None,
-            compactEvery: Option[Int] = None): StreamingQuery = {
+            compactEvery: Option[Int] = None,
+            vacuumEvery: Option[Int] = None): StreamingQuery = {
     require(compactEvery.isEmpty || maintainIndexName.isDefined ||
       maintainSearchIndexName.isDefined || maintainVectorIndexPath.isDefined,
       "compactEvery compacts the maintained index(es) — set at least one maintain*Index* option")
+    require(vacuumEvery.isEmpty || maintainIndexName.isDefined ||
+      maintainSearchIndexName.isDefined || maintainVectorIndexPath.isDefined,
+      "vacuumEvery vacuums the maintained index(es) — set at least one maintain*Index* option")
     // under a compaction cadence the plan may not pin the DEDUP index
     // relation (see the docstring above): stage 1 moves into the sink.
     // Search-index-only cadences don't trigger this — postings are never
@@ -428,6 +447,15 @@ object TrainingPipeline {
               comps.schedule("dedup") {
                 graft.operators.Dedup.compactDedupIndex(batch.sparkSession, name)
               }
+            // vacuum rides the same slot AFTER any compaction scheduled
+            // above (schedule() awaits the previous task on this key), so
+            // it only ever sees settled generations of its own family
+            if (vacuumEvery.exists(n => (batchId + 1) % n == 0))
+              comps.schedule("dedup") {
+                graft.operators.Lifecycle.vacuumSome(batch.sparkSession,
+                  dedupName = Some(name), keepGenerations = 1)
+                ()
+              }
           } }
           // search-index maintenance indexes the EXPORTED (redacted)
           // text — what the shards actually contain and what a corpus
@@ -450,6 +478,12 @@ object TrainingPipeline {
               comps.schedule("search") {
                 graft.operators.Search.compactSearchIndex(batch.sparkSession, name)
               }
+            if (vacuumEvery.exists(n => (batchId + 1) % n == 0))
+              comps.schedule("search") {
+                graft.operators.Lifecycle.vacuumSome(batch.sparkSession,
+                  searchName = Some(name), keepGenerations = 1)
+                ()
+              }
           } }
           // vector-index maintenance: admitted docs become ANN-searchable
           // online — hashed-TF lexical vectors (no model, no vocabulary)
@@ -470,6 +504,12 @@ object TrainingPipeline {
             if (compactEvery.exists(n => (batchId + 1) % n == 0))
               comps.schedule("vector") {
                 graft.operators.Similarity.compactIvfIndex(batch.sparkSession, path)
+              }
+            if (vacuumEvery.exists(n => (batchId + 1) % n == 0))
+              comps.schedule("vector") {
+                graft.operators.Lifecycle.vacuumSome(batch.sparkSession,
+                  ivfPath = Some(path), keepGenerations = 1)
+                ()
               }
           } }
           // the trigger does not complete until every family has landed

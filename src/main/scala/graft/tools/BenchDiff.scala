@@ -42,6 +42,30 @@ object BenchDiff {
     }
     val base = queryMap(args(0))
     val cand = queryMap(args(1))
+    // wall mode also loads the cache-build attribution (query_cache_build_sec,
+    // 0 when the artifact predates it) so eager-fill PLACEMENT changes —
+    // a shared artifact's build landing in a different alphabetically-first
+    // consumer slot — can never read as regressions: every wall flag is
+    // re-judged on wall − build, and flags that vanish there print as
+    // BUILD-MOVED, not REGRESSED (the round-15 benchmark_contamination
+    // false flag, made structural).
+    def buildMap(path: String): Map[String, Double] =
+      try {
+        val root = om.readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+        val q = root.get("query_cache_build_sec")
+        if (q == null) Map.empty
+        else {
+          val it = q.fields()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+          b.result()
+        }
+      } catch { case _: Exception => Map.empty }
+    val (buildBase, buildCand) =
+      if (field == "queries") (buildMap(args(0)), buildMap(args(1)))
+      else (Map.empty[String, Double], Map.empty[String, Double])
+    def adj(m: Map[String, Double], bm: Map[String, Double])(k: String): Double =
+      math.max(m(k) - bm.getOrElse(k, 0.0), 0.001)
     val common = (base.keySet & cand.keySet).toSeq
       .filter(k => base(k) > 0 && cand(k) > 0)
     require(common.nonEmpty,
@@ -55,9 +79,16 @@ object BenchDiff {
       f"subtotal ${common.map(base).sum}%.1f -> ${common.map(cand).sum}%.1f s")
     val flagged = ratios.filter { case (k, r) => r > median * flagBar && cand(k) > 0.3 }
     println(s"flagged (> median x $flagBar AND candidate > 0.3 s): ${flagged.size}")
-    for ((k, r) <- flagged)
-      println(f"  REGRESSED $k%-40s ${base(k)}%6.2f -> ${cand(k)}%6.2f  x${r}%.2f (x${r / median}%.2f over noise)")
+    for ((k, r) <- flagged) {
+      val adjRatio = adj(cand, buildCand)(k) / adj(base, buildBase)(k)
+      val label = if (adjRatio > median * flagBar) "REGRESSED  " else "BUILD-MOVED"
+      val buildNote =
+        if (buildBase.getOrElse(k, 0.0) > 0 || buildCand.getOrElse(k, 0.0) > 0)
+          f" [build ${buildBase.getOrElse(k, 0.0)}%.2f -> ${buildCand.getOrElse(k, 0.0)}%.2f, wall-build x$adjRatio%.2f]"
+        else ""
+      println(f"  $label $k%-40s ${base(k)}%6.2f -> ${cand(k)}%6.2f  x${r}%.2f (x${r / median}%.2f over noise)$buildNote")
+    }
     for ((k, r) <- ratios.reverse.take(5))
-      println(f"  improved  $k%-40s ${base(k)}%6.2f -> ${cand(k)}%6.2f  x${r}%.2f")
+      println(f"  improved    $k%-40s ${base(k)}%6.2f -> ${cand(k)}%6.2f  x${r}%.2f")
   }
 }

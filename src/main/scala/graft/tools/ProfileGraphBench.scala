@@ -59,6 +59,9 @@ object ProfileGraphBench {
       if (j != null) j.completed = e.time
     }
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      // containsKey first: Scala unboxes a missing key's null to job id
+      // 0, which would mis-attribute tasks from untracked stages there
+      if (!stageToJob.containsKey(e.stageId)) return
       val jid = stageToJob.get(e.stageId)
       val j = jobs.get(jid)
       if (j != null && e.taskInfo != null && e.taskMetrics != null) {

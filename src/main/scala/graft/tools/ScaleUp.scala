@@ -20,13 +20,20 @@ import org.apache.spark.sql.functions._
   *     proportions;
   *   - fixed dimensions (region, nation) are NOT replicated — exactly
   *     how a real 5× fact scale-up behaves;
-  *   - document TEXT is token-remapped per copy (`tok` → `tokxc`), which
-  *     preserves the within-copy duplicate/near-duplicate structure
-  *     EXACTLY (identical texts stay identical, shingle overlaps keep
-  *     their Jaccard) while making cross-copy texts share no shingles —
-  *     without this every doc would have `copies−1` spurious near-dups
-  *     and the pair-generation audit would measure a different problem,
-  *     not a bigger one; n_chars is recomputed (the source convention is
+  *   - document TEXT is token-remapped per copy BY HASH (v2): each
+  *     whitespace token `t` in copy c maps to the same-length prefix of
+  *     `md5(t#c)` — deterministic, so identical texts stay identical and
+  *     token-level Jaccard overlaps are preserved within a copy, and
+  *     LENGTH-preserving, so n_chars and char-level edit-distance
+  *     structure survive; unlike v1's suffix remap (`tok` → `tokxc`),
+  *     hash tokens from different copies share no character-level stems,
+  *     so char-granular candidate generation (PassJoin segments, char
+  *     shingles) cannot manufacture cross-copy collisions ∝ copies² —
+  *     the superlinearity SCALEAUDIT_r15 adjudicated as a v1 artifact.
+  *     The source vocab is ~31 tokens of length 1–8 (single-space
+  *     separated, no tabs/newlines — verified), so md5-prefix collisions
+  *     within a copy are negligible and the ' ' split is lossless.
+  *     n_chars is recomputed (the source convention is
   *     n_chars == length(text));
   *   - embeddings get a per-copy deterministic DIMENSION PERMUTATION:
   *     norms and all within-copy distances/cosines are exactly
@@ -45,7 +52,7 @@ object ScaleUp {
     val dest = args(1)
     val copies = if (args.length > 2) args(2).toInt else 5
     val manifest = java.nio.file.Paths.get(dest, "_SCALEUP_MANIFEST")
-    val stamp = s"src=$src copies=$copies v=1"
+    val stamp = s"src=$src copies=$copies v=2"
     if (java.nio.file.Files.exists(manifest) &&
         java.nio.file.Files.readString(manifest).trim == stamp) {
       println(s"[scaleup] $dest already generated ($stamp) — skipping")
@@ -105,7 +112,12 @@ object ScaleUp {
     write(replicate(read("documents")) { (df, c) =>
       if (c == 0) df
       else {
-        val remapped = regexp_replace(col("text"), "(\\S+)", s"$$1x$c")
+        // v2 hash remap: token t → same-length prefix of md5(t#c). md5 is
+        // 32 hex chars; repeat×3 covers any token ≤ 96 chars (source max 8).
+        val remapped = array_join(
+          transform(split(col("text"), " "),
+            t => repeat(md5(concat(t, lit(s"#$c"))), 3).substr(lit(1), length(t))),
+          " ")
         df.withColumn("doc_id", shift(c)(col("doc_id")))
           .withColumn("text", remapped)
           .withColumn("n_chars", length(col("text")).cast("long"))

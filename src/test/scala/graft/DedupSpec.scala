@@ -494,19 +494,20 @@ class DedupSpec extends SparkSpec {
   }
 
   test("embGeometryFor ladder: rung thresholds, 64-dim budget, and adaptive == pinned on a rung-1 corpus") {
+    import Dedup.{EmbAxisGeometry, EmbHyperGeometry}
     // exact rung boundaries (the oracle's count-gated branches mirror
     // these integers — a drift here is a cross-engine hash mismatch)
-    assert(Dedup.embGeometryFor(0L) === ((12, 5)))
-    assert(Dedup.embGeometryFor(6400L) === ((12, 5)))
-    assert(Dedup.embGeometryFor(6401L) === ((10, 6)))
-    assert(Dedup.embGeometryFor(12800L) === ((10, 6)))
-    assert(Dedup.embGeometryFor(12801L) === ((9, 7)))
-    assert(Dedup.embGeometryFor(25600L) === ((9, 7)))
-    assert(Dedup.embGeometryFor(25601L) === ((8, 8)))
-    // every rung fits the 64-dim sign-bit budget and grows the keyspace
-    val rungs = Seq(0L, 10000L, 20000L, 30000L).map(Dedup.embGeometryFor)
-    assert(rungs.forall { case (b, k) => b * k <= 64 })
-    assert(rungs.map { case (_, k) => k }.sliding(2).forall { case Seq(a, b) => b > a })
+    assert(Dedup.embGeometryFor(0L) === EmbAxisGeometry(12, 5))
+    assert(Dedup.embGeometryFor(6400L) === EmbAxisGeometry(12, 5))
+    assert(Dedup.embGeometryFor(6401L) === EmbAxisGeometry(10, 6))
+    assert(Dedup.embGeometryFor(12800L) === EmbAxisGeometry(10, 6))
+    assert(Dedup.embGeometryFor(12801L) === EmbAxisGeometry(9, 7))
+    assert(Dedup.embGeometryFor(25600L) === EmbAxisGeometry(9, 7))
+    assert(Dedup.embGeometryFor(25601L) === EmbHyperGeometry(12, 8))
+    // every AXIS rung fits the 64-dim sign-bit budget and grows the keyspace
+    val rungs = Seq(0L, 10000L, 20000L).map(Dedup.embGeometryFor)
+    assert(rungs.forall { g => g.bands * g.bits <= 64 })
+    assert(rungs.map(_.bits).sliding(2).forall { case Seq(a, b) => b > a })
     // a small corpus resolves to rung 1: the adaptive default is
     // bit-identical to the pinned 12×5 call (the driver-gated decades)
     val vecs = (0L until 50L).map { i =>
@@ -516,6 +517,90 @@ class DedupSpec extends SparkSpec {
     val pinned = Dedup.embeddingNearDup(vecs, 0.3, bands = 12, bits = 5)
       .collect().map(_.toSeq).toSet
     assert(adaptive === pinned)
+  }
+
+  test("embHyperBitsFor: occupancy-target thresholds, monotone, bounded occupancy forever") {
+    // smallest bits ≥ 8 with n ≤ EmbHyperTarget · 2^bits
+    assert(Dedup.embHyperBitsFor(25601L) === 8)
+    assert(Dedup.embHyperBitsFor(51200L) === 8)
+    assert(Dedup.embHyperBitsFor(51201L) === 9)
+    assert(Dedup.embHyperBitsFor(102400L) === 9)
+    assert(Dedup.embHyperBitsFor(102401L) === 10)
+    // expected per-band occupancy n / 2^bits stays ≤ target at any scale
+    Seq(3e4, 1e6, 1e9, 1e12).map(_.toLong).foreach { n =>
+      val bits = Dedup.embHyperBitsFor(n)
+      assert(n.toDouble / (1L << bits) <= Dedup.EmbHyperTarget.toDouble,
+        s"n=$n bits=$bits occupancy over target")
+    }
+  }
+
+  test("embeddingNearDup: half-pinned geometry fails loudly, hyperplane flag needs a pinned geometry") {
+    val vecs = Seq((0L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] { Dedup.embeddingNearDup(vecs, 0.5, bands = 8) }
+    intercept[IllegalArgumentException] { Dedup.embeddingNearDup(vecs, 0.5, bits = 8) }
+    intercept[IllegalArgumentException] { Dedup.embeddingNearDup(vecs, 0.5, hyperplane = true) }
+  }
+
+  /** JVM-side replica of [[Dedup.embHyperKey]]: quantize to the integer
+    * lattice (floor(x·1024)), project on ±1 hyperplanes from
+    * [[Dedup.embHyperSign]], take sign bits. Pure Long arithmetic —
+    * exactly what Spark and the DuckDB oracle both evaluate. */
+  private def hyperKeys(v: Array[Double], bands: Int, bits: Int): Seq[Long] = {
+    val q = v.map(x => math.floor(x * Dedup.EmbQuantScale).toLong)
+    (0 until bands).map { b =>
+      (0 until bits).map { j =>
+        val proj = (0 until Dedup.EmbDim).map { d =>
+          (if (d < q.length) q(d) else 0L) * Dedup.embHyperSign(b, j, d)
+        }.sum
+        if (proj >= 0) 1L << j else 0L
+      }.sum
+    }
+  }
+  private def hyperCollide(a: Array[Double], b: Array[Double], bands: Int, bits: Int): Boolean =
+    hyperKeys(a, bands, bits).zip(hyperKeys(b, bands, bits)).exists { case (x, y) => x == y }
+
+  test("hyperplane banding recall: 12×8 measures ≈98% just above cos 0.9, ≈38% boundary at cos 0.5") {
+    // per-bit sign-agreement 1-θ/π ≈ 0.856 at θ≈26°, per-band 0.856^8 ≈
+    // 0.29, 1-(1-0.29)^12 ≈ 0.98; at cos 0.5 per-band (2/3)^8 ≈ 0.039 →
+    // ≈0.38 — better than the retired axis 8×8 rung's 27% at the same
+    // occupancy, and the keyspace keeps growing past 64 bits
+    val n = 500
+    val nearDup = (1 to n).count { _ =>
+      val (a, b) = pairAtCos(0.9 + 0.03 * rnd.nextDouble())
+      hyperCollide(a, b, 12, 8)
+    }.toDouble / n
+    assert(nearDup >= 0.93 && nearDup <= 1.0, s"12×8 hyperplane near-dup recall $nearDup")
+    val boundary = (1 to n).count { _ =>
+      val (a, b) = pairAtCos(0.5 + 0.03 * rnd.nextDouble())
+      hyperCollide(a, b, 12, 8)
+    }.toDouble / n
+    assert(boundary >= 0.25 && boundary <= 0.55, s"12×8 hyperplane boundary recall $boundary")
+    val unrelated = (1 to n).count(_ => hyperCollide(unit(), unit(), 12, 8)).toDouble / n
+    assert(unrelated <= 0.15, s"12×8 hyperplane unrelated candidate rate $unrelated")
+  }
+
+  test("embeddingNearDup hyperplane path finds near-parallel vectors and agrees with the JVM replica on candidates") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.99f, 0.14f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDup(vecs, 0.9, bands = 12, bits = 8, hyperplane = true)
+      .collect().map { case Row(a: Long, b: Long, _) => (a, b) }.toSet
+    val replica = for {
+      (ia, va) <- Seq(0L -> Array(1.0, 0, 0, 0), 1L -> Array(0.99, 0.14, 0, 0), 2L -> Array(0.0, 1, 0, 0))
+      (ib, vb) <- Seq(0L -> Array(1.0, 0, 0, 0), 1L -> Array(0.99, 0.14, 0, 0), 2L -> Array(0.0, 1, 0, 0))
+      if ia < ib && hyperCollide(va.map(_.toFloat.toDouble), vb.map(_.toFloat.toDouble), 12, 8)
+      cos = {
+        val dp = va.zip(vb).map { case (x, y) => x.toFloat.toDouble * y.toFloat.toDouble }.sum
+        val na = va.map(x => x.toFloat.toDouble).map(x => x * x).sum
+        val nb = vb.map(x => x.toFloat.toDouble).map(x => x * x).sum
+        dp / math.sqrt(na * nb)
+      }
+      if cos >= 0.9
+    } yield (ia, ib)
+    assert(got === replica.toSet)
+    assert(got === Set((0L, 1L)))
   }
 
   test("embeddingNearDup with 8×8 bands finds parallel vectors at threshold 0.9") {

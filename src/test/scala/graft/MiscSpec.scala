@@ -285,6 +285,47 @@ class MiscSpec extends SparkSpec {
     assert(cache.get("k") === Some(2))
   }
 
+  test("Memo guard is per cache: clearing one cache does not wait on another cache's in-flight build") {
+    import scala.collection.concurrent.TrieMap
+    val cacheA = TrieMap[String, Int](); val locksA = TrieMap[String, AnyRef]()
+    val cacheB = TrieMap[String, Int](); val locksB = TrieMap[String, AnyRef]()
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    // a build of cache A parked in flight...
+    val builder = new Thread(() => {
+      graft.Memo.buildOnce(cacheA, locksA, "k") { started.countDown(); release.await(); 1 }
+      ()
+    })
+    builder.start()
+    started.await()
+    try {
+      // ...must not stall an unrelated cache's clear (the round-16
+      // advisor finding: one GLOBAL guard convoyed every cache behind
+      // the longest running build)
+      cacheB.put("x", 9)
+      val t0 = System.nanoTime()
+      graft.Memo.clear(cacheB, locksB)
+      assert((System.nanoTime() - t0) < 2e9.toLong,
+        "clear of an unrelated cache blocked behind another cache's build")
+      assert(cacheB.isEmpty)
+    } finally { release.countDown(); builder.join() }
+    assert(cacheA.get("k") === Some(1))
+    graft.Memo.clear(cacheA, locksA)
+  }
+
+  test("Memo.clear from inside the same cache's build closure throws instead of self-deadlocking") {
+    import scala.collection.concurrent.TrieMap
+    val cache = TrieMap[String, Int](); val locks = TrieMap[String, AnyRef]()
+    val e = intercept[IllegalStateException] {
+      graft.Memo.buildOnce(cache, locks, "k") {
+        graft.Memo.clear(cache, locks); 1
+      }
+    }
+    assert(e.getMessage.contains("build closure"))
+    // the failed build left no value; a clean retry builds normally
+    assert(graft.Memo.buildOnce(cache, locks, "k") { 2 } === 2)
+  }
+
   test("coPurchasePairs memo: cache identity, per-session isolation, clear drops sessions and re-derives identically") {
     import spark.implicits._
     val li = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 2L))

@@ -116,4 +116,94 @@ class VacuumSpec extends SparkSpec {
 
     Search.dropSearchIndex(spark, "vac_torn")
   }
+
+  test("vacuumEvery: the online pipeline reclaims crash residue mid-stream, results unaffected, residue bounded") {
+    // four micro-batches with vacuumEvery=2 (and NO compaction cadence —
+    // the swap verbs wipe __staged/__old at their own entry, so a
+    // compaction cadence would reclaim the planted residue itself; the
+    // vacuum cadence is what covers deployments that DON'T compact every
+    // few batches) over a maintained dedup index AND a maintained search
+    // index, with crash residue planted BEFORE the stream starts. Pins
+    // the round-16 contract: (a) the per-family async slot serializes
+    // append → vacuum, so reclamation runs mid-stream without touching a
+    // live generation; (b) admitted results are identical to the
+    // vacuum-less run (the maintained-index dup rejection still works
+    // while vacuums interleave); (c) residue stays BOUNDED — the
+    // in-pipeline keepGenerations=1 retains at most one superseded
+    // generation per table instead of letting crash debris accumulate
+    // over batches.
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    import graft.streaming.TrainingPipeline
+    val w0 = 1700000040L
+    val good = "the quick brown fox jumps over a lazy dog and then it runs " +
+      "to the barn where the farmer is reading the morning mail today"
+    val other = "a second fine document in the english language with the usual " +
+      "collection of stopwords and a perfectly reasonable length for a test"
+    val third = "yet another wholly original piece of text where the writer is " +
+      "in a hurry but the sentences still read like the plain english they are"
+    def docJson(id: Long, text: String, sec: Long): String =
+      s"""{"doc_id": $id, "text": "$text", "source": "s0", "ts_sec": $sec}"""
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, source STRING, ts_sec BIGINT")
+    val inDir = java.nio.file.Files.createTempDirectory("graft-vace-in").toString
+    val cpDir = java.nio.file.Files.createTempDirectory("graft-vace-cp").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-vace-out").toString
+    import spark.implicits._
+    val seed = Seq((0L, "seed corpus doc", "s0")).toDF("doc_id", "text", "source")
+    Dedup.dropDedupIndex(spark, "vace_dix")
+    Search.dropSearchIndex(spark, "vace_srch")
+    Dedup.saveDedupIndex(seed, "vace_dix")
+    Search.saveSearchIndex(seed, "vace_srch")
+    // crash residue, planted with OLD mtimes so the in-pipeline keep=1
+    // retention (newest survives) deterministically reclaims the oldest
+    val doomedResidue = Seq(whLoc("vace_dix_fp__old"), whLoc("vace_srch_postings__old"))
+    val keptResidue = Seq(whLoc("vace_dix_fp__staged"), whLoc("vace_srch_postings__staged"))
+    doomedResidue.foreach(mkResidue(_, mtime = 1000000L))
+    keptResidue.foreach(mkResidue(_, mtime = 2000000L))
+    Seq(
+      "f0.jsonl" -> docJson(1, good, w0),
+      "f1.jsonl" -> docJson(2, other, w0 + 7200),
+      "f2.jsonl" -> docJson(3, third, w0 + 14400),
+      "f3.jsonl" -> docJson(4, good, w0 + 21600) // dup of doc 1, post-vacuum
+    ).zipWithIndex.foreach { case ((name, line), i) =>
+      val p = java.nio.file.Paths.get(inDir, name)
+      java.nio.file.Files.writeString(p, line + "\n")
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
+    }
+    val docs = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(inDir)
+      .select(col("doc_id"), col("text"), col("source"),
+        timestamp_seconds(col("ts_sec")).as("ts"))
+    TrainingPipeline.start(docs, Dedup.loadDedupIndex(spark, "vace_dix").fp, outDir, cpDir,
+      maintainIndexName = Some("vace_dix"),
+      maintainSearchIndexName = Some("vace_srch"),
+      vacuumEvery = Some(2)).awaitTermination()
+    // results unaffected by mid-stream vacuums: same admitted set as the
+    // vacuum-less cadence run
+    val admitted = new java.io.File(outDir).listFiles().filter(_.isDirectory).toSeq
+      .flatMap(d => try spark.read.parquet(d.getPath).collect() catch { case _: Throwable => Nil })
+      .map(_.getAs[Long]("doc_id")).sorted
+    assert(admitted === Seq(1L, 2L, 3L),
+      "mid-stream vacuums must not change what the maintained index rejects")
+    // the oldest planted residue is reclaimed, the newest retained
+    // (keep=1 — a reader may still hold the newest superseded listing)
+    doomedResidue.foreach(r =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(r)), s"$r must be reclaimed mid-stream"))
+    keptResidue.foreach(r =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(r)), s"$r must be retained (keep=1)"))
+    // residue bounded: at most keepGenerations=1 superseded generation
+    // per table survives N batches of cadence maintenance
+    Seq("vace_dix_fp", "vace_dix_bands", "vace_dix_shingles",
+        "vace_srch_postings", "vace_srch_totals").foreach { t =>
+      val n = Seq("__staged", "__old")
+        .count(s => fs.exists(new org.apache.hadoop.fs.Path(whLoc(t + s))))
+      assert(n <= 1, s"$t residue unbounded: $n superseded generations survived")
+    }
+    // the maintained indexes still serve: fp holds seed + admitted docs,
+    // postings search the admitted corpus
+    assert(spark.table("vace_dix_fp").select("doc_id").distinct().count() === 4L)
+    assert(spark.table("vace_srch_postings").count() > 0L)
+    Dedup.dropDedupIndex(spark, "vace_dix")
+    Search.dropSearchIndex(spark, "vace_srch")
+  }
 }
