@@ -1670,32 +1670,20 @@ object Dedup {
   /** Fixed-point scale for the hyperplane integer lattice: a power of
     * two, so `x.toDouble * 1024` is EXACT for every float x and
     * `floor` of it is engine-independent. */
-  val EmbQuantScale = 1024
+  val EmbQuantScale: Int = graft.plans.HyperplaneBands.QuantScale
 
   /** Embedding dimension budget the hyperplane signs span. Shorter
     * vectors contribute 0 for the missing dims (coalesce) — mirrored in
     * the oracle. */
-  val EmbDim = 64
+  val EmbDim: Int = graft.plans.HyperplaneBands.Dim
 
-  /** Deterministic ±1 hyperplane weight for (band, bit, dim): murmur3's
-    * 64-bit finalizer (public avalanche constants) over a collision-free
-    * plane×dim index, parity of the mixed value. A cheap linear-
-    * congruential bit is NOT enough here — with k stepping by 1 per dim
-    * and by 64 per plane, bit m of (k·C) is one fixed sequence sampled
-    * at shifted phases, so planes came out as shifted copies of each
-    * other (measured max inter-plane |corr| 1.0, near-dup recall 0.82
-    * instead of the independent-bands 0.98); the avalanche mix
-    * decorrelates them (max |corr| 0.5 — the random-matrix ambient level
-    * at d=64 — recall 0.99, DedupSpec measures it). Pure wrapping-Long
-    * arithmetic, identical on any JVM; the oracle inlines the RESULTING
-    * ±1 literals, so no other engine ever recomputes this. */
-  def embHyperSign(band: Int, bit: Int, d: Int): Int = {
-    var h = (band.toLong * 64 + bit) * 64 + d
-    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
-    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
-    h ^= h >>> 33
-    if ((h & 1L) == 0L) 1 else -1
-  }
+  /** Deterministic ±1 hyperplane weight for (band, bit, dim) — the
+    * single source of truth lives with the native expression
+    * ([[graft.plans.HyperplaneBands.sign]], avalanche-mixed; see its
+    * scaladoc for why a cheap LCG bit correlated the planes); this alias
+    * is what the oracle generator and the spec replica consume. */
+  def embHyperSign(band: Int, bit: Int, d: Int): Int =
+    graft.plans.HyperplaneBands.sign(band, bit, d)
 
   private def embBandKey(emb: Column, band: Int, bits: Int): Column =
     (0 until bits)
@@ -1704,27 +1692,6 @@ object Dedup {
       .map(j => when(try_element_at(emb, lit(band * bits + j + 1)) >= 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
 
-  /** Random-hyperplane band key over the QUANTIZED vector `q` (int64
-    * components, see [[EmbQuantScale]]): bit j set iff
-    * Σ_d [[embHyperSign]](band,j,d)·q_d ≥ 0. All-integer, so the sum is
-    * exact and ORDER-INDEPENDENT (no-overflow int64 addition is
-    * associative, unlike floats) — the DuckDB oracle inlines the same
-    * ±q_d terms as explicit SQL and agrees bit-for-bit even though its
-    * summation shape differs. Each bit's projection is one zip_with
-    * against a 64-long literal sign vector folded by `aggregate`, not a
-    * 64-term expression tree: the term-per-node form serialized ~26 MiB
-    * task binaries at 12×8 (6144 expression nodes through whole-stage
-    * codegen). coalesce(x*s, 0): a vector shorter than [[EmbDim]]
-    * contributes 0 for its missing dims (zip_with null-pads), mirroring
-    * the oracle's COALESCE(qe[d], 0). */
-  private def embHyperKey(q: Column, band: Int, bits: Int): Column =
-    (0 until bits).map { j =>
-      val signs = (0 until EmbDim).map(d => embHyperSign(band, j, d).toLong)
-      val proj = aggregate(
-        zip_with(q, typedLit(signs), (x, s) => coalesce(x * s, lit(0L))),
-        lit(0L), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
 
   /** Disclosed hot-bucket cap for [[embeddingNearDup]] — the sign-LSH
     * edition of [[SimhashMaxBucket]] (same mechanism: a bucket holding
@@ -1789,11 +1756,12 @@ object Dedup {
       case EmbAxisGeometry(bnd, bts) =>
         array((0 until bnd).map(b => embBandKey(col("embedding"), b, bts)): _*)
       case EmbHyperGeometry(bnd, bts) =>
-        // quantize once per row (exact: power-of-two scale), then 12
-        // integer projections over the int64 lattice
-        val q = transform(col("embedding"),
-          x => floor(x.cast("double") * lit(EmbQuantScale.toDouble)))
-        array((0 until bnd).map(b => embHyperKey(q, b, bts)): _*)
+        // one native codegen'd pass per row — quantize once, all
+        // bands×bits integer projections in a JIT loop (the column-
+        // algebra zip_with/aggregate form ran as interpreted HOFs:
+        // ~28 s at the 100× decade vs the cosine query's 16 s, and
+        // ~3 s of fixed lambda-plan cost at ANY scale)
+        graft.plans.HyperplaneBands.hyperplaneBands(col("embedding"), bnd, bts)
     }
     val bandRows0 = base.select(col("vec_id"), posexplode(bandCols))
       .toDF("vec_id", "band_idx", "band_key")
