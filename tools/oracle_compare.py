@@ -26,6 +26,18 @@ def main():
     if not names:
         names = sorted(oracle.keys())
     con = duckdb.connect()
+    # Bound the buffer manager and give it a SPILL path: an in-memory
+    # connection has no temp_directory by default, so a pair-heavy oracle
+    # at the sf1.0 decade (10-20M candidate rows each carrying 64-float
+    # lists through a hash join) dies with "bad allocation" instead of
+    # spilling — and once the process trips the environment's memory cap,
+    # every later query on the shared connection fails too (observed:
+    # a mid-alphabet OOM cascaded through ~59 queries before recovering).
+    mem = os.environ.get("ORACLE_DUCKDB_MEM", "24GB")
+    tmp = os.environ.get("ORACLE_DUCKDB_TMP", "/tmp/duckdb_oracle_spill")
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET memory_limit='{mem}'")
+    con.execute(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(path):  # Spark-written table dirs (localdata/sf0.5)
