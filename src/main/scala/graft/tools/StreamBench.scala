@@ -31,13 +31,6 @@ import org.apache.spark.sql.functions._
   * One JSON line on stdout, same contract as Bench. */
 object StreamBench {
 
-  private def jsonEscape(s: String): String = s.flatMap {
-    case '"'  => "\\\""
-    case '\\' => "\\\\"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  }
-
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val batchRows = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCH_ROWS", "5000").toInt
@@ -84,61 +77,13 @@ object StreamBench {
     val loadStart = graft.Bench.loadavg()
 
     // ---- deterministic synthetic corpus ----
-    // good text must clear ALL THREE online gates: every 4th token is an
-    // English stopword (25% density ≫ the 5% langid bar); each 3-token
-    // content block starts at a hard-power-skewed (r^6) vocabulary index
-    // and then walks SEQUENTIALLY (w_k, w_k+1, w_k+2) — the Zipf head
-    // still dominates the unigram marginal (rarity gate passes) AND the
-    // in-block transitions are deterministic successors, so the
-    // reference bigram LM attests them densely (LM gate passes). A
-    // salad doc draws the SAME marginal with independent tokens — the
-    // unigram gates can't see the difference, the transition model can.
-    val stops = Array("the", "a", "an", "and", "of", "to", "in", "is", "it")
-    val vocabN = 2000
-    def goodText(seed: Int): String = {
-      val r = new scala.util.Random(seed)
-      var w = 0
-      (0 until 60).map { j =>
-        if (j % 4 == 0) stops(r.nextInt(stops.length))
-        else {
-          if (j % 4 == 1) w = math.min(vocabN - 3, (math.pow(r.nextDouble(), 6) * vocabN).toInt)
-          else w += 1
-          s"w$w"
-        }
-      }.mkString(" ")
-    }
-    // common-word token salad the LM gate (and only it) must kill: the
-    // same skewed marginal and stopword density as good text, but every
-    // token drawn independently — transitions are noise
-    def saladText(seed: Int): String = {
-      val r = new scala.util.Random(seed)
-      (0 until 60).map { j =>
-        if (j % 4 == 0) stops(r.nextInt(stops.length))
-        else s"w${math.min(vocabN - 1, (math.pow(r.nextDouble(), 6) * vocabN).toInt)}"
-      }.mkString(" ")
-    }
-    // gibberish that the rarity gate (not curation) must kill: enough
-    // stopwords to pass langid, every other token unseen in the reference
-    def gibberish(g: Int): String =
-      (0 until 60).map(j => if (j % 12 == 0) stops(j % stops.length) else s"xq${g}z$j")
-        .mkString(" ")
-    val SeedBase = 5000000 // seed-corpus text seeds, disjoint from stream ids
-    def streamDoc(g: Int): (Long, String, String) = {
-      val text = (g % 25) match {
-        case 0 => "!!! ??? *** %%% ((( ))) @@@"                    // curation kill
-        case 1 => gibberish(g)                                      // rarity kill
-        case 2 => goodText(SeedBase + (g % 1000))                   // seed-corpus dup
-        // cross-batch dup of the batch-0 ROOT at the same position (the
-        // root fell through to unique good text, so every later case-3
-        // doc is a true duplicate of an ADMITTED doc — by the time batch
-        // b >= 2 arrives the root's watermark state has evicted, so the
-        // kill exercises the online-maintained index, not stream state)
-        case 3 if g >= batchRows => goodText(g % batchRows)
-        case 4 => saladText(g)                                      // LM-gate kill
-        case _ => goodText(g)
-      }
-      (g.toLong, text, s"s${g % 4}")
-    }
+    // the mix, texts, and gate-threshold discipline live in
+    // [[StreamFixture]] (shared with StreamShardBench); seedOffset 0
+    // reproduces this bench's historical corpus byte-for-byte. A salad
+    // doc draws the SAME marginal as good text with independent tokens —
+    // the unigram gates can't see the difference, the transition model
+    // can.
+    import StreamFixture.{goodText, SeedBase}
 
     // ---- persisted artifacts the deployed topology starts from ----
     val refDocs = (0 until 2000)
@@ -161,18 +106,8 @@ object StreamBench {
 
     // ---- the input stream: one JSONL file per micro-batch ----
     val inDir = java.nio.file.Files.createTempDirectory("graft-sb-in").toString
-    val base = 1700000000L
-    for (b <- 0 until nBatches) {
-      val lines = (0 until batchRows).map { i =>
-        val g = b * batchRows + i
-        val (id, text, src) = streamDoc(g)
-        s"""{"doc_id": $id, "text": "${jsonEscape(text)}", "source": "$src", "ts_sec": ${base + g / 10}}"""
-      }
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(inDir, f"f$b%03d.jsonl"),
-        lines.mkString("", "\n", "\n"))
-    }
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "doc_id BIGINT, text STRING, source STRING, ts_sec BIGINT")
+    StreamFixture.writeBatchFiles(inDir, nBatches, batchRows)
+    val schema = StreamFixture.streamSchema
     val allDocs = spark.read.schema(schema).json(inDir)
       .select(col("doc_id"), col("text"), col("source"),
         timestamp_seconds(col("ts_sec")).as("ts"))
@@ -205,14 +140,8 @@ object StreamBench {
     // and must pass every surviving class. Junk (cls0) dies in curation
     // upstream, so its scores are noise to both gates.
     def classMinMax(scores: DataFrame, valueCol: String,
-                    kill: Column, noise: Column): ((Long, Long), (Long, Long)) = {
-      val m = scores
-        .withColumn("k", when(kill, "kill").when(noise, "noise").otherwise("pass"))
-        .groupBy(col("k"))
-        .agg(min(valueCol).as("mn"), max(valueCol).as("mx"))
-        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-      (m("kill"), m("pass"))
-    }
+                    kill: Column, noise: Column): ((Long, Long), (Long, Long)) =
+      StreamFixture.classMinMax(scores, valueCol, kill, noise)
     val cls = col("doc_id") % 25
     // rarity: gibberish scores LOW mean reference probability → threshold
     // between max(gibberish) and min(everything the gate must pass)
@@ -272,8 +201,7 @@ object StreamBench {
     // wrong-count run. The expected count is the mix's exact answer:
     // classes 0,1,2,4 die entirely (4 of every 25), class 3 dies except
     // its batch-0 roots (which fall through to unique good text).
-    val admittedExpected =
-      rowsTotal - 4 * (rowsTotal / 25) - (rowsTotal / 25 - batchRows / 25)
+    val admittedExpected = StreamFixture.expectedAdmitted(rowsTotal, batchRows)
     val attemptAdmitted = attempts.map(a => spark.read.parquet(a._3).count())
     require(attemptAdmitted.forall(_ == admittedExpected),
       s"nondeterministic run: attempt admitted counts $attemptAdmitted != expected $admittedExpected")
