@@ -406,6 +406,22 @@ object SparkEntry {
       Dedup.incrementalDedup(docs.filter("doc_id % 2 = 1"),
         Dedup.loadDedupIndex(s, "dix_diffq")).orderBy("doc_id")
     }),
+    // the SHARD-MERGE path end-to-end: the even-id corpus is ingested as
+    // TWO disjoint shard indexes (the N-pipelines deployment shape
+    // StreamShardBench measures), merged via Dedup.mergeDedupIndexes,
+    // then the odd-id batch dedups against the MERGED index. The oracle
+    // is the plain union-corpus incremental-dedup SQL — identical to
+    // incremental_dedup's — so merge ≡ fresh-save-over-union is
+    // hash-gated cross-engine on real data, not just spec-pinned
+    "incremental_dedup_shard_merge" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      for (n <- Seq("dix_shaq", "dix_shbq", "dix_shmq")) Dedup.dropDedupIndex(s, n)
+      Dedup.saveDedupIndex(docs.filter("doc_id % 4 = 0"), "dix_shaq")
+      Dedup.saveDedupIndex(docs.filter("doc_id % 4 = 2"), "dix_shbq")
+      Dedup.mergeDedupIndexes(s, Seq("dix_shaq", "dix_shbq"), "dix_shmq")
+      Dedup.incrementalDedup(docs.filter("doc_id % 2 = 1"),
+        Dedup.loadDedupIndex(s, "dix_shmq")).orderBy("doc_id")
+    }),
     "cross_source_dup_matrix" -> ((s, d) => Dedup.crossSourceDupMatrix(Tables.documents(s, d))),
     // near-dup family-size histogram (mega-family = leaked template)
     "dedup_cluster_sizes" -> ((s, d) => Dedup.clusterSizeHistogram(Tables.documents(s, d))),
@@ -3490,6 +3506,10 @@ object SparkEntry {
     // shares the DataFrame operator's oracle
     "dedup_minhash_sql" -> minhashOracle,
     "incremental_dedup" -> incrementalDedupOracle,
+    // merge ≡ fresh-save-over-union: the shard-merge query's oracle IS
+    // the plain union-corpus dedup SQL (same relation, same semantics) —
+    // any merge defect shows as a hash mismatch against it
+    "incremental_dedup_shard_merge" -> incrementalDedupOracle,
     "dedup_clusters" -> dedupClustersOracle,
     "dedup_cluster_sizes" ->
       s"""WITH RECURSIVE pairs AS ($minhashOracle),
@@ -4037,7 +4057,8 @@ object SparkEntry {
       "dedup_embedding_cosine", "dedup_embedding_hyperplane",
       "dedup_semantic", "dedup_clusters", "dedup_cluster_sizes",
       "dedup_keep_best", "dedup_bloom_check", "dedup_chunks", "incremental_dedup",
-      "incremental_dedup_after_diff", "corpus_diff", "cross_source_dup_matrix",
+      "incremental_dedup_after_diff", "incremental_dedup_shard_merge",
+      "corpus_diff", "cross_source_dup_matrix",
       "minhash_band_stats", "simhash_band_stats", "benchmark_contamination",
       "doc_shingle_novelty"),
     "similarity" -> Seq(

@@ -721,6 +721,52 @@ object Dedup {
   def compactDedupIndex(spark: org.apache.spark.sql.SparkSession, name: String): Unit =
     rewriteIndexTables(spark, name, indexCanon)
 
+  /** Consolidate N shard-local indexes into ONE — the merge half of the
+    * scale-out story the streaming measurements prescribe: past the
+    * per-query driver ceiling (STREAMSCALE_r16), ingestion runs as N
+    * pipelines over disjoint input shards, each maintaining its own
+    * index ([[graft.tools.StreamShardBench]] measures that shape), and
+    * the global dedup view comes from merging the SHARD INDEXES — never
+    * from re-sketching the corpus. Every table is a row-level function
+    * of (doc_id, text) (fp = md5 of normalized text; bands = banded
+    * minhash of the doc's own shingles; shingles = the doc's own gram
+    * arrays — no corpus-dependent statistic anywhere), so the merge is a
+    * bucketed union of index ROWS: cost = index size, one shuffle per
+    * table, corpus text never re-read or re-shingled. Rows fold under
+    * the same replay canonicalization compaction applies
+    * ([[indexCanon]]): a doc two shards both ingested collapses to one
+    * row set.
+    *
+    * Contract (spec-pinned in DedupSpec): merge(shards) produces
+    * row-identical tables to a fresh [[saveDedupIndex]] over the union
+    * of the shards' corpora, so every downstream consumer
+    * ([[incrementalDedup]], [[applyCorpusDiff]], takedowns, compaction,
+    * vacuum) sees a single-index world. Precondition: shards' doc_id
+    * spaces are disjoint, or colliding ids carry identical text (a
+    * doc_id reused for DIFFERENT text would fold arbitrarily — the same
+    * rule the append path lives by). The target must be a new name
+    * ([[dropDedupIndex]] it first to rebuild); sources stay untouched
+    * and fully readable throughout — at a deployment the merge runs
+    * beside live shard pipelines and cuts over readers by name. */
+  def mergeDedupIndexes(spark: org.apache.spark.sql.SparkSession, sources: Seq[String],
+                        target: String, buckets: Int = 8): Unit = {
+    require(sources.nonEmpty, "mergeDedupIndexes needs at least one source index")
+    require(!sources.contains(target),
+      s"merge target '$target' must not be a source — sources stay readable during the merge")
+    val idxs = sources.map(loadDedupIndex(spark, _)) // heals + refreshes each source
+    def merged(pick: DedupIndex => DataFrame): DataFrame =
+      idxs.map(pick).reduce(_ unionByName _)
+    import graft.sources.FileFormats.writeBucketed
+    // three disjoint target tables — the standard concurrent-families
+    // discipline; each write is ONE bucketed shuffle of union-of-indexes
+    graft.Par.runAll(
+      () => writeBucketed(indexCanon("_fp")(merged(_.fp)), s"${target}_fp", "fp", buckets),
+      () => writeBucketed(indexCanon("_bands")(merged(_.bands)), s"${target}_bands", "band_key", buckets),
+      () => writeBucketed(indexCanon("_shingles")(merged(_.shingles)),
+        s"${target}_shingles", "doc_id", buckets))
+    refreshIndexAcrossSessions(spark, target)
+  }
+
   /** DELTA-MERGE a corpus diff into the persisted index — the maintenance
     * operation [[corpusDiff]]-style snapshot audits imply but appends
     * alone can't deliver: REMOVED docs' fingerprints/bands/shingles must

@@ -749,4 +749,58 @@ class DedupSpec extends SparkSpec {
       .count()
     assert(diffs === 0L)
   }
+
+  test("mergeDedupIndexes: shard merge is row-identical to a fresh save over the union corpus") {
+    def words(tag: String, i: Int) = (0 to 40).map(j => s"$tag${i}w$j").mkString(" ")
+    // two shard corpora with disjoint ids, plus ONE doc both shards
+    // ingested (identical id + text — the canonicalization fold case)
+    val common = Seq((500L, words("mc", 0), "sc")).toDF("doc_id", "text", "source")
+    val shardA = (0 to 9).map(i => (i.toLong, words("ma", i), "sa"))
+      .toDF("doc_id", "text", "source").union(common)
+    val shardB = (100 to 109).map(i => (i.toLong, words("mb", i), "sb"))
+      .toDF("doc_id", "text", "source").union(common)
+    Seq("dix_ma", "dix_mb", "dix_mrg", "dix_mrg_fresh").foreach(Dedup.dropDedupIndex(spark, _))
+    Dedup.saveDedupIndex(shardA, "dix_ma")
+    Dedup.saveDedupIndex(shardB, "dix_mb")
+    Dedup.mergeDedupIndexes(spark, Seq("dix_ma", "dix_mb"), "dix_mrg")
+    Dedup.saveDedupIndex(shardA.union(shardB).distinct(), "dix_mrg_fresh")
+    // row-level identity of all three tables with the fresh save
+    def rows(ix: String, suffix: String): Set[String] =
+      spark.table(ix + suffix).collect()
+        .map(_.toSeq.map {
+          case a: scala.collection.Seq[_] => a.mkString("[", ",", "]")
+          case v => String.valueOf(v)
+        }.mkString("|")).toSet
+    for (s <- Seq("_fp", "_bands", "_shingles"))
+      assert(rows("dix_mrg", s) === rows("dix_mrg_fresh", s),
+        s"merged $s must carry exactly the fresh-save rows")
+    // downstream single-index behavior: dups of EITHER shard block, new admits
+    val probe = Seq(
+      (9201L, words("ma", 3), "sp"),            // shard-A exact dup → blocked
+      (9202L, words("mb", 104) + " tailZ", "sp"), // shard-B near-dup → blocked
+      (9203L, words("mc", 0), "sp"),            // both-shards doc → blocked once
+      (9204L, (700 to 740).map(i => s"q$i").mkString(" "), "sp") // new → admitted
+    ).toDF("doc_id", "text", "source")
+    def admitted(ix: String): Set[Long] =
+      Dedup.incrementalDedup(probe, Dedup.loadDedupIndex(spark, ix))
+        .collect().map(_.getLong(0)).toSet
+    assert(admitted("dix_mrg") === Set(9204L))
+    assert(admitted("dix_mrg") === admitted("dix_mrg_fresh"),
+      "a merged index must dedup exactly like a fresh save over the union corpus")
+    // the merged tables carry a real bucket spec: maintenance appends keep working
+    Dedup.appendToDedupIndex(probe, "dix_mrg")
+    assert(admitted("dix_mrg") === Set.empty,
+      "post-merge appends must keep maintaining the index")
+    // sources stayed untouched and readable
+    assert(Dedup.incrementalDedup(probe, Dedup.loadDedupIndex(spark, "dix_ma"))
+      .collect().map(_.getLong(0)).toSet === Set(9202L, 9204L),
+      "merge must leave source indexes intact")
+    // contract errors fail loudly before any write
+    intercept[IllegalArgumentException] {
+      Dedup.mergeDedupIndexes(spark, Seq("dix_ma", "dix_mrg2"), "dix_ma")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.mergeDedupIndexes(spark, Seq.empty, "dix_mrg3")
+    }
+  }
 }

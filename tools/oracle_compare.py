@@ -25,17 +25,24 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     if not names:
         names = sorted(oracle.keys())
-    con = duckdb.connect()
-    # Bound the buffer manager and give it a SPILL path: an in-memory
-    # connection has no temp_directory by default, so a pair-heavy oracle
-    # at the sf1.0 decade (10-20M candidate rows each carrying 64-float
-    # lists through a hash join) dies with "bad allocation" instead of
-    # spilling — and once the process trips the environment's memory cap,
-    # every later query on the shared connection fails too (observed:
-    # a mid-alphabet OOM cascaded through ~59 queries before recovering).
+    # Bound the buffer manager and give it a SPILL path. The connection
+    # must be FILE-BACKED: this environment ships DuckDB 1.0.0, where an
+    # in-memory database IGNORES temp_directory (out-of-core temp support
+    # for in-memory DBs landed in 1.1) — so on an in-memory connection a
+    # pair-heavy oracle at the sf1.0 decade (10-20M candidate rows each
+    # carrying 64-float lists through a hash join) dies with "bad
+    # allocation" at the memory_limit instead of spilling, regardless of
+    # what memory_limit/temp_directory are set to (observed: the same 48
+    # heavy queries failed identically at 24/60/80GB limits on an
+    # in-memory connection, alone on a 125GB-free host).
     mem = os.environ.get("ORACLE_DUCKDB_MEM", "24GB")
     tmp = os.environ.get("ORACLE_DUCKDB_TMP", "/tmp/duckdb_oracle_spill")
     os.makedirs(tmp, exist_ok=True)
+    db = f"{tmp}/oracle.duckdb"
+    for stale in (db, db + ".wal"):  # a crashed prior run must not leak state
+        if os.path.exists(stale):
+            os.remove(stale)
+    con = duckdb.connect(db)
     con.execute(f"SET memory_limit='{mem}'")
     con.execute(f"SET temp_directory='{tmp}'")
     for t in TABLES:
