@@ -238,6 +238,70 @@ object Search {
     Seq(pt, tt).foreach(t => try spark.catalog.refreshTable(t) catch { case _: Throwable => () })
   }
 
+  /** Consolidate N shard-local postings indexes into ONE — the search
+    * family's member of the shard-merge story
+    * ([[graft.operators.Dedup.mergeDedupIndexes]] documents the
+    * N-pipelines-over-disjoint-shards deployment shape this serves).
+    * Postings rows (tok, doc_id, dl, tf) are per-doc deterministic, df
+    * is derived at query time, and the totals are MERGEABLE partial
+    * sums — so the merge is a union of each source's LEDGERED postings
+    * (crash orphans stay dark, the same visibility rule
+    * [[bm25Indexed]] applies) re-stamped to the base segment, plus one
+    * totals row summing the sources' committed partials. The result is
+    * fresh-save shape: merge ≡ [[saveSearchIndex]] over the union
+    * corpus EXACTLY (spec-pinned), and every later append/compact/
+    * remove/vacuum sees a single-index world. Sources stay untouched
+    * and readable throughout.
+    *
+    * Contract: unlike the dedup merge, doc OVERLAP is not tolerated — a
+    * doc two shards both ingested would double its tf rows and the
+    * totals (df/avgdl corruption), so the verb asserts token-bearing
+    * doc_id disjointness across sources (one aggregate over the
+    * postings' doc sets) and fails loudly before any write. Disclosed
+    * corner (same witness gap as [[removeFromSearchIndex]]): a
+    * token-LESS doc has no posting to witness it, so an empty doc
+    * ingested by two shards double-counts in n_docs undetected — shard
+    * corpora by doc_id and neither case can arise. */
+  def mergeSearchIndexes(spark: org.apache.spark.sql.SparkSession, sources: Seq[String],
+                         target: String, buckets: Int = 8): Unit = {
+    import graft.sources.FileFormats.writeBucketed
+    require(sources.nonEmpty, "mergeSearchIndexes needs at least one source index")
+    require(!sources.contains(target),
+      s"merge target '$target' must not be a source — sources stay readable during the merge")
+    sources.foreach { n =>
+      graft.sources.FileFormats.healTornSwap(spark, s"${n}_postings")
+      Seq(s"${n}_postings", s"${n}_totals")
+        .foreach(t => try spark.catalog.refreshTable(t) catch { case _: Throwable => () })
+    }
+    val ledgered = sources.map { n =>
+      spark.table(s"${n}_postings").join(broadcast(ledger(spark, n)), "batch_id")
+        .select(col("tok"), col("doc_id"), col("dl"), col("tf"))
+    }
+    // the disjointness guard: per-shard distinct doc sets (dl-grain,
+    // bounded by corpus size, not postings size) unioned with a shard
+    // tag — any doc_id seen under two tags is the double-count bug
+    val overlap = ledgered.zipWithIndex
+      .map { case (p, i) => p.select(col("doc_id")).distinct().withColumn("shard", lit(i)) }
+      .reduce(_ unionByName _)
+      .groupBy(col("doc_id")).agg(countDistinct(col("shard")).as("n_shards"))
+      .filter(col("n_shards") > 1).count()
+    require(overlap == 0L,
+      s"mergeSearchIndexes: $overlap doc_id(s) present in more than one source index — " +
+        "tf/df would double; shard corpora by doc_id")
+    writeBucketed(
+      ledgered.reduce(_ unionByName _).withColumn("batch_id", lit(BaseSegment)),
+      s"${target}_postings", "tok", buckets)
+    val tot = sources.map(n => spark.table(s"${n}_totals")).reduce(_ unionByName _)
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("sum_dl")).cast("long").as("sum_dl"))
+      .head()
+    writeTotalsRow(spark, s"${target}_totals",
+      if (tot.isNullAt(0)) 0L else tot.getLong(0),
+      if (tot.isNullAt(1)) 0L else tot.getLong(1))
+    Seq(s"${target}_postings", s"${target}_totals")
+      .foreach(t => try spark.catalog.refreshTable(t) catch { case _: Throwable => () })
+  }
+
   /** TAKEDOWN delta-merge — the removal half of index maintenance, search
     * edition (the dedup fp tables and IVF/PQ cell trees already have
     * theirs): an append-only postings index keeps retrieving deleted

@@ -457,6 +457,59 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("mergeSearchIndexes: shard merge == fresh-save over the union, orphans dark, overlap rejected") {
+    val docs = Seq(
+      (1L, "spark stream window join extras words here", "s"),
+      (2L, "spark spark spark spark spark pad pad pad", "s"),
+      (3L, "spark " + ("pad " * 200), "s"),
+      (4L, "spark pad pad pad pad pad pad", "s"),
+      (5L, "nothing relevant at all", "s")
+    ).toDF("doc_id", "text", "source")
+    try {
+      Seq("srch_ma", "srch_mb", "srch_mm").foreach(Search.dropSearchIndex(spark, _))
+      // shard A saved in one shot; shard B save + append (a multi-batch
+      // ledger) + a planted ORPHAN batch (postings landed, ledger row
+      // didn't) — the merge must fold A ∪ B's COMMITTED batches only
+      Search.saveSearchIndex(docs.filter(col("doc_id") <= 2), "srch_ma")
+      Search.saveSearchIndex(docs.filter(col("doc_id") === 3), "srch_mb")
+      Search.appendToSearchIndex(docs.filter(col("doc_id") > 3), "srch_mb", Some(7L))
+      spark.table("srch_mb_postings").filter(col("batch_id") === 7L)
+        .withColumn("batch_id", lit(99L))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .bucketBy(8, "tok").sortBy("tok").saveAsTable("srch_mb_postings")
+      spark.catalog.refreshTable("srch_mb_postings")
+      Search.mergeSearchIndexes(spark, Seq("srch_ma", "srch_mb"), "srch_mm")
+      val fromScratch = Search.bm25TopK(docs).collect().toSeq
+      assert(Search.bm25Indexed(spark, "srch_mm").collect().toSeq === fromScratch,
+        "a merged index must score exactly like a fresh save over the union corpus")
+      // fresh-save shape: every row on the base segment, one totals row
+      assert(spark.table("srch_mm_postings")
+        .filter(col("batch_id") =!= Search.BaseSegment).count() === 0L,
+        "merge folds every committed row to the base segment (orphans stay out)")
+      assert(spark.table("srch_mm_totals").count() === 1L)
+      // post-merge maintenance keeps working on the merged index
+      Search.appendToSearchIndex(
+        Seq((6L, "spark joins another appended document", "s"))
+          .toDF("doc_id", "text", "source"), "srch_mm", Some(1L))
+      assert(spark.table("srch_mm_postings")
+        .filter(col("doc_id") === 6L).count() > 0L)
+      // sources untouched and readable
+      assert(Search.bm25Indexed(spark, "srch_ma").collect().nonEmpty)
+      // overlapping doc sets would double tf/df — rejected loudly
+      intercept[IllegalArgumentException] {
+        Search.mergeSearchIndexes(spark, Seq("srch_ma", "srch_ma"), "srch_mm2")
+      }
+      Search.dropSearchIndex(spark, "srch_mo")
+      Search.saveSearchIndex(docs.filter(col("doc_id") === 2), "srch_mo") // doc 2 also in srch_ma
+      intercept[IllegalArgumentException] {
+        Search.mergeSearchIndexes(spark, Seq("srch_ma", "srch_mo"), "srch_mm2")
+      }
+    } finally {
+      Seq("srch_ma", "srch_mb", "srch_mm", "srch_mo", "srch_mm2")
+        .foreach(Search.dropSearchIndex(spark, _))
+    }
+  }
+
   test("search-index takedown: remove == fresh-save over the remainder, replay subtracts nothing") {
     val docs = Seq(
       (1L, "spark stream window join extras words here", "s"),
