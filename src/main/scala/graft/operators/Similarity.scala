@@ -466,6 +466,51 @@ object Similarity {
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
     rewriteCellTree(spark, path, identity)
 
+  /** Consolidate shard-local vector indexes INTO `target` — the third
+    * index family's member of the shard-merge story
+    * ([[Dedup.mergeDedupIndexes]] documents the deployment shape). The
+    * vector family is the one that does NOT row-merge: each shard
+    * trains its own quantizer (and codebooks), so shard B's stored
+    * cells/codes mean nothing under target's geometry. The correct
+    * merge is RE-ENCODE-THROUGH-THE-TARGET: every source's stored raw
+    * vectors (the cell tree carries (vec_id, embedding) precisely so
+    * refine and rewrites never re-read the corpus) append through the
+    * target's FROZEN quantizer — the frozen-geometry contract every
+    * append already lives by — then one compaction restores
+    * one-file-per-cell and folds duplicate vec_ids. Contract
+    * (spec-pinned): merge(target ← sources) searches identically to the
+    * target index with the sources' corpora appended batch-wise —
+    * target geometry preserved, NEVER a retrain (re-indexing under new
+    * geometry is an explicit decision, same rule as the appends).
+    * Same doc_id discipline as the dedup merge: a vec_id two shards
+    * both carry folds to one arbitrary row at the compaction, so shard
+    * by vec_id (or accept the fold for identical vectors). Sources stay
+    * untouched and readable throughout. */
+  def mergeIvfIndexes(spark: org.apache.spark.sql.SparkSession, sources: Seq[String],
+                      target: String): Unit =
+    mergeCellTrees(spark, sources, target, appendToIvfIndex)
+
+  /** PQ edition of [[mergeIvfIndexes]]: identical mechanics, with each
+    * source's raw vectors re-encoded through the target's frozen
+    * quantizer AND codebooks ([[appendToPqIndex]]). */
+  def mergePqIndexes(spark: org.apache.spark.sql.SparkSession, sources: Seq[String],
+                     target: String): Unit =
+    mergeCellTrees(spark, sources, target, appendToPqIndex)
+
+  private def mergeCellTrees(spark: org.apache.spark.sql.SparkSession, sources: Seq[String],
+                             target: String, append: (DataFrame, String) => Unit): Unit = {
+    require(sources.nonEmpty, "merge needs at least one source index")
+    require(!sources.contains(target),
+      s"merge target '$target' must not be a source — sources stay readable during the merge")
+    sources.foreach { src =>
+      healPartialCells(spark, src)
+      append(spark.read.parquet(s"$src/cells").select(col("vec_id"), col("embedding")), target)
+    }
+    // fold cross-shard/replay duplicate vec_ids and restore the
+    // one-file-per-cell layout in one rewrite
+    compactIvfIndex(spark, target)
+  }
+
   /** DELTA-MERGE removals into a persisted cell tree ([[saveIvfIndex]] /
     * [[savePqIndex]] — schema-agnostic like the compaction it rides):
     * drop every row whose vec_id appears in `removed` and rewrite the

@@ -247,6 +247,45 @@ class OperatorSpec extends SparkSpec {
       "an index built by appends must search identically to one built at once")
   }
 
+  test("mergeIvfIndexes/mergePqIndexes: merge == target grown by the sources' corpora, geometry frozen") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val half2 = emb.filter(col("vec_id") % 2 === 1)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def dir(tag: String) = java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
+    // IVF: target and reference share ONE geometry (same corpus, same
+    // slot → same memoized quantizer); the shard index trains its OWN
+    val (tgt, shard, ref) = (dir("ivfm-t"), dir("ivfm-s"), dir("ivfm-r"))
+    Similarity.saveIvfIndex(half1, tgt, slot = "ivfMergeA")
+    Similarity.saveIvfIndex(half2, shard, slot = "ivfMergeB")
+    Similarity.saveIvfIndex(half1, ref, slot = "ivfMergeA")
+    Similarity.appendToIvfIndex(half2, ref)
+    Similarity.mergeIvfIndexes(spark, Seq(shard), tgt)
+    assert(Similarity.ivfSearchIndexed(spark, tgt, queries).collect().toSeq ===
+      Similarity.ivfSearchIndexed(spark, ref, queries).collect().toSeq,
+      "a merged IVF index must search exactly like the target grown by the source's corpus")
+    // the source stayed readable and untouched
+    assert(Similarity.ivfSearchIndexed(spark, shard, queries).collect().nonEmpty)
+    // PQ edition: same contract through frozen quantizer AND codebooks
+    val (tgtP, shardP, refP) = (dir("pqm-t"), dir("pqm-s"), dir("pqm-r"))
+    Similarity.savePqIndex(half1, tgtP, slot = "pqMergeA")
+    Similarity.savePqIndex(half2, shardP, slot = "pqMergeB")
+    Similarity.savePqIndex(half1, refP, slot = "pqMergeA")
+    Similarity.appendToPqIndex(half2, refP)
+    Similarity.mergePqIndexes(spark, Seq(shardP), tgtP)
+    assert(Similarity.pqSearchIndexed(spark, tgtP, queries).collect().toSeq ===
+      Similarity.pqSearchIndexed(spark, refP, queries).collect().toSeq,
+      "a merged PQ index must search exactly like the target grown by the source's corpus")
+    // contract errors fail loudly before any write
+    intercept[IllegalArgumentException] {
+      Similarity.mergeIvfIndexes(spark, Seq(tgt, shard), tgt)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.mergePqIndexes(spark, Seq.empty, tgtP)
+    }
+  }
+
   test("IVF compaction: an append-grown tree shrinks its files, searches identically, keeps stats honest") {
     val emb = Tables.embeddings(spark, Sf0001)
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-compact").toString
