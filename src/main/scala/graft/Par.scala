@@ -23,6 +23,27 @@ object Par {
   import scala.concurrent.ExecutionContext.Implicits.global
   import scala.util.{Failure, Try}
 
+  /** Two independent RESULT-BEARING builds as concurrent Spark jobs —
+    * the value-returning sibling of [[runAll]] for builders whose
+    * eager-materializing halves (pinned model fits) would otherwise
+    * serialize at DataFrame-construction time. Same contract: both
+    * thunks settle before any failure propagates; the first failure (in
+    * argument order) is rethrown with the other attached as
+    * suppressed. */
+  def run2[A, B](fa: () => A, fb: () => B): (A, B) = {
+    val fut = Future(fb())
+    val ra = Try(fa())
+    val rb = Try(Await.result(fut, scala.concurrent.duration.Duration.Inf))
+    (ra, rb) match {
+      case (scala.util.Success(a), scala.util.Success(b)) => (a, b)
+      case _ =>
+        val failures = Seq(ra, rb).collect { case Failure(e) => e }
+        val first = failures.head
+        failures.drop(1).foreach { e => if (e ne first) first.addSuppressed(e) }
+        throw first
+    }
+  }
+
   def runAll(thunks: (() => Unit)*): Unit = {
     val settled: Seq[Try[Unit]] = Await.result(
       Future.traverse(thunks)(t => Future(t()).transform(scala.util.Success(_))),

@@ -416,8 +416,14 @@ object SparkEntry {
     "incremental_dedup_shard_merge" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       for (n <- Seq("dix_shaq", "dix_shbq", "dix_shmq")) Dedup.dropDedupIndex(s, n)
-      Dedup.saveDedupIndex(docs.filter("doc_id % 4 = 0"), "dix_shaq")
-      Dedup.saveDedupIndex(docs.filter("doc_id % 4 = 2"), "dix_shbq")
+      // the two shard builds are independent pipelines writing disjoint
+      // tables — exactly the deployment shape this query models (one
+      // ingest pipeline per shard), so run them as CONCURRENT Spark jobs
+      // (optimization-guide §2.6: overlap independent jobs so one
+      // build's serial commit tail back-fills with the other's tasks)
+      graft.Par.runAll(
+        () => Dedup.saveDedupIndex(docs.filter("doc_id % 4 = 0"), "dix_shaq"),
+        () => Dedup.saveDedupIndex(docs.filter("doc_id % 4 = 2"), "dix_shbq"))
       Dedup.mergeDedupIndexes(s, Seq("dix_shaq", "dix_shbq"), "dix_shmq")
       Dedup.incrementalDedup(docs.filter("doc_id % 2 = 1"),
         Dedup.loadDedupIndex(s, "dix_shmq")).orderBy("doc_id")

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Pin.PinnedOps
 
 /** Integer-exact `2×median` over a bounded VALUE-DOMAIN histogram — the
   * one median definition the whole integer-discipline family now shares
@@ -30,7 +31,12 @@ object Median {
     * value-domain histogram (days / cents-buckets / hourly counts), which
     * grows with the DOMAIN, not the row count. */
   def med2Global(df: DataFrame, value: Column): DataFrame = {
+    // the histogram feeds the cumulative window AND the 1-row total —
+    // unpinned, the caller's whole input subtree executed twice per
+    // median (optimization-guide §2.4). Value-domain-bounded, so the
+    // materialization is trivially safe at any input scale.
     val hist = df.select(value.as("v")).groupBy("v").agg(count(lit(1)).as("cnt"))
+      .pinned()
     val cum = hist.withColumn("cum",
       sum(col("cnt")).over(Window.orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))

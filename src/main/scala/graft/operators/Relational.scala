@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Pin.PinnedOps
 
 /** Relational operator coverage the reference lacks (SURVEY.md §2 category
   * checklist: no joins, no sorts/limits, no set ops, no window functions).
@@ -270,9 +271,17 @@ object Relational {
     * times under the horizon rule. */
   private def windowedCompletions(events: DataFrame, steps: Seq[String],
                                   horizonSec: Long): Seq[DataFrame] = {
+    // PIN the filtered projection and every chain element (guide §2.4):
+    // step i's plan contains steps 0..i-1, and both consumers read
+    // several elements — unpinned, the step-0 subtree executed
+    // steps-many times per query (the funnel_time_to_convert initial
+    // plan carried 15 scans of events; one after). Each element is one
+    // narrow row per user — index-sized at any scale — and `e` is the
+    // funnel-step event slice every element filters from.
     val e = events
       .filter(col("event_type").isin(steps: _*))
       .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("tsec"))
+      .pinned()
     steps.indices.foldLeft(Vector.empty[DataFrame]) { (acc, i) =>
       val cur =
         if (i == 0)
@@ -284,7 +293,7 @@ object Relational {
             .filter(col("tsec") >= col("prev_t") &&
               col("tsec") <= col("prev_t") + lit(horizonSec))
             .groupBy(col("user_id")).agg(min(col("tsec")).as("t"))
-      acc :+ cur
+      acc :+ cur.pinned()
     }
   }
 
@@ -1161,6 +1170,11 @@ object Relational {
         expr("(maxd - last_sec) div 86400").as("r_days"),
         col("f_n"),
         expr("m_cents div 100000").as("m_bucket"))
+      // one row per customer, consumed by three fence derivations (each
+      // reading it twice: histogram + total) plus the final segment
+      // pass — unpinned, the orders aggregate executed ~7x per query
+      // (guide §2.4); a per-customer RFM relation is index-sized
+      .pinned()
     def fences(c: String): DataFrame = {
       val hist = per.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
       val cum = hist.withColumn("cum",
