@@ -438,7 +438,11 @@ object Relational {
     * n_pair · n_baskets < ~9·10¹² (any realistic basket corpus); beyond
     * that, promote the numerator to DECIMAL(38,0) on both engines. */
   def partCooccurrence(lineitem: DataFrame, minSupport: Long = 2, k: Int = 100): DataFrame = {
-    val baskets = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    // four consumers (basket count, per-part counts, both sides of the
+    // pair self-join) — one distinct pass over lineitem instead of four
+    // (guide §2.4; Graph.coPurchasePairs pins its basket build the same
+    // way via its memo)
+    val baskets = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct().pinned()
     val nBaskets = baskets.select(col("l_orderkey")).distinct()
       .agg(count(lit(1)).as("n_baskets"))
     val perPart = baskets.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
@@ -711,9 +715,15 @@ object Relational {
                                       accuracy: Int = 10000): DataFrame = {
     val approx = percentilesBySegmentApprox(orders, customer, ps, accuracy)
       .withColumnRenamed("value", "v_approx")
-    val lo = percentilesBySegment(orders, customer, ps.map(_ - 1))
+    // ONE exact-percentile pipeline for both bounds (per-p results are
+    // independent of the requested list, so splitting a combined run is
+    // value-identical), pinned because both bound relations read it —
+    // previously the whole exact pipeline ran twice (guide §2.4)
+    val bounds = percentilesBySegment(orders, customer,
+      (ps.map(_ - 1) ++ ps.map(_ + 1)).distinct).pinned()
+    val lo = bounds.filter(col("p").isin(ps.map(p => (p - 1).toLong): _*))
       .select(col("c_mktsegment"), (col("p") + 1).as("p"), col("value").as("lo_value"))
-    val hi = percentilesBySegment(orders, customer, ps.map(_ + 1))
+    val hi = bounds.filter(col("p").isin(ps.map(p => (p + 1).toLong): _*))
       .select(col("c_mktsegment"), (col("p") - 1).as("p"), col("value").as("hi_value"))
     approx.join(lo, Seq("c_mktsegment", "p")).join(hi, Seq("c_mktsegment", "p"))
       .select(col("c_mktsegment"), col("p"), col("lo_value"), col("hi_value"),
@@ -725,11 +735,15 @@ object Relational {
   def percentilesBySegment(orders: DataFrame, customer: DataFrame,
                            ps: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame = {
     val BucketCents = 100000L
+    // consumed twice (bucket histogram + the in-bucket rank probe) —
+    // materialize the narrow per-order relation once instead of running
+    // the orders ⋈ customer join per consumer (guide §2.4)
     val joined = orders
       .join(customer, col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment"),
         cents(col("o_totalprice")).cast("long").as("v"))
       .withColumn("bkt", expr(s"v div $BucketCents"))
+      .pinned()
 
     val wBkt = Window.partitionBy(col("c_mktsegment")).orderBy(col("bkt"))
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -1408,6 +1422,8 @@ object Relational {
   def orderValueWinsorized(orders: DataFrame, customer: DataFrame): DataFrame = {
     val j = orders.join(customer, col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment"), cents(col("o_totalprice")).cast("long").as("cents_v"))
+      // fence derivation + clamp pass both read it: one join, not two
+      .pinned()
     val fences = Median.nearestRankByKey(j, Seq("c_mktsegment"),
         expr("cents_v div 10000"), Seq(5, 95))
       .select(col("c_mktsegment"), (col("p5") * 10000L).as("lo"), (col("p95") * 10000L).as("hi"))
